@@ -1,0 +1,96 @@
+package graft.core
+
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Thin session wrapper carrying engine-level write configuration and the
+  * generic multi-format reader (reference: common/session.py:195-356, 599-689).
+  *
+  * Engine conf keys (set on the underlying SparkSession):
+  *   - `spark.graft.writeMode` (default `errorifexists`)
+  *   - `spark.graft.outputPartitions` (default 200)
+  */
+final case class GSession(spark: SparkSession) {
+
+  def writeMode: String =
+    spark.conf.getOption("spark.graft.writeMode").getOrElse("errorifexists")
+
+  def outputPartitions: Int =
+    spark.conf.getOption("spark.graft.outputPartitions").map(_.toInt).getOrElse(200)
+
+  /** Generic reader: parquet (mergeSchema), csv/tsv (header, sep), json —
+    * optional declared schema, list of paths, recursive lookup
+    * (common/session.py:599-689). Schema is inferred only for ad-hoc
+    * delimited loads; curated datasets always pass a declared schema.
+    */
+  def loadData(
+      paths: Seq[String],
+      format: String = "parquet",
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty
+  ): DataFrame = {
+    val fmt = format.toLowerCase
+    val base = spark.read
+    val withSchema = schema.fold(base)(base.schema)
+    val reader = fmt match {
+      case "parquet" =>
+        withSchema.options(Map("mergeSchema" -> "true") ++ options).format("parquet")
+      case "csv" =>
+        val defaults = Map("header" -> "true", "inferSchema" -> schema.isEmpty.toString)
+        withSchema.options(defaults ++ options).format("csv")
+      case "tsv" =>
+        val defaults = Map(
+          "header" -> "true",
+          "sep" -> "\t",
+          "inferSchema" -> schema.isEmpty.toString
+        )
+        withSchema.options(defaults ++ options).format("csv")
+      case "json" | "jsonl" =>
+        withSchema.options(options).format("json")
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported format: $other")
+    }
+    reader.load(paths: _*)
+  }
+
+  /** Parquet sink with session-level write mode + coalesce
+    * (common/session.py:336-356).
+    */
+  def writeParquet(df: DataFrame, path: String, partitions: Option[Int] = None): Unit =
+    df.coalesce(partitions.getOrElse(outputPartitions))
+      .write
+      .mode(writeMode)
+      .parquet(path)
+
+  /** Hive-style partitioned sink — repartition on the partition column first
+    * so each task writes one file per partition value
+    * (common/processing.py:469-476).
+    */
+  def writePartitionedParquet(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+      .write
+      .mode(writeMode)
+      .partitionBy(partitionCol)
+      .parquet(path)
+}
+
+object GSession {
+
+  /** Build a locally-tuned session. `shufflePartitions` should match the
+    * available parallelism in local mode (NOT the 200 default, which is a
+    * cluster setting).
+    */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): GSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GSession(spark)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** DataFrame-level reshaping / ranking helpers
+  * (reference: common/spark.py:22-96, 122-174, 387-418, 490-517).
+  */
+object DfOps {
+
+  /** Wide → long melt via explode of an array-of-structs literal
+    * (common/spark.py:22-69). Values are cast to float like the reference.
+    */
+  def convertFromWideToLong(
+      df: DataFrame,
+      idVars: Seq[String],
+      varName: String,
+      valueName: String,
+      valueVars: Seq[String] = Nil
+  ): DataFrame = {
+    val vars0 = if (valueVars.nonEmpty) valueVars else df.columns.filterNot(idVars.contains).toSeq
+    val varsAndVals = array(
+      vars0.map(c => struct(lit(c).alias(varName), col(c).cast(FloatType).alias(valueName))): _*
+    )
+    df.withColumn("_vars_and_vals", explode(varsAndVals))
+      .select(idVars.map(col) ++ Seq(varName, valueName).map(x => col("_vars_and_vals")(x).alias(x)): _*)
+  }
+
+  /** Long → wide pivot (common/spark.py:72-96). Pivot values are pre-collected
+    * (one extra small job) so the pivot itself is a single shuffle — required
+    * for planning stability at scale.
+    */
+  def convertFromLongToWide(
+      df: DataFrame,
+      idVars: Seq[String],
+      varName: String,
+      valueName: String
+  ): DataFrame = {
+    val values = df.select(varName).distinct().collect().map(_.getString(0)).sorted.toSeq
+    df.groupBy(idVars.map(col): _*).pivot(varName, values).agg(first(valueName))
+  }
+
+  /** Keep the rank-1 record of each window partition (common/spark.py:122-140). */
+  def getTopRankedInWindow(df: DataFrame, w: WindowSpec): DataFrame =
+    df.withColumn("row_number", row_number().over(w))
+      .filter(col("row_number") === 1)
+      .drop("row_number")
+
+  /** Top-1 by minimum value per group (common/spark.py:143-157). */
+  def getRecordWithMinimumValue(df: DataFrame, groupingCols: Seq[String], sortingCol: String): DataFrame =
+    getTopRankedInWindow(df, Window.partitionBy(groupingCols.map(col): _*).orderBy(col(sortingCol)))
+
+  /** Top-1 by maximum value per group (common/spark.py:160-174). */
+  def getRecordWithMaximumValue(df: DataFrame, groupingCols: Seq[String], sortingCol: String): DataFrame =
+    getTopRankedInWindow(df, Window.partitionBy(groupingCols.map(col): _*).orderBy(col(sortingCol).desc))
+
+  /** Prefix-rename every column (common/spark.py:490-517). */
+  def renameAllColumns(df: DataFrame, prefix: String): DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$prefix$c"))
+
+  /** Per-feature null fraction (dataset/l2g_feature_matrix.py:113-137). */
+  def missingnessRate(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(c => avg(when(col(c).isNull, 1.0).otherwise(0.0)).alias(c)): _*)
+}

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the scalar special-function kernels.
+  *
+  * These stay inside whole-stage codegen (each generates a static call into
+  * [[SpecialMath]]), unlike a Scala UDF which would break the codegen span —
+  * they sit in the per-variant hot path of QC and p-value conversion.
+  *
+  * Inputs are cast to double by the Column-facing constructors below, so no
+  * ExpectsInputTypes contract is needed.
+  */
+abstract class DoubleKernelExpression extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  /** Fully-qualified static method, e.g. `graft.functions.SpecialMath.chi2Sf`. */
+  protected def staticMethod: String
+
+  override protected def nullSafeEval(input: Any): Any =
+    evalKernel(input.asInstanceOf[Double])
+
+  protected def evalKernel(x: Double): Double
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$staticMethod($c)")
+}
+
+/** chi² (df=1) survival function: chi² statistic → p-value. */
+case class Chi2SurvivalFunction(child: Expression) extends DoubleKernelExpression {
+  override protected def staticMethod: String = "graft.functions.SpecialMath.chi2Sf"
+  override protected def evalKernel(x: Double): Double = SpecialMath.chi2Sf(x)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** chi² (df=1) inverse survival function: p-value → chi² statistic. */
+case class Chi2InverseSurvivalFunction(child: Expression) extends DoubleKernelExpression {
+  override protected def staticMethod: String = "graft.functions.SpecialMath.chi2Isf"
+  override protected def evalKernel(x: Double): Double = SpecialMath.chi2Isf(x)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Standard normal survival function. */
+case class NormSurvivalFunction(child: Expression) extends DoubleKernelExpression {
+  override protected def staticMethod: String = "graft.functions.SpecialMath.normSf"
+  override protected def evalKernel(x: Double): Double = SpecialMath.normSf(x)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object expressions {
+  import org.apache.spark.sql.functions.lit
+
+  private def toDoubleExpr(c: Column): Expression =
+    Bridge.expression(c.cast(DoubleType))
+
+  /** Column API over the kernels (reference: common/udf.py:20-100). */
+  def chi2_survival_function(x: Column): Column =
+    Bridge.column(Chi2SurvivalFunction(toDoubleExpr(x)))
+
+  def chi2_inverse_survival_function(p: Column): Column =
+    Bridge.column(Chi2InverseSurvivalFunction(toDoubleExpr(p)))
+
+  def norm_survival_function(x: Column): Column =
+    Bridge.column(NormSurvivalFunction(toDoubleExpr(x)))
+
+  /** Stable log-sum-exp of an array column as a pure column expression —
+    * max + log(sum(exp(x - max))) (common/stats.py:23-41; UDF-registered in
+    * the reference at method/colocalisation.py:278, here codegen-native).
+    */
+  def logsumexp(arr: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val mx = array_max(arr)
+    mx + log(aggregate(transform(arr, x => exp(x - mx)), lit(0.0), (acc, x) => acc + x))
+  }
+}

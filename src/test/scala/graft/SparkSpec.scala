@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for specs (mirrors the reference CI harness:
+  * local master, tiny shuffle parallelism — src/utils/spark.py:19-41).
+  */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master("local[2]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.spark
+  protected def sf(name: String) = s"/root/testdata/sf0.001/$name.parquet"
+}
