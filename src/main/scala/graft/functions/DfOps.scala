@@ -36,10 +36,11 @@ object DfOps {
       df: DataFrame,
       idVars: Seq[String],
       varName: String,
-      valueName: String
+      valueName: String,
+      agg: Column => Column = first(_)
   ): DataFrame = {
     val values = df.select(varName).distinct().collect().map(_.getString(0)).sorted.toSeq
-    df.groupBy(idVars.map(col): _*).pivot(varName, values).agg(first(valueName))
+    df.groupBy(idVars.map(col): _*).pivot(varName, values).agg(agg(col(valueName)))
   }
 
   /** Keep the rank-1 record of each window partition (common/spark.py:122-140). */

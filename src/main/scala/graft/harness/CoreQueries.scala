@@ -1,0 +1,324 @@
+package graft.harness
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{FloatType, IntegerType, StringType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.GDataset
+import graft.functions.{ArrayOps, DfOps, GenomicOps, Stats}
+
+/** Oracle-checked queries exercising the core kernel operators (SURVEY §2.2,
+  * §2.4-§2.8) over the driver's synthetic TPC-H-ish tables.
+  *
+  * Every query here has a matching DuckDB SQL in [[CoreQueries.oracles]] with
+  * IDENTICAL column names and value semantics; double-valued aggregates are
+  * rounded on both sides to absorb summation-order ulp differences.
+  */
+object CoreQueries {
+  import Tables._
+
+  /** Σ_{i=1..1000} 1/i² — harmonic-sum normalisation constant, embedded
+    * verbatim into the oracle SQL so both sides use the same literal.
+    */
+  private val HarmonicK: Double = (1 to 1000).map(i => 1.0 / (i.toDouble * i)).sum
+
+  // -- p-value machinery (Stats) ---------------------------------------------
+
+  /** splitPvalueColumn + pvalueFilterCondition: mantissa/exponent significance
+    * predicate without materialising the double (summary_statistics.py:38-58).
+    */
+  def pvalueFilter(s: SparkSession, d: String): DataFrame = {
+    val (m, e) = Stats.splitPvalueColumn((col("l_quantity") / lit(51.0)).cast(StringType))
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), m.as("p_mantissa"), e.as("p_exponent"))
+      .filter(Stats.pvalueFilterCondition(col("p_mantissa"), col("p_exponent"), 5e-2))
+  }
+
+  /** neglogpvalFromPvalue over the split representation (common/stats.py:243-268). */
+  def neglogPval(s: SparkSession, d: String): DataFrame = {
+    val (m, e) = Stats.splitPvalueColumn((col("l_quantity") / lit(51.0)).cast(StringType))
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), m.as("p_mantissa"), e.as("p_exponent"))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        round(Stats.neglogpvalFromPvalue(col("p_mantissa"), col("p_exponent")), 6).as("neglog_pval")
+      )
+  }
+
+  // -- identifiers / strings -------------------------------------------------
+
+  /** md5-of-concat deterministic IDs (dataset/dataset.py:440-456). */
+  def md5Id(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey"),
+      GDataset.generateIdentifier(Seq("c_custkey", "c_name", "c_mktsegment")).as("id")
+    )
+
+  /** URL-safe slug cleaning (common/spark.py:762-785). */
+  def slug(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey"),
+      ArrayOps.cleanStringsFromSymbols(col("c_name")).as("slug")
+    )
+
+  /** EFO URI parsing: split → last path component (common/processing.py:21-51). */
+  def efoParse(s: SparkSession, d: String): DataFrame = {
+    val uris = concat(
+      lit("http://www.ebi.ac.uk/efo/EFO_"), col("s_suppkey").cast(StringType),
+      lit(",http://purl.obolibrary.org/obo/MONDO_"), col("s_suppkey").cast(StringType)
+    )
+    supplier(s, d).select(
+      col("s_suppkey"),
+      concat_ws(",", GenomicOps.parseEfos(uris)).as("efos")
+    )
+  }
+
+  /** variantId chromosome/position extraction (common/processing.py:54-107). */
+  def variantParse(s: SparkSession, d: String): DataFrame = {
+    val vid = concat(
+      (lit(1) + col("p_partkey") % 22).cast(StringType), lit("_"),
+      col("p_partkey").cast(StringType), lit("_A_T")
+    )
+    part(s, d).select(
+      col("p_partkey"),
+      GenomicOps.extractChromosome(vid).as("chromosome"),
+      GenomicOps.extractPosition(vid).as("position")
+    )
+  }
+
+  /** Chromosome notation normalisation (common/processing.py:110-149). */
+  def chromNormalize(s: SparkSession, d: String): DataFrame = {
+    val raw = when(col("n_nationkey") === 0, "M")
+      .when(col("n_nationkey") === 1, "23")
+      .when(col("n_nationkey") === 2, "24")
+      .otherwise(concat(lit("chr"), col("n_nationkey").cast(StringType)))
+    nation(s, d).select(
+      col("n_nationkey"),
+      GenomicOps.normalizeChromosome(raw)
+    )
+  }
+
+  // -- filters / predicates --------------------------------------------------
+
+  /** Genomic-region exclusion predicate + rollup (summary_statistics.py:121-145). */
+  def excludeRegion(s: SparkSession, d: String): DataFrame = {
+    val region = GenomicOps.Region("6", 500, 1500)
+    val chrom = (lit(1) + col("l_orderkey") % 22).cast(StringType).as("chromosome")
+    lineitem(s, d)
+      .select(chrom, col("l_partkey").as("position"))
+      .filter(!GenomicOps.inRegion(col("chromosome"), col("position"), region))
+      .groupBy("chromosome")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** MAF with DecimalType rounding control (common/processing.py:152-196). */
+  def mafQuery(s: SparkSession, d: String): DataFrame = {
+    val af = col("l_tax") * 10.0
+    lineitem(s, d).select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      round(GenomicOps.maf(af).cast("double"), 8).as("maf")
+    )
+  }
+
+  /** QC-flag update chain + validity split predicate
+    * (dataset/dataset.py:252-299, :372-422).
+    */
+  def qcFlags(s: SparkSession, d: String): DataFrame = {
+    val qc1 = GDataset.updateQualityFlag(
+      lit(null).cast("array<string>"), col("o_totalprice") > 300000.0, "high price")
+    val qc = GDataset.updateQualityFlag(qc1, col("o_orderstatus") === "F", "finished")
+    orders(s, d).select(
+      col("o_orderkey"),
+      concat_ws(";", qc).as("qc_str"),
+      (!arrays_overlap(array(lit("high price")), qc)).as("valid")
+    )
+  }
+
+  // -- windows / reshaping / aggregates --------------------------------------
+
+  /** Deterministic top-1-per-group via row_number (common/spark.py:122-174). */
+  def top1PerGroup(s: SparkSession, d: String): DataFrame =
+    DfOps.getTopRankedInWindow(
+      orders(s, d),
+      Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+  /** Wide → long melt (common/spark.py:22-69). */
+  def meltQuery(s: SparkSession, d: String): DataFrame =
+    DfOps.convertFromWideToLong(
+      lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"),
+      idVars = Seq("l_orderkey", "l_linenumber"),
+      varName = "variable",
+      valueName = "value",
+      valueVars = Seq("l_quantity", "l_discount", "l_tax")
+    )
+
+  /** Long → wide pivot with pre-collected pivot values (common/spark.py:72-96). */
+  def pivotQuery(s: SparkSession, d: String): DataFrame =
+    DfOps.convertFromLongToWide(
+      events(s, d).select(col("user_id"), col("event_type"), col("value")),
+      idVars = Seq("user_id"),
+      varName = "event_type",
+      valueName = "value",
+      agg = c => round(sum(c), 6)
+    )
+
+  /** Harmonic sum over collected arrays (common/spark.py:724-759). */
+  def harmonicSum(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(collect_list(col("l_quantity")).as("arr"))
+      .select(
+        col("l_orderkey"),
+        round(ArrayOps.calculateHarmonicSum(col("arr")), 6).as("harmonic_sum")
+      )
+
+  /** Array-of-structs two-key sort; lead element extraction
+    * (common/spark.py:282-350).
+    */
+  def arraySortLead(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(collect_list(struct(col("l_quantity"), col("l_linenumber"))).as("items"))
+      .select(
+        col("l_orderkey"),
+        ArrayOps.orderArrayOfStructsByTwoFields("items", "l_quantity", "l_linenumber")
+          .getItem(0).getField("l_linenumber").as("lead_linenumber")
+      )
+
+  /** Per-feature missingness rate (dataset/l2g_feature_matrix.py:113-137). */
+  def missingness(s: SparkSession, d: String): DataFrame = {
+    val df = lineitem(s, d).select(
+      when(col("l_discount") > 0.05, col("l_quantity")).as("x"),
+      when(col("l_returnflag") === "R", col("l_extendedprice")).as("y")
+    )
+    DfOps.missingnessRate(df, Seq("x", "y"))
+      .select(round(col("x"), 6).as("x"), round(col("y"), 6).as("y"))
+  }
+
+  /** Exact duplicate detection over documents: hash-groupBy with deterministic
+    * keeper selection (LLM-pipeline dedup baseline).
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    documents(s, d).select(
+      col("doc_id"),
+      count(lit(1)).over(w).as("dup_count"),
+      (col("doc_id") === min(col("doc_id")).over(w)).as("keep")
+    )
+  }
+
+  // -- DuckDB oracles --------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pvalue_filter" -> (pvalueFilter _),
+    "q_neglog_pval" -> (neglogPval _),
+    "q_md5_id" -> (md5Id _),
+    "q_slug" -> (slug _),
+    "q_efo_parse" -> (efoParse _),
+    "q_variant_parse" -> (variantParse _),
+    "q_chrom_normalize" -> (chromNormalize _),
+    "q_exclude_region" -> (excludeRegion _),
+    "q_maf" -> (mafQuery _),
+    "q_qc_flags" -> (qcFlags _),
+    "q_top1_per_group" -> (top1PerGroup _),
+    "q_melt" -> (meltQuery _),
+    "q_pivot" -> (pivotQuery _),
+    "q_harmonic_sum" -> (harmonicSum _),
+    "q_array_sort_lead" -> (arraySortLead _),
+    "q_missingness" -> (missingness _),
+    "q_dedup_exact" -> (dedupExact _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pvalue_filter" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity/51.0 AS p FROM lineitem),
+        |s AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(round(p/pow(10.0, floor(log10(p))), 3) AS REAL) AS p_mantissa,
+        |  CAST(floor(log10(p)) AS INTEGER) AS p_exponent FROM b)
+        |SELECT * FROM s WHERE p_exponent < -2 OR (p_exponent = -2 AND p_mantissa <= 5.0)""".stripMargin,
+    "q_neglog_pval" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity/51.0 AS p FROM lineitem),
+        |s AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(round(p/pow(10.0, floor(log10(p))), 3) AS REAL) AS p_mantissa,
+        |  CAST(floor(log10(p)) AS INTEGER) AS p_exponent FROM b)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(-1*(log10(p_mantissa) + p_exponent), 6) AS neglog_pval FROM s""".stripMargin,
+    "q_md5_id" ->
+      "SELECT c_custkey, md5(concat(CAST(c_custkey AS VARCHAR), c_name, c_mktsegment)) AS id FROM customer",
+    "q_slug" ->
+      "SELECT c_custkey, regexp_replace(lower(c_name), '[^a-z0-9-_]+', '_', 'g') AS slug FROM customer",
+    "q_efo_parse" ->
+      """SELECT s_suppkey, array_to_string(list_transform(
+        |  string_split('http://www.ebi.ac.uk/efo/EFO_' || CAST(s_suppkey AS VARCHAR) ||
+        |               ',http://purl.obolibrary.org/obo/MONDO_' || CAST(s_suppkey AS VARCHAR), ','),
+        |  u -> list_extract(string_split(u, '/'), -1)), ',') AS efos FROM supplier""".stripMargin,
+    "q_variant_parse" ->
+      """WITH b AS (SELECT p_partkey,
+        |  CAST(1 + p_partkey % 22 AS VARCHAR) || '_' || CAST(p_partkey AS VARCHAR) || '_A_T' AS vid FROM part)
+        |SELECT p_partkey, regexp_extract(vid, '^(.*)_\d+_.*$', 1) AS chromosome,
+        |  regexp_extract(vid, '^.*_(\d+)_.*$', 1) AS position FROM b""".stripMargin,
+    "q_chrom_normalize" ->
+      """WITH b AS (SELECT n_nationkey, CASE WHEN n_nationkey = 0 THEN 'M'
+        |  WHEN n_nationkey = 1 THEN '23' WHEN n_nationkey = 2 THEN '24'
+        |  ELSE 'chr' || CAST(n_nationkey AS VARCHAR) END AS raw FROM nation),
+        |c AS (SELECT n_nationkey, regexp_replace(raw, '^chr', '') AS r2 FROM b)
+        |SELECT n_nationkey, CASE WHEN r2 = 'M' THEN 'MT' WHEN r2 = '23' THEN 'X'
+        |  WHEN r2 = '24' THEN 'Y' ELSE r2 END AS chromosome FROM c""".stripMargin,
+    "q_exclude_region" ->
+      """WITH b AS (SELECT CAST(1 + l_orderkey % 22 AS VARCHAR) AS chromosome, l_partkey AS position FROM lineitem)
+        |SELECT chromosome, count(*) AS n FROM b
+        |WHERE NOT (chromosome = '6' AND position >= 500 AND position <= 1500)
+        |GROUP BY chromosome""".stripMargin,
+    "q_maf" ->
+      """SELECT l_orderkey, l_linenumber, round(CAST(
+        |  CASE WHEN l_tax * 10.0 <= 0.5 THEN CAST(l_tax * 10.0 AS DECIMAL(11,10))
+        |       ELSE CAST(1.0 AS DECIMAL(11,10)) - CAST(l_tax * 10.0 AS DECIMAL(11,10)) END
+        |  AS DOUBLE), 8) AS maf FROM lineitem""".stripMargin,
+    "q_qc_flags" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000.0 AND o_orderstatus = 'F' THEN 'finished;high price'
+        |       WHEN o_totalprice > 300000.0 THEN 'high price'
+        |       WHEN o_orderstatus = 'F' THEN 'finished'
+        |       ELSE '' END AS qc_str,
+        |  NOT (o_totalprice > 300000.0) AS valid FROM orders""".stripMargin,
+    "q_top1_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "q_melt" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, CAST(l_quantity AS REAL) AS value FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS REAL) FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS REAL) FROM lineitem""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_harmonic_sum" ->
+      s"""WITH r AS (SELECT l_orderkey, l_quantity,
+         |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS rn FROM lineitem)
+         |SELECT l_orderkey, round(sum(l_quantity / (rn * rn) / $HarmonicK), 6) AS harmonic_sum
+         |FROM r GROUP BY l_orderkey""".stripMargin,
+    "q_array_sort_lead" ->
+      """SELECT l_orderkey, l_linenumber AS lead_linenumber FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber ASC) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+    "q_missingness" ->
+      """SELECT
+        |  round(avg(CASE WHEN (CASE WHEN l_discount > 0.05 THEN l_quantity END) IS NULL THEN 1.0 ELSE 0.0 END), 6) AS x,
+        |  round(avg(CASE WHEN (CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) IS NULL THEN 1.0 ELSE 0.0 END), 6) AS y
+        |FROM lineitem""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+        |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM documents""".stripMargin
+  )
+}
