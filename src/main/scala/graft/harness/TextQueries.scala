@@ -1,0 +1,205 @@
+package graft.harness
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Oracle-checked queries for the LLM-training-data-pipeline operators:
+  * near-dedup (MinHash/LSH, SimHash, Jaccard), similarity search (exact and
+  * LSH-bucketed ANN), and text analysis.
+  */
+object TextQueries {
+  import Tables._
+
+  private def withTokens(df: DataFrame): DataFrame =
+    df.withColumn("toks", TextOps.tokenize(col("text")))
+
+  /** MinHash signature per document (16 seeded md5 minima over 3-shingles). */
+  def minhash(s: SparkSession, d: String): DataFrame =
+    withTokens(documents(s, d))
+      .select(
+        col("doc_id"),
+        concat_ws(",", TextOps.minhashSignature(TextOps.shingles(col("toks")))).as("sig")
+      )
+
+  /** LSH candidate pairs: docs sharing ≥1 of 8 two-row bands. */
+  def lshPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.candidatePairs(Dedup.signatures(documents(s, d)))
+
+  /** Candidates + exact 3-gram Jaccard verification. */
+  def nearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.verifiedPairs(documents(s, d))
+
+  /** 16-bit SimHash per document. */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    withTokens(documents(s, d))
+      .select(col("doc_id"), TextOps.simhash16(col("toks")).as("simhash"))
+
+  /** Per-document quality statistics. */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val en = TextOps.StopwordsByLang.toMap.apply("en")
+    withTokens(documents(s, d)).select(
+      col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      length(col("text")).as("n_chars_calc"),
+      round(
+        aggregate(col("toks"), lit(0), (acc, t) => acc + length(t)) / size(col("toks"))
+          .cast("double"),
+        6
+      ).as("avg_token_len"),
+      round(
+        TextOps.stopwordHits(col("toks"), en) / size(col("toks")).cast("double"), 6
+      ).as("stopword_ratio"),
+      round(size(array_distinct(col("toks"))) / size(col("toks")).cast("double"), 6)
+        .as("uniq_ratio")
+    )
+  }
+
+  /** Stopword-vote language identification. */
+  def langIdQuery(s: SparkSession, d: String): DataFrame =
+    withTokens(documents(s, d))
+      .select(col("doc_id"), TextOps.langId(col("toks")).as("lang_pred"))
+
+  /** k-min-sketch document fingerprint. */
+  def fingerprintQuery(s: SparkSession, d: String): DataFrame =
+    withTokens(documents(s, d))
+      .select(col("doc_id"), TextOps.fingerprint(TextOps.shingles(col("toks"))).as("fp"))
+
+  /** BPE-ish token counting. */
+  def bpeCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_bpe"))
+
+  /** Exact cosine top-5 for query vectors (vec_id < 20), brute force over a
+    * broadcast query set.
+    */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
+  }
+
+  /** LSH-bucketed ANN top-3 for query vectors (vec_id < 50). */
+  def annLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.annTopK(
+      Similarity.lshBuckets(embeddings(s, d)), col("vec_id") < 50, k = 3)
+
+  // -- oracles ---------------------------------------------------------------
+
+  private val ShinglesSql =
+    """tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles FROM tok)""".stripMargin
+
+  private val SigSql =
+    s"""$ShinglesSql,
+       |sig AS (SELECT doc_id, list_transform(range(0, 16),
+       |  j -> list_aggregate(list_transform(shingles, sh2 -> md5('s' || CAST(j AS VARCHAR) || ':' || sh2)), 'min')) AS sig
+       |  FROM sh)""".stripMargin
+
+  private val BandsSql =
+    s"""$SigSql,
+       |bands AS (SELECT doc_id, b, md5(sig[b*2+1] || sig[b*2+2]) AS bh FROM sig, range(0, 8) t(b)),
+       |pairs AS (SELECT a.doc_id AS l_doc, b.doc_id AS r_doc FROM bands a
+       |  JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private val PlanesSql =
+    """w AS (SELECT p, d, CASE WHEN strpos('0123456789abcdef',
+      |    substr(md5('p:' || CAST(p AS VARCHAR) || ':d:' || CAST(d AS VARCHAR)), 1, 1)) - 1 >= 8
+      |    THEN 1.0 ELSE -1.0 END AS wgt FROM range(0, 4) tp(p), range(0, 64) td(d)),
+      |dots AS (SELECT e.vec_id, w.p, sum(e.embedding[w.d + 1]::DOUBLE * w.wgt) AS dot
+      |  FROM embeddings e, w GROUP BY 1, 2),
+      |buck AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY 1)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash" -> (minhash _),
+    "q_lsh_pairs" -> (lshPairs _),
+    "q_near_dup" -> (nearDup _),
+    "q_simhash" -> (simhash _),
+    "q_text_stats" -> (textStats _),
+    "q_lang_id" -> (langIdQuery _),
+    "q_fingerprint" -> (fingerprintQuery _),
+    "q_bpe_count" -> (bpeCount _),
+    "q_cosine_topk" -> (cosineTopK _),
+    "q_ann_lsh" -> (annLsh _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_minhash" ->
+      s"""WITH $SigSql
+         |SELECT doc_id, array_to_string(sig, ',') AS sig FROM sig""".stripMargin,
+    "q_lsh_pairs" ->
+      s"""WITH $BandsSql
+         |SELECT l_doc, r_doc FROM pairs""".stripMargin,
+    "q_near_dup" ->
+      s"""WITH $BandsSql,
+         |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+         |inter AS (SELECT p.l_doc, p.r_doc,
+         |    len(list_filter(x.s, v -> list_contains(y.s, v))) AS i,
+         |    len(x.s) AS nx, len(y.s) AS ny
+         |  FROM pairs p JOIN dsh x ON p.l_doc = x.doc_id JOIN dsh y ON p.r_doc = y.doc_id)
+         |SELECT l_doc, r_doc, round(i / CAST(nx + ny - i AS DOUBLE), 6) AS jaccard FROM inter""".stripMargin,
+    "q_simhash" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |bits AS (SELECT doc_id, b,
+        |    CASE WHEN list_sum(list_transform(toks,
+        |      t -> ((strpos('0123456789abcdef', substr(md5(t), b + 1, 1)) - 1) % 2) * 2 - 1)) >= 0
+        |    THEN 1 << b ELSE 0 END AS bit
+        |  FROM tok, range(0, 16) tb(b))
+        |SELECT doc_id, CAST(sum(bit) AS INTEGER) AS simhash FROM bits GROUP BY doc_id""".stripMargin,
+    "q_text_stats" ->
+      """WITH tok AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars_calc,
+        |  round(list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
+        |  round(len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+        |  round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS uniq_ratio
+        |FROM tok""".stripMargin,
+    "q_lang_id" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) AS s_en,
+        |  len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+        |  len(list_filter(toks, t -> list_contains(['el','la','de','y','que'], t))) AS s_es,
+        |  len(list_filter(toks, t -> list_contains(['le','les','des','et','une'], t))) AS s_fr,
+        |  len(list_filter(toks, t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
+        |FROM tok)
+        |SELECT doc_id, CASE
+        |  WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+        |  WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+        |  WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |  WHEN s_fr >= s_zh THEN 'fr'
+        |  ELSE 'zh' END AS lang_pred FROM sc""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH $ShinglesSql
+         |SELECT doc_id, array_to_string(list_sort(list_transform(shingles, sh2 -> md5(sh2)))[1:3], ',') AS fp
+         |FROM sh""".stripMargin,
+    "q_bpe_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe
+        |FROM documents""".stripMargin,
+    "q_cosine_topk" ->
+      """WITH cand AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+        |    list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |       sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos_raw
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id)
+        |SELECT q_id, neighbor_id, round(cos_raw, 6) AS cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+        |  FROM cand) WHERE rn <= 5""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH $PlanesSql,
+         |cand AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |    list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         |      (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         |       sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos_raw
+         |  FROM embeddings a JOIN buck ba ON a.vec_id = ba.vec_id
+         |    JOIN buck bb ON ba.bucket = bb.bucket
+         |    JOIN embeddings b ON b.vec_id = bb.vec_id
+         |  WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id)
+         |SELECT q_id, neighbor_id, round(cos_raw, 6) AS cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+         |  FROM cand) WHERE rn <= 3""".stripMargin
+  )
+}
