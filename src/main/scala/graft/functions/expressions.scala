@@ -78,6 +78,11 @@ object expressions {
   def logsumexp(arr: Column): Column = {
     import org.apache.spark.sql.functions._
     val mx = array_max(arr)
-    mx + log(aggregate(transform(arr, x => exp(x - mx)), lit(0.0), (acc, x) => acc + x))
+    // All-(-Inf) arrays would otherwise yield exp(-Inf - -Inf) = NaN; match
+    // the scalar kernel (SpecialMath.logsum) and return -Inf.
+    when(mx === lit(Double.NegativeInfinity), lit(Double.NegativeInfinity))
+      .otherwise(
+        mx + log(aggregate(transform(arr, x => exp(x - mx)), lit(0.0), (acc, x) => acc + x))
+      )
   }
 }

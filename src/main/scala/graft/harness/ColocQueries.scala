@@ -1,0 +1,260 @@
+package graft.harness
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{FloatType, IntegerType, StringType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Colocalisation, CredibleSets, Overlaps, SumstatQC}
+
+/** Oracle-checked queries for the colocalisation pipeline (overlaps,
+  * eCAVIAR, COLOC), credible-set annotation, and the per-study sumstats QC
+  * aggregate suite.
+  */
+object ColocQueries {
+  import Tables._
+
+  /** Synthetic credible sets: (locus, tag) pairs from a quarter of lineitem,
+    * every statistic a pure function of (orderkey, partkey) and the
+    * projection distinct — so arrays and window orders are deterministic.
+    */
+  def synthCredsets(s: SparkSession, d: String): DataFrame = {
+    val q = lit(1) + (col("l_orderkey") * 7 + col("l_partkey") * 31) % 97
+    val base = lineitem(s, d)
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(
+        concat(lit("L"), col("l_orderkey").cast(StringType)).as("studyLocusId"),
+        when(col("l_orderkey") % 2 === 0, "gwas").otherwise("eqtl").as("studyType"),
+        (col("l_partkey") % 8).cast(StringType).as("chromosome"),
+        concat(lit("v"), col("l_partkey").cast(StringType)).as("tagVariantId"),
+        q.cast(IntegerType).as("q")
+      )
+      .distinct()
+    base
+      .withColumn(
+        "pp",
+        col("q") / sum(col("q")).over(Window.partitionBy("studyLocusId")).cast("double")
+      )
+      .withColumn("logBF", col("q") / 10.0)
+      .withColumn("beta", ((col("q") % 21) - 10) / 10.0)
+      .withColumn("pValueMantissa", (lit(1) + (col("q") % 89) / 10.0).cast(FloatType))
+      .withColumn("pValueExponent", (-(lit(2) + col("q") % 30)).cast(IntegerType))
+  }
+
+  private def explodedForOverlap(s: SparkSession, d: String): DataFrame =
+    synthCredsets(s, d).select(
+      col("studyLocusId"), col("studyType"), col("chromosome"), col("tagVariantId"),
+      lit(null).cast(StringType).as("studyId"), lit(null).cast(StringType).as("region"),
+      col("logBF"), col("pp").as("posteriorProbability"), col("beta"),
+      col("pValueMantissa"), col("pValueExponent")
+    )
+
+  private def alignedOverlaps(s: SparkSession, d: String): DataFrame = {
+    val exploded = explodedForOverlap(s, d)
+    Overlaps.alignOverlappingTags(exploded, Overlaps.overlappingPeaks(exploded))
+  }
+
+  /** Overlapping-peak pair table (self-join on chromosome + tag). */
+  def overlaps(s: SparkSession, d: String): DataFrame = {
+    val e = explodedForOverlap(s, d)
+    Overlaps.overlappingPeaks(e)
+  }
+
+  /** eCAVIAR CLPP per overlap pair + beta-ratio sign average. */
+  def ecaviar(s: SparkSession, d: String): DataFrame =
+    Colocalisation.ecaviar(alignedOverlaps(s, d))
+      .withColumn("clpp", round(col("clpp"), 6))
+      .withColumn("betaRatioSignAverage", round(col("betaRatioSignAverage"), 6))
+
+  /** COLOC H0–H4 posteriors per overlap pair. */
+  def coloc(s: SparkSession, d: String): DataFrame = {
+    val r = Colocalisation.coloc(alignedOverlaps(s, d))
+    Seq("h0", "h1", "h2", "h3", "h4")
+      .foldLeft(r)((df, h) => df.withColumn(h, round(col(h), 6)))
+      .withColumn("betaRatioSignAverage", round(col("betaRatioSignAverage"), 6))
+      .drop("colocalisationMethod")
+  }
+
+  /** Credible-set 95/99% annotation HOF chain, exploded back to long form. */
+  def credsetAnnotation(s: SparkSession, d: String): DataFrame = {
+    val locus = synthCredsets(s, d)
+      .groupBy("studyLocusId")
+      .agg(
+        collect_list(
+          struct(col("tagVariantId").as("variantId"), col("pp").as("posteriorProbability"))
+        ).as("locus")
+      )
+    CredibleSets
+      .annotateCredibleSets(locus, tieBreakField = Some("variantId"))
+      .select(col("studyLocusId"), explode(col("locus")).as("tag"))
+      .select(
+        col("studyLocusId"),
+        col("tag.variantId").as("variantId"),
+        col("tag.posteriorProbability").as("pp"),
+        col("tag.is95CredibleSet").as("is95"),
+        col("tag.is99CredibleSet").as("is99")
+      )
+  }
+
+  private def synthGwas(s: SparkSession, d: String): DataFrame =
+    GenomicQueries.synthSumstats(s, d).df
+
+  def gcLambda(s: SparkSession, d: String): DataFrame =
+    SumstatQC.gcLambda(synthGwas(s, d))
+      .withColumn("gc_lambda", round(col("gc_lambda"), 6))
+
+  def pz(s: SparkSession, d: String): DataFrame =
+    SumstatQC.pzTest(synthGwas(s, d))
+      .withColumn("mean_diff_pz", round(col("mean_diff_pz"), 6))
+      .withColumn("se_diff_pz", round(col("se_diff_pz"), 6))
+
+  def meanBeta(s: SparkSession, d: String): DataFrame =
+    SumstatQC.meanBeta(synthGwas(s, d))
+      .withColumn("mean_beta", round(col("mean_beta"), 8))
+
+  def variantCounts(s: SparkSession, d: String): DataFrame =
+    SumstatQC.variantCounts(synthGwas(s, d))
+
+  // -- oracles ---------------------------------------------------------------
+
+  /** Shared credset + aligned-overlap SQL prefix. */
+  private val CredsetSql =
+    """raw AS (
+      |  SELECT DISTINCT 'L' || CAST(l_orderkey AS VARCHAR) AS studyLocusId,
+      |    CASE WHEN l_orderkey % 2 = 0 THEN 'gwas' ELSE 'eqtl' END AS studyType,
+      |    CAST(l_partkey % 8 AS VARCHAR) AS chromosome,
+      |    'v' || CAST(l_partkey AS VARCHAR) AS tagVariantId,
+      |    CAST(1 + (l_orderkey * 7 + l_partkey * 31) % 97 AS INTEGER) AS q
+      |  FROM lineitem WHERE l_orderkey % 4 = 0),
+      |cs AS (SELECT *,
+      |    q / CAST(sum(q) OVER (PARTITION BY studyLocusId) AS DOUBLE) AS pp,
+      |    q / 10.0 AS logBF, ((q % 21) - 10) / 10.0 AS beta
+      |  FROM raw)""".stripMargin
+
+  private val PeaksSql =
+    s"""$CredsetSql,
+       |peaks AS (
+       |  SELECT DISTINCT l.studyLocusId AS leftStudyLocusId, r.studyLocusId AS rightStudyLocusId,
+       |    r.studyType AS rightStudyType, l.chromosome AS chromosome
+       |  FROM cs l JOIN cs r ON l.chromosome = r.chromosome AND l.tagVariantId = r.tagVariantId
+       |    AND (r.studyType <> 'gwas' OR l.studyLocusId > r.studyLocusId)
+       |    AND l.studyType = 'gwas')""".stripMargin
+
+  private val AlignedSql =
+    s"""$PeaksSql,
+       |lft AS (SELECT p.leftStudyLocusId, p.rightStudyLocusId, p.rightStudyType, p.chromosome,
+       |    c.tagVariantId, c.logBF AS left_logBF, c.pp AS left_pp, c.beta AS left_beta
+       |  FROM peaks p JOIN cs c ON c.studyLocusId = p.leftStudyLocusId AND c.chromosome = p.chromosome),
+       |rgt AS (SELECT p.leftStudyLocusId, p.rightStudyLocusId, p.rightStudyType, p.chromosome,
+       |    c.tagVariantId, c.logBF AS right_logBF, c.pp AS right_pp, c.beta AS right_beta
+       |  FROM peaks p JOIN cs c ON c.studyLocusId = p.rightStudyLocusId AND c.chromosome = p.chromosome),
+       |al AS (SELECT * FROM lft
+       |  FULL JOIN rgt USING (chromosome, rightStudyLocusId, leftStudyLocusId, tagVariantId, rightStudyType))""".stripMargin
+
+  private val BetaRatioSql =
+    """br AS (SELECT leftStudyLocusId, rightStudyLocusId, chromosome,
+      |    round(avg(CASE WHEN left_beta / right_beta > 0 THEN 1.0
+      |                   WHEN left_beta / right_beta < 0 THEN -1.0 ELSE 0.0 END), 6) AS betaRatioSignAverage
+      |  FROM al
+      |  WHERE left_beta IS NOT NULL AND right_beta IS NOT NULL AND left_beta <> 0 AND right_beta <> 0
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
+  private val GwasSql =
+    """gw AS (SELECT DISTINCT 's' || CAST(l_suppkey % 10 AS VARCHAR) AS studyId,
+      |    ((((l_orderkey * 8 + l_linenumber) * 2654435761) % 1000000007) % 1000) / 1000.0 - 0.5 AS beta,
+      |    0.01 + ((((l_orderkey * 8 + l_linenumber) * 2654435761) % 1000000007) % 100) / 1000.0 AS se,
+      |    CAST(1.0 + (((l_orderkey * 8 + l_linenumber) * 2654435761) % 1000000007) % 700 / 100.0 AS REAL) AS pValueMantissa,
+      |    CAST(-(4 + (((l_orderkey * 8 + l_linenumber) * 2654435761) % 1000000007) % 13) AS INTEGER) AS pValueExponent,
+      |    CAST(((l_orderkey * 8 + l_linenumber) * 2654435761) % 1000000007 AS INTEGER) AS position,
+      |    CAST(1 + l_partkey % 4 AS VARCHAR) AS chromosome
+      |  FROM lineitem)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_overlaps" -> (overlaps _),
+    "q_ecaviar" -> (ecaviar _),
+    "q_coloc" -> (coloc _),
+    "q_credset_annot" -> (credsetAnnotation _),
+    "q_gc_lambda" -> (gcLambda _),
+    "q_pz_test" -> (pz _),
+    "q_mean_beta" -> (meanBeta _),
+    "q_variant_counts" -> (variantCounts _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_overlaps" ->
+      s"""WITH $PeaksSql
+         |SELECT leftStudyLocusId, rightStudyLocusId, rightStudyType, chromosome FROM peaks""".stripMargin,
+    "q_ecaviar" ->
+      s"""WITH $AlignedSql,
+         |$BetaRatioSql,
+         |ecv AS (SELECT leftStudyLocusId, rightStudyLocusId, rightStudyType, chromosome,
+         |    CAST(sum(CASE WHEN left_pp IS NOT NULL AND right_pp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS numberColocalisingVariants,
+         |    round(sum(left_pp * right_pp), 6) AS clpp
+         |  FROM al GROUP BY 1, 2, 3, 4)
+         |SELECT e.*, 'eCAVIAR' AS colocalisationMethod, br.betaRatioSignAverage
+         |FROM ecv e LEFT JOIN br USING (leftStudyLocusId, rightStudyLocusId, chromosome)""".stripMargin,
+    "q_coloc" ->
+      s"""WITH $AlignedSql,
+         |$BetaRatioSql,
+         |prep AS (SELECT chromosome, leftStudyLocusId, rightStudyLocusId, rightStudyType,
+         |    CASE WHEN left_pp IS NOT NULL AND right_pp IS NOT NULL THEN 'both'
+         |         WHEN left_pp IS NOT NULL THEN 'left' ELSE 'right' END AS src,
+         |    coalesce(left_logBF, 0.0) AS lbf, coalesce(right_logBF, 0.0) AS rbf,
+         |    coalesce(left_pp, 0.0) AS lpp, coalesce(right_pp, 0.0) AS rpp,
+         |    coalesce(left_logBF, 0.0) + coalesce(right_logBF, 0.0) AS sbf
+         |  FROM al),
+         |m AS (SELECT chromosome, leftStudyLocusId, rightStudyLocusId, rightStudyType,
+         |    max(lbf) AS ml, max(rbf) AS mr, max(sbf) AS ms,
+         |    CAST(sum(CASE WHEN src = 'both' THEN 1 ELSE 0 END) AS BIGINT) AS ncv,
+         |    max(CASE WHEN src = 'both' AND lpp > 0 AND rpp > 0 THEN 1 ELSE 0 END) AS anyhigh
+         |  FROM prep GROUP BY 1, 2, 3, 4),
+         |g AS (SELECT p.chromosome, p.leftStudyLocusId, p.rightStudyLocusId, p.rightStudyType,
+         |    any_value(m.ncv) AS ncv, any_value(m.anyhigh) AS anyhigh,
+         |    any_value(m.ml) + ln(sum(exp(p.lbf - m.ml))) AS logsum1,
+         |    any_value(m.mr) + ln(sum(exp(p.rbf - m.mr))) AS logsum2,
+         |    any_value(m.ms) + ln(sum(exp(p.sbf - m.ms))) AS logsum12
+         |  FROM prep p JOIN m USING (chromosome, leftStudyLocusId, rightStudyLocusId, rightStudyType)
+         |  GROUP BY 1, 2, 3, 4),
+         |f AS (SELECT *,
+         |    0.0 AS lh0, ln(0.0001) + logsum1 AS lh1, ln(0.0001) + logsum2 AS lh2,
+         |    CASE WHEN logsum1 + logsum2 = logsum12 THEN ln(0.0001) + ln(0.0001) + 1e-10
+         |         ELSE ln(0.0001) + ln(0.0001) + greatest(logsum1 + logsum2, logsum12)
+         |           + ln(exp(logsum1 + logsum2 - greatest(logsum1 + logsum2, logsum12))
+         |               - exp(logsum12 - greatest(logsum1 + logsum2, logsum12))) END AS lh3,
+         |    ln(0.00001) + logsum12 AS lh4
+         |  FROM g WHERE ncv > 0 OR anyhigh = 1),
+         |post AS (SELECT *, greatest(lh0, lh1, lh2, lh3, lh4) AS mxa FROM f),
+         |post2 AS (SELECT *, mxa + ln(exp(lh0-mxa) + exp(lh1-mxa) + exp(lh2-mxa) + exp(lh3-mxa) + exp(lh4-mxa)) AS lse FROM post)
+         |SELECT leftStudyLocusId, rightStudyLocusId, rightStudyType, chromosome,
+         |  ncv AS numberColocalisingVariants,
+         |  round(exp(lh0 - lse), 6) AS h0, round(exp(lh1 - lse), 6) AS h1,
+         |  round(exp(lh2 - lse), 6) AS h2, round(exp(lh3 - lse), 6) AS h3,
+         |  round(exp(lh4 - lse), 6) AS h4,
+         |  br.betaRatioSignAverage
+         |FROM post2 LEFT JOIN br USING (leftStudyLocusId, rightStudyLocusId, chromosome)""".stripMargin,
+    "q_credset_annot" ->
+      s"""WITH $CredsetSql,
+         |cum AS (SELECT studyLocusId, tagVariantId AS variantId, pp,
+         |    coalesce(sum(pp) OVER (PARTITION BY studyLocusId ORDER BY pp DESC, tagVariantId ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_before
+         |  FROM cs)
+         |SELECT studyLocusId, variantId, pp, cum_before < 0.95 AS is95, cum_before < 0.99 AS is99
+         |FROM cum""".stripMargin,
+    "q_gc_lambda" ->
+      s"""WITH $GwasSql
+         |SELECT studyId, round(quantile_disc((beta / se) * (beta / se), 0.5) / ${SumstatQC.Chi2MedianNull}, 6) AS gc_lambda
+         |FROM gw GROUP BY studyId""".stripMargin,
+    "q_mean_beta" ->
+      s"""WITH $GwasSql
+         |SELECT studyId, round(avg(beta), 8) AS mean_beta FROM gw GROUP BY studyId""".stripMargin,
+    "q_variant_counts" ->
+      s"""WITH $GwasSql
+         |SELECT studyId, count(*) AS n_variants,
+         |  CAST(sum(CASE WHEN pValueExponent < -8 OR (pValueExponent = -8 AND pValueMantissa <= 5.0)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_variants_sig
+         |FROM gw GROUP BY studyId""".stripMargin
+    // q_pz_test: no oracle — needs the chi² survival function, unavailable in
+    // DuckDB; covered by golden doctest values in SumstatQCSpec instead.
+  )
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.expressions.logsumexp
+
+/** Bayesian colocalisation over aligned credible-set overlaps
+  * (reference: method/colocalisation.py:99-451).
+  *
+  * Both methods are single groupBy aggregations per overlap pair — one
+  * shuffle on the pair key, with the numeric work done by codegen-friendly
+  * column expressions (logsumexp as max + log·Σexp, no UDF).
+  */
+object Colocalisation {
+
+  /** Where a tag variant was observed: both loci, left only, or right only
+    * (method/colocalisation.py:26-63).
+    */
+  def tagVariantSource(statistics: Column): Column =
+    when(
+      statistics.getField("left_posteriorProbability").isNotNull &&
+        statistics.getField("right_posteriorProbability").isNotNull,
+      "both"
+    ).when(statistics.getField("left_posteriorProbability").isNotNull, "left")
+      .otherwise("right")
+
+  private val PairKeys =
+    Seq("leftStudyLocusId", "rightStudyLocusId", "rightStudyType", "chromosome")
+
+  /** eCAVIAR: CLPP = Σ left·right posterior per overlap pair
+    * (method/colocalisation.py:99-189).
+    */
+  def ecaviar(overlaps: DataFrame): DataFrame = {
+    val withClpp = overlaps
+      .withColumn(
+        "clpp",
+        col("statistics.left_posteriorProbability") *
+          col("statistics.right_posteriorProbability")
+      )
+      .withColumn("tagVariantSource", tagVariantSource(col("statistics")))
+    withClpp
+      .groupBy(PairKeys.map(col): _*)
+      .agg(
+        size(filter(collect_list(col("tagVariantSource")), x => x === "both"))
+          .cast("long")
+          .as("numberColocalisingVariants"),
+        sum(col("clpp")).as("clpp")
+      )
+      .withColumn("colocalisationMethod", lit("eCAVIAR"))
+      .join(
+        Overlaps.calculateBetaRatio(overlaps),
+        Seq("leftStudyLocusId", "rightStudyLocusId", "chromosome"),
+        "left"
+      )
+  }
+
+  /** COLOC: H0–H4 posteriors from per-pair Bayes-factor log sums
+    * (method/colocalisation.py:192-451).
+    */
+  def coloc(
+      overlaps: DataFrame,
+      priorC1: Double = 1e-4,
+      priorC2: Double = 1e-4,
+      priorC12: Double = 1e-5,
+      overlapSizeCutoff: Int = 0,
+      posteriorCutoff: Double = 0.0
+  ): DataFrame = {
+    val Pseudocount = 1e-10
+    val prepared = overlaps
+      .withColumn("tagVariantSource", tagVariantSource(col("statistics")))
+      .select(
+        col("leftStudyLocusId"), col("rightStudyLocusId"), col("rightStudyType"),
+        col("chromosome"), col("tagVariantSource"),
+        coalesce(col("statistics.left_logBF"), lit(0.0)).as("left_logBF"),
+        coalesce(col("statistics.right_logBF"), lit(0.0)).as("right_logBF"),
+        coalesce(col("statistics.left_posteriorProbability"), lit(0.0)).as("left_pp"),
+        coalesce(col("statistics.right_posteriorProbability"), lit(0.0)).as("right_pp")
+      )
+      .withColumn("sum_log_bf", col("left_logBF") + col("right_logBF"))
+
+    val grouped = prepared
+      .groupBy(Seq("chromosome", "leftStudyLocusId", "rightStudyLocusId", "rightStudyType").map(col): _*)
+      .agg(
+        size(filter(collect_list(col("tagVariantSource")), x => x === "both"))
+          .cast("long")
+          .as("numberColocalisingVariants"),
+        collect_list(col("left_logBF")).as("left_bfs"),
+        collect_list(col("right_logBF")).as("right_bfs"),
+        collect_list(col("sum_log_bf")).as("sum_bfs"),
+        // any tag present on both sides with both posteriors above the cutoff
+        max(
+          when(
+            col("tagVariantSource") === "both" &&
+              col("left_pp") > posteriorCutoff && col("right_pp") > posteriorCutoff,
+            1
+          ).otherwise(0)
+        ).as("anyBothHigh")
+      )
+      .withColumn("logsum1", logsumexp(col("left_bfs")))
+      .withColumn("logsum2", logsumexp(col("right_bfs")))
+      .withColumn("logsum12", logsumexp(col("sum_bfs")))
+      .drop("left_bfs", "right_bfs", "sum_bfs")
+      .filter(
+        (col("numberColocalisingVariants") > overlapSizeCutoff) || (col("anyBothHigh") === 1)
+      )
+
+    val sumlogsum = col("logsum1") + col("logsum2")
+    val mx = greatest(sumlogsum, col("logsum12"))
+    val logdiff = when(sumlogsum === col("logsum12"), lit(Pseudocount))
+      .otherwise(mx + log(exp(sumlogsum - mx) - exp(col("logsum12") - mx)))
+
+    val lH0 = lit(0.0)
+    val lH1 = log(lit(priorC1)) + col("logsum1")
+    val lH2 = log(lit(priorC2)) + col("logsum2")
+    val lH3 = log(lit(priorC1)) + log(lit(priorC2)) + logdiff
+    val lH4 = log(lit(priorC12)) + col("logsum12")
+
+    val posteriors = grouped
+      .withColumn("allBF", array(lH0, lH1, lH2, lH3, lH4))
+      .withColumn(
+        "posteriors",
+        transform(col("allBF"), bf => exp(bf - logsumexp(col("allBF"))))
+      )
+    posteriors
+      .select(
+        col("leftStudyLocusId"), col("rightStudyLocusId"), col("rightStudyType"),
+        col("chromosome"), col("numberColocalisingVariants"),
+        col("posteriors")(0).as("h0"),
+        col("posteriors")(1).as("h1"),
+        col("posteriors")(2).as("h2"),
+        col("posteriors")(3).as("h3"),
+        col("posteriors")(4).as("h4")
+      )
+      .withColumn("colocalisationMethod", lit("COLOC"))
+      .join(
+        Overlaps.calculateBetaRatio(overlaps),
+        Seq("leftStudyLocusId", "rightStudyLocusId", "chromosome"),
+        "left"
+      )
+  }
+}

@@ -42,18 +42,23 @@ def main(sf_dir, out_dir):
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = sorted(got.columns)
+            def sort_key(row):
+                return tuple((v is None, str(type(v)), v if v is not None else 0)
+                             for v in row)
             got_rows = sorted(
-                tuple(canon(v) for v in row)
-                for row in con.sql(
+                (tuple(canon(v) for v in row)
+                 for row in con.sql(
                     "SELECT " + ", ".join(f'"{c}"' for c in got_cols)
-                    + f" FROM '{out_dir}/{name}/*.parquet'").fetchall())
+                    + f" FROM '{out_dir}/{name}/*.parquet'").fetchall()),
+                key=sort_key)
             want = con.sql(sql)
             want_cols = sorted(want.columns)
             want_rows = sorted(
-                tuple(canon(v) for v in row)
-                for row in con.sql(
+                (tuple(canon(v) for v in row)
+                 for row in con.sql(
                     "SELECT " + ", ".join(f'"{c}"' for c in want_cols)
-                    + f" FROM ({sql})").fetchall())
+                    + f" FROM ({sql})").fetchall()),
+                key=sort_key)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
