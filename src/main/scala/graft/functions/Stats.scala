@@ -15,7 +15,6 @@ import graft.functions.expressions._
   */
 object Stats {
 
-  private val DoubleMin = java.lang.Double.MIN_VALUE // 4.9e-324 is NOT used; see below
   /** smallest positive normalised double, matches Python sys.float_info.min */
   private val FloatInfoMin = java.lang.Double.MIN_NORMAL // 2.2250738585072014e-308
 
@@ -160,12 +159,14 @@ object Stats {
     (exponentCol < e) || (exponentCol === e && mantissaCol <= m)
   }
 
-  /** Driver-side float → (mantissa, exponent) (common/stats.py:44-74). */
+  /** Driver-side float → (mantissa, exponent) (common/stats.py:44-74).
+    * HALF_EVEN matches Python's round() used by the reference.
+    */
   def splitPvalue(pvalue: Double): (Double, Int) = {
     require(pvalue >= 0.0 && pvalue <= 1.0, "P-value must be between 0 and 1")
     val exponent = if (pvalue != 0) math.floor(math.log10(pvalue)).toInt else 0
     val mantissa = BigDecimal(pvalue / math.pow(10, exponent))
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(3, BigDecimal.RoundingMode.HALF_EVEN)
       .toDouble
     (mantissa, exponent)
   }

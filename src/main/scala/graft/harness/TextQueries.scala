@@ -12,34 +12,48 @@ import graft.operators.{Dedup, Similarity, TextOps}
 object TextQueries {
   import Tables._
 
+  /** The documents table arrives as one small file → one partition; spread
+    * it so per-document kernels use all cores (at production scale the scan
+    * is already many-way parallel and this is a no-op decision).
+    */
+  private def docsParallel(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
   private def withTokens(df: DataFrame): DataFrame =
     df.withColumn("toks", TextOps.tokenize(col("text")))
 
+  /** Tokens and shingles materialised as columns — interpreted HOF lambdas
+    * re-evaluate inlined child expressions per element, so chaining through
+    * columns is a >10× win for the signature kernels.
+    */
+  private def withShingles(df: DataFrame): DataFrame =
+    withTokens(df).withColumn("shingles", TextOps.shingles(col("toks")))
+
   /** MinHash signature per document (16 seeded md5 minima over 3-shingles). */
   def minhash(s: SparkSession, d: String): DataFrame =
-    withTokens(documents(s, d))
+    withShingles(docsParallel(s, d))
       .select(
         col("doc_id"),
-        concat_ws(",", TextOps.minhashSignature(TextOps.shingles(col("toks")))).as("sig")
+        concat_ws(",", TextOps.minhashSignature(col("shingles"))).as("sig")
       )
 
   /** LSH candidate pairs: docs sharing ≥1 of 8 two-row bands. */
   def lshPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.candidatePairs(Dedup.signatures(documents(s, d)))
+    Dedup.candidatePairs(Dedup.signatures(docsParallel(s, d)))
 
   /** Candidates + exact 3-gram Jaccard verification. */
   def nearDup(s: SparkSession, d: String): DataFrame =
-    Dedup.verifiedPairs(documents(s, d))
+    Dedup.verifiedPairs(docsParallel(s, d))
 
   /** 16-bit SimHash per document. */
   def simhash(s: SparkSession, d: String): DataFrame =
-    withTokens(documents(s, d))
+    withTokens(docsParallel(s, d))
       .select(col("doc_id"), TextOps.simhash16(col("toks")).as("simhash"))
 
   /** Per-document quality statistics. */
   def textStats(s: SparkSession, d: String): DataFrame = {
     val en = TextOps.StopwordsByLang.toMap.apply("en")
-    withTokens(documents(s, d)).select(
+    withTokens(docsParallel(s, d)).select(
       col("doc_id"),
       size(col("toks")).as("n_tokens"),
       length(col("text")).as("n_chars_calc"),
@@ -58,13 +72,13 @@ object TextQueries {
 
   /** Stopword-vote language identification. */
   def langIdQuery(s: SparkSession, d: String): DataFrame =
-    withTokens(documents(s, d))
+    withTokens(docsParallel(s, d))
       .select(col("doc_id"), TextOps.langId(col("toks")).as("lang_pred"))
 
   /** k-min-sketch document fingerprint. */
   def fingerprintQuery(s: SparkSession, d: String): DataFrame =
-    withTokens(documents(s, d))
-      .select(col("doc_id"), TextOps.fingerprint(TextOps.shingles(col("toks"))).as("fp"))
+    withShingles(docsParallel(s, d))
+      .select(col("doc_id"), TextOps.fingerprint(col("shingles")).as("fp"))
 
   /** BPE-ish token counting. */
   def bpeCount(s: SparkSession, d: String): DataFrame =
@@ -74,14 +88,16 @@ object TextQueries {
     * broadcast query set.
     */
   def cosineTopK(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
+    val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
   }
 
   /** LSH-bucketed ANN top-3 for query vectors (vec_id < 50). */
   def annLsh(s: SparkSession, d: String): DataFrame =
     Similarity.annTopK(
-      Similarity.lshBuckets(embeddings(s, d)), col("vec_id") < 50, k = 3)
+      Similarity.lshBuckets(
+        embeddings(s, d).repartition(s.sparkContext.defaultParallelism)),
+      col("vec_id") < 50, k = 3)
 
   // -- oracles ---------------------------------------------------------------
 

@@ -21,15 +21,21 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 8
   ): DataFrame = {
-    val toks = TextOps.tokenize(col(textCol))
-    val sh = TextOps.shingles(toks, shingleSize)
-    docs.select(
-      col(idCol),
-      sh.as("shingles"),
-      TextOps.lshBands(
-        TextOps.minhashSignature(sh, numHashes), bands, numHashes / bands
-      ).as("bands")
-    )
+    // Each stage is materialised as a column before feeding the next HOF:
+    // array lambdas evaluate interpreted, so an inlined tokenize/shingle
+    // expression would be re-computed per outer lambda element (16× per row
+    // for the signature) — a >100× slowdown observed at sf0.1.
+    docs
+      .select(col(idCol), TextOps.tokenize(col(textCol)).as("toks"))
+      .select(col(idCol), TextOps.shingles(col("toks"), shingleSize).as("shingles"))
+      .select(
+        col(idCol), col("shingles"),
+        TextOps.minhashSignature(col("shingles"), numHashes).as("sig")
+      )
+      .select(
+        col(idCol), col("shingles"),
+        TextOps.lshBands(col("sig"), bands, numHashes / bands).as("bands")
+      )
   }
 
   /** Candidate near-duplicate pairs: documents sharing at least one LSH band
