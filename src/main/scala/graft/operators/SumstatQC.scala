@@ -25,7 +25,7 @@ object SumstatQC {
     gwas
       .select(col("studyId"), pow(col("beta") / col("standardError"), 2).as("z2"))
       .groupBy("studyId")
-      .agg(percentile_approx(col("z2"), lit(0.5), lit(10000)).as("z2_median"))
+      .agg(percentile_approx(col("z2"), lit(0.5), lit(1000000)).as("z2_median"))
       .select(col("studyId"), (col("z2_median") / Chi2MedianNull).as("gc_lambda"))
 
   /** P-Z test: mean and stddev of (reported − z-derived) neglog p-value per
@@ -51,6 +51,43 @@ object SumstatQC {
   /** Mean beta per study (sumstat_quality_controls.py:230-274). */
   def meanBeta(gwas: DataFrame): DataFrame =
     gwas.groupBy("studyId").agg(avg("beta").as("mean_beta"))
+
+  /** Effective-sample-size ratio spread per study: stddev of N̂/N where N̂
+    * derives from the windowed median phenotypic variance
+    * (sumstat_quality_controls.py:277-364). Requires allele frequencies.
+    */
+  def nEffCheck(
+      gwas: DataFrame,
+      nTotal: Int = 100000,
+      limit: Int = 10000000,
+      minCount: Int = 100
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val af = col("effectAlleleFrequencyFromSource")
+    val se = col("standardError")
+    val beta = col("beta")
+    // genotypic variance 2f(1-f) (sumstat_quality_controls.py:29-94)
+    val varG = lit(2.0) * af * (lit(1.0) - af)
+    val phenoVar = pow(se, 2) * nTotal * varG + pow(beta, 2) * varG
+    // orderBy on the partition key → RANGE frame spans the whole partition,
+    // so this windowed percentile is the full per-study median (same trick
+    // as the reference).
+    val window = Window.partitionBy("studyId").orderBy("studyId")
+    val phenoMedian = percentile_approx(phenoVar, lit(0.5), lit(1000000)).over(window)
+    val nHatRatio = (phenoMedian - pow(beta, 2) * varG) / (pow(se, 2) * varG * nTotal)
+
+    gwas
+      .na.drop(Seq("effectAlleleFrequencyFromSource"))
+      .withColumn("count", count(lit(1)).over(window))
+      .filter(col("count") >= minCount)
+      .drop("count")
+      .withColumn("row_num", row_number().over(window))
+      .filter(col("row_num") <= limit)
+      .drop("row_num")
+      .withColumn("N_hat_ratio", nHatRatio)
+      .groupBy("studyId")
+      .agg(stddev(col("N_hat_ratio")).as("se_N"))
+  }
 
   /** Total and genome-wide-significant variant counts per study
     * (sumstat_quality_controls.py:367-414).
