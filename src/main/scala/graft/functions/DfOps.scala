@@ -57,6 +57,24 @@ object DfOps {
   def getRecordWithMaximumValue(df: DataFrame, groupingCols: Seq[String], sortingCol: String): DataFrame =
     getTopRankedInWindow(df, Window.partitionBy(groupingCols.map(col): _*).orderBy(col(sortingCol).desc))
 
+  /** 0-1 min-max scaling of a feature within optional partitions via window
+    * min/max — the reference wraps a Spark-ML pipeline for this
+    * (common/spark.py:177-215); plain column arithmetic avoids the
+    * VectorAssembler round-trip entirely.
+    */
+  def minMaxNormalize(feature: Column, partitionBy: Seq[Column] = Nil): Column = {
+    val w = Window.partitionBy(partitionBy: _*)
+    val mn = min(feature).over(w)
+    val mx = max(feature).over(w)
+    when(mx === mn, lit(0.5)).otherwise((feature - mn) / (mx - mn))
+  }
+
+  /** Regional normalisation: a feature divided by its neighbourhood maximum
+    * (dataset/l2g_features/distance.py:123-127).
+    */
+  def neighbourhoodMax(feature: Column, partitionBy: Seq[Column]): Column =
+    max(feature).over(Window.partitionBy(partitionBy: _*))
+
   /** Prefix-rename every column (common/spark.py:490-517). */
   def renameAllColumns(df: DataFrame, prefix: String): DataFrame =
     df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$prefix$c"))

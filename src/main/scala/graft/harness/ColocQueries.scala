@@ -75,6 +75,13 @@ object ColocQueries {
       .drop("colocalisationMethod")
   }
 
+  /** COLOC-PIP approximate posteriors (H3/H4 only). */
+  def colocPip(s: SparkSession, d: String): DataFrame = {
+    val r = Colocalisation.colocPip(alignedOverlaps(s, d))
+    Seq("h3", "h4").foldLeft(r)((df, h) => df.withColumn(h, round(col(h), 6)))
+      .drop("colocalisationMethod", "h0", "h1", "h2")
+  }
+
   /** Credible-set 95/99% annotation HOF chain, exploded back to long form. */
   def credsetAnnotation(s: SparkSession, d: String): DataFrame = {
     val locus = synthCredsets(s, d)
@@ -173,6 +180,7 @@ object ColocQueries {
     "q_overlaps" -> (overlaps _),
     "q_ecaviar" -> (ecaviar _),
     "q_coloc" -> (coloc _),
+    "q_coloc_pip" -> (colocPip _),
     "q_credset_annot" -> (credsetAnnotation _),
     "q_gc_lambda" -> (gcLambda _),
     "q_pz_test" -> (pz _),
@@ -233,6 +241,32 @@ object ColocQueries {
          |  round(exp(lh4 - lse), 6) AS h4,
          |  br.betaRatioSignAverage
          |FROM post2 LEFT JOIN br USING (leftStudyLocusId, rightStudyLocusId, chromosome)""".stripMargin,
+    "q_coloc_pip" ->
+      s"""WITH $AlignedSql,
+         |prep AS (SELECT chromosome, leftStudyLocusId, rightStudyLocusId, rightStudyType,
+         |    ln(greatest(coalesce(left_pp, 1e-16), 1e-16)) AS lp,
+         |    ln(greatest(coalesce(right_pp, 1e-16), 1e-16)) AS rp
+         |  FROM al),
+         |m AS (SELECT chromosome, leftStudyLocusId, rightStudyLocusId, rightStudyType,
+         |    max(lp) AS ml, max(rp) AS mr, max(lp + rp) AS mb FROM prep GROUP BY 1, 2, 3, 4),
+         |g AS (SELECT p.chromosome, p.leftStudyLocusId, p.rightStudyLocusId, p.rightStudyType,
+         |    any_value(m.ml) + ln(sum(exp(p.lp - m.ml))) AS s1,
+         |    any_value(m.mr) + ln(sum(exp(p.rp - m.mr))) AS s2,
+         |    any_value(m.mb) + ln(sum(exp(p.lp + p.rp - m.mb))) AS sb
+         |  FROM prep p JOIN m USING (chromosome, leftStudyLocusId, rightStudyLocusId, rightStudyType)
+         |  GROUP BY 1, 2, 3, 4),
+         |f AS (SELECT *,
+         |    CASE WHEN greatest(exp(s1 + s2 - greatest(s1 + s2, sb)) - exp(sb - greatest(s1 + s2, sb)), 0) = 0
+         |         THEN ln(0.0001) + ln(0.0001) + CAST('-infinity' AS DOUBLE)
+         |         ELSE ln(0.0001) + ln(0.0001) + greatest(s1 + s2, sb)
+         |           + ln(greatest(exp(s1 + s2 - greatest(s1 + s2, sb)) - exp(sb - greatest(s1 + s2, sb)), 0)) END AS pp3r,
+         |    ln(0.00001) + sb AS pp4r
+         |  FROM g),
+         |n AS (SELECT *, greatest(pp3r, pp4r) AS mxx FROM f)
+         |SELECT leftStudyLocusId, rightStudyLocusId, rightStudyType, chromosome,
+         |  round(exp(pp3r - (mxx + ln(exp(pp3r - mxx) + exp(pp4r - mxx)))), 6) AS h3,
+         |  round(exp(pp4r - (mxx + ln(exp(pp3r - mxx) + exp(pp4r - mxx)))), 6) AS h4
+         |FROM n""".stripMargin,
     "q_credset_annot" ->
       s"""WITH $CredsetSql,
          |cum AS (SELECT studyLocusId, tagVariantId AS variantId, pp,

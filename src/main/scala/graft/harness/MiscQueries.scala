@@ -1,0 +1,96 @@
+package graft.harness
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.DfOps
+import graft.operators.{Pics, StudyDeconvolution}
+
+/** Oracle-checked queries for PICS fine-mapping, min-max/neighbourhood
+  * normalisation, and study deconvolution.
+  */
+object MiscQueries {
+  import Tables._
+
+  /** PICS posteriors over synthesized LD sets. No DuckDB oracle (requires the
+    * normal survival function); golden-value doctests cover the kernel in
+    * PicsSpec.
+    */
+  def pics(s: SparkSession, d: String): DataFrame = {
+    val loci = orders(s, d).select(
+      concat(lit("L"), col("o_orderkey").cast(StringType)).as("studyLocusId"),
+      (lit(5.0) + (col("o_orderkey") % 20)).as("neglogP"),
+      array(
+        struct(
+          concat(lit("v"), (col("o_orderkey") % 97).cast(StringType)).as("tagVariantId"),
+          ((col("o_orderkey") % 11) / 10.0).as("r2Overall")
+        ),
+        struct(
+          concat(lit("w"), (col("o_orderkey") % 89).cast(StringType)).as("tagVariantId"),
+          ((col("o_orderkey") % 7) / 6.0).as("r2Overall")
+        )
+      ).as("ldSet")
+    )
+    loci
+      .withColumn("locus", Pics.finemap(col("ldSet"), col("neglogP")))
+      .select(col("studyLocusId"), explode(col("locus")).as("tag"))
+      .select(
+        col("studyLocusId"),
+        col("tag.variantId").as("variantId"),
+        round(col("tag.posteriorProbability"), 6).as("pp"),
+        round(col("tag.standardError"), 6).as("se")
+      )
+  }
+
+  /** Window min-max scaling + neighbourhood max (L2G feature normalisation). */
+  def minmax(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      round(DfOps.minMaxNormalize(col("value"), Seq(col("event_type"))), 6).as("value_norm"),
+      round(
+        col("value") / DfOps.neighbourhoodMax(col("value"), Seq(col("event_type"))), 6
+      ).as("value_vs_max")
+    )
+
+  /** Study deconvolution: merge duplicated study rows across sources. */
+  def deconvolute(s: SparkSession, d: String): DataFrame = {
+    val studies = lineitem(s, d).select(
+      concat(lit("d"), (col("l_orderkey") % 500).cast(StringType)).as("studyId"),
+      array(concat(lit("t"), (col("l_partkey") % 20).cast(StringType))).as("traits"),
+      col("l_quantity").cast(IntegerType).as("nSamples")
+    )
+    StudyDeconvolution
+      .deconvolute(studies, arrayCols = Seq("traits"), scalarCols = Seq("nSamples"))
+      .select(col("studyId"), concat_ws(",", col("traits")).as("traits_str"), col("nSamples"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pics" -> (pics _),
+    "q_minmax" -> (minmax _),
+    "q_deconvolute" -> (deconvolute _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_minmax" ->
+      """WITH w AS (SELECT event_id, value,
+        |    min(value) OVER (PARTITION BY event_type) AS mn,
+        |    max(value) OVER (PARTITION BY event_type) AS mx
+        |  FROM events)
+        |SELECT event_id,
+        |  round(CASE WHEN mx = mn THEN 0.5 ELSE (value - mn) / (mx - mn) END, 6) AS value_norm,
+        |  round(value / mx, 6) AS value_vs_max
+        |FROM w""".stripMargin,
+    "q_deconvolute" ->
+      """WITH b AS (SELECT 'd' || CAST(l_orderkey % 500 AS VARCHAR) AS studyId,
+        |    't' || CAST(l_partkey % 20 AS VARCHAR) AS trait,
+        |    CAST(l_quantity AS INTEGER) AS nSamples
+        |  FROM lineitem)
+        |SELECT studyId,
+        |  array_to_string(list_sort(list_distinct(array_agg(trait))), ',') AS traits_str,
+        |  min(nSamples) AS nSamples
+        |FROM b GROUP BY studyId""".stripMargin
+    // q_pics: no oracle (normal sf unavailable in DuckDB); PicsSpec carries
+    // the reference doctest golden values.
+  )
+}

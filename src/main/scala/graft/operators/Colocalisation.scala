@@ -55,6 +55,62 @@ object Colocalisation {
       )
   }
 
+  /** COLOC-PIP: approximate posteriors from PIPs only, following R
+    * coloc.pp's logdiff (method/colocalisation.py:460-529). Missing-side
+    * PIPs clamp to the 1e-16 pseudocount (the reference's NaN propagation on
+    * missing variants is not reproduced — documented divergence).
+    */
+  def colocPip(
+      overlaps: DataFrame,
+      priorC1: Double = 1e-4,
+      priorC2: Double = 1e-4,
+      priorC12: Double = 1e-5
+  ): DataFrame = {
+    val Pseudo = 1e-16
+    val p1 = math.max(priorC1, Pseudo)
+    val p2 = math.max(priorC2, Pseudo)
+    val p12 = math.max(priorC12, Pseudo)
+    val grouped = overlaps
+      .select(
+        col("leftStudyLocusId"), col("rightStudyLocusId"), col("rightStudyType"),
+        col("chromosome"),
+        greatest(coalesce(col("statistics.left_posteriorProbability"), lit(Pseudo)), lit(Pseudo))
+          .as("lpp"),
+        greatest(coalesce(col("statistics.right_posteriorProbability"), lit(Pseudo)), lit(Pseudo))
+          .as("rpp")
+      )
+      .groupBy(PairKeys.map(col): _*)
+      .agg(
+        collect_list(log(col("lpp"))).as("log_pip1"),
+        collect_list(log(col("rpp"))).as("log_pip2"),
+        collect_list(log(col("lpp")) + log(col("rpp"))).as("log_both")
+      )
+      .withColumn("sum_log_pip1", logsumexp(col("log_pip1")))
+      .withColumn("sum_log_pip2", logsumexp(col("log_pip2")))
+      .withColumn("log_sum_both", logsumexp(col("log_both")))
+      .drop("log_pip1", "log_pip2", "log_both")
+    val x = col("sum_log_pip1") + col("sum_log_pip2")
+    val y = col("log_sum_both")
+    val mx = greatest(x, y)
+    val diffArg = greatest(exp(x - mx) - exp(y - mx), lit(0.0))
+    val logdiff = when(diffArg === 0.0, lit(Double.NegativeInfinity))
+      .otherwise(mx + log(diffArg))
+    val pp3Raw = log(lit(p1)) + log(lit(p2)) + logdiff
+    val pp4Raw = log(lit(p12)) + col("log_sum_both")
+    grouped
+      .withColumn("pp3_raw", pp3Raw)
+      .withColumn("pp4_raw", pp4Raw)
+      .withColumn("denom", logsumexp(array(col("pp3_raw"), col("pp4_raw"))))
+      .select(
+        col("leftStudyLocusId"), col("rightStudyLocusId"), col("rightStudyType"),
+        col("chromosome"),
+        lit(0.0).as("h0"), lit(0.0).as("h1"), lit(0.0).as("h2"),
+        exp(col("pp3_raw") - col("denom")).as("h3"),
+        exp(col("pp4_raw") - col("denom")).as("h4")
+      )
+      .withColumn("colocalisationMethod", lit("COLOC_PIP"))
+  }
+
   /** COLOC: H0–H4 posteriors from per-pair Bayes-factor log sums
     * (method/colocalisation.py:192-451).
     */
