@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.DfOps
-import graft.operators.{Pics, StudyDeconvolution}
+import graft.operators.{Multimodal, Pics, StudyDeconvolution}
 
 /** Oracle-checked queries for PICS fine-mapping, min-max/neighbourhood
   * normalisation, and study deconvolution.
@@ -65,10 +65,26 @@ object MiscQueries {
       .select(col("studyId"), concat_ws(",", col("traits")).as("traits_str"), col("nSamples"))
   }
 
+  /** Multimodal plumbing: binary payloads decoded (stub) per partition,
+    * frames sampled by byte-chunk. Dimensions/frame counts are
+    * length-deterministic and oracle-checked; the embedding path is covered
+    * by MultimodalSpec.
+    */
+  def multimodal(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.fromDocuments(documents(s, d))
+    val decoded = Multimodal.decode(media)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+    decoded
+      .select(col("media_id"), col("width"), col("height"), col("channels"), col("n_bytes"))
+      .join(frames, Seq("media_id"), "left")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pics" -> (pics _),
     "q_minmax" -> (minmax _),
-    "q_deconvolute" -> (deconvolute _)
+    "q_deconvolute" -> (deconvolute _),
+    "q_multimodal" -> (multimodal _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -89,7 +105,17 @@ object MiscQueries {
         |SELECT studyId,
         |  array_to_string(list_sort(list_distinct(array_agg(trait))), ',') AS traits_str,
         |  min(nSamples) AS nSamples
-        |FROM b GROUP BY studyId""".stripMargin
+        |FROM b GROUP BY studyId""".stripMargin,
+    "q_multimodal" ->
+      """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(16 + n % 64 AS INTEGER) AS width,
+        |  CAST(16 + (n * 7) % 64 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  CAST(n AS INTEGER) AS n_bytes,
+        |  CAST(len(range(0, greatest(n // 32 - 1, 0) + 1, 2)) AS BIGINT) AS n_frames
+        |FROM m""".stripMargin
     // q_pics: no oracle (normal sf unavailable in DuckDB); PicsSpec carries
     // the reference doctest golden values.
   )

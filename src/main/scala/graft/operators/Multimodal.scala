@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata, plus the decode → feature-extract → resize plumbing a training
+  * pipeline needs.
+  *
+  * The actual media decoding is STUBBED (no codec libraries in this
+  * environment): [[StubDecoder]] produces deterministic pseudo-metadata from
+  * the byte stream. Everything around it — the schema, the per-partition
+  * batched execution (the Scala analogue of `mapInPandas`), the partitioning
+  * and the feature shapes — is real and is what would carry over when a real
+  * decoder is dropped in.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", MapType(StringType, StringType), nullable = true)
+  ))
+
+  /** Decoded-frame metadata appended by [[decode]]. */
+  val decodedSchema: StructType = StructType(mediaSchema.fields ++ Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false)
+  ))
+
+  /** STUB decoder: deterministic pseudo-dimensions from the payload length.
+    * A real implementation would parse the container format here; the
+    * signature (bytes in → dimensions + planes out) is the real contract.
+    */
+  object StubDecoder {
+    def dimensions(content: Array[Byte]): (Int, Int, Int) = {
+      val n = content.length
+      (16 + n % 64, 16 + (n * 7) % 64, 3)
+    }
+
+    /** Deterministic fake embedding: a rolling byte checksum folded into
+      * `dims` buckets — stands in for a vision encoder's output shape.
+      */
+    def embed(content: Array[Byte], dims: Int): Array[Float] = {
+      val acc = new Array[Float](dims)
+      var i = 0
+      while (i < content.length) {
+        acc(i % dims) += (content(i) & 0xff) / 255.0f
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** Decode payloads per partition — batched iterator processing, the Scala
+    * analogue of `mapInPandas`: one decoder instance per partition, rows
+    * streamed through it (no per-row setup cost, no driver round trip).
+    */
+  def decode(media: DataFrame): DataFrame = {
+    val outSchema = decodedSchema
+    val enc = Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      // per-partition decoder setup would go here (codec contexts etc.)
+      rows.map { r =>
+        val content = r.getAs[Array[Byte]]("content")
+        val (w, h, c) = StubDecoder.dimensions(content)
+        Row.fromSeq(r.toSeq ++ Seq(w, h, c, content.length))
+      }
+    }(enc)
+  }
+
+  /** Feature extraction per partition: binary → fixed-size float vector. */
+  def featurize(media: DataFrame, dims: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)
+    ))
+    val enc = Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val content = r.getAs[Array[Byte]]("content")
+        Row(r.getAs[Long]("media_id"), StubDecoder.embed(content, dims).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for video payloads: every `stride`-th fixed-size chunk
+    * of the stream, exploded to one row per frame. Pure column expressions —
+    * chunking is a slice over the byte array, no UDF.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media
+      .withColumn(
+        "frame_idx",
+        sequence(lit(0), greatest((length(col("content")) / frameBytes).cast("int") - 1, lit(0)),
+          lit(stride))
+      )
+      .select(
+        col("media_id"),
+        explode(col("frame_idx")).as("frame_no"),
+        expr(s"substring(content, frame_no * $frameBytes + 1, $frameBytes)").as("frame")
+      )
+
+  /** Wrap a text corpus as synthetic media rows (the test environment has no
+    * real image bytes; payload = UTF-8 text).
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image/stub").as("media_type"),
+      encode(col("text"), "UTF-8").as("content"),
+      map(lit("source"), col("source")).as("meta")
+    )
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media =
+    Multimodal.fromDocuments(spark.read.parquet(sf("documents")))
+
+  test("decode appends deterministic dimensions per payload") {
+    import spark.implicits._
+    val rows = Multimodal.decode(media)
+      .select("media_id", "width", "height", "channels", "n_bytes")
+      .as[(Long, Int, Int, Int, Int)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, w, h, c, n) =>
+      assert(w === 16 + n % 64)
+      assert(h === 16 + (n * 7) % 64)
+      assert(c === 3)
+    }
+  }
+
+  test("featurize yields fixed-dim deterministic embeddings") {
+    import spark.implicits._
+    val e1 = Multimodal.featurize(media, dims = 16)
+      .as[(Long, Seq[Float])].collect().toMap
+    val e2 = Multimodal.featurize(media.repartition(7), dims = 16)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(e1.values.forall(_.length == 16))
+    // partitioning must not change the result
+    assert(e1 === e2)
+  }
+
+  test("sampleFrames chunks the payload with the configured stride") {
+    import spark.implicits._
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+      .select("media_id", "frame_no", "frame")
+      .as[(Long, Int, Array[Byte])]
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_._3.length <= 32))
+    assert(frames.forall(_._2 % 2 == 0))
+  }
+}
