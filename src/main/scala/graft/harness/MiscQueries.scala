@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.DfOps
-import graft.operators.{Multimodal, Pics, StudyDeconvolution}
+import graft.operators.{FineMapper, Multimodal, Pics, StudyDeconvolution}
 
 /** Oracle-checked queries for PICS fine-mapping, min-max/neighbourhood
   * normalisation, and study deconvolution.
@@ -80,7 +80,34 @@ object MiscQueries {
       .join(frames, Seq("media_id"), "left")
   }
 
+  /** Distributed SuSiE-inf fine-mapping: loci fan out via flatMapGroups,
+    * each group solves its own eigen problem. Rows-only check (the Bayesian
+    * kernel has no SQL oracle); golden-fixture parity lives in SusieInfSpec.
+    */
+  def finemap(s: SparkSession, d: String): DataFrame = {
+    val sumstats = orders(s, d)
+      .filter(col("o_orderkey") % 40 === 0)
+      .select(
+        concat(lit("FL"), (col("o_orderkey") % 2000).cast(StringType)).as("studyLocusId"),
+        concat(lit("v"), col("o_orderkey").cast(StringType)).as("variantId"),
+        (lit(2.0) + (col("o_orderkey") % 70) / 10.0).as("z")
+      )
+    val ld = sumstats.alias("a")
+      .join(sumstats.alias("b"), Seq("studyLocusId"))
+      .filter(col("a.variantId") < col("b.variantId"))
+      .select(
+        col("studyLocusId"),
+        col("a.variantId").as("vi"),
+        col("b.variantId").as("vj"),
+        lit(0.2).as("r")
+      )
+    FineMapper.finemapLoci(s, sumstats, ld, n = 10000)
+      .select(col("studyLocusId"), col("variantId"), col("credibleSetIndex"),
+        round(col("pip"), 6).as("pip"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_finemap" -> (finemap _),
     "q_pics" -> (pics _),
     "q_minmax" -> (minmax _),
     "q_deconvolute" -> (deconvolute _),
