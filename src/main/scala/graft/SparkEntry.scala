@@ -10,9 +10,12 @@ import graft.harness.{ColocQueries, CoreQueries, GenomicQueries, JoinQueries, Mi
   * hash-compares against (identical column names + rounding on both sides).
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The SURVEY §7.2 end-to-end slice: schema-validated SummaryStatistics →
+    * significance filter → window-based clumping → StudyLocus with QC flags.
+    */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.harmonicSum(spark, "/root/testdata/sf0.001")
+    GenomicQueries.clump(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -62,6 +62,25 @@ final case class GSession(spark: SparkSession) {
       .mode(writeMode)
       .parquet(path)
 
+  /** Globally-sorted parquet sink: `orderBy(chromosome, position)` before the
+    * write so row groups are coordinate-clustered for downstream min/max
+    * pruning (common/processing.py:428).
+    */
+  def writeSortedParquet(df: DataFrame, path: String, sortCols: Seq[String]): Unit =
+    df.orderBy(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      .write
+      .mode(writeMode)
+      .parquet(path)
+
+  /** Register a splittable gzip codec for block-gzipped TSV summary stats
+    * (common/session.py:473-497). The codec class ships in an external
+    * Hadoop-BAM-style jar; this wires the configuration contract.
+    */
+  def enableSplittableGzip(
+      codecClass: String = "org.seqdoop.hadoop_bam.util.BGZFEnhancedGzipCodec"
+  ): Unit =
+    spark.sparkContext.hadoopConfiguration.set("io.compression.codecs", codecClass)
+
   /** Hive-style partitioned sink — repartition on the partition column first
     * so each task writes one file per partition value
     * (common/processing.py:469-476).

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming extensions — beyond the (batch-only) reference: the
+  * same operators running incrementally.
+  *
+  *   - [[streamTable]]: file-source streaming ingest with a declared schema;
+  *     new files under a prefix are picked up per micro-batch, so summary
+  *     statistics land incrementally through the exact batch transforms.
+  *   - [[sessionizeStream]]: watermarked session-window aggregation — the
+  *     streaming twin of [[graft.operators.Sessionize]].
+  *   - [[runningStudyStats]]: custom per-key state with mapGroupsWithState
+  *     (running per-study aggregates surviving across micro-batches).
+  */
+object StreamingOps {
+
+  /** File-source streaming read with a declared schema (parquet/csv/json). */
+  def streamTable(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty
+  ): DataFrame =
+    spark.readStream.schema(schema).options(options).format(format).load(path)
+
+  /** Gap-based streaming sessionization: event-time session windows closed by
+    * the watermark; per-session aggregates stream out as sessions finalise.
+    */
+  def sessionizeStream(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("value_sum")
+      )
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"),
+        col("value_sum")
+      )
+
+  final case class StudyEvent(studyId: String, beta: Double)
+  final case class StudyState(n: Long, sumBeta: Double)
+  final case class StudyStats(studyId: String, n: Long, meanBeta: Double)
+
+  /** Running per-study statistics with explicit state — the
+    * `mapGroupsWithState` pattern for aggregates that must survive across
+    * micro-batches without recomputation.
+    */
+  def runningStudyStats(
+      events: Dataset[StudyEvent]
+  ): Dataset[StudyStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.studyId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (studyId: String, rows: Iterator[StudyEvent], state: GroupState[StudyState]) =>
+          val prev = state.getOption.getOrElse(StudyState(0L, 0.0))
+          val (n, s) = rows.foldLeft((prev.n, prev.sumBeta)) {
+            case ((cn, cs), e) => (cn + 1, cs + e.beta)
+          }
+          state.update(StudyState(n, s))
+          StudyStats(studyId, n, s / n)
+      }
+  }
+}
