@@ -131,4 +131,12 @@ object ArrayOps {
     */
   def cleanStringsFromSymbols(source: Column): Column =
     regexp_replace(lower(source), "[^a-z0-9-_]+", "_")
+
+  /** Split on a character, absorbing surrounding whitespace
+    * (common/spark.py:951-978): "a, a" / "a ,a" / "a,a" all → [a, a].
+    */
+  def safeSplit(c: Column, char: String): Column = {
+    val escaped = java.util.regex.Pattern.quote(char)
+    split(regexp_replace(trim(c), s"$escaped?\\s+$escaped?", char), escaped)
+  }
 }

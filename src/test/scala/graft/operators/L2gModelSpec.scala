@@ -1,0 +1,25 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class L2gModelSpec extends SparkSpec {
+
+  test("GBT trains on a separable feature matrix and ranks positives higher") {
+    import spark.implicits._
+    // label = 1 iff f1 > 0.5, plus a noise feature
+    val data = (0 until 400).map { i =>
+      val f1 = (i % 100) / 100.0
+      val f2 = ((i * 7) % 13) / 13.0
+      (if (f1 > 0.5) 1.0 else 0.0, f1, f2)
+    }.toDF("goldStandardSet", "f1", "f2")
+    val model = L2gModel.train(data, Seq("f1", "f2"), maxIter = 10)
+    val scored = L2gModel.score(model, data, Seq("f1", "f2"))
+    val avgByLabel = scored.groupBy("goldStandardSet").agg(avg("score").as("s"))
+      .as[(Double, Double)].collect().toMap
+    assert(avgByLabel(1.0) > 0.9)
+    assert(avgByLabel(0.0) < 0.1)
+    assert(scored.columns.contains("score") && !scored.columns.contains("features"))
+  }
+}
