@@ -99,6 +99,13 @@ object TextQueries {
         embeddings(s, d).repartition(s.sparkContext.defaultParallelism)),
       col("vec_id") < 50, k = 3)
 
+  /** Embedding-cosine near-duplicate pairs (bucketed candidates, cos ≥ 0.2). */
+  def embedDedup(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingNearDupPairs(
+      Similarity.lshBuckets(
+        embeddings(s, d).repartition(s.sparkContext.defaultParallelism)),
+      threshold = 0.2)
+
   // -- oracles ---------------------------------------------------------------
 
   private val ShinglesSql =
@@ -137,7 +144,8 @@ object TextQueries {
     "q_fingerprint" -> (fingerprintQuery _),
     "q_bpe_count" -> (bpeCount _),
     "q_cosine_topk" -> (cosineTopK _),
-    "q_ann_lsh" -> (annLsh _)
+    "q_ann_lsh" -> (annLsh _),
+    "q_embed_dedup" -> (embedDedup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -203,6 +211,18 @@ object TextQueries {
         |SELECT q_id, neighbor_id, round(cos_raw, 6) AS cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
         |  FROM cand) WHERE rn <= 5""".stripMargin,
+    "q_embed_dedup" ->
+      s"""WITH $PlanesSql,
+         |cand AS (
+         |  SELECT a.vec_id AS l_id, b.vec_id AS r_id,
+         |    list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         |      (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+         |       sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos_raw
+         |  FROM embeddings a JOIN buck ba ON a.vec_id = ba.vec_id
+         |    JOIN buck bb ON ba.bucket = bb.bucket
+         |    JOIN embeddings b ON b.vec_id = bb.vec_id
+         |  WHERE a.vec_id < b.vec_id)
+         |SELECT l_id, r_id, round(cos_raw, 6) AS cos FROM cand WHERE cos_raw >= 0.2""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH $PlanesSql,
          |cand AS (

@@ -79,6 +79,23 @@ object Similarity {
     vectors.withColumn("bucket", bucket)
   }
 
+  /** Embedding-level near-duplicate pairs: candidates co-bucketed by the LSH
+    * sign pattern, verified by exact cosine above `threshold`. The dedup
+    * variant of [[annTopK]] — same bucketed candidate generation, symmetric
+    * output with id ordering.
+    */
+  def embeddingNearDupPairs(bucketed: DataFrame, threshold: Double): DataFrame = {
+    val a = bucketed.select(
+      col("vec_id").as("l_id"), asDouble(col("embedding")).as("l_emb"), col("bucket"))
+    val b = bucketed.select(
+      col("vec_id").as("r_id"), asDouble(col("embedding")).as("r_emb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("l_id") < col("r_id"))
+      .withColumn("cos_raw", cosine(col("l_emb"), col("r_emb")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("l_id"), col("r_id"), round(col("cos_raw"), 6).as("cos"))
+  }
+
   /** Approximate top-k: only candidates sharing the query's bucket are
     * scored. The bucket join is an equi-shuffle; no all-pairs work.
     */

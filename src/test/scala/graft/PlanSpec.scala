@@ -1,0 +1,41 @@
+package graft
+
+import graft.harness.{ColocQueries, CoreQueries, JoinQueries}
+
+/** Physical-plan assertions: the properties that matter at 100 TB must be
+  * visible in the plan, not just intended in the code.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q_pvalue_filter prunes the scan to the three needed columns") {
+    val p = plan(CoreQueries.pvalueFilter(spark, sfDir))
+    assert(p.contains("l_orderkey"))
+    assert(!p.contains("l_extendedprice"), "unused column not pruned from scan")
+  }
+
+  test("q_locus_annotate broadcasts the lead table, not the sumstats side") {
+    val p = plan(JoinQueries.locusAnnotate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_lbc_semi plans a left-semi join") {
+    val p = plan(JoinQueries.lbcSemi(spark, sfDir))
+    assert(p.contains("LeftSemi"))
+  }
+
+  test("q_overlaps self-join is an equi join on (chromosome, tag), not a cartesian") {
+    val p = plan(ColocQueries.overlaps(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), "overlap join must stay equi-keyed")
+  }
+
+  test("whole-stage codegen covers the p-value kernel path") {
+    // codegen stages print as "*(n)" in the executed plan
+    val p = plan(CoreQueries.neglogPval(spark, sfDir))
+    assert(p.contains("*(1)"), "expected a whole-stage-codegen stage")
+  }
+}
