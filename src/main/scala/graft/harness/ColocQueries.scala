@@ -50,8 +50,13 @@ object ColocQueries {
     )
 
   private def alignedOverlaps(s: SparkSession, d: String): DataFrame = {
+    // The aligned table feeds both the posterior aggregation and the
+    // beta-ratio join in eCAVIAR/COLOC — persist so the self-referencing
+    // plan computes the overlap chain once (spill-tolerant level).
     val exploded = explodedForOverlap(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Overlaps.alignOverlappingTags(exploded, Overlaps.overlappingPeaks(exploded))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Overlapping-peak pair table (self-join on chromosome + tag). */

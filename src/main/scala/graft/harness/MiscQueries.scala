@@ -32,8 +32,8 @@ object MiscQueries {
         )
       ).as("ldSet")
     )
-    loci
-      .withColumn("locus", Pics.finemap(col("ldSet"), col("neglogP")))
+    Pics
+      .finemapStaged(loci, "ldSet", "neglogP", "locus")
       .select(col("studyLocusId"), explode(col("locus")).as("tag"))
       .select(
         col("studyLocusId"),

@@ -56,6 +56,14 @@ object Pics {
         )
       }
     )
+    normalise(withRel)
+  }
+
+  /** Scale relative posteriors to sum to 1 over an already-materialised
+    * array of (variantId, r2Overall, standardError,
+    * relativePosteriorProbability) structs.
+    */
+  def normalise(withRel: Column): Column = {
     val total = aggregate(
       withRel, lit(0.0), (acc, t) => acc + t.getField("relativePosteriorProbability"))
     transform(
@@ -69,5 +77,45 @@ object Pics {
             .as("posteriorProbability")
         )
     )
+  }
+
+  /** Two-stage variant for DataFrame pipelines: materialises the
+    * relative-posterior array as a column first, so the normal-sf kernel runs
+    * once per tag instead of once per downstream reference (interpreted HOF
+    * lambdas re-evaluate inlined children).
+    */
+  def finemapStaged(
+      df: org.apache.spark.sql.DataFrame,
+      ldSetCol: String,
+      neglogCol: String,
+      outCol: String,
+      k: Double = 6.4,
+      idField: String = "tagVariantId"
+  ): org.apache.spark.sql.DataFrame = {
+    val valid = filter(
+      col(ldSetCol),
+      t =>
+        t.getField("r2Overall").isNotNull && t.getField("r2Overall") >= 0.5 &&
+          col(neglogCol).isNotNull && col(neglogCol) =!= 0.0
+    )
+    val withRel = transform(
+      valid,
+      t => {
+        val r2 = t.getField("r2Overall")
+        val m = mu(col(neglogCol), r2)
+        val sd0 = standardDeviation(col(neglogCol), r2, k)
+        val sd = when(sd0 === 0.0, 0.001).otherwise(sd0)
+        val rel = norm_survival_function((col(neglogCol) - m) / sd) * 2
+        struct(
+          t.getField(idField).as("variantId"),
+          r2.as("r2Overall"),
+          pow(lit(10.0), -sd).as("standardError"),
+          rel.as("relativePosteriorProbability")
+        )
+      }
+    )
+    df.withColumn("_pics_rel", withRel)
+      .withColumn(outCol, normalise(col("_pics_rel")))
+      .drop("_pics_rel")
   }
 }
