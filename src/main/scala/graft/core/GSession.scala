@@ -95,6 +95,20 @@ final case class GSession(spark: SparkSession) {
 
 object GSession {
 
+  /** Cluster-mode configuration preset, matching the reference's recommended
+    * production tuning (common/session.py:139-191, BASELINE.md): apply these
+    * on the SparkSession.Builder for a real deployment. Shuffle parallelism
+    * is left to the cluster default (200+) or AQE coalescing.
+    */
+  val clusterConf: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> "512m",
+    "spark.sql.broadcastTimeout" -> "3000",
+    "spark.graft.outputPartitions" -> "200"
+  )
+
   /** Build a locally-tuned session. `shufflePartitions` should match the
     * available parallelism in local mode (NOT the 200 default, which is a
     * cluster setting).

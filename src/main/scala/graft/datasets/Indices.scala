@@ -1,0 +1,93 @@
+package graft.datasets
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{GDataset, GDataset => GD}
+
+/** Typed wrappers for the remaining core index datasets — schema-validated
+  * construction plus the dataset-level operations the reference exposes
+  * (dataset/study_index.py, variant_index.py, target_index.py, ld_index.py,
+  * colocalisation.py, study_locus_overlap.py, biosample_index.py).
+  */
+final case class StudyIndex(df: DataFrame) extends GDataset[StudyIndex] {
+  override def schemaName: String = "study_index"
+  override protected def withDf(newDf: DataFrame): StudyIndex = copy(df = newDf)
+
+  /** Restrict to QTL studies (any non-gwas study type). */
+  def qtlStudies: StudyIndex = filter(col("studyType") =!= "gwas")
+}
+
+object StudyIndex {
+  def fromParquet(spark: SparkSession, path: String): StudyIndex =
+    StudyIndex(GD.readParquet(spark, "study_index", path))
+}
+
+final case class VariantIndex(df: DataFrame) extends GDataset[VariantIndex] {
+  override def schemaName: String = "variant_index"
+  override protected def withDf(newDf: DataFrame): VariantIndex = copy(df = newDf)
+
+  /** Keep only variants present in the given frame — semi join, never a
+    * collected id list (dataset/variant_index.py:228-252).
+    */
+  def filterByVariant(variants: DataFrame, idCol: String = "variantId"): VariantIndex =
+    withDf(df.join(variants.select(col(idCol)).distinct(), Seq("variantId"), "semi"))
+}
+
+object VariantIndex {
+  def fromParquet(spark: SparkSession, path: String): VariantIndex =
+    VariantIndex(GD.readParquet(spark, "variant_index", path))
+}
+
+final case class TargetIndex(df: DataFrame) extends GDataset[TargetIndex] {
+  override def schemaName: String = "target_index"
+  override protected def withDf(newDf: DataFrame): TargetIndex = copy(df = newDf)
+
+  /** Keep approved biotypes (dataset/target_index.py:36-46). */
+  def filterByBiotypes(biotypes: Seq[String]): TargetIndex =
+    filter(col("biotype").isin(biotypes: _*))
+
+  /** Gene location lookup table (dataset/target_index.py:48-60). */
+  def locationsLut: DataFrame =
+    df.select(
+      col("id").as("geneId"),
+      col("genomicLocation.chromosome").as("chromosome"),
+      col("genomicLocation.start").as("start"),
+      col("genomicLocation.end").as("end"),
+      col("tss")
+    )
+}
+
+object TargetIndex {
+  def fromParquet(spark: SparkSession, path: String): TargetIndex =
+    TargetIndex(GD.readParquet(spark, "target_index", path))
+}
+
+final case class LdIndex(df: DataFrame) extends GDataset[LdIndex] {
+  override def schemaName: String = "ld_index"
+  override protected def withDf(newDf: DataFrame): LdIndex = copy(df = newDf)
+}
+
+object LdIndex {
+  def fromParquet(spark: SparkSession, path: String): LdIndex =
+    LdIndex(GD.readParquet(spark, "ld_index", path))
+}
+
+final case class Colocalisations(df: DataFrame) extends GDataset[Colocalisations] {
+  override def schemaName: String = "colocalisation"
+  override protected def withDf(newDf: DataFrame): Colocalisations = copy(df = newDf)
+
+  /** Strongest colocalisation per (credible set, gene) by the method metric
+    * (dataset/colocalisation.py:37-129).
+    */
+  def maxPerGene(metric: String): DataFrame =
+    graft.operators.QcJoins.colocMaxPerGene(df, metric)
+}
+
+final case class StudyLocusOverlaps(df: DataFrame) extends GDataset[StudyLocusOverlaps] {
+  override def schemaName: String = "study_locus_overlap"
+  override protected def withDf(newDf: DataFrame): StudyLocusOverlaps = copy(df = newDf)
+
+  def calculateBetaRatio: DataFrame = graft.operators.Overlaps.calculateBetaRatio(df)
+}
