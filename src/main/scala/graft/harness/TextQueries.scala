@@ -99,6 +99,14 @@ object TextQueries {
         embeddings(s, d).repartition(s.sparkContext.defaultParallelism)),
       col("vec_id") < 50, k = 3)
 
+  /** C4-style composite quality gate per document. */
+  def qualityFilter(s: SparkSession, d: String): DataFrame =
+    withTokens(docsParallel(s, d)).select(
+      col("doc_id"),
+      TextOps.qualityPredicate(col("toks"), minTokens = 20, minStopwordRatio = 0.02)
+        .as("keep")
+    )
+
   /** Embedding-cosine near-duplicate pairs (bucketed candidates, cos ≥ 0.2). */
   def embedDedup(s: SparkSession, d: String): DataFrame =
     Similarity.embeddingNearDupPairs(
@@ -145,7 +153,8 @@ object TextQueries {
     "q_bpe_count" -> (bpeCount _),
     "q_cosine_topk" -> (cosineTopK _),
     "q_ann_lsh" -> (annLsh _),
-    "q_embed_dedup" -> (embedDedup _)
+    "q_embed_dedup" -> (embedDedup _),
+    "q_quality_filter" -> (qualityFilter _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -211,6 +220,17 @@ object TextQueries {
         |SELECT q_id, neighbor_id, round(cos_raw, 6) AS cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
         |  FROM cand) WHERE rn <= 5""".stripMargin,
+    "q_quality_filter" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n,
+        |    list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE) AS meanlen,
+        |    len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) / CAST(len(toks) AS DOUBLE) AS stopr,
+        |    len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS uniqr
+        |  FROM tok)
+        |SELECT doc_id,
+        |  (n BETWEEN 20 AND 100000) AND (meanlen BETWEEN 2.0 AND 12.0)
+        |    AND stopr >= 0.02 AND uniqr >= 0.1 AS keep
+        |FROM m""".stripMargin,
     "q_embed_dedup" ->
       s"""WITH $PlanesSql,
          |cand AS (

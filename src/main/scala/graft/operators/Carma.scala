@@ -90,7 +90,6 @@ object Carma {
       inputS: Array[Int], p: Int, conditionIndex: Array[Int]
   ): Array[Option[Array[Array[Int]]]] = {
     val s = inputS.diff(conditionIndex).sorted
-    val excluded = if (conditionIndex.isEmpty && inputS.isEmpty) Array.empty[Int] else inputS
     val base = (0 until p).toArray
     s.length match {
       case 0 =>

@@ -107,4 +107,27 @@ object TextOps {
   /** BPE-ish token count: alpha runs, digit runs, single other symbols. */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** C4-style composite quality predicate over a token array: token-count
+    * band, mean-token-length band, minimum stopword ratio, minimum unique
+    * ratio. Rows passing every gate are training-quality documents.
+    */
+  def qualityPredicate(
+      tokens: Column,
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      minMeanTokenLen: Double = 2.0,
+      maxMeanTokenLen: Double = 12.0,
+      minStopwordRatio: Double = 0.01,
+      minUniqueRatio: Double = 0.1
+  ): Column = {
+    val n = size(tokens).cast("double")
+    val meanLen = aggregate(tokens, lit(0), (acc, t) => acc + length(t)) / n
+    val stopRatio = stopwordHits(tokens, StopwordsByLang.toMap.apply("en")) / n
+    val uniqRatio = size(array_distinct(tokens)) / n
+    n.between(minTokens, maxTokens) &&
+      meanLen.between(minMeanTokenLen, maxMeanTokenLen) &&
+      (stopRatio >= minStopwordRatio) &&
+      (uniqRatio >= minUniqueRatio)
+  }
 }
