@@ -99,6 +99,16 @@ object TextQueries {
         embeddings(s, d).repartition(s.sparkContext.defaultParallelism)),
       col("vec_id") < 50, k = 3)
 
+  /** IVF-bucketed ANN: vectors partitioned by nearest deterministic centroid
+    * (vec_id % 53 == 0), queries probe their own cell, top-3 by cosine.
+    */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+    val centroids = emb.filter(col("vec_id") % 53 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    Similarity.annTopK(Similarity.ivfAssign(emb, centroids), col("vec_id") < 30, k = 3)
+  }
+
   /** C4-style composite quality gate per document. */
   def qualityFilter(s: SparkSession, d: String): DataFrame =
     withTokens(docsParallel(s, d)).select(
@@ -154,7 +164,8 @@ object TextQueries {
     "q_cosine_topk" -> (cosineTopK _),
     "q_ann_lsh" -> (annLsh _),
     "q_embed_dedup" -> (embedDedup _),
-    "q_quality_filter" -> (qualityFilter _)
+    "q_quality_filter" -> (qualityFilter _),
+    "q_ann_ivf" -> (annIvf _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -220,6 +231,25 @@ object TextQueries {
         |SELECT q_id, neighbor_id, round(cos_raw, 6) AS cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
         |  FROM cand) WHERE rn <= 5""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 53 = 0),
+        |assign AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    list_inner_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |       sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS c_cos
+        |  FROM embeddings e, cent c),
+        |buck AS (SELECT vec_id, embedding, centroid_id AS bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id ASC) AS rn
+        |    FROM assign) WHERE rn = 1),
+        |cand AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+        |    list_inner_product(q.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos_raw
+        |  FROM buck q JOIN buck b ON q.bucket = b.bucket
+        |  WHERE q.vec_id < 30 AND q.vec_id <> b.vec_id)
+        |SELECT q_id, neighbor_id, round(cos_raw, 6) AS cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+        |  FROM cand) WHERE rn <= 3""".stripMargin,
     "q_quality_filter" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n,

@@ -52,6 +52,40 @@ object Annotations {
     clumped.drop("locus").join(locusDf, Seq("studyLocusId"), "left")
   }
 
+  /** Boundaries variant of the locus-statistics annotation: collect sumstats
+    * between each lead's locusStart and locusEnd instead of a fixed ±distance
+    * (dataset/study_locus.py:1342-1405). Same broadcast-range-join design.
+    */
+  def annotateLocusStatisticsBoundaries(
+      clumped: DataFrame,
+      sumstats: DataFrame
+  ): DataFrame = {
+    val leads = broadcast(
+      clumped.select("locusStart", "locusEnd", "chromosome", "studyId", "studyLocusId")
+        .alias("clumped"))
+    val tagged = sumstats.alias("sumstat")
+      .join(
+        leads,
+        col("sumstat.studyId") === col("clumped.studyId") &&
+          col("sumstat.chromosome") === col("clumped.chromosome") &&
+          col("sumstat.position") >= col("clumped.locusStart") &&
+          col("sumstat.position") <= col("clumped.locusEnd"),
+        "inner"
+      )
+      .select(
+        col("clumped.studyLocusId").as("studyLocusId"),
+        struct(
+          col("sumstat.variantId").as("variantId"),
+          col("sumstat.beta").as("beta"),
+          col("sumstat.pValueMantissa").as("pValueMantissa"),
+          col("sumstat.pValueExponent").as("pValueExponent"),
+          col("sumstat.standardError").as("standardError")
+        ).as("tag")
+      )
+    val locusDf = tagged.groupBy("studyLocusId").agg(collect_list(col("tag")).as("locus"))
+    clumped.drop("locus").join(locusDf, Seq("studyLocusId"), "left")
+  }
+
   /** True when a lead variant is explained by a more significant lead in the
     * same (study, chromosome) whose variant appears among this lead's LD tags
     * (method/clump.py:20-64). Significance order is (exponent, mantissa)

@@ -79,6 +79,25 @@ object Similarity {
     vectors.withColumn("bucket", bucket)
   }
 
+  /** IVF-style partitioning: assign every vector to its nearest centroid
+    * (cosine, centroid-id tiebreak). Centroids are any small broadcastable
+    * table of (centroid_id, embedding); production would use k-means means,
+    * here any deterministic subset works — the partition/probe mechanics are
+    * identical.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids.select(
+      col("centroid_id"), asDouble(col("embedding")).as("c_emb")))
+    val v = vectors.select(
+      col("vec_id"), col("embedding"), asDouble(col("embedding")).as("v_emb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("centroid_id").asc)
+    v.crossJoin(c)
+      .withColumn("c_cos", cosine(col("v_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("bucket"))
+  }
+
   /** Embedding-level near-duplicate pairs: candidates co-bucketed by the LSH
     * sign pattern, verified by exact cosine above `threshold`. The dedup
     * variant of [[annTopK]] — same bucketed candidate generation, symmetric
