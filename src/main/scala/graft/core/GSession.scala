@@ -53,6 +53,25 @@ final case class GSession(spark: SparkSession) {
     reader.load(paths: _*)
   }
 
+  /** Driver-side URL fetch → DataFrame (common/session.py:691-727): download
+    * to a temp file, then delegate to [[loadData]]. Supports any URL scheme
+    * java.net resolves (http/https/file).
+    */
+  def loadFromUrl(
+      url: String,
+      format: String,
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty
+  ): DataFrame = {
+    val suffix = "." + (if (format == "tsv") "tsv" else format)
+    val tmp = java.nio.file.Files.createTempFile("graft-url", suffix)
+    val in = new java.net.URL(url).openStream()
+    try {
+      java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally in.close()
+    loadData(Seq(tmp.toString), format, schema, options)
+  }
+
   /** Parquet sink with session-level write mode + coalesce
     * (common/session.py:336-356).
     */

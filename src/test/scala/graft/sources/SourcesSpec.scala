@@ -116,6 +116,24 @@ class SourcesSpec extends SparkSpec {
     assert(r2._3 === Seq("EFO_0000002", "MONDO_0000001"))
   }
 
+  test("Intervals.readBed normalises BED coordinates and parses gene ids") {
+    import spark.implicits._
+    val bed = writeFixture("e2g.bed", "chr1\t999\t2000\tENSG1|enh42\t0.75\nchrX\t0\t100\tENSG2\t0.5\n")
+    val got = Intervals.readBed(spark, bed)
+      .select("chromosome", "start", "end", "geneId", "resourceScore")
+      .as[(String, Int, Int, String, Double)].collect().sortBy(_._1)
+    assert(got(0) === (("1", 1000, 2000, "ENSG1", 0.75)))
+    assert(got(1) === (("X", 1, 100, "ENSG2", 0.5)))
+  }
+
+  test("loadFromUrl fetches and parses a file URL") {
+    import graft.core.GSession
+    val csv = writeFixture("u.csv", "a,b\n1,x\n")
+    val df = GSession(spark).loadFromUrl("file://" + csv, "csv")
+    assert(df.count() === 1)
+    assert(df.columns.toSeq === Seq("a", "b"))
+  }
+
   test("GSession.loadData reads csv/tsv/json with declared or inferred schema") {
     import graft.core.GSession
     val g = GSession(spark)
