@@ -91,6 +91,24 @@ final case class GSession(spark: SparkSession) {
       .mode(writeMode)
       .parquet(path)
 
+  /** Bucketed managed table: co-locates rows by hash of the bucket columns
+    * so equi joins between tables bucketed on the same keys run without a
+    * shuffle — the pre-partitioning strategy for repeated large-large joins
+    * (e.g. sumstats × variant index on variantId at 100 TB).
+    */
+  def writeBucketedTable(
+      df: DataFrame,
+      tableName: String,
+      bucketCols: Seq[String],
+      numBuckets: Int
+  ): Unit =
+    df.write
+      .mode(writeMode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Register a splittable gzip codec for block-gzipped TSV summary stats
     * (common/session.py:473-497). The codec class ships in an external
     * Hadoop-BAM-style jar; this wires the configuration contract.

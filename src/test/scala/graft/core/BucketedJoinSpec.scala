@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Bucketed tables must join without a shuffle — the plan property that
+  * makes repeated large-large joins affordable at scale.
+  */
+class BucketedJoinSpec extends SparkSpec {
+
+  test("join between co-bucketed tables plans no shuffle exchange") {
+    import spark.implicits._
+    val g = GSession(spark)
+    spark.conf.set("spark.graft.writeMode", "overwrite")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    val left = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("variantId", "payload")
+    val right = (1 to 1000).map(i => (i.toLong, i * 0.5)).toDF("variantId", "score")
+    g.writeBucketedTable(left, "bkt_left", Seq("variantId"), 4)
+    g.writeBucketedTable(right, "bkt_right", Seq("variantId"), 4)
+
+    val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "variantId")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+    assert(joined.count() === 1000)
+
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS bkt_left")
+    spark.sql("DROP TABLE IF EXISTS bkt_right")
+  }
+}
