@@ -79,6 +79,64 @@ object DfOps {
   def renameAllColumns(df: DataFrame, prefix: String): DataFrame =
     df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$prefix$c"))
 
+  /** A decomposable aggregate: how to partially aggregate an input column
+    * and how to merge partials (count merges with sum, the rest are
+    * idempotent under re-application).
+    */
+  sealed abstract class SaltedAgg(val name: String, val inputCol: String) {
+    def partial(c: Column): Column
+    def merge(c: Column): Column
+  }
+  final case class SaltedSum(override val name: String, override val inputCol: String)
+      extends SaltedAgg(name, inputCol) {
+    def partial(c: Column): Column = sum(c)
+    def merge(c: Column): Column = sum(c)
+  }
+  final case class SaltedCount(override val name: String, override val inputCol: String)
+      extends SaltedAgg(name, inputCol) {
+    def partial(c: Column): Column = count(c)
+    def merge(c: Column): Column = sum(c)
+  }
+  final case class SaltedMin(override val name: String, override val inputCol: String)
+      extends SaltedAgg(name, inputCol) {
+    def partial(c: Column): Column = min(c)
+    def merge(c: Column): Column = min(c)
+  }
+  final case class SaltedMax(override val name: String, override val inputCol: String)
+      extends SaltedAgg(name, inputCol) {
+    def partial(c: Column): Column = max(c)
+    def merge(c: Column): Column = max(c)
+  }
+
+  /** Two-phase salted aggregation for skewed group keys: rows spread over
+    * `saltBuckets` random sub-keys, partially aggregated, then merged — no
+    * single reducer ever sees a hot key's full row set. Use when one key
+    * (a mega-chromosome, a viral document hash) dominates; AQE's skew
+    * handling covers joins but not aggregations.
+    */
+  def saltedAggregate(
+      df: DataFrame,
+      groupCols: Seq[String],
+      aggs: Seq[SaltedAgg],
+      saltBuckets: Int = 16
+  ): DataFrame = {
+    require(aggs.nonEmpty)
+    val salted = df.withColumn(
+      "_salt", pmod(hash(groupCols.map(col) :+ monotonically_increasing_id(): _*), lit(saltBuckets)))
+    val partial = salted
+      .groupBy((groupCols :+ "_salt").map(col): _*)
+      .agg(
+        aggs.head.partial(col(aggs.head.inputCol)).as(aggs.head.name),
+        aggs.tail.map(a => a.partial(col(a.inputCol)).as(a.name)): _*
+      )
+    partial
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        aggs.head.merge(col(aggs.head.name)).as(aggs.head.name),
+        aggs.tail.map(a => a.merge(col(a.name)).as(a.name)): _*
+      )
+  }
+
   /** Per-feature null fraction (dataset/l2g_feature_matrix.py:113-137). */
   def missingnessRate(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(cols.map(c => avg(when(col(c).isNull, 1.0).otherwise(0.0)).alias(c)): _*)
