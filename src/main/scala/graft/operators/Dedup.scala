@@ -12,7 +12,15 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
-  /** Per-document signature table: doc id, shingle set, band hashes. */
+  /** Per-document signature table: doc id, shingle set, band hashes.
+    *
+    * Relational formulation — tokens exploded to rows, n-grams formed with
+    * `lead` windows, MinHash as 16 `min` aggregates. Fully codegen (no
+    * interpreted array lambdas, which the optimizer's projection collapse
+    * can re-inline into per-element re-evaluation — observed as a >100×
+    * blow-up in the candidate join), and map-side partial aggregation makes
+    * the signature shuffle tiny at corpus scale.
+    */
   def signatures(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -21,16 +29,29 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 8
   ): DataFrame = {
-    // Each stage is materialised as a column before feeding the next HOF:
-    // array lambdas evaluate interpreted, so an inlined tokenize/shingle
-    // expression would be re-computed per outer lambda element (16× per row
-    // for the signature) — a >100× slowdown observed at sf0.1.
-    docs
-      .select(col(idCol), TextOps.tokenize(col(textCol)).as("toks"))
-      .select(col(idCol), TextOps.shingles(col("toks"), shingleSize).as("shingles"))
+    import org.apache.spark.sql.expressions.Window
+    val tokens = docs.select(
+      col(idCol), posexplode(TextOps.tokenize(col(textCol))).as(Seq("pos", "token")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val leads = (1 until shingleSize).map(k => lead(col("token"), k).over(w).as(s"_t$k"))
+    val shingleRows = tokens
+      .select(col(idCol) +: col("token") +: leads: _*)
+      .filter(col(s"_t${shingleSize - 1}").isNotNull)
+      .select(
+        col(idCol),
+        concat_ws(
+          " ", col("token") +: (1 until shingleSize).map(k => col(s"_t$k")): _*
+        ).as("shingle")
+      )
+    val hashAggs = (0 until numHashes).map { j =>
+      min(md5(concat(lit(s"s$j:"), col("shingle")))).as(s"_h$j")
+    }
+    shingleRows
+      .groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("shingles"), hashAggs: _*)
       .select(
         col(idCol), col("shingles"),
-        TextOps.minhashSignature(col("shingles"), numHashes).as("sig")
+        array((0 until numHashes).map(j => col(s"_h$j")): _*).as("sig")
       )
       .select(
         col(idCol), col("shingles"),
@@ -42,8 +63,11 @@ object Dedup {
     * bucket. Join key is (band index, band hash) — never all-pairs.
     */
   def candidatePairs(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    // both sides of the self-join read this — persist so signatures are
+    // computed once (a few band hashes per document, tiny)
     val exploded = sigs
       .select(col(idCol), posexplode(col("bands")).as(Seq("band", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     exploded.as("a")
       .join(
         exploded.as("b"),
