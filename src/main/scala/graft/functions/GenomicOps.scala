@@ -83,6 +83,36 @@ object GenomicOps {
     (chromosome === lit(region.chromosome)) &&
       (position >= lit(region.start)) && (position <= lit(region.end))
 
+  /** Hash long variant identifiers into stable `OTVAR_` ids, leaving short
+    * ones unchanged; missing coordinates hash the id alone
+    * (dataset/variant_index.py:72-126). Must stay bit-exact with the
+    * reference (md5 of the same string).
+    */
+  def hashLongVariantIds(
+      variantId: Column,
+      chromosome: Column,
+      position: Column,
+      threshold: Int
+  ): Column =
+    when(
+      chromosome.isNull || position.isNull,
+      concat(lit("OTVAR_"), md5(variantId))
+    ).when(
+      length(variantId) >= threshold,
+      concat_ws("_", lit("OTVAR"), chromosome, position, md5(variantId))
+    ).otherwise(variantId)
+
+  /** snake/space/symbol-separated name → camelCase (common/spark.py:218-236). */
+  def string2CamelCase(name: String): String = {
+    val normalised = name.replaceAll("[/()\\-]+", " ")
+    val parts = normalised.split("[ _-]").filter(_.nonEmpty)
+    (parts.headOption.map(_.toLowerCase) ++ parts.drop(1).map(p => p.toLowerCase.capitalize)).mkString
+  }
+
+  /** Rename every column of a frame to camelCase (common/spark.py:239-253). */
+  def renameColumnsToCamelCase(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, string2CamelCase(c)))
+
   /** Variant-type classifier used by the sumstats harmoniser: complementary
     * SNP / other SNP / indel (common/processing.py:330-352).
     */
