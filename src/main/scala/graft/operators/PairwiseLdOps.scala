@@ -43,6 +43,19 @@ object PairwiseLdOps {
     ldLong.unionByName(mirrored)
   }
 
+  /** Two-level aggregation of per-population LD rows into the nested LDIndex
+    * shape: (variant, tag) pairs collect their per-population r values, then
+    * variants collect their tag sets (datasource/gnomad/ld.py:55-99).
+    */
+  def aggregateAcrossPopulations(unaggregated: DataFrame): DataFrame =
+    unaggregated
+      .withColumn("r_pop_struct", struct(col("population"), col("r")))
+      .groupBy("chromosome", "variantId", "tagVariantId")
+      .agg(collect_set(col("r_pop_struct")).as("rValues"))
+      .withColumn("r_pop_tag_struct", struct(col("tagVariantId"), col("rValues")))
+      .groupBy("variantId", "chromosome")
+      .agg(collect_set(col("r_pop_tag_struct")).as("ldSet"))
+
   /** Per-variant LD neighbourhood above a threshold: the LDIndex `ldSet`
     * shape (datasource/gnomad/ld.py:263-309) via groupBy + collect_list of
     * (tag, r) structs, r²-thresholded.

@@ -27,6 +27,22 @@ class PairwiseLdOpsSpec extends SparkSpec {
     assert(sliced.select("variantIdJ").as[String].collect().toSet === Set("v1", "v2"))
   }
 
+  test("aggregateAcrossPopulations nests per-population r under each tag") {
+    val df = Seq(
+      ("0.5", "var1", "X", "var2", "pop1"),
+      ("0.6", "var1", "X", "var2", "pop2"),
+      ("0.9", "var1", "X", "var3", "pop1")
+    ).toDF("r", "variantId", "chromosome", "tagVariantId", "population")
+    val got = PairwiseLdOps.aggregateAcrossPopulations(df)
+    assert(got.count() === 1)
+    val row = got.selectExpr(
+      "size(ldSet) AS n",
+      "size(filter(ldSet, x -> x.tagVariantId = 'var2')[0].rValues) AS nv2"
+    ).head()
+    assert(row.getInt(0) === 2) // two tags
+    assert(row.getInt(1) === 2) // var2 carries both populations
+  }
+
   test("toLdIndex collects thresholded neighbourhoods") {
     val idx = PairwiseLdOps.toLdIndex(PairwiseLdOps.symmetrise(tri), minR2 = 0.5)
     val v1 = idx.filter(col("variantId") === "v1")
