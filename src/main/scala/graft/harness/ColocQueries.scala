@@ -84,6 +84,7 @@ object ColocQueries {
   def colocPip(s: SparkSession, d: String): DataFrame = {
     val r = Colocalisation.colocPip(alignedOverlaps(s, d))
     Seq("h3", "h4").foldLeft(r)((df, h) => df.withColumn(h, round(col(h), 6)))
+      .withColumn("betaRatioSignAverage", round(col("betaRatioSignAverage"), 6))
       .drop("colocalisationMethod", "h0", "h1", "h2")
   }
 
@@ -248,13 +249,17 @@ object ColocQueries {
          |FROM post2 LEFT JOIN br USING (leftStudyLocusId, rightStudyLocusId, chromosome)""".stripMargin,
     "q_coloc_pip" ->
       s"""WITH $AlignedSql,
+         |$BetaRatioSql,
          |prep AS (SELECT chromosome, leftStudyLocusId, rightStudyLocusId, rightStudyType,
+         |    CASE WHEN left_pp IS NOT NULL AND right_pp IS NOT NULL THEN 1 ELSE 0 END AS is_both,
          |    ln(greatest(coalesce(left_pp, 1e-16), 1e-16)) AS lp,
          |    ln(greatest(coalesce(right_pp, 1e-16), 1e-16)) AS rp
          |  FROM al),
          |m AS (SELECT chromosome, leftStudyLocusId, rightStudyLocusId, rightStudyType,
+         |    CAST(sum(is_both) AS BIGINT) AS ncv,
          |    max(lp) AS ml, max(rp) AS mr, max(lp + rp) AS mb FROM prep GROUP BY 1, 2, 3, 4),
          |g AS (SELECT p.chromosome, p.leftStudyLocusId, p.rightStudyLocusId, p.rightStudyType,
+         |    any_value(m.ncv) AS ncv,
          |    any_value(m.ml) + ln(sum(exp(p.lp - m.ml))) AS s1,
          |    any_value(m.mr) + ln(sum(exp(p.rp - m.mr))) AS s2,
          |    any_value(m.mb) + ln(sum(exp(p.lp + p.rp - m.mb))) AS sb
@@ -269,9 +274,11 @@ object ColocQueries {
          |  FROM g),
          |n AS (SELECT *, greatest(pp3r, pp4r) AS mxx FROM f)
          |SELECT leftStudyLocusId, rightStudyLocusId, rightStudyType, chromosome,
+         |  n.ncv AS numberColocalisingVariants,
          |  round(exp(pp3r - (mxx + ln(exp(pp3r - mxx) + exp(pp4r - mxx)))), 6) AS h3,
-         |  round(exp(pp4r - (mxx + ln(exp(pp3r - mxx) + exp(pp4r - mxx)))), 6) AS h4
-         |FROM n""".stripMargin,
+         |  round(exp(pp4r - (mxx + ln(exp(pp3r - mxx) + exp(pp4r - mxx)))), 6) AS h4,
+         |  br.betaRatioSignAverage
+         |FROM n LEFT JOIN br USING (leftStudyLocusId, rightStudyLocusId, chromosome)""".stripMargin,
     "q_credset_annot" ->
       s"""WITH $CredsetSql,
          |cum AS (SELECT studyLocusId, tagVariantId AS variantId, pp,

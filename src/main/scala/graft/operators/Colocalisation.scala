@@ -74,6 +74,7 @@ object Colocalisation {
       .select(
         col("leftStudyLocusId"), col("rightStudyLocusId"), col("rightStudyType"),
         col("chromosome"),
+        tagVariantSource(col("statistics")).as("tagVariantSource"),
         greatest(coalesce(col("statistics.left_posteriorProbability"), lit(Pseudo)), lit(Pseudo))
           .as("lpp"),
         greatest(coalesce(col("statistics.right_posteriorProbability"), lit(Pseudo)), lit(Pseudo))
@@ -81,6 +82,9 @@ object Colocalisation {
       )
       .groupBy(PairKeys.map(col): _*)
       .agg(
+        size(filter(collect_list(col("tagVariantSource")), x => x === "both"))
+          .cast("long")
+          .as("numberColocalisingVariants"),
         collect_list(log(col("lpp"))).as("log_pip1"),
         collect_list(log(col("rpp"))).as("log_pip2"),
         collect_list(log(col("lpp")) + log(col("rpp"))).as("log_both")
@@ -103,12 +107,42 @@ object Colocalisation {
       .withColumn("denom", logsumexp(array(col("pp3_raw"), col("pp4_raw"))))
       .select(
         col("leftStudyLocusId"), col("rightStudyLocusId"), col("rightStudyType"),
-        col("chromosome"),
+        col("chromosome"), col("numberColocalisingVariants"),
         lit(0.0).as("h0"), lit(0.0).as("h1"), lit(0.0).as("h2"),
         exp(col("pp3_raw") - col("denom")).as("h3"),
         exp(col("pp4_raw") - col("denom")).as("h4")
       )
       .withColumn("colocalisationMethod", lit("COLOC_PIP"))
+      .join(
+        Overlaps.calculateBetaRatio(overlaps),
+        Seq("leftStudyLocusId", "rightStudyLocusId", "chromosome"),
+        "left"
+      )
+  }
+
+  /** Merged COLOC-PIP + eCAVIAR result: ColocPIP posteriors with the eCAVIAR
+    * CLPP and the max colocalising-variant count (colocalisation.py:69-129).
+    */
+  def colocPipEcaviar(overlaps: DataFrame): DataFrame = {
+    val joinKeys = Seq("leftStudyLocusId", "rightStudyLocusId", "chromosome", "rightStudyType")
+    colocPip(overlaps).alias("pip")
+      .join(
+        ecaviar(overlaps).select(
+          joinKeys.map(col) :+ col("clpp").as("clpp_ecaviar") :+
+            col("numberColocalisingVariants").as("ncv_ecaviar"): _*
+        ),
+        joinKeys,
+        "inner"
+      )
+      .select(
+        joinKeys.map(col) :+
+          lit("COLOC_PIP_ECAVIAR").as("colocalisationMethod") :+
+          greatest(col("pip.numberColocalisingVariants"), col("ncv_ecaviar"))
+            .as("numberColocalisingVariants") :+
+          col("pip.h3").as("h3") :+ col("pip.h4").as("h4") :+
+          col("clpp_ecaviar").as("clpp") :+
+          col("pip.betaRatioSignAverage").as("betaRatioSignAverage"): _*
+      )
   }
 
   /** COLOC: H0–H4 posteriors from per-pair Bayes-factor log sums
