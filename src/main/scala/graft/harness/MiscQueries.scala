@@ -81,27 +81,51 @@ object MiscQueries {
   }
 
   /** Distributed SuSiE-inf fine-mapping: loci fan out via flatMapGroups,
-    * each group solves its own eigen problem. Rows-only check (the Bayesian
-    * kernel has no SQL oracle); golden-fixture parity lives in SusieInfSpec.
+    * each group solves its own eigen problem. 40 loci x 60 variants with an
+    * AR(1) LD structure (r = 0.9^|i-j|) and z decaying away from one causal
+    * variant per locus — z and r are pure functions of (locusIdx, varIdx),
+    * so the generator is idempotent under the sparse/duplicated orderkeys of
+    * any scale factor. Rows-only check in the harness (the Bayesian kernel
+    * has no SQL oracle); exact-PIP golden parity lives in FineMapperSpec and
+    * SusieInfSpec.
     */
   def finemap(s: SparkSession, d: String): DataFrame = {
-    val sumstats = orders(s, d)
-      .filter(col("o_orderkey") % 40 === 0)
+    val base = orders(s, d)
       .select(
-        concat(lit("FL"), (col("o_orderkey") % 2000).cast(StringType)).as("studyLocusId"),
-        concat(lit("v"), col("o_orderkey").cast(StringType)).as("variantId"),
-        (lit(2.0) + (col("o_orderkey") % 70) / 10.0).as("z")
+        (col("o_orderkey") % 40).cast(IntegerType).as("locusIdx"),
+        (floor(col("o_orderkey") / 40) % 60).cast(IntegerType).as("varIdx")
       )
+      .distinct()
+    // two causal variants per locus (the second ~LD-independent at distance
+    // 30): z ~ sum of r(causal_k, j) * z_k + small deterministic noise
+    val causal1 = (col("locusIdx") * 7) % 60
+    val causal2 = (col("locusIdx") * 7 + 30) % 60
+    val sumstats = base.select(
+      col("locusIdx"),
+      col("varIdx"),
+      concat(lit("FL"), col("locusIdx").cast(StringType)).as("studyLocusId"),
+      concat(lit("v"), lpad(col("varIdx").cast(StringType), 3, "0")).as("variantId"),
+      (lit(7.0) * pow(lit(0.9), abs(col("varIdx") - causal1)) +
+        lit(5.5) * pow(lit(0.9), abs(col("varIdx") - causal2)) +
+        lit(0.3) * sin(col("varIdx").cast("double"))).as("z")
+    )
     val ld = sumstats.alias("a")
-      .join(sumstats.alias("b"), Seq("studyLocusId"))
-      .filter(col("a.variantId") < col("b.variantId"))
+      .join(
+        sumstats.alias("b"),
+        col("a.locusIdx") === col("b.locusIdx") && col("a.varIdx") < col("b.varIdx")
+      )
       .select(
-        col("studyLocusId"),
+        col("a.studyLocusId").as("studyLocusId"),
         col("a.variantId").as("vi"),
         col("b.variantId").as("vj"),
-        lit(0.2).as("r")
+        pow(lit(0.9), col("b.varIdx") - col("a.varIdx")).as("r")
       )
-    FineMapper.finemapLoci(s, sumstats, ld, n = 10000)
+    FineMapper.finemapLoci(
+      s,
+      sumstats.select(col("studyLocusId"), col("variantId"), col("z")),
+      ld,
+      n = 10000
+    )
       .select(col("studyLocusId"), col("variantId"), col("credibleSetIndex"),
         round(col("pip"), 6).as("pip"))
   }
