@@ -92,19 +92,25 @@ object TextQueries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
   }
 
-  /** LSH-bucketed ANN top-3 for query vectors (vec_id < 50). */
+  /** LSH-bucketed ANN top-3 for query vectors (vec_id < 50): 2 hash tables
+    * (OR-amplification) x 6 planes = 64 buckets/table, sized by the
+    * numPlanes ~ log2(N / bucketSize) rule for this corpus (N = 500–2,000;
+    * the 16-plane library default targets ~10^9 vectors).
+    */
   def annLsh(s: SparkSession, d: String): DataFrame =
-    Similarity.annTopK(
-      Similarity.lshBuckets(
-        embeddings(s, d).repartition(s.sparkContext.defaultParallelism)),
+    Similarity.annTopKMulti(
+      Similarity.lshBucketsMulti(
+        embeddings(s, d).repartition(s.sparkContext.defaultParallelism),
+        numTables = 2, numPlanes = 6),
       col("vec_id") < 50, k = 3)
 
   /** IVF-bucketed ANN: vectors partitioned by nearest deterministic centroid
-    * (vec_id % 53 == 0), queries probe their own cell, top-3 by cosine.
+    * (vec_id % 23 == 0, ~sqrt(N) centroids at the correctness SF per the IVF
+    * sizing rule), queries probe their own cell, top-3 by cosine.
     */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
-    val centroids = emb.filter(col("vec_id") % 53 === 0)
+    val centroids = emb.filter(col("vec_id") % 23 === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding"))
     Similarity.annTopK(Similarity.ivfAssign(emb, centroids), col("vec_id") < 30, k = 3)
   }
@@ -117,11 +123,14 @@ object TextQueries {
         .as("keep")
     )
 
-  /** Embedding-cosine near-duplicate pairs (bucketed candidates, cos ≥ 0.2). */
+  /** Embedding-cosine near-duplicate pairs (multi-table bucketed candidates,
+    * deduped across tables, cos ≥ 0.2).
+    */
   def embedDedup(s: SparkSession, d: String): DataFrame =
-    Similarity.embeddingNearDupPairs(
-      Similarity.lshBuckets(
-        embeddings(s, d).repartition(s.sparkContext.defaultParallelism)),
+    Similarity.embeddingNearDupPairsMulti(
+      Similarity.lshBucketsMulti(
+        embeddings(s, d).repartition(s.sparkContext.defaultParallelism),
+        numTables = 2, numPlanes = 6),
       threshold = 0.2)
 
   // -- oracles ---------------------------------------------------------------
@@ -143,14 +152,17 @@ object TextQueries {
        |pairs AS (SELECT a.doc_id AS l_doc, b.doc_id AS r_doc FROM bands a
        |  JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
 
+  // 2 hash tables x 6 planes: global plane p belongs to table p // 6 and
+  // contributes bit p % 6 of that table's bucket (mirrors lshBucketsMulti).
   private val PlanesSql =
     """w AS (SELECT p, d, CASE WHEN strpos('0123456789abcdef',
       |    substr(md5('p:' || CAST(p AS VARCHAR) || ':d:' || CAST(d AS VARCHAR)), 1, 1)) - 1 >= 8
-      |    THEN 1.0 ELSE -1.0 END AS wgt FROM range(0, 4) tp(p), range(0, 64) td(d)),
+      |    THEN 1.0 ELSE -1.0 END AS wgt FROM range(0, 12) tp(p), range(0, 64) td(d)),
       |dots AS (SELECT e.vec_id, w.p, sum(e.embedding[w.d + 1]::DOUBLE * w.wgt) AS dot
       |  FROM embeddings e, w GROUP BY 1, 2),
-      |buck AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
-      |  FROM dots GROUP BY 1)""".stripMargin
+      |buck AS (SELECT vec_id, p // 6 AS tbl,
+      |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << (p % 6) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY 1, 2)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash" -> (minhash _),
@@ -232,7 +244,7 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
         |  FROM cand) WHERE rn <= 5""".stripMargin,
     "q_ann_ivf" ->
-      """WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 53 = 0),
+      """WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 23 = 0),
         |assign AS (SELECT e.vec_id, e.embedding, c.centroid_id,
         |    list_inner_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
         |      (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
@@ -264,28 +276,32 @@ object TextQueries {
     "q_embed_dedup" ->
       s"""WITH $PlanesSql,
          |cand AS (
-         |  SELECT a.vec_id AS l_id, b.vec_id AS r_id,
+         |  SELECT DISTINCT ba.vec_id AS l_id, bb.vec_id AS r_id
+         |  FROM buck ba JOIN buck bb ON ba.tbl = bb.tbl AND ba.bucket = bb.bucket
+         |  WHERE ba.vec_id < bb.vec_id),
+         |scored AS (
+         |  SELECT c.l_id, c.r_id,
          |    list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
          |      (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
          |       sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos_raw
-         |  FROM embeddings a JOIN buck ba ON a.vec_id = ba.vec_id
-         |    JOIN buck bb ON ba.bucket = bb.bucket
-         |    JOIN embeddings b ON b.vec_id = bb.vec_id
-         |  WHERE a.vec_id < b.vec_id)
-         |SELECT l_id, r_id, round(cos_raw, 6) AS cos FROM cand WHERE cos_raw >= 0.2""".stripMargin,
+         |  FROM cand c JOIN embeddings a ON c.l_id = a.vec_id
+         |    JOIN embeddings b ON c.r_id = b.vec_id)
+         |SELECT l_id, r_id, round(cos_raw, 6) AS cos FROM scored WHERE cos_raw >= 0.2""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH $PlanesSql,
          |cand AS (
-         |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |  SELECT DISTINCT ba.vec_id AS q_id, bb.vec_id AS neighbor_id
+         |  FROM buck ba JOIN buck bb ON ba.tbl = bb.tbl AND ba.bucket = bb.bucket
+         |  WHERE ba.vec_id < 50 AND ba.vec_id <> bb.vec_id),
+         |scored AS (
+         |  SELECT c.q_id, c.neighbor_id,
          |    list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
          |      (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
          |       sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos_raw
-         |  FROM embeddings a JOIN buck ba ON a.vec_id = ba.vec_id
-         |    JOIN buck bb ON ba.bucket = bb.bucket
-         |    JOIN embeddings b ON b.vec_id = bb.vec_id
-         |  WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id)
+         |  FROM cand c JOIN embeddings a ON c.q_id = a.vec_id
+         |    JOIN embeddings b ON c.neighbor_id = b.vec_id)
          |SELECT q_id, neighbor_id, round(cos_raw, 6) AS cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
-         |  FROM cand) WHERE rn <= 3""".stripMargin
+         |  FROM scored) WHERE rn <= 3""".stripMargin
   )
 }

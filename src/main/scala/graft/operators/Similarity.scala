@@ -64,19 +64,55 @@ object Similarity {
     if (firstHexDigit >= 8) 1.0 else -1.0
   }
 
-  /** Append an LSH `bucket` column: bit p of the bucket is the sign of the
-    * dot product with hyperplane p.
-    */
-  def lshBuckets(vectors: DataFrame, numPlanes: Int = 4, dims: Int = 64): DataFrame = {
+  private def bucketExpr(planeOffset: Int, numPlanes: Int, dims: Int): Column = {
     val vecD = asDouble(col("embedding"))
-    val bucket = (0 until numPlanes)
+    (0 until numPlanes)
       .map { p =>
-        val plane = (0 until dims).map(d => planeWeight(p, d))
+        val plane = (0 until dims).map(d => planeWeight(planeOffset + p, d))
         val d = dot(vecD, typedlit(plane))
         when(d >= 0, lit(1L << p)).otherwise(lit(0L))
       }
       .reduce(_ + _)
-    vectors.withColumn("bucket", bucket)
+  }
+
+  /** Append an LSH `bucket` column: bit p of the bucket is the sign of the
+    * dot product with hyperplane p.
+    *
+    * Sizing rule: with B = 2^numPlanes buckets the candidate join does
+    * Σ O(|bucket|²) ≈ O(N²/B) work, so pick
+    * `numPlanes ≈ log2(N / targetBucketSize)` — bucket count proportional
+    * to corpus size, per-bucket work O(targetBucketSize · N). The default of
+    * 16 planes (65,536 buckets) keeps within-bucket joins tractable to
+    * ~10⁸–10⁹ vectors; beyond that, raise numPlanes (20 planes ≈ 1M
+    * buckets). Narrow buckets lose recall — recover it with
+    * [[lshBucketsMulti]] OR-amplification, not wider buckets.
+    */
+  def lshBuckets(vectors: DataFrame, numPlanes: Int = 16, dims: Int = 64): DataFrame =
+    vectors.withColumn("bucket", bucketExpr(0, numPlanes, dims))
+
+  /** Multi-table LSH (OR-amplification): `numTables` independent plane sets;
+    * a pair is a candidate if it co-buckets in ANY table. Output has one row
+    * per (vector, table) with columns `table` and `bucket`; table t uses
+    * global plane indices [t·numPlanes, (t+1)·numPlanes), so table 0
+    * reproduces the single-table bucketing. Candidate generation joins on
+    * (table, bucket) — still an equi-shuffle, linear in corpus size — and
+    * downstream consumers dedup candidate pairs across tables
+    * ([[annTopKMulti]], [[embeddingNearDupPairsMulti]]).
+    */
+  def lshBucketsMulti(
+      vectors: DataFrame,
+      numTables: Int = 4,
+      numPlanes: Int = 16,
+      dims: Int = 64
+  ): DataFrame = {
+    val tables = (0 until numTables).map { t =>
+      struct(lit(t).as("table"), bucketExpr(t * numPlanes, numPlanes, dims).as("bucket"))
+    }
+    vectors
+      .withColumn("tb", explode(array(tables: _*)))
+      .withColumn("table", col("tb.table"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("tb")
   }
 
   /** IVF-style partitioning: assign every vector to its nearest centroid
@@ -84,6 +120,11 @@ object Similarity {
     * table of (centroid_id, embedding); production would use k-means means,
     * here any deterministic subset works — the partition/probe mechanics are
     * identical.
+    *
+    * Sizing rule: with C centroids the probe join does O(N²/C) within-cell
+    * work while assignment costs O(N·C), so C ≈ √N balances the two (the
+    * classic IVF heuristic). C must grow with the corpus — a fixed small C
+    * degenerates to quadratic within-cell joins at scale.
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val c = broadcast(centroids.select(
@@ -113,6 +154,56 @@ object Similarity {
       .withColumn("cos_raw", cosine(col("l_emb"), col("r_emb")))
       .filter(col("cos_raw") >= threshold)
       .select(col("l_id"), col("r_id"), round(col("cos_raw"), 6).as("cos"))
+  }
+
+  /** Multi-table near-duplicate pairs: candidates co-bucketed in ANY table
+    * (input from [[lshBucketsMulti]]), deduped across tables before the
+    * exact-cosine verification so each pair is scored once.
+    */
+  def embeddingNearDupPairsMulti(bucketed: DataFrame, threshold: Double): DataFrame = {
+    val emb = bucketed.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id")
+    val a = bucketed.select(col("vec_id").as("l_id"), col("table"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("r_id"), col("table"), col("bucket"))
+    val cand = a.join(b, Seq("table", "bucket"))
+      .filter(col("l_id") < col("r_id"))
+      .select(col("l_id"), col("r_id"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("l_id"), asDouble(col("embedding")).as("l_emb")), Seq("l_id"))
+      .join(emb.select(col("vec_id").as("r_id"), asDouble(col("embedding")).as("r_emb")), Seq("r_id"))
+      .withColumn("cos_raw", cosine(col("l_emb"), col("r_emb")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("l_id"), col("r_id"), round(col("cos_raw"), 6).as("cos"))
+  }
+
+  /** Multi-table approximate top-k (input from [[lshBucketsMulti]]):
+    * candidate set is the union over tables (OR-amplification), deduped
+    * before scoring. Both the candidate join and the embedding re-joins are
+    * equi-shuffles — linear in corpus size for bounded bucket occupancy.
+    */
+  def annTopKMulti(
+      bucketed: DataFrame,
+      queryPredicate: Column,
+      k: Int
+  ): DataFrame = {
+    val emb = bucketed.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id")
+    val q = bucketed.filter(queryPredicate)
+      .select(col("vec_id").as("q_id"), col("table"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("neighbor_id"), col("table"), col("bucket"))
+    val cand = c.join(q, Seq("table", "bucket"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    cand
+      .join(emb.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb")), Seq("q_id"))
+      .join(
+        emb.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("c_emb")),
+        Seq("neighbor_id"))
+      .withColumn("cos_raw", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("neighbor_id"), round(col("cos_raw"), 6).as("cos"))
   }
 
   /** Approximate top-k: only candidates sharing the query's bucket are

@@ -29,7 +29,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("ANN candidates share the query bucket; recall vs brute force is sane") {
     import spark.implicits._
-    val bucketed = Similarity.lshBuckets(emb)
+    val bucketed = Similarity.lshBuckets(emb, numPlanes = 4)
     // Every vector gets one of 16 buckets.
     val buckets = bucketed.select("bucket").as[Long].collect()
     assert(buckets.forall(b => b >= 0 && b < 16))
@@ -41,5 +41,59 @@ class SimilaritySpec extends SparkSpec {
     // require overlap to confirm buckets are not degenerate.
     assert(ann.nonEmpty)
     assert((ann intersect brute).nonEmpty)
+  }
+
+  /** Within-bucket candidate pairs: sum over buckets of n·(n−1)/2. */
+  private def candidatePairs(numPlanes: Int): Long = {
+    import spark.implicits._
+    Similarity.lshBuckets(emb, numPlanes = numPlanes)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .select(sum(col("n") * (col("n") - 1) / 2).cast("long"))
+      .as[Long].head()
+  }
+
+  test("candidate-pair counts shrink superlinearly as planes grow (scale guard)") {
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    val c2 = candidatePairs(2)
+    val c4 = candidatePairs(4)
+    val c8 = candidatePairs(8)
+    // Each added plane roughly halves expected bucket occupancy, so pair
+    // counts should fall ~4x per plane doubling — superlinear in planes.
+    assert(c2 > c4 && c4 > c8, s"expected monotone shrink, got $c2 / $c4 / $c8")
+    assert(c8 * 4 < c2, s"expected superlinear shrink, got c2=$c2 c8=$c8")
+    // The bucketed join must never approach all-pairs work.
+    assert(c8 * 10 < allPairs, s"candidates $c8 not << N^2/2 = $allPairs")
+  }
+
+  test("multi-table OR-amplification raises recall over a single table") {
+    import spark.implicits._
+    val multi = Similarity.lshBucketsMulti(emb, numTables = 2, numPlanes = 6)
+    // table column present; table 0 buckets reproduce single-table hashing
+    val t0 = multi.filter(col("table") === 0).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    val single = Similarity.lshBuckets(emb, numPlanes = 6).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    assert(t0 === single)
+    val annMulti = Similarity.annTopKMulti(multi, col("vec_id") < 20, k = 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val annSingle = Similarity.annTopK(
+      Similarity.lshBuckets(emb, numPlanes = 6), col("vec_id") < 20, k = 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recallMulti = (annMulti intersect brute).size.toDouble / brute.size
+    val recallSingle = (annSingle intersect brute).size.toDouble / brute.size
+    assert(recallMulti >= recallSingle, s"multi $recallMulti < single $recallSingle")
+    assert(annMulti.nonEmpty)
+  }
+
+  test("multi-table near-dup pairs are deduped across tables") {
+    import spark.implicits._
+    val multi = Similarity.lshBucketsMulti(emb, numTables = 2, numPlanes = 6)
+    val pairs = Similarity.embeddingNearDupPairsMulti(multi, threshold = -1.0)
+      .select("l_id", "r_id").as[(Long, Long)].collect()
+    assert(pairs.length === pairs.distinct.length, "pair appears twice")
+    assert(pairs.forall { case (l, r) => l < r })
   }
 }
