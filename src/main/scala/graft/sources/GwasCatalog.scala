@@ -2,17 +2,180 @@ package graft.sources
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.functions.{GenomicOps, Stats}
 
-/** GWAS-Catalog association TSV harmonisation — the core column transforms of
-  * the reference's 1.3k-LoC pipeline
-  * (reference: datasource/gwas_catalog/associations.py:1094-1186):
-  * chromosome normalisation, risk-allele parsing, p-value splitting,
-  * OR/CI → beta/standardError, EFO URI parsing.
+/** GWAS-Catalog association TSV harmonisation
+  * (reference: datasource/gwas_catalog/associations.py): chromosome
+  * normalisation, risk-allele parsing, p-value splitting, strand
+  * (reverse-complement) and palindromic-allele handling, effect-direction
+  * flipping, OR/CI → beta/standardError, QC flagging, EFO URI parsing.
   */
 object GwasCatalog {
+
+  // QC flag texts (reference: dataset/study_locus.py:91-96)
+  val SubsignificantFlag = "Subsignificant p-value"
+  val NoGenomicLocationFlag = "Incomplete genomic mapping"
+  val CompositeFlag = "Composite association"
+  val InconsistencyFlag = "Variant inconsistency"
+  val NonMappedVariantFlag = "No mapping in GnomAd"
+  val PalindromicAlleleFlag = "Palindrome alleles - cannot harmonize"
+
+  /** Reverse complement of a DNA allele string; non-ACTG content (e.g. "?")
+    * passes through unchanged (associations.py:460-496).
+    */
+  def reverseComplement(allele: Column): Column = {
+    val up = upper(allele)
+    when(up.rlike("[ACTG]+"), reverse(translate(up, "ACTG", "TGAC"))).otherwise(up)
+  }
+
+  /** "rs123-A-G" / "rs123-A; rs1235-G" → first listed risk allele
+    * (associations.py:147-176).
+    */
+  def extractRiskAllele(riskAllele: Column): Column =
+    split(split(riskAllele, "; ").getItem(0), "-").getItem(1)
+
+  /** Risk allele concordance with the mapped ref/alt pair: direct match,
+    * negative-strand match, ambiguous ("?") or unmapped rows all pass
+    * (associations.py:393-457).
+    */
+  def isConcordant(riskAllele: Column, referenceAllele: Column, alternateAllele: Column): Column = {
+    val rc = reverseComplement(riskAllele)
+    when((riskAllele === referenceAllele) || (riskAllele === alternateAllele), lit(true))
+      .when((rc === referenceAllele) || (rc === alternateAllele), lit(true))
+      .when(riskAllele === "?", lit(true))
+      .when(referenceAllele.isNull, lit(true))
+      .otherwise(lit(false))
+  }
+
+  /** The effect refers to the reference allele (directly or via the negative
+    * strand), so beta/OR must be flipped to the alternate-allele orientation
+    * (associations.py:498-531).
+    */
+  def effectNeedsHarmonisation(riskAllele: Column, referenceAllele: Column): Column =
+    (riskAllele === referenceAllele) ||
+      (riskAllele === reverseComplement(referenceAllele))
+
+  /** Palindromic ref/alt pair — strand cannot be resolved, effects are not
+    * harmonisable (associations.py:533-568).
+    */
+  def areAllelesPalindromic(referenceAllele: Column, alternateAllele: Column): Column = {
+    val rc = reverseComplement(alternateAllele)
+    when(referenceAllele === rc, lit(true))
+      .when(rc.isNull, lit(false))
+      .otherwise(lit(false))
+  }
+
+  /** "beta" when the CI text mentions a direction, "odds_ratio" otherwise;
+    * null CI → null (associations.py:925-958).
+    */
+  def effectType(ciText: Column): Column =
+    when(
+      lower(ciText).contains("increase") || lower(ciText).contains("decrease"),
+      lit("beta")
+    ).when(ciText.isNotNull, lit("odds_ratio"))
+
+  /** Direction-harmonised beta: the sign flips when the allele orientation
+    * and the reported direction disagree (associations.py:571-633).
+    */
+  def harmoniseBeta(effectSize: Column, ciText: Column, flippingNeeded: Column): Column =
+    when(
+      (flippingNeeded && ciText.contains("increase")) ||
+        (!flippingNeeded && ciText.contains("decrease")),
+      -effectSize
+    ).otherwise(effectSize).cast(DoubleType)
+
+  /** Orientation-harmonised odds ratio: reciprocal when flipped; a zero OR
+    * cannot be flipped → null (associations.py:634-636).
+    */
+  def harmoniseOddsRatio(effectSize: Column, flippingNeeded: Column): Column =
+    when((effectSize.cast(DoubleType) === 0) && flippingNeeded, lit(null))
+      .when(flippingNeeded, lit(1.0) / effectSize)
+      .otherwise(effectSize)
+      .cast(DoubleType)
+
+  /** Full effect harmonisation to beta
+    * (associations.py:959-1093): extract the reported risk allele, flag
+    * palindromic pairs, decide flipping from the allele orientation, split
+    * the effect into beta/odds-ratio by CI text, and normalise to
+    * (beta, standardError) with the SE recovered from the neglog p-value or
+    * the OR confidence interval. Input columns: `STRONGEST SNP-RISK ALLELE`,
+    * `referenceAllele`, `alternateAllele`, `OR or BETA`, `95% CI (TEXT)`,
+    * `PVALUE_MLOG`.
+    */
+  def harmoniseEffectToBeta(df: DataFrame): DataFrame = {
+    val (mantissa, exponent) = Stats.pvalueFromNeglogpval(col("PVALUE_MLOG"))
+    val withFlags = df
+      .withColumn("reportedRiskAllele", extractRiskAllele(col("STRONGEST SNP-RISK ALLELE")))
+      .withColumn(
+        "isAllelePalindromic",
+        areAllelesPalindromic(col("referenceAllele"), col("alternateAllele")))
+      .withColumn(
+        "needsFlipping",
+        effectNeedsHarmonisation(col("reportedRiskAllele"), col("referenceAllele")))
+      .withColumn("effectType", effectType(col("95% CI (TEXT)")))
+      .withColumn(
+        "effect_beta",
+        when(
+          (col("effectType") === "beta") && !col("isAllelePalindromic"),
+          harmoniseBeta(col("OR or BETA"), col("95% CI (TEXT)"), col("needsFlipping"))))
+      .withColumn(
+        "effect_odds_ratio",
+        when(
+          (col("effectType") === "odds_ratio") && !col("isAllelePalindromic"),
+          harmoniseOddsRatio(col("OR or BETA"), col("needsFlipping"))))
+    val ciLower = regexp_extract(col("95% CI (TEXT)"), "\\[(\\d+\\.*\\d*)-\\d+\\.*\\d*\\]", 1)
+      .cast(DoubleType)
+    val ciUpper = regexp_extract(col("95% CI (TEXT)"), "\\[\\d+\\.*\\d*-(\\d+\\.*\\d*)\\]", 1)
+      .cast(DoubleType)
+    val (beta, se) = Stats.normaliseGwasStatistics(
+      beta0 = col("effect_beta"),
+      oddsRatio = col("effect_odds_ratio"),
+      standardError = lit(null).cast(DoubleType),
+      ciUpper = ciUpper,
+      ciLower = ciLower,
+      mantissa = mantissa,
+      exponent = exponent
+    )
+    withFlags.select(df.columns.map(col) :+ beta :+ se: _*)
+  }
+
+  /** All GWAS-Catalog association QC flags in one pass
+    * (associations.py:722-924): variant×variant interactions, subsignificant
+    * p-values, missing genomic location, chromosome/position/allele count
+    * inconsistencies, unmapped variants, palindromic alleles.
+    */
+  def qcAll(
+      qc: Column,
+      chromosome: Column,
+      position: Column,
+      referenceAllele: Column,
+      alternateAllele: Column,
+      strongestSnpRiskAllele: Column,
+      pValueMantissa: Column,
+      pValueExponent: Column,
+      pValueCutoff: Double = 5e-8
+  ): Column = {
+    import graft.core.GDataset.updateQualityFlag
+    val qc1 = updateQualityFlag(qc, strongestSnpRiskAllele.contains(";"), CompositeFlag)
+    val qc2 = updateQualityFlag(
+      qc1,
+      Stats.neglogpvalFromPvalue(pValueMantissa, pValueExponent) <
+        lit(-math.log10(pValueCutoff)),
+      SubsignificantFlag)
+    val qc3 = updateQualityFlag(qc2, position.isNull || chromosome.isNull, NoGenomicLocationFlag)
+    val qc4 = updateQualityFlag(
+      qc3,
+      (size(split(chromosome, ";")) =!= size(split(position, ";"))) ||
+        (size(split(chromosome, ";")) =!= size(split(strongestSnpRiskAllele, ";"))),
+      InconsistencyFlag)
+    val qc5 = updateQualityFlag(qc4, alternateAllele.isNull, NonMappedVariantFlag)
+    updateQualityFlag(
+      qc5,
+      areAllelesPalindromic(referenceAllele, alternateAllele),
+      PalindromicAlleleFlag)
+  }
 
   /** Harmonise a raw association frame with GWAS-Catalog column names:
     * `CHR_ID`, `CHR_POS`, `STRONGEST SNP-RISK ALLELE`, `P-VALUE`,

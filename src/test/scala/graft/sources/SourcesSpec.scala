@@ -116,6 +116,132 @@ class SourcesSpec extends SparkSpec {
     assert(r2._3 === Seq("EFO_0000002", "MONDO_0000001"))
   }
 
+  test("reverse complement matches reference doctests (associations.py:460-496)") {
+    import spark.implicits._
+    val got = Seq("A", "T", "G", "C", "AC", "GTaatc", "?")
+      .toDF("allele")
+      .select(GwasCatalog.reverseComplement(col("allele")).as("rc"))
+      .as[String].collect().toSeq
+    assert(got === Seq("T", "A", "C", "G", "GT", "GATTAC", "?"))
+    val nullRc = Seq(Option.empty[String]).toDF("allele")
+      .select(GwasCatalog.reverseComplement(col("allele")).as("rc"))
+      .as[Option[String]].head()
+    assert(nullRc.isEmpty)
+  }
+
+  test("effect-needs-harmonisation matches reference doctests (associations.py:498-531)") {
+    import spark.implicits._
+    val got = Seq(("A", "A"), ("A", "T"), ("AT", "TA"), ("AT", "AT"))
+      .toDF("risk", "reference")
+      .select(GwasCatalog.effectNeedsHarmonisation(col("risk"), col("reference")).as("f"))
+      .as[Boolean].collect().toSeq
+    assert(got === Seq(true, true, false, true))
+  }
+
+  test("palindromic alleles match reference doctests (associations.py:533-568)") {
+    import spark.implicits._
+    val got = Seq(("A", Some("T")), ("AT", Some("AG")), ("AT", Some("AT")),
+      ("CATATG", Some("CATATG")), ("-", None))
+      .toDF("reference", "alternate")
+      .select(GwasCatalog.areAllelesPalindromic(col("reference"), col("alternate")).as("p"))
+      .as[Boolean].collect().toSeq
+    assert(got === Seq(true, false, true, true, false))
+  }
+
+  test("risk-allele extraction and concordance (associations.py:147-176, 393-457)") {
+    import spark.implicits._
+    val alleles = Seq("rs1234-A-G", "rs1234-A", "rs1234-A; rs1235-G")
+      .toDF("raw")
+      .select(GwasCatalog.extractRiskAllele(col("raw")).as("a"))
+      .as[String].collect().toSeq
+    assert(alleles === Seq("A", "A", "A"))
+    val conc = Seq(
+      ("A", Some("A"), Some("G")), // direct
+      ("T", Some("A"), Some("G")), // revcomp(T)=A
+      ("A", Some("G"), Some("C")), // discordant: A/revcomp(A)=T match neither
+      ("?", Some("A"), Some("G")), // ambiguous accepted
+      ("C", None, None) // unmapped kept
+    ).toDF("risk", "reference", "alternate")
+      .select(GwasCatalog.isConcordant(col("risk"), col("reference"), col("alternate")).as("c"))
+      .as[Boolean].collect().toSeq
+    assert(conc === Seq(true, true, false, true, true))
+  }
+
+  test("beta/odds-ratio harmonisation matches reference doctests (associations.py:571-663)") {
+    import spark.implicits._
+    val betas = Seq((0.5, "increase", false), (0.5, "decrease", false),
+      (0.5, "decrease", true), (0.5, "increase", true))
+      .toDF("effect", "ci_text", "flip")
+      .select(GwasCatalog.harmoniseBeta(col("effect"), col("ci_text"), col("flip")).as("b"))
+      .as[Double].collect().toSeq
+    assert(betas === Seq(0.5, -0.5, 0.5, -0.5))
+    val ors = Seq((0.5, false), (0.5, true), (0.0, false), (0.0, true))
+      .toDF("effect", "flip")
+      .select(GwasCatalog.harmoniseOddsRatio(col("effect"), col("flip")).as("o"))
+      .as[Option[Double]].collect().toSeq
+    assert(ors === Seq(Some(0.5), Some(2.0), Some(0.0), None))
+  }
+
+  test("full effect-to-beta harmonisation matches the reference doctest (associations.py:959-1010)") {
+    import spark.implicits._
+    val data = Seq(
+      ("rs123-T", "A", "T", "0.1", "[0.08-0.12] unit increase", 21.96),
+      ("rs123-C", "G", "T", "0.1", "[0.08-0.12] unit increase", 21.96),
+      ("rs123-T", "C", "T", "0.1", "[0.08-0.12] unit increase", 21.96),
+      ("rs123-T", "C", "T", "0.1", "[0.08-0.12]", 21.96),
+      ("rs123-C", "G", "T", "0.1", "[0.08-0.12]", 21.96)
+    ).toDF("STRONGEST SNP-RISK ALLELE", "referenceAllele", "alternateAllele",
+      "OR or BETA", "95% CI (TEXT)", "PVALUE_MLOG")
+    val out = GwasCatalog.harmoniseEffectToBeta(data)
+      .select(col("beta"), col("standardError"))
+      .as[(Option[Double], Option[Double])].collect().toSeq
+    // palindromic row → both null
+    assert(out(0) === ((None, None)))
+    // flipped beta
+    assert(math.abs(out(1)._1.get - (-0.1)) < 1e-12)
+    assert(math.abs(out(1)._2.get - 0.01020130187396028) < 1e-9)
+    // unflipped beta
+    assert(math.abs(out(2)._1.get - 0.1) < 1e-12)
+    // odds ratio → ln
+    assert(math.abs(out(3)._1.get - (-2.3025850929940455)) < 1e-12)
+    assert(math.abs(out(3)._2.get - 0.23489365624113162) < 1e-9)
+    // flipped odds ratio → ln(1/0.1)
+    assert(math.abs(out(4)._1.get - 2.302585092994046) < 1e-12)
+    assert(math.abs(out(4)._2.get - 0.23489365624113168) < 1e-9)
+  }
+
+  test("qcAll flags match the reference doctest semantics (associations.py:722-924)") {
+    import spark.implicits._
+    val df = Seq(
+      // clean significant row
+      ("rs1-A", Some("1"), Some(100), Some("A"), Some("G"), 1.0f, -9),
+      // composite + palindromic
+      ("rs1-A; rs2-T", Some("1"), Some(100), Some("A"), Some("T"), 1.0f, -9),
+      // no genomic location + subsignificant
+      ("rs1-A", None, None, Some("A"), Some("G"), 1.0f, -5),
+      // unmapped variant
+      ("rs1-A", Some("1"), Some(100), Some("A"), None, 1.0f, -9)
+    ).toDF("risk", "chromosome", "position", "ref", "alt", "mantissa", "exponent")
+    val got = df.select(
+      concat_ws(";", GwasCatalog.qcAll(
+        qc = array().cast("array<string>"),
+        chromosome = col("chromosome"),
+        position = col("position"),
+        referenceAllele = col("ref"),
+        alternateAllele = col("alt"),
+        strongestSnpRiskAllele = col("risk"),
+        pValueMantissa = col("mantissa"),
+        pValueExponent = col("exponent")
+      )).as("qc")).as[String].collect().toSeq
+    assert(got(0) === "")
+    // the composite row also fails the chromosome-vs-riskAllele count check
+    // (1 chromosome, 2 risk alleles), exactly as in the reference
+    assert(got(1) ===
+      "Composite association;Palindrome alleles - cannot harmonize;Variant inconsistency")
+    assert(got(2) === "Incomplete genomic mapping;Subsignificant p-value")
+    assert(got(3) === "No mapping in GnomAd")
+  }
+
   test("Intervals.readBed normalises BED coordinates and parses gene ids") {
     import spark.implicits._
     val bed = writeFixture("e2g.bed", "chr1\t999\t2000\tENSG1|enh42\t0.75\nchrX\t0\t100\tENSG2\t0.5\n")
