@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.Stats
-import graft.sources.GwasCatalog
+import graft.sources.{GwasCatalog, VepParser}
 
 /** Oracle-checked queries for the source harmonisers: GWAS-Catalog strand /
   * palindromic-allele handling, effect-direction flipping and QC flagging
@@ -85,8 +85,93 @@ object SourceQueries {
     )
   }
 
+  /** VEP-shaped synthetic transcripts (3 per variant, 2 canonical) with the
+    * full transcript_consequence field surface; consequence terms cycle over
+    * six reference terms so the SO/score maps are exercised end-to-end.
+    */
+  private def synthVep(s: SparkSession, d: String): DataFrame = {
+    val k = col("p_partkey")
+    val terms = array(
+      lit("missense_variant"), lit("synonymous_variant"), lit("intron_variant"),
+      lit("upstream_gene_variant"), lit("stop_gained"), lit("splice_region_variant"))
+    def term(i: Column) = element_at(terms, (i % 6 + 1).cast(IntegerType))
+    def tx(j: Int) = struct(
+      concat(lit("ENSG"), ((k + j) % 50).cast(StringType)).as("gene_id"),
+      concat(lit("ENST"), k.cast(StringType), lit("_"), lit(j)).as("transcript_id"),
+      lit(null).cast(StringType).as("gene_symbol"),
+      lit(if (j == 0) "protein_coding" else "lncRNA").as("biotype"),
+      array(term(k + j)).as("consequence_terms"),
+      lit("MODIFIER").as("impact"),
+      lit(if (j < 2) 1 else 0).as("canonical"),
+      when((k + j) % 7 === 0, lit(null).cast(IntegerType))
+        .otherwise(((k * (j + 1)) % 5000).cast(IntegerType)).as("distance"),
+      ((k * (j + 1)) % 9000).cast(IntegerType).as("tssdistance"),
+      when((k + j) % 4 === 0, lit(10.0) + (k % 30)).otherwise(lit(null).cast("double"))
+        .as("cadd_phred"),
+      when((k + j) % 5 === 0, (k % 100) / lit(100.0)).otherwise(lit(null).cast("double"))
+        .as("polyphen_score"),
+      when((k + j) % 5 === 0, lit("benign")).otherwise(lit(null).cast(StringType))
+        .as("polyphen_prediction"),
+      lit(null).cast("double").as("sift_score"),
+      lit(null).cast(StringType).as("sift_prediction"),
+      when((k + j) % 11 === 0, lit("HC")).otherwise(lit(null).cast(StringType)).as("lof"),
+      lit(null).cast(StringType).as("lof_filter"),
+      lit(null).cast("double").as("conservation"),
+      when(
+        (k + j) % 13 === 0,
+        struct(lit("likely_benign").as("am_class"), ((k % 50) / lit(100.0)).as("am_pathogenicity"))
+      ).as("alphamissense"),
+      lit(null).cast(StringType).as("amino_acids"),
+      lit(null).cast(IntegerType).as("protein_end"),
+      lit(null).cast("array<string>").as("swissprot"),
+      lit(null).cast("array<string>").as("trembl"),
+      lit(null).cast(StringType).as("codons"),
+      lit(null).cast(StringType).as("appris"),
+      lit(null).cast(StringType).as("mane_select")
+    )
+    part(s, d).select(
+      k.as("vid"),
+      array(tx(0), tx(1), tx(2)).as("transcript_consequences"),
+      term(k).as("most_severe_consequence")
+    )
+  }
+
+  /** VEP → variant-index consequence surface: canonical-only transcripts,
+    * SO-mapped terms, per-transcript consequence score, footprint distance,
+    * severity-sorted transcriptIndex, and the variant-level CADD predictor
+    * (reference: vep_parser.py:597-800).
+    */
+  def vepIndex(s: SparkSession, d: String): DataFrame = {
+    val canonical =
+      filter(col("transcript_consequences"), c => c.getField("canonical") === 1)
+    val shaped = synthVep(s, d).select(
+      col("vid"),
+      VepParser.soId(col("most_severe_consequence")).as("so_id"),
+      VepParser.transcriptConsequences(canonical).as("tc"),
+      VepParser.variantEffects(canonical, col("most_severe_consequence")).as("ve")
+    )
+    val cadd = get(filter(col("ve"), e => e.getField("method") === "CADD"), lit(0))
+      .getField("score")
+    shaped
+      .select(
+        col("vid"), col("so_id"),
+        round(cadd.cast("double"), 6).as("cadd"),
+        explode(col("tc")).as("t"))
+      .select(
+        col("vid"),
+        col("so_id"),
+        col("cadd"),
+        col("t.targetId").as("gene_id"),
+        concat_ws(",", col("t.variantFunctionalConsequenceIds")).as("so_ids"),
+        round(col("t.consequenceScore").cast("double"), 6).as("score"),
+        col("t.distanceFromFootprint").as("dist"),
+        col("t.transcriptIndex").as("tidx")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_gwas_harmonise" -> (gwasHarmonise _)
+    "q_gwas_harmonise" -> (gwasHarmonise _),
+    "q_vep_index" -> (vepIndex _)
   )
 
   // Shared SQL fragments mirroring the Spark-side generator and the
@@ -128,6 +213,28 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_vep_index" ->
+      """WITH t6 AS (SELECT * FROM (VALUES
+        |    (0, 'SO_0001583', 0.68), (1, 'SO_0001819', 0.46), (2, 'SO_0001627', 0.32),
+        |    (3, 'SO_0001631', 0.22), (4, 'SO_0001587', 0.90), (5, 'SO_0001630', 0.61)
+        |  ) v(i, so, sc)),
+        |tx AS (SELECT p_partkey AS k, j,
+        |    'ENSG' || CAST((p_partkey + j) % 50 AS VARCHAR) AS gene_id,
+        |    CAST((p_partkey + j) % 6 AS INTEGER) AS term_idx,
+        |    CASE WHEN (p_partkey + j) % 7 = 0 THEN 0
+        |         ELSE (p_partkey * (j + 1)) % 5000 END AS dist
+        |  FROM part, range(0, 2) r(j)),
+        |ranked AS (SELECT tx.*, t6.so AS t_so, t6.sc AS t_sc,
+        |    row_number() OVER (PARTITION BY k ORDER BY t6.sc DESC, dist ASC, j ASC) AS tidx
+        |  FROM tx JOIN t6 ON tx.term_idx = t6.i),
+        |vmeta AS (SELECT p_partkey AS k, t6.so AS so_id,
+        |    CASE WHEN p_partkey % 4 = 0 OR (p_partkey + 1) % 4 = 0
+        |         THEN 10.0 + p_partkey % 30 END AS cadd
+        |  FROM part JOIN t6 ON t6.i = CAST(p_partkey % 6 AS INTEGER))
+        |SELECT r.k AS vid, v.so_id, round(CAST(v.cadd AS DOUBLE), 6) AS cadd, r.gene_id,
+        |  r.t_so AS so_ids, round(CAST(r.t_sc AS DOUBLE), 6) AS score,
+        |  CAST(r.dist AS BIGINT) AS dist, CAST(r.tidx AS INTEGER) AS tidx
+        |FROM ranked r JOIN vmeta v ON r.k = v.k""".stripMargin,
     "q_gwas_harmonise" ->
       s"""WITH $BaseSql
          |SELECT k AS assoc_id,

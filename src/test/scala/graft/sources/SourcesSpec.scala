@@ -89,6 +89,70 @@ class SourcesSpec extends SparkSpec {
     assert(g === (("1_1000_A_T", "ENSG1", "MODERATE")))
   }
 
+  test("VEP buildVariantIndex produces a schema-valid VariantIndex with predictors") {
+    import spark.implicits._
+    val json = writeFixture(
+      "vep_full.jsonl",
+      // two canonical transcripts (one missense w/ predictors, one upstream)
+      // and one non-canonical (dropped); alphamissense on the canonical
+      """{"input":"chr7\t2000\t.\tG\tC\t.\t.\t.","seq_region_name":"chr7","start":2000,"most_severe_consequence":"missense_variant","colocated_variants":[{"id":"rs77"}],"transcript_consequences":[{"gene_id":"ENSG10","transcript_id":"ENST10","gene_symbol":"GENEA","biotype":"protein_coding","consequence_terms":["missense_variant","splice_region_variant"],"impact":"MODERATE","canonical":1,"distance":null,"tssdistance":400,"cadd_phred":23.5,"polyphen_score":0.9,"polyphen_prediction":"probably_damaging","sift_score":0.02,"sift_prediction":"deleterious","lof":"HC","lof_filter":null,"conservation":4.4,"amino_acids":"A/V","protein_end":42,"alphamissense":{"am_class":"likely_pathogenic","am_pathogenicity":0.88},"swissprot":["P12345.2"],"trembl":null,"codons":"gcA/gtA","appris":"P1","mane_select":"NM_1.1","hgvsg":"7:g.2000G>C"},{"gene_id":"ENSG11","transcript_id":"ENST11","gene_symbol":"GENEB","biotype":"lncRNA","consequence_terms":["upstream_gene_variant"],"impact":"MODIFIER","canonical":1,"distance":1500,"tssdistance":1500,"hgvsg":"7:g.2000G>C"},{"gene_id":"ENSG12","transcript_id":"ENST12","consequence_terms":["intron_variant"],"impact":"MODIFIER","canonical":0}]}
+        |""".stripMargin
+    )
+    val out = VepParser.buildVariantIndex(VepParser.readVepJson(spark, json))
+    // must validate against the declared variant_index schema
+    graft.datasets.VariantIndex(out).validate()
+    val row = out.select(
+      col("variantId"), col("mostSevereConsequenceId"),
+      size(col("transcriptConsequences")).as("n_tc"),
+      col("transcriptConsequences").getItem(0).getField("targetId"),
+      col("transcriptConsequences").getItem(0).getField("consequenceScore").cast("double"),
+      col("transcriptConsequences").getItem(0).getField("transcriptIndex"),
+      col("transcriptConsequences").getItem(0).getField("aminoAcidChange"),
+      col("transcriptConsequences").getItem(1).getField("transcriptIndex"),
+      col("hgvsId")
+    ).as[(String, String, Int, String, Double, Int, String, Int, String)].head()
+    assert(row._1 === "7_2000_G_C")
+    assert(row._2 === "SO_0001583")
+    assert(row._3 === 2) // non-canonical dropped
+    // missense (0.68) sorts before upstream (0.22)
+    assert(row._4 === "ENSG10" && math.abs(row._5 - 0.68) < 1e-6)
+    assert(row._6 === 1 && row._8 === 2)
+    assert(row._7 === "A42V")
+    assert(row._9 === "7:g.2000G>C")
+    // in-silico predictors: CADD, PolyPhen, SIFT, LOFTEE, GERP, AlphaMissense, VEP
+    val effects = out
+      .select(explode(col("variantEffect")).as("e"))
+      .select(col("e.method"), col("e.score").cast("double"), col("e.assessment"))
+      .as[(String, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(effects.keySet ===
+      Set("CADD", "PolyPhen", "SIFT", "LOFTEE", "GERP", "AlphaMissense", "VEP"))
+    assert(math.abs(effects("CADD")._1.get - 23.5) < 1e-6)
+    assert(math.abs(effects("PolyPhen")._1.get - 0.9) < 1e-6)
+    assert(effects("PolyPhen")._2 === Some("probably_damaging"))
+    assert(math.abs(effects("SIFT")._1.get - 0.02) < 1e-6)
+    assert(effects("SIFT")._2 === Some("deleterious"))
+    assert(effects("LOFTEE")._2 === Some("HC"))
+    assert(math.abs(effects("GERP")._1.get - 4.4) < 1e-6)
+    assert(math.abs(effects("AlphaMissense")._1.get - 0.88) < 1e-6)
+    assert(effects("AlphaMissense")._2 === Some("likely_pathogenic"))
+    assert(math.abs(effects("VEP")._1.get - 0.68) < 1e-6)
+    assert(effects("VEP")._2 === Some("missense_variant"))
+  }
+
+  test("VEP allele-frequency builder emits the variant_index AF shape") {
+    import spark.implicits._
+    val df = Seq((0.01, 0.2)).toDF("af_nfe", "af_afr")
+    val out = df.select(
+      VepParser.alleleFrequencies(
+        Seq("nfe" -> col("af_nfe"), "afr" -> col("af_afr"))).as("alleleFrequencies"))
+    val got = out
+      .select(explode(col("alleleFrequencies")).as("af"))
+      .select(col("af.populationName"), col("af.alleleFrequency"))
+      .as[(String, Double)].collect().toSeq
+    assert(got === Seq(("nfe", 0.01), ("afr", 0.2)))
+  }
+
   test("GWAS-Catalog harmonisation: OR→beta, CI→SE, EFO parsing") {
     import spark.implicits._
     val raw = Seq(
