@@ -5,6 +5,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.Stats
+import graft.operators.L2gFeatures
 import graft.sources.{GwasCatalog, VepParser}
 
 /** Oracle-checked queries for the source harmonisers: GWAS-Catalog strand /
@@ -169,9 +170,54 @@ object SourceQueries {
       )
   }
 
+  /** L2G coloc-derived features: synthetic colocalisation rows (three
+    * methods, four study types, deterministic CLPP/H4), trans-QTL rows
+    * dropped, two features extracted and pivoted into the matrix
+    * (reference: dataset/l2g_features/colocalisation.py:205-340,
+    * dataset/colocalisation.py:37-205).
+    */
+  def l2gColoc(s: SparkSession, d: String): DataFrame = {
+    val k1 = col("l_orderkey")
+    val k2 = col("l_partkey")
+    val k3 = col("l_suppkey")
+    val coloc = lineitem(s, d).select(
+      concat(lit("L"), (k1 % 300).cast(StringType)).as("leftStudyLocusId"),
+      concat(lit("R"), (k2 % 200).cast(StringType)).as("rightStudyLocusId"),
+      concat(lit("ENSG"), (k3 % 40).cast(StringType)).as("rightGeneId"),
+      element_at(
+        array(lit("ECaviar"), lit("Coloc"), lit("coloc_pip_ecaviar")),
+        (k1 % 3 + 1).cast(IntegerType)).as("colocalisationMethod"),
+      element_at(
+        array(lit("eqtl"), lit("pqtl"), lit("sqtl"), lit("gwas")),
+        (k2 % 4 + 1).cast(IntegerType)).as("rightStudyType"),
+      (((k1 * 7 + k2) % 1000) / lit(1000.0)).as("clpp"),
+      (((k1 * 11 + k3) % 1000) / lit(1000.0)).as("h4")
+    )
+    val rightLoci = coloc
+      .select(col("rightStudyLocusId").as("studyLocusId")).distinct()
+      .withColumn(
+        "isTransQtl",
+        regexp_extract(col("studyLocusId"), "[0-9]+", 0).cast(IntegerType) % 9 === 0)
+    val leftLoci = coloc.select(col("leftStudyLocusId").as("studyLocusId")).distinct()
+    val cis = L2gFeatures.dropTransEffects(coloc, rightLoci)
+    val features = L2gFeatures
+      .colocFeature(cis, leftLoci, "ECaviar", "clpp", "eqtl", "eQtlColocClppMaximum")
+      .unionByName(
+        L2gFeatures.colocFeature(cis, leftLoci, "Coloc", "h4", "pqtl", "pQtlColocH4Maximum"))
+    L2gFeatures
+      .featureMatrix(features, Seq("eQtlColocClppMaximum", "pQtlColocH4Maximum"))
+      .select(
+        col("studyLocusId"),
+        col("geneId"),
+        round(col("eQtlColocClppMaximum"), 6).as("eQtlColocClppMaximum"),
+        round(col("pQtlColocH4Maximum"), 6).as("pQtlColocH4Maximum")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gwas_harmonise" -> (gwasHarmonise _),
-    "q_vep_index" -> (vepIndex _)
+    "q_vep_index" -> (vepIndex _),
+    "q_l2g_coloc" -> (l2gColoc _)
   )
 
   // Shared SQL fragments mirroring the Spark-side generator and the
@@ -213,6 +259,27 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_l2g_coloc" ->
+      """WITH coloc AS (SELECT
+        |    'L' || CAST(l_orderkey % 300 AS VARCHAR) AS lid,
+        |    'R' || CAST(l_partkey % 200 AS VARCHAR) AS rid,
+        |    'ENSG' || CAST(l_suppkey % 40 AS VARCHAR) AS gene,
+        |    ['ecaviar','coloc','coloc_pip_ecaviar'][CAST(l_orderkey % 3 AS INTEGER) + 1] AS method,
+        |    ['eqtl','pqtl','sqtl','gwas'][CAST(l_partkey % 4 AS INTEGER) + 1] AS stype,
+        |    ((l_orderkey * 7 + l_partkey) % 1000) / 1000.0 AS clpp,
+        |    ((l_orderkey * 11 + l_suppkey) % 1000) / 1000.0 AS h4
+        |  FROM lineitem),
+        |cis AS (SELECT * FROM coloc
+        |  WHERE CAST(regexp_extract(rid, '[0-9]+') AS INTEGER) % 9 <> 0),
+        |e AS (SELECT lid AS sl, gene, max(clpp) AS v FROM cis
+        |  WHERE method IN ('ecaviar','coloc_pip_ecaviar') AND stype = 'eqtl' GROUP BY 1, 2),
+        |p AS (SELECT lid AS sl, gene, max(h4) AS v FROM cis
+        |  WHERE method IN ('coloc','coloc_pip_ecaviar') AND stype = 'pqtl' GROUP BY 1, 2)
+        |SELECT coalesce(e.sl, p.sl) AS "studyLocusId",
+        |  coalesce(e.gene, p.gene) AS "geneId",
+        |  round(e.v, 6) AS "eQtlColocClppMaximum",
+        |  round(p.v, 6) AS "pQtlColocH4Maximum"
+        |FROM e FULL OUTER JOIN p ON e.sl = p.sl AND e.gene = p.gene""".stripMargin,
     "q_vep_index" ->
       """WITH t6 AS (SELECT * FROM (VALUES
         |    (0, 'SO_0001583', 0.68), (1, 'SO_0001819', 0.46), (2, 'SO_0001627', 0.32),

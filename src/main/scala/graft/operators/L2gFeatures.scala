@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+import graft.functions.DfOps
+
+/** L2G feature factory: colocalisation-derived features
+  * (reference: dataset/l2g_features/colocalisation.py, dataset/
+  * colocalisation.py:37-205). Each feature is max colocalisation evidence
+  * per (credible set, gene) for one QTL type and one method metric; the
+  * neighbourhood variants normalise by the regional maximum across genes.
+  *
+  * Scale notes: everything is equi-join + window — shuffles on
+  * (studyLocusId, geneId) keys only; the matrix pivot takes an explicit
+  * feature-name list (no driver-side value enumeration).
+  */
+object L2gFeatures {
+
+  /** The 6 local coloc features: (featureName, method, metric, qtlType). */
+  val ColocFeatureDefs: Seq[(String, String, String, String)] = Seq(
+    ("eQtlColocClppMaximum", "ECaviar", "clpp", "eqtl"),
+    ("pQtlColocClppMaximum", "ECaviar", "clpp", "pqtl"),
+    ("sQtlColocClppMaximum", "ECaviar", "clpp", "sqtl"),
+    ("eQtlColocH4Maximum", "Coloc", "h4", "eqtl"),
+    ("pQtlColocH4Maximum", "Coloc", "h4", "pqtl"),
+    ("sQtlColocH4Maximum", "Coloc", "h4", "sqtl")
+  )
+
+  /** Keep only cis-QTL colocalisations: the right study locus must not be a
+    * trans QTL (dataset/colocalisation.py:183-205). Left-semi join — never
+    * collects, streams the 100 TB coloc side.
+    */
+  def dropTransEffects(coloc: DataFrame, studyLoci: DataFrame): DataFrame =
+    coloc.join(
+      studyLoci
+        .filter(!coalesce(col("isTransQtl"), lit(false)))
+        .select(col("studyLocusId").as("rightStudyLocusId")),
+      Seq("rightStudyLocusId"),
+      "left_semi"
+    )
+
+  /** Maximum colocalisation evidence per (studyLocusId, geneId) for one
+    * method + QTL-type subset (dataset/colocalisation.py:37-129). The
+    * combined method "coloc_pip_ecaviar" carries both CLPP and H4, so it is
+    * always admitted alongside the requested method.
+    */
+  def maxColocPerRegionAndGene(
+      coloc: DataFrame,
+      studyLoci: DataFrame,
+      method: String,
+      metric: String,
+      qtlTypes: Seq[String]
+  ): DataFrame = {
+    val methods = Seq(method.toLowerCase, "coloc_pip_ecaviar")
+    val filtered = coloc
+      .filter(
+        col("rightGeneId").isNotNull &&
+          lower(col("colocalisationMethod")).isin(methods: _*) &&
+          lower(col("rightStudyType")).isin(qtlTypes.map(_.toLowerCase): _*))
+      .join(
+        studyLoci.select(col("studyLocusId").as("leftStudyLocusId")),
+        Seq("leftStudyLocusId"),
+        "left_semi")
+      .withColumnRenamed("leftStudyLocusId", "studyLocusId")
+      .withColumnRenamed("rightGeneId", "geneId")
+    DfOps.getTopRankedInWindow(
+      filtered,
+      Window
+        .partitionBy(col("studyLocusId"), col("geneId"))
+        .orderBy(col(metric).desc, col("rightStudyLocusId").asc)
+    )
+  }
+
+  /** One coloc feature in long format (studyLocusId, geneId, featureName,
+    * featureValue) (l2g_features/colocalisation.py:23-75).
+    */
+  def colocFeature(
+      coloc: DataFrame,
+      studyLoci: DataFrame,
+      method: String,
+      metric: String,
+      qtlType: String,
+      featureName: String
+  ): DataFrame =
+    maxColocPerRegionAndGene(coloc, studyLoci, method, metric, Seq(qtlType))
+      .select(
+        col("studyLocusId"),
+        col("geneId"),
+        lit(featureName).as("featureName"),
+        col(metric).cast("double").as("featureValue"))
+      .distinct()
+
+  /** All six local coloc features unioned in long format. */
+  def allColocFeatures(coloc: DataFrame, studyLoci: DataFrame): DataFrame =
+    ColocFeatureDefs
+      .map { case (name, method, metric, qtl) =>
+        colocFeature(coloc, studyLoci, method, metric, qtl, name)
+      }
+      .reduce(_ unionByName _)
+
+  /** Neighbourhood variant: feature value relative to the regional maximum
+    * across genes at the same study locus; 0 when the region has no signal
+    * (l2g_features/colocalisation.py:129-205).
+    */
+  def neighbourhoodFeature(localLong: DataFrame, featureName: String): DataFrame = {
+    val regionalMax = max(col("featureValue")).over(Window.partitionBy(col("studyLocusId")))
+    localLong
+      .withColumn("regional_max", regionalMax)
+      .withColumn(
+        "featureValue",
+        when(
+          col("regional_max").isNotNull && col("regional_max") =!= 0.0,
+          col("featureValue") / coalesce(col("regional_max"), lit(0.0))
+        ).otherwise(lit(0.0)))
+      .withColumn("featureName", lit(featureName))
+      .drop("regional_max")
+  }
+
+  /** Artificial zero-valued features for protein-coding genes in the locus
+    * footprint that have no colocalisation evidence
+    * (l2g_features/colocalisation.py:77-127): these genes must participate
+    * in the neighbourhood normalisation.
+    *
+    * @param codingVariantGeneLut (variantId, geneId) pairs for
+    *                             protein-coding genes (from VariantIndex
+    *                             transcript consequences × TargetIndex)
+    * @param studyLocusVariant    (studyLocusId, variantId)
+    */
+  def extendMissingColocToNeighbourhoodGenes(
+      localFeatures: DataFrame,
+      codingVariantGeneLut: DataFrame,
+      studyLocusVariant: DataFrame
+  ): DataFrame = {
+    val withVariant = localFeatures.join(studyLocusVariant, Seq("studyLocusId"))
+    codingVariantGeneLut
+      .join(withVariant, Seq("variantId", "geneId"), "left_anti")
+      .join(withVariant.select("studyLocusId", "variantId").distinct(), Seq("variantId"))
+      .drop("variantId")
+      .withColumn("featureValue", lit(0.0))
+  }
+
+  /** Long features → wide matrix with an explicit, caller-bounded feature
+    * list (no collect-based pivot value discovery).
+    */
+  def featureMatrix(featuresLong: DataFrame, featureNames: Seq[String]): DataFrame =
+    featuresLong
+      .groupBy(col("studyLocusId"), col("geneId"))
+      .pivot("featureName", featureNames)
+      .agg(first(col("featureValue")))
+}
