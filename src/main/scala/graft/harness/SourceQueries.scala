@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.Stats
 import graft.operators.L2gFeatures
-import graft.sources.{GwasCatalog, VepParser}
+import graft.sources.{GwasCatalog, UkbPpp, VepParser}
 
 /** Oracle-checked queries for the source harmonisers: GWAS-Catalog strand /
   * palindromic-allele handling, effect-direction flipping and QC flagging
@@ -214,10 +214,61 @@ object SourceQueries {
       )
   }
 
+  /** UKB-PPP-shaped raw sumstats + a two-orientation variant-annotation LUT
+    * through the shared harmonisation core (common/processing.py:248-430):
+    * INFO/MAF gates, orientation beta flips, complementary-SNP flip drops,
+    * neglog-p split. SE arrives from the source so the output is fully
+    * DuckDB-expressible (the chi²-recompute branch is golden-tested in
+    * UkbFinnGenMetaSpec).
+    */
+  def sumstatHarmonise(s: SparkSession, d: String): DataFrame = {
+    val letters = array(lit("A"), lit("C"), lit("G"), lit("T"))
+    val base = lineitem(s, d).select(
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+      (col("l_suppkey") % 5).as("sid"))
+    val k = col("k")
+    val a0 = element_at(letters, (k % 4 + 1).cast(IntegerType))
+    val a1 = element_at(letters, ((k / 4) % 4 + 1).cast(IntegerType))
+    val rawChrom = (k % 23 + 1).cast(StringType)
+    val raw = base.select(
+      concat(lit("S"), col("sid").cast(StringType)).as("studyId"),
+      rawChrom.as("chromosome"),
+      (k % 1000000).as("GENPOS"),
+      a0.as("ALLELE0"),
+      a1.as("ALLELE1"),
+      ((k % 1000) / lit(1000.0)).as("A1FREQ"),
+      (lit(0.7) + (k % 30) / lit(100.0)).as("INFO"),
+      (((k % 21) - 10) / lit(10.0)).as("BETA"),
+      (lit(0.01) + (k % 50) / lit(1000.0)).as("SE"),
+      (lit(3.0) + (k % 40)).as("LOG10P"),
+      (lit(1000) + k % 100).cast(IntegerType).as("N"))
+    val normChrom = when(rawChrom === "23", "X").otherwise(rawChrom)
+    val pos = (k % 1000000).cast(IntegerType)
+    val direct = k % 3 =!= 0
+    val va = base.select(
+      normChrom.as("vaChromosome"),
+      concat_ws("_", normChrom, pos, a0, a1).as("summary_stats_id"),
+      when(direct, concat_ws("_", normChrom, pos, a0, a1))
+        .otherwise(concat_ws("_", normChrom, pos, a1, a0)).as("variantId"),
+      when(direct, lit("direct")).otherwise(lit("flip")).as("direction")
+    ).distinct()
+    UkbPpp.harmoniseSummaryStats(raw, va).select(
+      col("studyId"),
+      col("chromosome"),
+      col("variantId"),
+      round(col("beta"), 6).as("beta"),
+      col("position"),
+      col("pValueExponent"),
+      round(col("standardError"), 6).as("standardError"),
+      col("sampleSize")
+    )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gwas_harmonise" -> (gwasHarmonise _),
     "q_vep_index" -> (vepIndex _),
-    "q_l2g_coloc" -> (l2gColoc _)
+    "q_l2g_coloc" -> (l2gColoc _),
+    "q_sumstat_harmonise" -> (sumstatHarmonise _)
   )
 
   // Shared SQL fragments mirroring the Spark-side generator and the
@@ -259,6 +310,40 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_sumstat_harmonise" ->
+      """WITH ks AS (SELECT l_orderkey * 8 + l_linenumber AS k, l_suppkey % 5 AS sid FROM lineitem),
+        |b AS (SELECT k, 'S' || sid AS sId,
+        |    CASE WHEN CAST(k % 23 + 1 AS VARCHAR) = '23' THEN 'X'
+        |         ELSE CAST(k % 23 + 1 AS VARCHAR) END AS chrom,
+        |    CAST(k % 1000000 AS INTEGER) AS pos,
+        |    ['A','C','G','T'][CAST(k % 4 AS INTEGER) + 1] AS a0,
+        |    ['A','C','G','T'][CAST((k // 4) % 4 AS INTEGER) + 1] AS a1,
+        |    (k % 1000) / 1000.0 AS af,
+        |    0.7 + (k % 30) / 100.0 AS info,
+        |    ((k % 21) - 10) / 10.0 AS beta0,
+        |    0.01 + (k % 50) / 1000.0 AS se,
+        |    3.0 + (k % 40) AS mlog,
+        |    CAST(1000 + k % 100 AS INTEGER) AS n,
+        |    CASE WHEN k % 3 = 0 THEN 'flip' ELSE 'direct' END AS direction
+        |  FROM ks),
+        |f AS (SELECT * FROM b WHERE info >= 0.8
+        |    AND (CASE WHEN af < 0.5 THEN af ELSE 1 - af END) >= 0.0001),
+        |v AS (SELECT *,
+        |    CASE WHEN (a0 = 'A' AND a1 = 'T') OR (a0 = 'T' AND a1 = 'A')
+        |           OR (a0 = 'G' AND a1 = 'C') OR (a0 = 'C' AND a1 = 'G') THEN 'snp_c'
+        |         ELSE 'snp_n' END AS vtype
+        |  FROM f),
+        |w AS (SELECT * FROM v WHERE NOT (vtype = 'snp_c' AND direction = 'flip')
+        |    AND beta0 <> 0)
+        |SELECT sId AS "studyId", chrom AS chromosome,
+        |  CASE WHEN direction = 'direct' THEN chrom || '_' || pos || '_' || a0 || '_' || a1
+        |       ELSE chrom || '_' || pos || '_' || a1 || '_' || a0 END AS "variantId",
+        |  round(CASE WHEN direction = 'direct' THEN beta0 ELSE -beta0 END, 6) AS beta,
+        |  pos AS position,
+        |  CAST(-ceil(mlog) AS INTEGER) AS "pValueExponent",
+        |  round(se, 6) AS "standardError",
+        |  n AS "sampleSize"
+        |FROM w""".stripMargin,
     "q_l2g_coloc" ->
       """WITH coloc AS (SELECT
         |    'L' || CAST(l_orderkey % 300 AS VARCHAR) AS lid,

@@ -1,0 +1,156 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class UkbFinnGenMetaSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("UKB-PPP study index: constants, sample-size join, LD population structure") {
+    val raw = Seq(
+      ("UKB_PPP_EUR_A_1", "A:P1:v1", "ENSG1", "gs://sumstats/A")
+    ).toDF("_gentropy_study_id", "UKBPPP_ProteinID", "ensembl_id", "_gentropy_summary_stats_link")
+    val sumstats = Seq(
+      ("UKB_PPP_EUR_A_1", "22", 34557L),
+      ("UKB_PPP_EUR_A_1", "1", 99L) // other chromosomes ignored for N peeking
+    ).toDF("studyId", "chromosome", "N")
+    val out = UkbPpp.studyIndex(raw, UkbPpp.sampleSizes(sumstats))
+    val row = out.select(
+      col("studyType"), col("projectId"), col("traitFromSource"), col("geneId"),
+      col("nSamples"),
+      col("discoverySamples").getItem(0).getField("ancestry"),
+      col("ldPopulationStructure").getItem(0).getField("ldPopulation"),
+      col("ldPopulationStructure").getItem(0).getField("relativeSampleSize").cast("double")
+    ).as[(String, String, String, String, Int, String, String, Double)].head()
+    assert(row === (("pqtl", "UKB_PPP_EUR", "A:P1:v1", "ENSG1", 34557, "European", "nfe", 1.0)))
+  }
+
+  test("ancestry aggregation maps labels and computes relative shares") {
+    val df = Seq(1).toDF("x").select(
+      StudyIndexOps.aggregateAndMapAncestries(
+        array(
+          struct(lit(600.0).as("sampleSize"), lit("European").as("ancestry")),
+          struct(lit(300.0).as("sampleSize"), lit("Icelandic").as("ancestry")), // also nfe
+          struct(lit(100.0).as("sampleSize"), lit("Finnish").as("ancestry"))
+        )).as("ld"))
+    val got = df.select(explode(col("ld")).as("p"))
+      .select(col("p.ldPopulation"), round(col("p.relativeSampleSize"), 6).as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(got === Map("nfe" -> 0.9, "fin" -> 0.1))
+  }
+
+  test("harmonise flips beta/AF on reverse orientation and drops complementary flips") {
+    val raw = Seq(
+      // direct snp_n: kept as is
+      ("S1", "1", 100, "A", "G", 0.3, 0.95, 0.5, 0.05, 8.0, 1000),
+      // flip snp_n: beta and AF flipped
+      ("S1", "1", 200, "A", "G", 0.3, 0.95, 0.5, 0.05, 8.0, 1000),
+      // flip snp_c (A/T): strand-unresolvable, dropped
+      ("S1", "1", 300, "A", "T", 0.3, 0.95, 0.5, 0.05, 8.0, 1000),
+      // low INFO: dropped
+      ("S1", "1", 400, "A", "G", 0.3, 0.5, 0.5, 0.05, 8.0, 1000),
+      // low MAF: dropped
+      ("S1", "1", 500, "A", "G", 0.00001, 0.95, 0.5, 0.05, 8.0, 1000)
+    ).toDF("studyId", "chromosome", "GENPOS", "ALLELE0", "ALLELE1",
+      "A1FREQ", "INFO", "BETA", "SE", "LOG10P", "N")
+    val va = Seq(
+      ("1", "1_100_A_G", "1_100_A_G", "direct"),
+      ("1", "1_200_A_G", "1_200_G_A", "flip"),
+      ("1", "1_300_A_T", "1_300_T_A", "flip"),
+      ("1", "1_400_A_G", "1_400_A_G", "direct"),
+      ("1", "1_500_A_G", "1_500_A_G", "direct")
+    ).toDF("vaChromosome", "summary_stats_id", "variantId", "direction")
+    val out = UkbPpp.harmoniseSummaryStats(raw, va)
+      .select("variantId", "beta", "standardError", "sampleSize")
+      .as[(String, Double, Double, Int)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq("1_100_A_G", "1_200_G_A"))
+    assert(out(0)._2 === 0.5 && out(1)._2 === -0.5)
+    assert(out.forall(_._3 === 0.05))
+    assert(out.forall(_._4 === 1000))
+  }
+
+  test("harmonise recomputes a missing SE from the p-value chi2") {
+    val raw = Seq(
+      ("S1", "1", 100, "A", "G", 0.3, 0.95, 0.5, null.asInstanceOf[java.lang.Double], 8.0, 1000)
+    ).toDF("studyId", "chromosome", "GENPOS", "ALLELE0", "ALLELE1",
+      "A1FREQ", "INFO", "BETA", "SE", "LOG10P", "N")
+    val va = Seq(("1", "1_100_A_G", "1_100_A_G", "direct"))
+      .toDF("vaChromosome", "summary_stats_id", "variantId", "direction")
+    val se = UkbPpp.harmoniseSummaryStats(raw, va)
+      .select("standardError").as[Double].head()
+    val expected = 0.5 / math.sqrt(graft.functions.SpecialMath.chi2Isf(1e-8))
+    assert(math.abs(se - expected) < 1e-9)
+  }
+
+  test("FinnGen-meta phenotype extraction matches the reference doctest") {
+    val got = Seq("/path/to/AB1_meta_out.tsv.gz", "/another/path/CD2_meta_out.tsv.gz")
+      .toDF("p")
+      .select(FinnGenMeta.extractStudyPhenotypeFromPath(col("p")).as("s"))
+      .as[String].collect().toSeq
+    assert(got === Seq("AB1", "CD2"))
+  }
+
+  test("FinnGen-meta cohorts + meta-analysis filter match the reference doctests") {
+    val df = Seq(
+      (Some(0.3), Some(0.2), Some(0.4), Some(0.1), Some(0.25)),
+      (Some(0.3), None, None, Some(0.1), None),
+      (None, Some(0.1), Some(0.2), None, None) // MVP-only: not meta-analyzed
+    ).toDF("MVP_EUR_af_alt", "MVP_AFR_af_alt", "MVP_HIS_af_alt", "fg_af_alt", "ukbb_af_alt")
+    val got = df.select(
+      transform(FinnGenMeta.cohorts(), x => x.getField("cohort")).as("cohorts"),
+      FinnGenMeta.isMetaAnalyzedVariant(FinnGenMeta.cohorts()).as("meta")
+    ).as[(Seq[String], Boolean)].collect().toSeq
+    assert(got(0)._1 === Seq("MVP_EUR", "MVP_AFR", "MVP_AMR", "FinnGen", "UKBB"))
+    assert(got(0)._2 === true)
+    assert(got(1)._1 === Seq("MVP_EUR", "FinnGen"))
+    assert(got(1)._2 === true)
+    assert(got(2)._1 === Seq("MVP_AFR", "MVP_AMR"))
+    assert(got(2)._2 === false)
+  }
+
+  test("combined allele frequency is sample-size weighted (reference doctest)") {
+    val df = Seq(
+      ("v1", Seq(("A", Some(0.6)), ("B", Some(0.2)), ("C", Some(0.3))),
+        Seq(("A", Some(100)), ("B", Some(200)), ("D", Some(20)))),
+      ("v2", Seq(("A", Option.empty[Double])), Seq(("A", Some(50)))),
+      ("v3", Seq(("A", Some(0.05))), Seq(("A", Option.empty[Int])))
+    ).toDF("variantId", "af", "n")
+      .select(
+        col("variantId"),
+        transform(col("af"), x =>
+          struct(x.getField("_1").as("cohort"), x.getField("_2").as("alleleFrequency")))
+          .as("alleleFrequencies"),
+        transform(col("n"), x =>
+          struct(x.getField("_1").as("cohort"), x.getField("_2").as("nSamples")))
+          .as("nSamplesPerCohort"))
+    val got = df.select(
+      col("variantId"),
+      round(
+        FinnGenMeta.combinedAlleleFrequency(
+          col("alleleFrequencies"), col("nSamplesPerCohort")), 2).as("caf"))
+      .as[(String, Option[Double])].collect().toMap
+    assert(got("v1") === Some(0.33))
+    assert(got("v2") === None)
+    assert(got("v3") === None)
+  }
+
+  test("FinnGen-meta core harmonisation builds ids and applies the meta filter") {
+    val raw = Seq(
+      ("1", 100L, "A", "G", Some(8.0), Some(0.5), Some(0.05), Some(0.1), Some(0.3), None),
+      ("23", 200L, "C", "T", Some(9.0), Some(0.4), Some(0.04), Some(0.2), None, Some(0.1)), // FinnGen+UKBB
+      ("2", 300L, "A", "G", None, Some(0.5), Some(0.05), Some(0.1), Some(0.3), None) // null p: dropped
+    ).toDF("#CHR", "POS", "REF", "ALT", "all_inv_var_meta_mlogp",
+      "all_inv_var_meta_beta", "all_inv_var_meta_sebeta",
+      "fg_af_alt", "MVP_EUR_af_alt", "ukbb_af_alt")
+      .withColumn("MVP_AFR_af_alt", lit(null).cast("double"))
+      .withColumn("MVP_HIS_af_alt", lit(null).cast("double"))
+    val out = FinnGenMeta.harmoniseCore(raw)
+      .select("variantId", "chromosome", "beta")
+      .as[(String, String, Double)].collect().sortBy(_._1)
+    // row 2 has FinnGen+MVP_EUR → kept, chromosome 23 → X; row 3 dropped (null p);
+    // row 1 kept (FinnGen + MVP_EUR)
+    assert(out.map(_._1).toSeq === Seq("1_100_A_G", "X_200_C_T"))
+  }
+}
