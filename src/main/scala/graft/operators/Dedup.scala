@@ -64,7 +64,9 @@ object Dedup {
     */
   def candidatePairs(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     // both sides of the self-join read this — persist so signatures are
-    // computed once (a few band hashes per document, tiny)
+    // computed once (a few band hashes per document, tiny). Lifecycle is
+    // caller-owned: a long-lived service should unpersist via
+    // spark.catalog.clearCache() between batches.
     val exploded = sigs
       .select(col(idCol), posexplode(col("bands")).as(Seq("band", "band_hash")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -91,6 +93,9 @@ object Dedup {
     * their similarity so callers can threshold.
     */
   def verifiedPairs(docs: DataFrame): DataFrame = {
+    // signature computation is the dominant cost (token-level shuffle) and
+    // feeds both candidate generation and verification — persisted; caller
+    // owns the unpersist (clearCache between batches in long-lived use)
     val sigs = signatures(docs).persist()
     val pairs = candidatePairs(sigs)
     val shingleSets = sigs.select(col("doc_id"), array_distinct(col("shingles")).as("s"))

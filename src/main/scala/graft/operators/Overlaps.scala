@@ -37,7 +37,11 @@ object Overlaps {
         col("left.chromosome").as("chromosome")
       )
       .distinct()
-      .repartition(col("chromosome"))
+      // The reference repartitions by chromosome alone (study_locus.py:561),
+      // which caps downstream parallelism at 24 partitions and concentrates
+      // chr1/chr2 skew into single tasks at scale. A composite key keeps
+      // chromosome locality while fanning each chromosome over 64 sub-splits.
+      .repartition(col("chromosome"), pmod(hash(col("leftStudyLocusId")), lit(64)))
   }
 
   /** Align tags of overlapping pairs via a full outer join, packing left/right
@@ -76,6 +80,13 @@ object Overlaps {
 
   /** Explode credible sets and produce the aligned overlap table
     * (dataset/study_locus.py:845-890).
+    *
+    * The exploded tag table feeds three joins but is deliberately NOT
+    * persisted: at scale, caching it writes the full exploded credible-set
+    * table (tags × statistics) to executor storage, which costs more than
+    * re-running the explode projection per join. Callers that reuse the
+    * RESULT across several queries should persist the returned frame and own
+    * its unpersist (see harness/ColocQueries.alignedOverlaps).
     */
   def findOverlaps(studyLocusWithLocus: DataFrame): DataFrame = {
     val exploded = studyLocusWithLocus
@@ -90,7 +101,6 @@ object Overlaps {
         col("tag.pValueMantissa").as("pValueMantissa"),
         col("tag.pValueExponent").as("pValueExponent")
       )
-      .persist()
     alignOverlappingTags(exploded, overlappingPeaks(exploded))
   }
 

@@ -38,4 +38,12 @@ class PlanSpec extends SparkSpec {
     val p = plan(CoreQueries.neglogPval(spark, sfDir))
     assert(p.contains("*(1)"), "expected a whole-stage-codegen stage")
   }
+
+  test("overlap repartition is NOT keyed on chromosome alone (24-partition cap)") {
+    val p = plan(ColocQueries.overlaps(spark, sfDir))
+    // the final exchange must hash on (chromosome, salt), so a pmod/hash
+    // expression appears alongside chromosome in the partitioning spec
+    assert(p.contains("hashpartitioning(chromosome"), s"expected chromosome repartition in:\n$p")
+    assert(p.contains("pmod"), "expected composite salt in the repartition key")
+  }
 }
