@@ -109,12 +109,14 @@ final case class GSession(spark: SparkSession) {
       .format("parquet")
       .saveAsTable(tableName)
 
-  /** Register a splittable gzip codec for block-gzipped TSV summary stats
-    * (common/session.py:473-497). The codec class ships in an external
-    * Hadoop-BAM-style jar; this wires the configuration contract.
+  /** Register the splittable BGZF codec for block-gzipped TSV summary stats
+    * (common/session.py:473-497). Defaults to the in-repo
+    * [[graft.sources.BgzfCodec]] (claims `.bgz`), so 100 GB block-gzipped
+    * files scan in parallel; an external Hadoop-BAM-style codec class can be
+    * substituted.
     */
   def enableSplittableGzip(
-      codecClass: String = "org.seqdoop.hadoop_bam.util.BGZFEnhancedGzipCodec"
+      codecClass: String = "graft.sources.BgzfCodec"
   ): Unit =
     spark.sparkContext.hadoopConfiguration.set("io.compression.codecs", codecClass)
 
