@@ -20,6 +20,13 @@ object Dedup {
     * can re-inline into per-element re-evaluation — observed as a >100×
     * blow-up in the candidate join), and map-side partial aggregation makes
     * the signature shuffle tiny at corpus scale.
+    *
+    * A/B (round 4, sf0.1, local[8]): a staged-HOF variant (shingle array
+    * materialised per document, MinHash as 16 array_min(transform(md5)))
+    * eliminates the token-level shuffle but its per-element md5 runs
+    * INTERPRETED — the full candidate chain went from 5.7 s to >240 s.
+    * The extra shuffle is the price of keeping every hash inside
+    * whole-stage codegen, and it wins by >40x.
     */
   def signatures(
       docs: DataFrame,
