@@ -13,8 +13,8 @@ import graft.functions.SpecialMath
   * across loci happens in [[FineMapper]] via `flatMapGroups` — unlike the
   * reference, which runs one locus per job.
   *
-  * The L-BFGS-B "MLE" variance path is not ported (moments is the default
-  * and the only path exercised by the golden fixtures we track).
+  * Both variance paths are ported: method-of-moments (the reference
+  * default) and the MLE negative-ELBO minimisation.
   */
 object SusieInf {
 
@@ -100,8 +100,12 @@ object SusieInf {
       sigmasq0: Double = 1.0,
       tausq0: Double = 0.0,
       maxiter: Int = 100,
-      pipTol: Double = 0.001
+      pipTol: Double = 0.001,
+      varianceMethod: String = "moments"
   ): Result = {
+    require(
+      varianceMethod == "moments" || varianceMethod == "MLE",
+      s"unknown variance method $varianceMethod")
     val p = z.length
     var sigmasq = sigmasq0
     var tausq = tausq0
@@ -180,7 +184,11 @@ object SusieInf {
         l += 1
       }
       if (estSigmasq || estTausq) {
-        val (s2, t2) = methodOfMoments(PIP, mu, omega, sigmasq, tausq, n, V, Dsq, VtXty, Xty, yty, estSigmasq, estTausq)
+        val (s2, t2) =
+          if (varianceMethod == "MLE")
+            mleUpdate(PIP, mu, omega, sigmasq, tausq, n, V, Dsq, VtXty, yty, estSigmasq, estTausq)
+          else
+            methodOfMoments(PIP, mu, omega, sigmasq, tausq, n, V, Dsq, VtXty, Xty, yty, estSigmasq, estTausq)
         sigmasq = s2; tausq = t2
         varV = Dsq * tausq + sigmasq
         diagXtOmegaX = computeDiagXtOmegaX()
@@ -205,6 +213,88 @@ object SusieInf {
     Result(PIP, mu, omega, lbfVariable, ssq, sigmasq, tausq, alpha, lbfCs)
   }
   // scalastyle:on method.length
+
+  /** MLE update for (sigma², tau²) by minimising the negative ELBO
+    * (method/susie_inf.py:300-406). The reference minimises with bounded
+    * L-BFGS-B (finite-difference gradients); this port uses golden-section
+    * coordinate descent over the same bounds.
+    *
+    * Parity note: on the reference's own fixture the negative ELBO has a
+    * long, nearly-flat valley in tau² — this port descends to a point with
+    * LOWER negative ELBO (46187 vs 47367 at the fixture's implied
+    * variances), so lbf values differ from the stored scipy trajectory even
+    * though the objective, bounds and update loop match. The credible-set
+    * and causal-variant conclusions agree (pinned in SusieInfSpec); exact
+    * lbf parity would require replicating scipy's L-BFGS-B stopping point
+    * rather than the optimum.
+    */
+  private def mleUpdate(
+      PIP: DenseMatrix[Double], mu: DenseMatrix[Double], omega: DenseMatrix[Double],
+      sigmasq0: Double, tausq0: Double, n: Int,
+      V: DenseMatrix[Double], Dsq: DenseVector[Double],
+      VtXty: DenseVector[Double], yty: Double,
+      estSigmasq: Boolean, estTausq: Boolean
+  ): (Double, Double) = {
+    val p = mu.rows
+    val L = mu.cols
+    var sigmasq = sigmasq0
+    var tausq = tausq0
+    val sRange = (0.2 * yty / n, 1.2 * yty / n)
+    val tRange = (1e-12, 1.2 * yty / (n.toDouble * p))
+    val b = DenseVector.tabulate(p) { j =>
+      var acc = 0.0; var k = 0
+      while (k < L) { acc += mu(j, k) * PIP(j, k); k += 1 }
+      acc
+    }
+    val Vtb = V.t * b
+    val diagVtMV = Vtb.map(x => x * x)
+    val tmpD = DenseVector.zeros[Double](p)
+    var l = 0
+    while (l < L) {
+      val bl = DenseVector.tabulate(p)(j => mu(j, l) * PIP(j, l))
+      val Vtbl = V.t * bl
+      diagVtMV -= Vtbl.map(x => x * x)
+      var j = 0
+      while (j < p) { tmpD(j) += PIP(j, l) * (mu(j, l) * mu(j, l) + 1.0 / omega(j, l)); j += 1 }
+      l += 1
+    }
+    var k = 0
+    while (k < p) {
+      var acc = 0.0; var j = 0
+      while (j < p) { acc += V(j, k) * V(j, k) * tmpD(j); j += 1 }
+      diagVtMV(k) += acc
+      k += 1
+    }
+    // negative ELBO in (sigma_e², sigma_g²)
+    def f(se2: Double, sg2: Double): Double = {
+      var acc = 0.5 * (n - p) * math.log(se2) + 0.5 / se2 * yty
+      var i = 0
+      while (i < p) {
+        val denom = sg2 * Dsq(i) + se2
+        acc += 0.5 * math.log(denom) -
+          0.5 * sg2 / se2 * VtXty(i) * VtXty(i) / denom -
+          Vtb(i) * VtXty(i) / denom +
+          0.5 * Dsq(i) / denom * diagVtMV(i)
+        i += 1
+      }
+      acc
+    }
+    if (estTausq) {
+      var sweep = 0
+      var prev = Double.MaxValue
+      var cur = f(sigmasq, tausq)
+      while (sweep < 30 && prev - cur > 1e-10 * math.max(1.0, math.abs(cur))) {
+        prev = cur
+        sigmasq = fminbound(x => f(x, tausq), sRange._1, sRange._2)
+        tausq = fminbound(x => f(sigmasq, x), tRange._1, tRange._2)
+        cur = f(sigmasq, tausq)
+        sweep += 1
+      }
+    } else if (estSigmasq) {
+      sigmasq = fminbound(x => f(x, tausq), sRange._1, sRange._2)
+    }
+    (sigmasq, tausq)
+  }
 
   /** Method-of-moments update for (sigma², tau²)
     * (method/susie_inf.py:237-298).

@@ -43,6 +43,31 @@ class SusieInfSpec extends AnyFunSuite {
     assert(maxErr < 1e-4, s"max relative lbf error $maxErr")
   }
 
+  test("MLE variance path converges to the same credible set and causal variant") {
+    assume(fixtureDir.isDirectory, "reference fixtures not available")
+    val ld = loadCsvMatrix("01_test_ld.csv")
+    val z = loadZ("01_test_z.csv")
+    val res = SusieInf.susieInf(z, ld, estTausq = true, varianceMethod = "MLE")
+    // scipy's L-BFGS-B stops early on the flat tau² valley, so the stored
+    // lbf fixture pins its trajectory, not the optimum (see mleUpdate
+    // scaladoc); the scientific conclusions must still agree with both the
+    // moments path and the reference credible-set fixture.
+    val cred = SusieInf.credInf(res.pip, ld)
+    assert(cred.head === List(5), s"MLE credible set $cred")
+    val p = res.pip.rows
+    val topVariant = (0 until p).maxBy(j => (0 until res.pip.cols).map(res.pip(j, _)).max)
+    assert(topVariant === 5)
+    // variances stay inside the reference bounds
+    val yty = 100000.0
+    assert(res.sigmasq >= 0.2 * yty / 100000 && res.sigmasq <= 1.2 * yty / 100000)
+    assert(res.tausq >= 0.0 && res.tausq <= 1.2 * yty / (100000.0 * p))
+    // lbf ranking of the causal variant is preserved relative to moments
+    val mom = SusieInf.susieInf(z, ld, estTausq = true)
+    val lbfTopMle = (0 until p).maxBy(res.lbfVariable(_, 0))
+    val lbfTopMom = (0 until p).maxBy(mom.lbfVariable(_, 0))
+    assert(lbfTopMle === lbfTopMom)
+  }
+
   test("credible set matches the reference fixture") {
     assume(fixtureDir.isDirectory, "reference fixtures not available")
     val ld = loadCsvMatrix("01_test_ld.csv")
