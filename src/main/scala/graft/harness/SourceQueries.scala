@@ -264,10 +264,63 @@ object SourceQueries {
     )
   }
 
+  /** Non-coloc L2G feature families pivoted into the matrix: VEP severity
+    * maximum, protein-coding gene count in the 500 kb window, and the
+    * log-normalised sentinel TSS distance
+    * (reference: l2g_features/{vep,other,distance}.py).
+    */
+  def l2gFeatures(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    // leads: exactly one per locus — every column derives from the locus id
+    val lid = k % 500
+    val leads = orders(s, d).select(
+      concat(lit("L"), lid.cast(StringType)).as("studyLocusId"),
+      concat(lit("v"), ((lid * 3) % 800).cast(StringType)).as("variantId"),
+      (lid % 5 + 1).cast(StringType).as("chromosome"),
+      (lit(100000) + (lid % 40) * 50000).cast("long").as("position"),
+      lit(1.0).as("posteriorProbability")
+    ).distinct()
+    // genes: deterministic TSS ladder on 5 chromosomes
+    val genes = part(s, d)
+      .filter(col("p_partkey") % 7 === 0)
+      .select(
+        concat(lit("ENSG"), (col("p_partkey") % 120).cast(StringType)).as("geneId"),
+        (col("p_partkey") % 5 + 1).cast(StringType).as("chromosome"),
+        (lit(80000) + (col("p_partkey") % 50) * 45000).cast("long").as("tss"),
+        when(col("p_partkey") % 3 === 0, "protein_coding").otherwise("lncRNA").as("biotype")
+      ).distinct()
+    // per-variant gene consequences with severity
+    val cons = lineitem(s, d).select(
+      concat(lit("v"), (col("l_orderkey") % 800).cast(StringType)).as("variantId"),
+      concat(lit("ENSG"), (col("l_partkey") % 120).cast(StringType)).as("geneId"),
+      round(((col("l_orderkey") * 3 + col("l_partkey")) % 100) / lit(100.0), 2)
+        .as("severityScore")
+    ).distinct()
+    // distance is a pure function of the (variant, gene) index pair
+    val distances = lineitem(s, d).select(
+      concat(lit("v"), (col("l_orderkey") % 800).cast(StringType)).as("variantId"),
+      concat(lit("ENSG"), (col("l_partkey") % 120).cast(StringType)).as("geneId"),
+      (((col("l_orderkey") % 800) * 13 + (col("l_partkey") % 120) * 7) % 400000)
+        .cast("long").as("distance")
+    ).distinct()
+    val features = L2gFeatures.vepFeature(leads, cons, "vepMaximum")
+      .unionByName(L2gFeatures.geneCountFeature(
+        leads, genes, "geneCountProtein", proteinCodingOnly = true))
+      .unionByName(L2gFeatures.distanceFeature(leads, distances, "distanceSentinelTss"))
+    L2gFeatures
+      .featureMatrix(features, Seq("vepMaximum", "geneCountProtein", "distanceSentinelTss"))
+      .select(
+        col("studyLocusId"), col("geneId"),
+        round(col("vepMaximum"), 6).as("vepMaximum"),
+        col("geneCountProtein").cast(IntegerType).as("geneCountProtein"),
+        round(col("distanceSentinelTss"), 6).as("distanceSentinelTss"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gwas_harmonise" -> (gwasHarmonise _),
     "q_vep_index" -> (vepIndex _),
     "q_l2g_coloc" -> (l2gColoc _),
+    "q_l2g_features" -> (l2gFeatures _),
     "q_sumstat_harmonise" -> (sumstatHarmonise _)
   )
 
@@ -310,6 +363,50 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_l2g_features" ->
+      """WITH leads AS (SELECT DISTINCT
+        |    'L' || CAST(o_orderkey % 500 AS VARCHAR) AS sl,
+        |    'v' || CAST(((o_orderkey % 500) * 3) % 800 AS VARCHAR) AS vid,
+        |    CAST((o_orderkey % 500) % 5 + 1 AS VARCHAR) AS chrom,
+        |    100000 + ((o_orderkey % 500) % 40) * 50000 AS pos
+        |  FROM orders),
+        |genes AS (SELECT DISTINCT
+        |    'ENSG' || CAST(p_partkey % 120 AS VARCHAR) AS gene,
+        |    CAST(p_partkey % 5 + 1 AS VARCHAR) AS chrom,
+        |    80000 + (p_partkey % 50) * 45000 AS tss,
+        |    CASE WHEN p_partkey % 3 = 0 THEN 'protein_coding' ELSE 'lncRNA' END AS biotype
+        |  FROM part WHERE p_partkey % 7 = 0),
+        |cons AS (SELECT DISTINCT
+        |    'v' || CAST(l_orderkey % 800 AS VARCHAR) AS vid,
+        |    'ENSG' || CAST(l_partkey % 120 AS VARCHAR) AS gene,
+        |    round(((l_orderkey * 3 + l_partkey) % 100) / 100.0, 2) AS sev
+        |  FROM lineitem),
+        |dist AS (SELECT DISTINCT
+        |    'v' || CAST(l_orderkey % 800 AS VARCHAR) AS vid,
+        |    'ENSG' || CAST(l_partkey % 120 AS VARCHAR) AS gene,
+        |    ((l_orderkey % 800) * 13 + (l_partkey % 120) * 7) % 400000 AS d
+        |  FROM lineitem),
+        |vep AS (SELECT l.sl, c.gene, max(c.sev) AS v
+        |  FROM leads l JOIN cons c ON l.vid = c.vid GROUP BY 1, 2),
+        |inw AS (SELECT DISTINCT l.sl, g.gene
+        |  FROM leads l JOIN genes g ON l.chrom = g.chrom
+        |    AND g.tss >= l.pos - 250000 AND g.tss <= l.pos + 250000
+        |  WHERE g.biotype = 'protein_coding'),
+        |gc AS (SELECT i.sl, i.gene, cnt.v FROM inw i
+        |  JOIN (SELECT sl, CAST(count(DISTINCT gene) AS INTEGER) AS v
+        |        FROM inw GROUP BY sl) cnt ON i.sl = cnt.sl),
+        |ds AS (SELECT l.sl, t.gene,
+        |    log10(500000 - abs(t.d) + 1) / log10(500001.0) AS v
+        |  FROM leads l JOIN dist t ON l.vid = t.vid)
+        |SELECT coalesce(vep.sl, gc.sl, ds.sl) AS "studyLocusId",
+        |  coalesce(vep.gene, gc.gene, ds.gene) AS "geneId",
+        |  round(vep.v, 6) AS "vepMaximum",
+        |  gc.v AS "geneCountProtein",
+        |  round(ds.v, 6) AS "distanceSentinelTss"
+        |FROM vep
+        |FULL OUTER JOIN gc ON vep.sl = gc.sl AND vep.gene = gc.gene
+        |FULL OUTER JOIN ds ON coalesce(vep.sl, gc.sl) = ds.sl
+        |  AND coalesce(vep.gene, gc.gene) = ds.gene""".stripMargin,
     "q_sumstat_harmonise" ->
       """WITH ks AS (SELECT l_orderkey * 8 + l_linenumber AS k, l_suppkey % 5 AS sid FROM lineitem),
         |b AS (SELECT k, 'S' || sid AS sId,

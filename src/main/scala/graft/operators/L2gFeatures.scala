@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.functions.DfOps
 
@@ -149,4 +149,118 @@ object L2gFeatures {
       .groupBy(col("studyLocusId"), col("geneId"))
       .pivot("featureName", featureNames)
       .agg(first(col("featureValue")))
+
+  /** Distance feature between credible-set variants and genes
+    * (l2g_features/distance.py:21-84): score = W − |distance| + 1, Mean
+    * features weight by posterior probability and sum, Sentinel features
+    * take the lead variant's unweighted score; the aggregate is
+    * log10-normalised to (0, 1].
+    *
+    * @param credsetVariants (studyLocusId, variantId, posteriorProbability)
+    *                        — exploded locus for Mean features, lead rows
+    *                        (pp ignored) for Sentinel features
+    * @param distances       (variantId, geneId, distance)
+    */
+  def distanceFeature(
+      credsetVariants: DataFrame,
+      distances: DataFrame,
+      featureName: String,
+      genomicWindow: Long = 500000L
+  ): DataFrame = {
+    val scoreExpr =
+      if (featureName.contains("Mean"))
+        (lit(genomicWindow) - abs(col("distance")) + lit(1)) * col("posteriorProbability")
+      else
+        (lit(genomicWindow) - abs(col("distance")) + lit(1)).cast("double")
+    val aggExpr =
+      if (featureName.contains("Mean")) sum(col("distance_score"))
+      else first(col("distance_score"))
+    credsetVariants
+      .join(distances, Seq("variantId"), "inner")
+      .withColumn("distance_score", scoreExpr)
+      .groupBy(col("studyLocusId"), col("geneId"))
+      .agg(aggExpr.as("distance_score_agg"))
+      .select(
+        col("studyLocusId"),
+        col("geneId"),
+        lit(featureName).as("featureName"),
+        (log10(col("distance_score_agg")) / log10(lit(genomicWindow + 1.0)))
+          .as("featureValue"))
+  }
+
+  /** VEP severity feature (l2g_features/vep.py:21-75): per (credible set,
+    * gene), either the maximum transcript-consequence severity score or the
+    * posterior-probability-weighted mean.
+    *
+    * @param credsetVariants (studyLocusId, variantId, posteriorProbability)
+    * @param consequences    (variantId, geneId, severityScore)
+    */
+  def vepFeature(
+      credsetVariants: DataFrame,
+      consequences: DataFrame,
+      featureName: String
+  ): DataFrame = {
+    val joined = credsetVariants.join(consequences, Seq("variantId"), "inner")
+    val agg =
+      if (featureName.contains("Maximum")) max(col("severityScore"))
+      else avg(col("severityScore") * col("posteriorProbability"))
+    joined
+      .groupBy(col("studyLocusId"), col("geneId"))
+      .agg(agg.cast("double").as("featureValue"))
+      .select(
+        col("studyLocusId"), col("geneId"),
+        lit(featureName).as("featureName"), col("featureValue"))
+  }
+
+  /** Gene-count feature (l2g_features/other.py:20-83): number of (optionally
+    * protein-coding) genes whose TSS falls in a window around the lead, the
+    * same count attached to every gene in the window. Exact countDistinct —
+    * at a few hundred genes per 500 kb window the exact count is as cheap as
+    * the reference's approx_count_distinct and keeps the feature
+    * deterministic.
+    *
+    * @param studyLoci (studyLocusId, chromosome, position)
+    * @param genes     (geneId, chromosome, tss, biotype)
+    */
+  def geneCountFeature(
+      studyLoci: DataFrame,
+      genes: DataFrame,
+      featureName: String,
+      genomicWindow: Long = 500000L,
+      proteinCodingOnly: Boolean = false
+  ): DataFrame = {
+    val filtered =
+      if (proteinCodingOnly) genes.filter(col("biotype") === "protein_coding") else genes
+    val windowed = studyLoci
+      .select(
+        col("studyLocusId"),
+        col("chromosome").as("SL_chromosome"),
+        (col("position") - genomicWindow / 2).as("window_start"),
+        (col("position") + genomicWindow / 2).as("window_end"))
+    val inWindow = windowed.join(
+      broadcast(filtered),
+      col("SL_chromosome") === filtered("chromosome") &&
+        filtered("tss") >= col("window_start") && filtered("tss") <= col("window_end"),
+      "inner")
+    val counts = inWindow
+      .groupBy(col("studyLocusId"))
+      .agg(countDistinct(col("geneId")).cast("double").as("featureValue"))
+    inWindow
+      .select(col("studyLocusId"), col("geneId"))
+      .distinct()
+      .join(counts, Seq("studyLocusId"))
+      .select(
+        col("studyLocusId"), col("geneId"),
+        lit(featureName).as("featureName"), col("featureValue"))
+  }
+
+  /** Credible-set finemapping confidence → numeric score
+    * (l2g_features/other.py:325-364, classes from study_locus.py:40-60).
+    */
+  def credibleSetConfidenceScore(confidence: Column): Column =
+    when(confidence === "SuSiE fine-mapped credible set with in-sample LD", 1.0)
+      .when(confidence === "SuSiE fine-mapped credible set with out-of-sample LD", 0.75)
+      .when(confidence === "PICS fine-mapped credible set extracted from summary statistics", 0.5)
+      .when(confidence === "PICS fine-mapped credible set based on reported top hit", 0.25)
+      .otherwise(0.0)
 }

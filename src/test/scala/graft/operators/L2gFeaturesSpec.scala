@@ -79,6 +79,69 @@ class L2gFeaturesSpec extends SparkSpec {
     assert(out === Set(("L1", "G2", 0.0)))
   }
 
+  test("distance feature: Mean weights by pp and sums, Sentinel takes the lead") {
+    val tags = Seq(
+      ("L1", "v1", 0.8), ("L1", "v2", 0.2)
+    ).toDF("studyLocusId", "variantId", "posteriorProbability")
+    val dist = Seq(("v1", "G1", 100000L), ("v2", "G1", 400000L))
+      .toDF("variantId", "geneId", "distance")
+    val w = 500000L
+    val mean = L2gFeatures.distanceFeature(tags, dist, "distanceTssMean", w)
+      .select("featureValue").as[Double].head()
+    val expectedMean = math.log10((w - 100000 + 1) * 0.8 + (w - 400000 + 1) * 0.2) /
+      math.log10(w + 1.0)
+    assert(math.abs(mean - expectedMean) < 1e-12)
+    val lead = tags.filter(col("variantId") === "v1")
+    val sentinel = L2gFeatures.distanceFeature(lead, dist, "distanceSentinelTss", w)
+      .select("featureValue").as[Double].head()
+    val expectedSentinel = math.log10(w - 100000 + 1.0) / math.log10(w + 1.0)
+    assert(math.abs(sentinel - expectedSentinel) < 1e-12)
+  }
+
+  test("VEP feature: Maximum takes max severity, Mean is pp-weighted") {
+    val tags = Seq(("L1", "v1", 0.5), ("L1", "v2", 1.0))
+      .toDF("studyLocusId", "variantId", "posteriorProbability")
+    val cons = Seq(("v1", "G1", 0.9), ("v2", "G1", 0.3))
+      .toDF("variantId", "geneId", "severityScore")
+    val mx = L2gFeatures.vepFeature(tags, cons, "vepMaximum")
+      .select("featureValue").as[Double].head()
+    assert(mx === 0.9)
+    val mean = L2gFeatures.vepFeature(tags, cons, "vepMean")
+      .select("featureValue").as[Double].head()
+    assert(math.abs(mean - (0.9 * 0.5 + 0.3 * 1.0) / 2) < 1e-12)
+  }
+
+  test("gene-count feature counts window genes once per locus, attached to each gene") {
+    val loci = Seq(("L1", "1", 1000000L)).toDF("studyLocusId", "chromosome", "position")
+    val genes = Seq(
+      ("G1", "1", 900000L, "protein_coding"),
+      ("G2", "1", 1200000L, "protein_coding"),
+      ("G3", "1", 1100000L, "lncRNA"),
+      ("G4", "1", 5000000L, "protein_coding"), // outside window
+      ("G5", "2", 1000000L, "protein_coding") // wrong chromosome
+    ).toDF("geneId", "chromosome", "tss", "biotype")
+    val all = L2gFeatures.geneCountFeature(loci, genes, "geneCount500kb")
+      .select("geneId", "featureValue").as[(String, Double)].collect().toSet
+    assert(all === Set(("G1", 3.0), ("G2", 3.0), ("G3", 3.0)))
+    val coding = L2gFeatures
+      .geneCountFeature(loci, genes, "geneCountProtein", proteinCodingOnly = true)
+      .select("geneId", "featureValue").as[(String, Double)].collect().toSet
+    assert(coding === Set(("G1", 2.0), ("G2", 2.0)))
+  }
+
+  test("credible-set confidence scores match the reference mapping") {
+    val got = Seq(
+      "SuSiE fine-mapped credible set with in-sample LD",
+      "SuSiE fine-mapped credible set with out-of-sample LD",
+      "PICS fine-mapped credible set extracted from summary statistics",
+      "PICS fine-mapped credible set based on reported top hit",
+      "Unknown confidence"
+    ).toDF("confidence")
+      .select(L2gFeatures.credibleSetConfidenceScore(col("confidence")).as("s"))
+      .as[Double].collect().toSeq
+    assert(got === Seq(1.0, 0.75, 0.5, 0.25, 0.0))
+  }
+
   test("feature matrix pivots the long features with a bounded name list") {
     val long = Seq(
       ("L1", "G1", "a", 0.5), ("L1", "G1", "b", 0.9), ("L2", "G2", "a", 0.1)
