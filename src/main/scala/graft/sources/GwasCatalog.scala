@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 import org.apache.spark.sql.{Column, DataFrame}
@@ -94,6 +95,166 @@ object GwasCatalog {
       .when(flippingNeeded, lit(1.0) / effectSize)
       .otherwise(effectSize)
       .cast(DoubleType)
+
+  /** GWAS-Catalog p-value-text → abbreviation map, loaded from the verbatim
+    * reference asset (assets/data/gwas_pValueText_map.json; see
+    * resources/schemas/PROVENANCE.md).
+    */
+  lazy val pValueTextMap: Map[String, String] = {
+    val stream = getClass.getResourceAsStream("/gwas_pvaluetext_map.json")
+    val text = scala.io.Source.fromInputStream(stream, "UTF-8").mkString
+    // flat string→string JSON object; parsed without external json deps
+    "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(text)
+      .map(m => unescape(m.group(1)) -> unescape(m.group(2)))
+      .toMap
+  }
+
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\/", "/")
+      .replace("\\n", "\n").replace("\\t", "\t")
+
+  /** Normalise the p-value-text column to standard abbreviations: strip
+    * parentheses, split on comma, map each part; all-unmapped → null
+    * (associations.py:103-146).
+    */
+  def normalisePvalueText(pValueText: Column): Column = {
+    val mapCol = typedlit(pValueTextMap)
+    val mapped = transform(
+      split(regexp_replace(pValueText, "[\\(\\)]", ""), ","),
+      x => element_at(mapCol, x))
+    when(forall(mapped, x => x.isNull), lit(null)).otherwise(mapped)
+  }
+
+  /** Substudy description: `trait|text1_text2|EFO1/EFO2`
+    * (associations.py:676-720).
+    */
+  def substudyDescription(
+      associationTrait: Column,
+      pValueText: Column,
+      mappedTraitUri: Column
+  ): Column = {
+    val texts = coalesce(normalisePvalueText(pValueText), array(lit("no_pvalue_text")))
+    concat_ws(
+      "|",
+      associationTrait,
+      concat_ws("/", texts),
+      concat_ws("/", graft.functions.GenomicOps.parseEfos(mappedTraitUri)))
+  }
+
+  /** GnomAD → Ensembl position: indels shift by +1 (associations.py:34-66). */
+  def convertGnomadPositionToEnsembl(
+      position: Column,
+      reference: Column,
+      alternate: Column
+  ): Column =
+    when(length(reference) > 1 || length(alternate) > 1, position + 1).otherwise(position)
+
+  /** All rs ids attached to an association: reported SNP id, the numeric
+    * current id (rs-prefixed when plausible), and the id part of the risk
+    * allele (associations.py:176-200).
+    */
+  def collectRsids(snpId: Column, snpIdCurrent: Column, riskAllele: Column): Column = {
+    val current = when(snpIdCurrent.rlike("^[0-9]*$"), format_string("rs%s", snpIdCurrent))
+    array_distinct(array(snpId, current, split(riskAllele, "-").getItem(0)))
+  }
+
+  /** True when the GnomAD and GWAS-Catalog rs-id sets intersect
+    * (associations.py:307-341).
+    */
+  def compareRsids(gnomad: Column, gwas: Column): Column =
+    when(size(array_intersect(gnomad, gwas)) > 0, lit(true)).otherwise(lit(false))
+
+  /** Keep a candidate mapping unless a better one exists for the same
+    * association: rows flagged false are dropped only when some row of the
+    * association is flagged true (associations.py:342-391).
+    */
+  def flagMappingsToRetain(associationId: Column, filterColumn: Column): Column = {
+    val w = Window.partitionBy(associationId)
+    val anyTrue = when(array_contains(collect_set(filterColumn).over(w), true), lit(true))
+      .otherwise(lit(false))
+    when(anyTrue && !filterColumn, lit(false)).otherwise(lit(true))
+  }
+
+  /** Maximum minor allele frequency across populations, biallelic
+    * assumption (dataset/variant_index.py:207-226).
+    */
+  def maxMaf(alleleFrequencies: Column): Column =
+    array_max(
+      transform(
+        alleleFrequencies,
+        af =>
+          when(af.getField("alleleFrequency") > 0.5, lit(1.0) - af.getField("alleleFrequency"))
+            .otherwise(af.getField("alleleFrequency"))))
+
+  /** Resolve raw associations to GnomAD variants
+    * (associations.py:201-306): candidates match on
+    * (chromosome, ensembl position); ambiguous matches are pruned by rs-id
+    * agreement then allele concordance (dropping only when a better mapping
+    * exists for the same row), and ties resolve to the highest max-MAF
+    * variant. Unresolvable rows keep null variant columns for downstream QC
+    * flagging.
+    *
+    * @param gwasAssociations raw rows incl. `rowId`, `CHR_ID`, `CHR_POS`,
+    *                         `SNPS`, `SNP_ID_CURRENT`,
+    *                         `STRONGEST SNP-RISK ALLELE`
+    * @param variantIndex     (variantId, chromosome, position, rsIds,
+    *                         referenceAllele, alternateAllele,
+    *                         alleleFrequencies)
+    */
+  def mapVariantsToGnomadVariants(
+      gwasAssociations: DataFrame,
+      variantIndex: DataFrame
+  ): DataFrame = {
+    val subset = gwasAssociations.select(
+      col("rowId"),
+      col("CHR_ID").as("chromosome"),
+      col("CHR_POS").cast(IntegerType).as("ensemblPosition"),
+      collectRsids(
+        split(col("SNPS"), "; ").getItem(0),
+        col("SNP_ID_CURRENT"),
+        split(col("STRONGEST SNP-RISK ALLELE"), "; ").getItem(0)
+      ).as("rsIdsGwasCatalog"),
+      extractRiskAllele(col("STRONGEST SNP-RISK ALLELE")).as("riskAllele")
+    )
+    val vaSubset = variantIndex
+      .select(
+        col("variantId"),
+        col("chromosome"),
+        convertGnomadPositionToEnsembl(
+          col("position"), col("referenceAllele"), col("alternateAllele"))
+          .as("ensemblPosition"),
+        col("position"),
+        col("rsIds").as("rsIdsGnomad"),
+        col("referenceAllele"),
+        col("alternateAllele"),
+        maxMaf(col("alleleFrequencies")).as("maxMaf")
+      )
+      .join(
+        subset.select("chromosome", "ensemblPosition").distinct(),
+        Seq("chromosome", "ensemblPosition"),
+        "inner")
+    val filtered = subset
+      .join(vaSubset, Seq("chromosome", "ensemblPosition"), "left")
+      .withColumn(
+        "rsIdFilter",
+        flagMappingsToRetain(
+          col("rowId"), compareRsids(col("rsIdsGnomad"), col("rsIdsGwasCatalog"))))
+      .withColumn(
+        "concordanceFilter",
+        flagMappingsToRetain(
+          col("rowId"),
+          isConcordant(col("riskAllele"), col("referenceAllele"), col("alternateAllele"))))
+      .filter(col("rsIdFilter") || col("concordanceFilter"))
+    val resolved = graft.functions.DfOps
+      .getTopRankedInWindow(
+        filtered,
+        Window.partitionBy(col("rowId")).orderBy(col("maxMaf").desc, col("variantId").asc))
+      .select(
+        col("rowId"), col("variantId"), col("referenceAllele"), col("alternateAllele"),
+        col("chromosome"), col("position"))
+    gwasAssociations.join(resolved, Seq("rowId"), "left")
+  }
 
   /** Full effect harmonisation to beta
     * (associations.py:959-1093): extract the reported risk allele, flag

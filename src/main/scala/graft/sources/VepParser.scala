@@ -251,6 +251,52 @@ object VepParser {
     )
   }
 
+  /** Variant identifiers → dbXrefs structs for one source; null ids dropped,
+    * null input → empty array (vep_parser.py:123-165).
+    */
+  def generateDbxrefs(ids: Column, source: String): Column = {
+    val xrefs = transform(
+      filter(ids, id => id.isNotNull),
+      id => struct(id.cast(StringType).as("id"), lit(source).as("source")))
+    when(xrefs.isNull, array().cast("array<struct<id:string,source:string>>"))
+      .otherwise(xrefs)
+  }
+
+  /** rs ids of all colocated variants (vep_parser.py:166-199). */
+  def colocatedVariantsToRsids(colocatedVariants: Column): Column =
+    when(colocatedVariants.isNotNull, transform(colocatedVariants, v => v.getField("id")))
+
+  /** Ensembl-variation xrefs from colocated rs ids (vep_parser.py:105-122). */
+  def extractEnsemblXrefs(colocatedVariants: Column): Column =
+    generateDbxrefs(colocatedVariantsToRsids(colocatedVariants), "ensembl_variation")
+
+  /** OMIM xrefs: numeric ids reformatted `1234.5` → `1234#5`
+    * (vep_parser.py:200-243).
+    */
+  def extractOmimXrefs(colocatedVariants: Column): Column = {
+    val withOmim = filter(
+      colocatedVariants,
+      v => v.getField("var_synonyms").getField("OMIM").isNotNull)
+    val ids = transform(
+      withOmim,
+      v =>
+        transform(
+          v.getField("var_synonyms").getField("OMIM"),
+          id => regexp_replace(id.cast(StringType), "\\.", "#")))
+    generateDbxrefs(flatten(ids), "omim")
+  }
+
+  /** ClinVar xrefs: VCV accessions only (vep_parser.py:244-289). */
+  def extractClinvarXrefs(colocatedVariants: Column): Column = {
+    val withClinvar = filter(
+      colocatedVariants,
+      v => v.getField("var_synonyms").getField("ClinVar").isNotNull)
+    val ids = transform(
+      withClinvar,
+      v => filter(v.getField("var_synonyms").getField("ClinVar"), x => x.startsWith("VCV")))
+    generateDbxrefs(flatten(ids), "clinvar")
+  }
+
   /** Per-population allele frequencies in the variant_index shape from a
     * (populationName → frequency column) map. The reference sources these
     * from the GnomAD joint frequencies rather than VEP itself
@@ -298,13 +344,36 @@ object VepParser {
         ).otherwise(lit(null)).as("hgvsId"),
         array().cast(
           "array<struct<populationName:string,alleleFrequency:double>>"
-        ).as("alleleFrequencies")
+        ).as("alleleFrequencies"),
+        extractEnsemblXrefs(col("colocated_variants")).as("ensembl_xrefs"),
+        extractOmimXrefs(col("colocated_variants")).as("omim_xrefs"),
+        extractClinvarXrefs(col("colocated_variants")).as("clinvar_xrefs")
       )
       .withColumn(
         "variantId",
         GenomicOps.hashLongVariantIds(
           col("variantId"), col("chromosome"), col("position"), hashThreshold)
       )
+      // protvar xref for missense variants (vep_parser.py:806-826)
+      .withColumn(
+        "protvar_xrefs",
+        when(
+          size(
+            filter(
+              col("transcriptConsequences"),
+              x => array_contains(x.getField("variantFunctionalConsequenceIds"), "SO_0001583")
+            )) > 0,
+          generateDbxrefs(array(col("variantId")), "protvar")
+        ))
+      .withColumn(
+        "dbXrefs",
+        flatten(
+          filter(
+            array(
+              col("ensembl_xrefs"), col("omim_xrefs"),
+              col("clinvar_xrefs"), col("protvar_xrefs")),
+            x => x.isNotNull)))
+      .drop("ensembl_xrefs", "omim_xrefs", "clinvar_xrefs", "protvar_xrefs")
       .filter(col("position").isNotNull)
   }
 

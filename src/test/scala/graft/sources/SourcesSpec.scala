@@ -95,7 +95,7 @@ class SourcesSpec extends SparkSpec {
       "vep_full.jsonl",
       // two canonical transcripts (one missense w/ predictors, one upstream)
       // and one non-canonical (dropped); alphamissense on the canonical
-      """{"input":"chr7\t2000\t.\tG\tC\t.\t.\t.","seq_region_name":"chr7","start":2000,"most_severe_consequence":"missense_variant","colocated_variants":[{"id":"rs77"}],"transcript_consequences":[{"gene_id":"ENSG10","transcript_id":"ENST10","gene_symbol":"GENEA","biotype":"protein_coding","consequence_terms":["missense_variant","splice_region_variant"],"impact":"MODERATE","canonical":1,"distance":null,"tssdistance":400,"cadd_phred":23.5,"polyphen_score":0.9,"polyphen_prediction":"probably_damaging","sift_score":0.02,"sift_prediction":"deleterious","lof":"HC","lof_filter":null,"conservation":4.4,"amino_acids":"A/V","protein_end":42,"alphamissense":{"am_class":"likely_pathogenic","am_pathogenicity":0.88},"swissprot":["P12345.2"],"trembl":null,"codons":"gcA/gtA","appris":"P1","mane_select":"NM_1.1","hgvsg":"7:g.2000G>C"},{"gene_id":"ENSG11","transcript_id":"ENST11","gene_symbol":"GENEB","biotype":"lncRNA","consequence_terms":["upstream_gene_variant"],"impact":"MODIFIER","canonical":1,"distance":1500,"tssdistance":1500,"hgvsg":"7:g.2000G>C"},{"gene_id":"ENSG12","transcript_id":"ENST12","consequence_terms":["intron_variant"],"impact":"MODIFIER","canonical":0}]}
+      """{"input":"chr7\t2000\t.\tG\tC\t.\t.\t.","seq_region_name":"chr7","start":2000,"most_severe_consequence":"missense_variant","colocated_variants":[{"id":"rs77","var_synonyms":{"OMIM":[601665.0002],"ClinVar":["VCV000018396","RCV000019947"]}}],"transcript_consequences":[{"gene_id":"ENSG10","transcript_id":"ENST10","gene_symbol":"GENEA","biotype":"protein_coding","consequence_terms":["missense_variant","splice_region_variant"],"impact":"MODERATE","canonical":1,"distance":null,"tssdistance":400,"cadd_phred":23.5,"polyphen_score":0.9,"polyphen_prediction":"probably_damaging","sift_score":0.02,"sift_prediction":"deleterious","lof":"HC","lof_filter":null,"conservation":4.4,"amino_acids":"A/V","protein_end":42,"alphamissense":{"am_class":"likely_pathogenic","am_pathogenicity":0.88},"swissprot":["P12345.2"],"trembl":null,"codons":"gcA/gtA","appris":"P1","mane_select":"NM_1.1","hgvsg":"7:g.2000G>C"},{"gene_id":"ENSG11","transcript_id":"ENST11","gene_symbol":"GENEB","biotype":"lncRNA","consequence_terms":["upstream_gene_variant"],"impact":"MODIFIER","canonical":1,"distance":1500,"tssdistance":1500,"hgvsg":"7:g.2000G>C"},{"gene_id":"ENSG12","transcript_id":"ENST12","consequence_terms":["intron_variant"],"impact":"MODIFIER","canonical":0}]}
         |""".stripMargin
     )
     val out = VepParser.buildVariantIndex(VepParser.readVepJson(spark, json))
@@ -138,6 +138,16 @@ class SourcesSpec extends SparkSpec {
     assert(effects("AlphaMissense")._2 === Some("likely_pathogenic"))
     assert(math.abs(effects("VEP")._1.get - 0.68) < 1e-6)
     assert(effects("VEP")._2 === Some("missense_variant"))
+    // dbXrefs: ensembl rsId, OMIM (dot→hash), ClinVar VCV-only, protvar (missense)
+    val xrefs = out
+      .select(explode(col("dbXrefs")).as("x"))
+      .select(col("x.id"), col("x.source"))
+      .as[(String, String)].collect().toSet
+    assert(xrefs === Set(
+      ("rs77", "ensembl_variation"),
+      ("601665#0002", "omim"),
+      ("VCV000018396", "clinvar"),
+      ("7_2000_G_C", "protvar")))
   }
 
   test("VEP allele-frequency builder emits the variant_index AF shape") {
@@ -272,6 +282,84 @@ class SourcesSpec extends SparkSpec {
     // flipped odds ratio → ln(1/0.1)
     assert(math.abs(out(4)._1.get - 2.302585092994046) < 1e-12)
     assert(math.abs(out(4)._2.get - 0.23489365624113168) < 1e-9)
+  }
+
+  test("p-value-text normalisation matches reference doctests (associations.py:103-146)") {
+    import spark.implicits._
+    val got = Seq("European Ancestry", "African ancestry", "Alzheimer’s Disease",
+      "(progression)", "")
+      .toDF("value")
+      .select(GwasCatalog.normalisePvalueText(col("value")).as("n"))
+      .as[Option[Seq[String]]].collect().toSeq
+    assert(got === Seq(
+      Some(Seq("EA")), Some(Seq("AA")), Some(Seq("AD")), None, None))
+  }
+
+  test("substudy description matches the reference doctest (associations.py:676-720)") {
+    import spark.implicits._
+    val got = Seq(
+      ("Height",
+        "http://www.ebi.ac.uk/efo/EFO_0000001,http://www.ebi.ac.uk/efo/EFO_0000002",
+        Some("European Ancestry")),
+      ("Schizophrenia", "http://www.ebi.ac.uk/efo/MONDO_0005090", Option.empty[String])
+    ).toDF("association_trait", "mapped_trait_uri", "pvalue_text")
+      .select(GwasCatalog.substudyDescription(
+        col("association_trait"), col("pvalue_text"), col("mapped_trait_uri")).as("d"))
+      .as[String].collect().toSeq
+    assert(got === Seq(
+      "Height|EA|EFO_0000001/EFO_0000002",
+      "Schizophrenia|no_pvalue_text|MONDO_0005090"))
+  }
+
+  test("gnomAD→Ensembl position conversion matches the reference doctest") {
+    import spark.implicits._
+    val got = Seq((1, "A", "C"), (2, "AA", "C"), (3, "A", "AA"))
+      .toDF("position", "reference", "alternate")
+      .select(GwasCatalog.convertGnomadPositionToEnsembl(
+        col("position"), col("reference"), col("alternate")).as("p"))
+      .as[Int].collect().toSeq
+    assert(got === Seq(1, 3, 4))
+  }
+
+  test("mapping-retention flags match the reference doctest (associations.py:342-391)") {
+    import spark.implicits._
+    val got = Seq((1, false), (1, false), (2, false), (2, true), (3, true), (3, true))
+      .toDF("associationId", "filter")
+      .select(col("associationId"),
+        GwasCatalog.flagMappingsToRetain(col("associationId"), col("filter")).as("keep"))
+      .as[(Int, Boolean)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq((1, true), (1, true), (2, false), (2, true), (3, true), (3, true)))
+  }
+
+  test("variant→gnomAD mapping resolves ambiguity by rsId, concordance, then max MAF") {
+    import spark.implicits._
+    val assoc = Seq(
+      // rowId 1: two gnomAD candidates at the position; only one shares rsId
+      ("r1", "1", "100", "rs1; rs9", "1", "rs1-A"),
+      // rowId 2: no candidate → null mapping
+      ("r2", "2", "500", "rs7", "7", "rs7-T")
+    ).toDF("rowId", "CHR_ID", "CHR_POS", "SNPS", "SNP_ID_CURRENT",
+      "STRONGEST SNP-RISK ALLELE")
+    val vi = Seq(
+      // shares rs1 with the association and is allele-concordant
+      ("1_100_A_G", "1", 100, Seq("rs1"), "A", "G", Seq(("nfe", 0.3))),
+      // higher MAF but neither rsId match nor concordance (risk A vs C/G):
+      // both retention filters drop it in favour of the matching candidate
+      ("1_100_C_G", "1", 100, Seq("rs999"), "C", "G", Seq(("nfe", 0.4)))
+    ).toDF("variantId", "chromosome", "position", "rsIds",
+      "referenceAllele", "alternateAllele", "af")
+      .withColumn(
+        "alleleFrequencies",
+        transform(col("af"), x =>
+          struct(x.getField("_1").as("populationName"),
+            x.getField("_2").as("alleleFrequency"))))
+      .drop("af")
+    val out = GwasCatalog.mapVariantsToGnomadVariants(assoc, vi)
+      .select("rowId", "variantId")
+      .as[(String, Option[String])].collect().toMap
+    // rs-id match beats the higher-MAF discordant candidate
+    assert(out("r1") === Some("1_100_A_G"))
+    assert(out("r2") === None)
   }
 
   test("qcAll flags match the reference doctest semantics (associations.py:722-924)") {
