@@ -308,6 +308,90 @@ object VepParser {
       struct(lit(name).as("populationName"), freq.cast(DoubleType).as("alleleFrequency"))
     }: _*)
 
+  /** "missense_variant" → "Missense variant", non-"variant" terms get the
+    * suffix appended (vep_parser.py:930-944).
+    */
+  def processConsequenceTerm(term: Column): Column = {
+    val last = when(term.contains("variant"), lit("")).otherwise(lit(" variant"))
+    concat(regexp_replace(initcap(term), "_", " "), last)
+  }
+
+  private def geneLabel(transcript: Column): Column =
+    when(transcript.getField("approvedSymbol").isNotNull, transcript.getField("approvedSymbol"))
+      .otherwise(transcript.getField("targetId"))
+
+  private def processOverlap(transcript: Column): Column =
+    when(
+      transcript.getField("distanceFromFootprint") === 0,
+      concat(lit(" overlapping with "), geneLabel(transcript))
+    ).otherwise(
+      concat(
+        lit(" "),
+        format_number(transcript.getField("distanceFromFootprint"), 0),
+        lit(" basepair away from "),
+        geneLabel(transcript)))
+
+  private def processAaChange(transcript: Column): Column =
+    when(
+      transcript.getField("aminoAcidChange").isNotNull,
+      concat(
+        lit(", causing amino-acid change: "),
+        transcript.getField("aminoAcidChange"),
+        lit(" with "),
+        lower(transcript.getField("impact")),
+        lit(" impact."))
+    ).otherwise(lit("."))
+
+  private def processLof(transcript: Column): Column =
+    when(
+      transcript.getField("lofteePrediction").isNotNull &&
+        (transcript.getField("lofteePrediction") === "HC"),
+      lit(" A high-confidence loss-of-function variant by loftee.")
+    ).otherwise(lit(""))
+
+  private def addingBiotype(transcript: Column): Column = {
+    val biotype = when(
+      transcript.getField("biotype").contains("gene"),
+      regexp_replace(transcript.getField("biotype"), "_", " ")
+    ).otherwise(
+      concat(regexp_replace(transcript.getField("biotype"), "_", " "), lit(" gene.")))
+    concat(lit(", a "), biotype)
+  }
+
+  private def parseProteinCodingTranscript(transcript: Column): Column =
+    when(
+      transcript.isNotNull,
+      concat(
+        lit(" The closest protein-coding gene is "),
+        geneLabel(transcript),
+        lit(" ("),
+        format_number(transcript.getField("distanceFromFootprint"), 0),
+        lit(" basepair away)."))
+    ).otherwise(lit(""))
+
+  /** Human-readable variant description from the most severe consequence and
+    * the top-ranked (protein-coding) transcript (vep_parser.py:892-1118).
+    */
+  def composeVariantDescription(
+      mostSevereConsequence: Column,
+      firstTranscript: Column,
+      firstProteinCoding: Column
+  ): Column =
+    when(firstTranscript.isNull, lit("Intergenic variant no gene in window"))
+      .when(
+        firstTranscript.getField("biotype") === "protein_coding",
+        concat(
+          processConsequenceTerm(mostSevereConsequence),
+          processOverlap(firstTranscript),
+          processAaChange(firstTranscript),
+          processLof(firstTranscript)))
+      .otherwise(
+        concat(
+          processConsequenceTerm(mostSevereConsequence),
+          processOverlap(firstTranscript),
+          addingBiotype(firstTranscript),
+          parseProteinCodingTranscript(firstProteinCoding)))
+
   /** VEP output → schema-valid variant_index frame
     * (vep_parser.py:597-890 process_vep_output): canonical-only transcripts,
     * in-silico predictor extraction, SO-mapped consequences with index,
@@ -347,7 +431,8 @@ object VepParser {
         ).as("alleleFrequencies"),
         extractEnsemblXrefs(col("colocated_variants")).as("ensembl_xrefs"),
         extractOmimXrefs(col("colocated_variants")).as("omim_xrefs"),
-        extractClinvarXrefs(col("colocated_variants")).as("clinvar_xrefs")
+        extractClinvarXrefs(col("colocated_variants")).as("clinvar_xrefs"),
+        col("most_severe_consequence").as("most_severe_consequence_kept")
       )
       .withColumn(
         "variantId",
@@ -374,6 +459,21 @@ object VepParser {
               col("clinvar_xrefs"), col("protvar_xrefs")),
             x => x.isNotNull)))
       .drop("ensembl_xrefs", "omim_xrefs", "clinvar_xrefs", "protvar_xrefs")
+      .withColumn(
+        "variantDescription", {
+          val firstTranscript = get(
+            filter(col("transcriptConsequences"), t => t.getField("transcriptIndex") === 1),
+            lit(0))
+          val proteinCoding = array_sort(
+            filter(col("transcriptConsequences"), t => t.getField("biotype") === "protein_coding"),
+            (a, b) =>
+              when(a.getField("transcriptIndex") < b.getField("transcriptIndex"), lit(-1))
+                .when(a.getField("transcriptIndex") > b.getField("transcriptIndex"), lit(1))
+                .otherwise(lit(0)))
+          composeVariantDescription(
+            col("most_severe_consequence_kept"), firstTranscript, get(proteinCoding, lit(0)))
+        })
+      .drop("most_severe_consequence_kept")
       .filter(col("position").isNotNull)
   }
 

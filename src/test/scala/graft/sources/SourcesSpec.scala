@@ -138,6 +138,12 @@ class SourcesSpec extends SparkSpec {
     assert(effects("AlphaMissense")._2 === Some("likely_pathogenic"))
     assert(math.abs(effects("VEP")._1.get - 0.68) < 1e-6)
     assert(effects("VEP")._2 === Some("missense_variant"))
+    // variant description: protein-coding first transcript, footprint overlap,
+    // amino-acid change with impact, high-confidence LOFTEE note
+    val desc = out.select(col("variantDescription")).as[String].head()
+    assert(desc ===
+      "Missense variant overlapping with GENEA, causing amino-acid change: " +
+        "A42V with moderate impact. A high-confidence loss-of-function variant by loftee.")
     // dbXrefs: ensembl rsId, OMIM (dot→hash), ClinVar VCV-only, protvar (missense)
     val xrefs = out
       .select(explode(col("dbXrefs")).as("x"))
