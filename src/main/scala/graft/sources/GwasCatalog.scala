@@ -338,6 +338,87 @@ object GwasCatalog {
       PalindromicAlleleFlag)
   }
 
+  /** Full curated-association ingestion
+    * (associations.py:1094-1186 from_source): assign row ids, resolve
+    * variants against gnomAD, apply the six-flag QC rollup, split the
+    * p-value, harmonise the effect to beta, and emit study-locus rows with
+    * md5 studyLocusIds and substudy descriptions. Raw columns required:
+    * `CHR_ID`, `CHR_POS`, `SNPS`, `SNP_ID_CURRENT`,
+    * `STRONGEST SNP-RISK ALLELE`, `P-VALUE`, `PVALUE_MLOG`, `OR or BETA`,
+    * `95% CI (TEXT)`, `DISEASE/TRAIT`, `P-VALUE (TEXT)`,
+    * `MAPPED_TRAIT_URI`, `STUDY ACCESSION`.
+    */
+  def fromSource(
+      gwasAssociations: DataFrame,
+      gnomadVariants: DataFrame,
+      pvalueThreshold: Double = 5e-8
+  ): DataFrame = {
+    import graft.core.GDataset
+    val withRow = gwasAssociations.withColumn(
+      "rowId", monotonically_increasing_id().cast("string"))
+    val (mantissa, exponent) = Stats.splitPvalueColumn(col("P-VALUE"))
+    mapVariantsToGnomadVariants(withRow, gnomadVariants)
+      .withColumn(
+        "qualityControls",
+        qcAll(
+          qc = array().cast("array<string>"),
+          chromosome = col("CHR_ID"),
+          position = col("CHR_POS").cast(IntegerType),
+          referenceAllele = col("referenceAllele"),
+          alternateAllele = col("alternateAllele"),
+          strongestSnpRiskAllele = col("STRONGEST SNP-RISK ALLELE"),
+          pValueMantissa = mantissa,
+          pValueExponent = exponent,
+          pValueCutoff = pvalueThreshold
+        ))
+      .withColumn("pValueMantissa", mantissa)
+      .withColumn("pValueExponent", exponent)
+      .transform(harmoniseEffectToBeta)
+      .withColumnRenamed("STUDY ACCESSION", "studyId")
+      .withColumn(
+        "studyLocusId", GDataset.generateIdentifier(Seq("studyId", "variantId")))
+      .select(
+        col("studyLocusId"),
+        col("variantId"),
+        col("chromosome"),
+        col("position"),
+        col("studyId"),
+        col("pValueMantissa"),
+        col("pValueExponent"),
+        substudyDescription(
+          col("DISEASE/TRAIT"), col("P-VALUE (TEXT)"), col("MAPPED_TRAIT_URI"))
+          .as("subStudyDescription"),
+        col("qualityControls"),
+        col("beta"),
+        col("standardError")
+      )
+  }
+
+  /** Re-key associations after substudy deconvolution: updated study ids
+    * override, studyLocusId re-derives (associations.py:1194-1216).
+    */
+  def updateStudyId(studyLocus: DataFrame, studyAnnotation: DataFrame): DataFrame =
+    studyLocus
+      .join(studyAnnotation, Seq("studyId", "subStudyDescription"), "left")
+      .withColumn("studyId", coalesce(col("updatedStudyId"), col("studyId")))
+      .drop("subStudyDescription", "updatedStudyId")
+      .withColumn(
+        "studyLocusId",
+        graft.core.GDataset.generateIdentifier(Seq("studyId", "variantId")))
+
+  /** Flag variants that appear more than once within a study
+    * (associations.py:1217-1234).
+    */
+  def qcAmbiguousStudy(studyLocus: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("studyId"), col("variantId"))
+    studyLocus.withColumn(
+      "qualityControls",
+      graft.core.GDataset.updateQualityFlag(
+        col("qualityControls"),
+        count(col("variantId")).over(w) > 1,
+        "Association with ambiguous study"))
+  }
+
   /** Harmonise a raw association frame with GWAS-Catalog column names:
     * `CHR_ID`, `CHR_POS`, `STRONGEST SNP-RISK ALLELE`, `P-VALUE`,
     * `OR or BETA`, `95% CI (TEXT)`, `MAPPED_TRAIT_URI`, `STUDY ACCESSION`.

@@ -368,6 +368,72 @@ class SourcesSpec extends SparkSpec {
     assert(out("r2") === None)
   }
 
+  test("GWAS-Catalog fromSource assembles study-locus rows end to end") {
+    import spark.implicits._
+    val raw = Seq(
+      // significant association mapping cleanly to 1_100_A_G, beta flips (risk G = revcomp(C)... direct alt match)
+      ("1", "100", "rs1", "1", "rs1-G", "4e-12", 41.0, "0.2",
+        "[0.1-0.3] unit increase", "Height", "European Ancestry",
+        "http://www.ebi.ac.uk/efo/EFO_0000001", "GCST1"),
+      // unmapped position → null variant, flagged
+      ("2", "999", "rs7", "7", "rs7-T", "1e-3", 3.0, "1.5",
+        "[1.2-1.8]", "BMI", null.asInstanceOf[String],
+        "http://www.ebi.ac.uk/efo/EFO_0000002", "GCST2")
+    ).toDF("CHR_ID", "CHR_POS", "SNPS", "SNP_ID_CURRENT", "STRONGEST SNP-RISK ALLELE",
+      "P-VALUE", "PVALUE_MLOG", "OR or BETA", "95% CI (TEXT)", "DISEASE/TRAIT",
+      "P-VALUE (TEXT)", "MAPPED_TRAIT_URI", "STUDY ACCESSION")
+    val vi = Seq(
+      ("1_100_A_G", "1", 100, Seq("rs1"), "A", "G", Seq(0.3))
+    ).toDF("variantId", "chromosome", "position", "rsIds",
+      "referenceAllele", "alternateAllele", "afs")
+      .withColumn(
+        "alleleFrequencies",
+        transform(col("afs"), x => struct(lit("nfe").as("populationName"), x.as("alleleFrequency"))))
+      .drop("afs")
+    val out = GwasCatalog.fromSource(raw, vi)
+    assert(out.count() === 2)
+    val r1 = out.filter(col("studyId") === "GCST1")
+      .select(
+        col("variantId"), col("chromosome"), col("position"),
+        col("pValueExponent"), col("beta"),
+        col("subStudyDescription"), concat_ws(";", col("qualityControls")))
+      .as[(String, String, Int, Int, Double, String, String)].head()
+    assert(r1._1 === "1_100_A_G" && r1._2 === "1" && r1._3 === 100)
+    assert(r1._4 === -12)
+    // risk allele G == alternate → no flip → +0.2
+    assert(r1._5 === 0.2)
+    assert(r1._6 === "Height|EA|EFO_0000001")
+    assert(r1._7 === "")
+    val r2 = out.filter(col("studyId") === "GCST2")
+      .select(col("variantId").isNull, concat_ws(";", col("qualityControls")))
+      .as[(Boolean, String)].head()
+    assert(r2._1)
+    assert(r2._2.contains("No mapping in GnomAd"))
+    assert(r2._2.contains("Subsignificant p-value"))
+  }
+
+  test("updateStudyId re-keys and qcAmbiguousStudy flags duplicate variants") {
+    import spark.implicits._
+    val sl = Seq(
+      ("S1", "desc_a", "v1", Seq.empty[String]),
+      ("S1", "desc_b", "v1", Seq.empty[String]),
+      ("S2", "desc_c", "v2", Seq.empty[String])
+    ).toDF("studyId", "subStudyDescription", "variantId", "qualityControls")
+    val ann = Seq(("S1", "desc_b", "S1_b")).toDF(
+      "studyId", "subStudyDescription", "updatedStudyId")
+    val updated = GwasCatalog.updateStudyId(sl, ann)
+    val ids = updated.select("studyId").as[String].collect().sorted.toSeq
+    assert(ids === Seq("S1", "S1_b", "S2"))
+    // after deconvolution the two S1/v1 rows split into distinct studies
+    val flagged = GwasCatalog.qcAmbiguousStudy(updated)
+      .filter(concat_ws(";", col("qualityControls")) =!= "")
+    assert(flagged.count() === 0)
+    // without deconvolution they are ambiguous
+    val flagged2 = GwasCatalog.qcAmbiguousStudy(sl.drop("subStudyDescription"))
+      .filter(concat_ws(";", col("qualityControls")) === "Association with ambiguous study")
+    assert(flagged2.count() === 2)
+  }
+
   test("qcAll flags match the reference doctest semantics (associations.py:722-924)") {
     import spark.implicits._
     val df = Seq(
