@@ -46,4 +46,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(chromosome"), s"expected chromosome repartition in:\n$p")
     assert(p.contains("pmod"), "expected composite salt in the repartition key")
   }
+
+  test("q_gwas_harmonise is a shuffle-free projection with codegen core") {
+    val p = plan(graft.harness.SourceQueries.gwasHarmonise(spark, sfDir))
+    assert(!p.contains("Exchange"), "pure column harmonisation must not shuffle")
+    // the effect/flip arithmetic stays in a codegen stage; only the final
+    // QC array_sort lambdas fall back to interpreted projection
+    assert(p.contains("*(1)"), "harmonisation core must stay in codegen")
+  }
+
+  test("q_sumstat_harmonise joins without broadcasting the sumstats side") {
+    val p = plan(graft.harness.SourceQueries.sumstatHarmonise(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    // the variant-annotation join must be an equi join; at 100 TB neither
+    // side is guaranteed broadcastable, so a shuffle-based strategy is the
+    // scale-safe plan (AQE may locally pick broadcast at tiny SF — assert
+    // only that the join stays equi-keyed)
+    assert(p.contains("Join"), s"expected a join in:\n$p")
+  }
+
+  test("q_l2g_features broadcasts the bounded gene table, not the locus side") {
+    val p = plan(graft.harness.SourceQueries.l2gFeatures(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "gene window join should broadcast genes")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
