@@ -316,11 +316,60 @@ object SourceQueries {
         round(col("distanceSentinelTss"), 6).as("distanceSentinelTss"))
   }
 
+  /** E2G interval feature (bin-accelerated overlap) + protein-coding flag
+    * (reference: l2g_features/intervals.py:53-209, other.py:86-144).
+    * Credible-set variants from `lineitem` (several per locus, varying pp),
+    * enhancer intervals from `part` (spanning 1..n 50 kb bins, some null
+    * scores dropped), gene-biotype lookup from `orders`.
+    */
+  def l2gE2g(s: SparkSession, d: String): DataFrame = {
+    val vk = col("l_orderkey") * 8 + col("l_linenumber")
+    val credset = lineitem(s, d).select(
+      concat(lit("L"), (col("l_orderkey") % 300).cast(StringType)).as("studyLocusId"),
+      concat(lit("v"), (vk % 900).cast(StringType)).as("variantId"),
+      (col("l_orderkey") % 5 + 1).cast(StringType).as("chromosome"),
+      (lit(100000) + (vk % 100) * 10000).cast("long").as("position"),
+      // pp is a function of the same residue as position (deterministic
+      // first(pp)) and an exact binary fraction n/128 so the weighted sums
+      // are bit-identical in Spark and DuckDB regardless of add order
+      ((vk % 100 + 1) / lit(128.0)).as("posteriorProbability")
+    ).distinct()
+    val pk = col("p_partkey")
+    val ivStart = (pk % 90) * 12000
+    val intervals = part(s, d).select(
+      (pk % 5 + 1).cast(StringType).as("chromosome"),
+      ivStart.cast("long").as("start"),
+      (ivStart + 5000 + (pk % 8) * 20000).cast("long").as("end"),
+      concat(lit("ENSG"), (pk % 80).cast(StringType)).as("geneId"),
+      when(pk % 31 === 0, lit(null).cast("double"))
+        .otherwise((pk % 100) / lit(64.0)).as("score")
+    ).distinct()
+    val genesInWindow = orders(s, d).select(
+      concat(lit("v"), (col("o_orderkey") % 900).cast(StringType)).as("variantId"),
+      concat(lit("ENSG"), (col("o_custkey") % 80).cast(StringType)).as("geneId"),
+      when(col("o_orderkey") % 3 === 0, "protein_coding").otherwise("lncRNA").as("biotype"),
+      (col("o_orderkey") % 700000).cast("long").as("distanceFromFootprint")
+    ).distinct()
+    val e2g = L2gFeatures.e2gFeature(credset, intervals)
+    val pc = L2gFeatures
+      .proteinCodingFeature(credset, genesInWindow)
+      .withColumnRenamed("featureValue", "isProteinCoding")
+      .drop("featureName")
+    e2g
+      .join(pc, Seq("studyLocusId", "geneId"), "full_outer")
+      .select(
+        col("studyLocusId"), col("geneId"),
+        round(col("e2gMean"), 6).as("e2gMean"),
+        round(col("e2gMeanNeighbourhood"), 6).as("e2gMeanNeighbourhood"),
+        col("isProteinCoding"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gwas_harmonise" -> (gwasHarmonise _),
     "q_vep_index" -> (vepIndex _),
     "q_l2g_coloc" -> (l2gColoc _),
     "q_l2g_features" -> (l2gFeatures _),
+    "q_l2g_e2g" -> (l2gE2g _),
     "q_sumstat_harmonise" -> (sumstatHarmonise _)
   )
 
@@ -363,6 +412,61 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_l2g_e2g" ->
+      """WITH cs AS (SELECT DISTINCT
+        |    'L' || CAST(l_orderkey % 300 AS VARCHAR) AS sl,
+        |    'v' || CAST((l_orderkey * 8 + l_linenumber) % 900 AS VARCHAR) AS vid,
+        |    CAST(l_orderkey % 5 + 1 AS VARCHAR) AS chrom,
+        |    100000 + ((l_orderkey * 8 + l_linenumber) % 100) * 10000 AS pos,
+        |    ((l_orderkey * 8 + l_linenumber) % 100 + 1) / 128.0 AS pp
+        |  FROM lineitem),
+        |iv AS (SELECT DISTINCT
+        |    CAST(p_partkey % 5 + 1 AS VARCHAR) AS chrom,
+        |    (p_partkey % 90) * 12000 AS s,
+        |    (p_partkey % 90) * 12000 + 5000 + (p_partkey % 8) * 20000 AS e,
+        |    'ENSG' || CAST(p_partkey % 80 AS VARCHAR) AS gene,
+        |    CASE WHEN p_partkey % 31 = 0 THEN NULL
+        |         ELSE (p_partkey % 100) / 64.0 END AS score
+        |  FROM part),
+        |csb AS (SELECT *, CAST(floor(pos / 50000.0) AS BIGINT) AS bin
+        |  FROM cs WHERE pp >= 0.001),
+        |ivb AS (SELECT chrom, s, e, gene, score,
+        |    unnest(generate_series(CAST(floor(s / 50000.0) AS BIGINT),
+        |                           CAST(floor(e / 50000.0) AS BIGINT))) AS bin
+        |  FROM iv WHERE score IS NOT NULL
+        |    AND CAST(floor(e / 50000.0) AS BIGINT)
+        |      - CAST(floor(s / 50000.0) AS BIGINT) + 1 <= 1000),
+        |j AS (SELECT c.sl, c.chrom, c.pos, c.pp, i.gene, i.score
+        |  FROM csb c JOIN ivb i ON c.chrom = i.chrom AND c.bin = i.bin
+        |  WHERE c.pos >= i.s AND c.pos <= i.e),
+        |pvg AS (SELECT sl, chrom, pos, gene, max(score) AS mx, max(pp) AS pp
+        |  FROM j GROUP BY 1, 2, 3, 4),
+        |base AS (SELECT sl, gene, sum(mx * pp) AS e2g FROM pvg GROUP BY 1, 2),
+        |nb AS (SELECT sl, gene, e2g,
+        |    CASE WHEN max(e2g) OVER (PARTITION BY sl) <> 0
+        |         THEN e2g / max(e2g) OVER (PARTITION BY sl)
+        |         ELSE 0.0 END AS nbr
+        |  FROM base),
+        |giw AS (SELECT DISTINCT
+        |    'v' || CAST(o_orderkey % 900 AS VARCHAR) AS vid,
+        |    'ENSG' || CAST(o_custkey % 80 AS VARCHAR) AS gene,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'protein_coding'
+        |         ELSE 'lncRNA' END AS biotype,
+        |    o_orderkey % 700000 AS dist
+        |  FROM orders),
+        |pc AS (SELECT c.sl, g.gene,
+        |    max(CASE WHEN g.biotype = 'protein_coding'
+        |             THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS pcf
+        |  FROM (SELECT DISTINCT sl, vid FROM cs) c
+        |  JOIN giw g ON c.vid = g.vid
+        |  WHERE g.dist <= 500000
+        |  GROUP BY 1, 2)
+        |SELECT coalesce(n.sl, p.sl) AS "studyLocusId",
+        |  coalesce(n.gene, p.gene) AS "geneId",
+        |  round(n.e2g, 6) AS "e2gMean",
+        |  round(n.nbr, 6) AS "e2gMeanNeighbourhood",
+        |  p.pcf AS "isProteinCoding"
+        |FROM nb n FULL OUTER JOIN pc p ON n.sl = p.sl AND n.gene = p.gene""".stripMargin,
     "q_l2g_features" ->
       """WITH leads AS (SELECT DISTINCT
         |    'L' || CAST(o_orderkey % 500 AS VARCHAR) AS sl,

@@ -104,9 +104,13 @@ object L2gFeatures {
     * across genes at the same study locus; 0 when the region has no signal
     * (l2g_features/colocalisation.py:129-205).
     */
-  def neighbourhoodFeature(localLong: DataFrame, featureName: String): DataFrame = {
+  def neighbourhoodFeature(
+      localLong: DataFrame,
+      featureName: String,
+      clamp: Boolean = false
+  ): DataFrame = {
     val regionalMax = max(col("featureValue")).over(Window.partitionBy(col("studyLocusId")))
-    localLong
+    val ratioed = localLong
       .withColumn("regional_max", regionalMax)
       .withColumn(
         "featureValue",
@@ -116,6 +120,15 @@ object L2gFeatures {
         ).otherwise(lit(0.0)))
       .withColumn("featureName", lit(featureName))
       .drop("regional_max")
+    // The distance family clamps the ratio into [0, 1]
+    // (l2g_features/distance.py:133-139); coloc features do not.
+    if (clamp)
+      ratioed.withColumn(
+        "featureValue",
+        when(col("featureValue") < 0.0, 0.0)
+          .when(col("featureValue") > 1.0, 1.0)
+          .otherwise(col("featureValue")))
+    else ratioed
   }
 
   /** Artificial zero-valued features for protein-coding genes in the locus
@@ -253,6 +266,116 @@ object L2gFeatures {
         col("studyLocusId"), col("geneId"),
         lit(featureName).as("featureName"), col("featureValue"))
   }
+
+  /** E2G enhancer→gene interval feature, bin-accelerated
+    * (l2g_features/intervals.py:53-209). A naive variant-in-interval overlap
+    * is a range join — O(variants × intervals) per chromosome. The reference
+    * (and this port) turns it into an equi join: bucket both sides into
+    * fixed-width genomic bins, explode each interval over the bins it spans
+    * (capped at [[maxBinsPerInterval]] so one pathological interval cannot
+    * fan out unboundedly), join on (chromosome, bin), then apply the exact
+    * positional filter. Shuffles on (chromosome, bin) — thousands of keys
+    * per chromosome, so parallelism is not capped at 24 and skew follows
+    * variant density, not chromosome count.
+    *
+    * Per (variant, gene): max interval score. Per (locus, gene): sum of
+    * max-scores weighted by posterior probability → `baseName`; the
+    * neighbourhood column is the ratio to the locus-wide maximum.
+    *
+    * @param credsetVariants (studyLocusId, chromosome, position,
+    *                        posteriorProbability) — exploded credible sets
+    * @param intervals       (chromosome, start, end, geneId, score)
+    */
+  def e2gFeature(
+      credsetVariants: DataFrame,
+      intervals: DataFrame,
+      baseName: String = "e2gMean",
+      ppMin: Double = 0.001,
+      binSize: Int = 50000,
+      maxBinsPerInterval: Int = 1000
+  ): DataFrame = {
+    val slx = credsetVariants
+      .filter(
+        col("posteriorProbability") >= ppMin &&
+          col("chromosome").isNotNull && col("position").isNotNull)
+      .select(
+        col("studyLocusId"),
+        col("chromosome").as("sl_chromosome"),
+        col("position"),
+        col("posteriorProbability").as("pp"))
+      .withColumn("bin", (col("position") / binSize).cast("long"))
+    val startBin = (col("start") / binSize).cast("long")
+    val endBin = (col("end") / binSize).cast("long")
+    val ivf = intervals
+      .filter(col("score").isNotNull)
+      .select(
+        col("chromosome").as("iv_chromosome"),
+        col("start"), col("end"), col("geneId"),
+        col("score").cast("double").as("score"))
+      .withColumn("start_bin", startBin)
+      .withColumn("end_bin", endBin)
+      .filter(
+        col("end_bin") - col("start_bin") + 1 > 0 &&
+          col("end_bin") - col("start_bin") + 1 <= maxBinsPerInterval)
+      .withColumn("bin", explode(sequence(col("start_bin"), col("end_bin"))))
+      .drop("start_bin", "end_bin")
+    val joined = slx
+      .join(
+        ivf,
+        col("sl_chromosome") === col("iv_chromosome") && slx("bin") === ivf("bin"),
+        "inner")
+      .filter(col("position") >= col("start") && col("position") <= col("end"))
+    val perVariantGene = joined
+      .groupBy(col("studyLocusId"), col("sl_chromosome"), col("position"), col("geneId"))
+      .agg(
+        max(col("score")).as("maxScore"),
+        first(col("pp"), ignoreNulls = true).as("pp"))
+    val base = perVariantGene
+      .groupBy(col("studyLocusId"), col("geneId"))
+      .agg(sum(col("maxScore") * col("pp")).as(baseName))
+    val regionalMax = max(col(baseName)).over(Window.partitionBy(col("studyLocusId")))
+    base
+      .withColumn("regional_max", regionalMax)
+      .select(
+        col("studyLocusId"),
+        col("geneId"),
+        col(baseName),
+        when(col("regional_max") =!= 0.0, col(baseName) / col("regional_max"))
+          .otherwise(lit(0.0))
+          .as(s"${baseName}Neighbourhood"))
+  }
+
+  /** Protein-coding flag feature (l2g_features/other.py:86-144, 228-268):
+    * 1.0 when a gene reachable from any credible-set variant (within
+    * `genomicWindow` of the footprint) is protein-coding, else 0.0. The
+    * reference emits `.distinct()` rows, which can keep both flags when a
+    * gene carries transcripts of mixed biotypes; this port aggregates with
+    * `max` so the feature is single-valued and deterministic.
+    *
+    * @param credsetVariants (studyLocusId, variantId)
+    * @param genesInWindow   (variantId, geneId, biotype,
+    *                        distanceFromFootprint) — from the VariantIndex
+    *                        transcript consequences
+    */
+  def proteinCodingFeature(
+      credsetVariants: DataFrame,
+      genesInWindow: DataFrame,
+      featureName: String = "isProteinCoding",
+      genomicWindow: Long = 500000L
+  ): DataFrame =
+    credsetVariants
+      .select(col("studyLocusId"), col("variantId"))
+      .join(
+        genesInWindow.filter(col("distanceFromFootprint") <= genomicWindow),
+        Seq("variantId"),
+        "inner")
+      .groupBy(col("studyLocusId"), col("geneId"))
+      .agg(
+        max(when(col("biotype") === "protein_coding", 1.0).otherwise(0.0))
+          .as("featureValue"))
+      .select(
+        col("studyLocusId"), col("geneId"),
+        lit(featureName).as("featureName"), col("featureValue"))
 
   /** Credible-set finemapping confidence → numeric score
     * (l2g_features/other.py:325-364, classes from study_locus.py:40-60).

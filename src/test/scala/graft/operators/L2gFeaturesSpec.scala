@@ -142,6 +142,72 @@ class L2gFeaturesSpec extends SparkSpec {
     assert(got === Seq(1.0, 0.75, 0.5, 0.25, 0.0))
   }
 
+  test("E2G feature: bin join finds overlaps, max score per variant, pp-weighted sum, ratio neighbourhood") {
+    val credset = Seq(
+      // L1 has two variants on chr1; v1 overlaps iv1+iv2 (G1 takes max
+      // score), v2 overlaps iv3 (G2); L2's variant overlaps nothing
+      ("L1", "1", 120000L, 0.5),
+      ("L1", "1", 180000L, 0.25),
+      ("L2", "2", 900000L, 1.0),
+      // below the pp floor: ignored
+      ("L1", "1", 120000L, 0.0001)
+    ).toDF("studyLocusId", "chromosome", "position", "posteriorProbability")
+    val intervals = Seq(
+      ("1", 100000L, 130000L, "G1", Some(0.4)), // iv1: v1 in range
+      ("1", 110000L, 125000L, "G1", Some(0.8)), // iv2: v1 in range, higher
+      ("1", 170000L, 190000L, "G2", Some(0.5)), // iv3: v2 in range
+      ("1", 100000L, 130000L, "G3", None), // null score dropped
+      // spans bins 0..3 — exploded over 4 bins, still matches v1 once
+      ("1", 10000L, 160000L, "G4", Some(0.1))
+    ).toDF("chromosome", "start", "end", "geneId", "score")
+    val wide = L2gFeatures.e2gFeature(credset, intervals)
+      .select("studyLocusId", "geneId", "e2gMean", "e2gMeanNeighbourhood")
+      .as[(String, String, Double, Double)].collect().toSet
+    // G1: max(0.4, 0.8) * 0.5 = 0.4; G2: 0.5 * 0.25 = 0.125; G4: 0.1 * 0.5 = 0.05
+    assert(wide === Set(
+      ("L1", "G1", 0.4, 1.0),
+      ("L1", "G2", 0.125, 0.3125),
+      ("L1", "G4", 0.05, 0.125)))
+  }
+
+  test("E2G feature caps interval fan-out at maxBinsPerInterval") {
+    val credset = Seq(("L1", "1", 120000L, 1.0))
+      .toDF("studyLocusId", "chromosome", "position", "posteriorProbability")
+    val intervals = Seq(
+      ("1", 0L, 100000000L, "G1", Some(1.0)), // 2001 bins > cap → dropped
+      ("1", 100000L, 130000L, "G2", Some(0.5))
+    ).toDF("chromosome", "start", "end", "geneId", "score")
+    val got = L2gFeatures.e2gFeature(credset, intervals, maxBinsPerInterval = 2000)
+      .select("geneId").as[String].collect().toSeq
+    assert(got === Seq("G2"))
+  }
+
+  test("protein-coding feature flags genes by biotype, max across variants, bounded by window") {
+    val credset = Seq(
+      ("L1", "v1"), ("L1", "v2"), ("L2", "v3")
+    ).toDF("studyLocusId", "variantId")
+    val giw = Seq(
+      ("v1", "G1", "protein_coding", 1000L),
+      ("v2", "G1", "lncRNA", 2000L), // same gene, mixed biotype → max wins
+      ("v1", "G2", "lncRNA", 3000L),
+      ("v3", "G3", "protein_coding", 600000L) // beyond 500 kb window
+    ).toDF("variantId", "geneId", "biotype", "distanceFromFootprint")
+    val got = L2gFeatures.proteinCodingFeature(credset, giw)
+      .select("studyLocusId", "geneId", "featureValue")
+      .as[(String, String, Double)].collect().toSet
+    assert(got === Set(("L1", "G1", 1.0), ("L1", "G2", 0.0)))
+  }
+
+  test("neighbourhood feature clamps to [0,1] when asked (distance family)") {
+    val long = Seq(
+      ("L1", "G1", "d", -2.0), ("L1", "G2", "d", 4.0)
+    ).toDF("studyLocusId", "geneId", "featureName", "featureValue")
+    val got = L2gFeatures.neighbourhoodFeature(long, "dN", clamp = true)
+      .select("geneId", "featureValue")
+      .as[(String, Double)].collect().toMap
+    assert(got === Map("G1" -> 0.0, "G2" -> 1.0))
+  }
+
   test("feature matrix pivots the long features with a bounded name list") {
     val long = Seq(
       ("L1", "G1", "a", 0.5), ("L1", "G1", "b", 0.9), ("L2", "G2", "a", 0.1)
