@@ -364,13 +364,77 @@ object SourceQueries {
         col("isProteinCoding"))
   }
 
+  /** Relational chain-file liftover (sources/Liftover.scala
+    * convertCoordinatesRelational; reference common/genomic_region.py:114-260):
+    * broadcast range join against chain blocks, ambiguous positions (covered
+    * by ≠1 block) dropped, negative-strand targets flipped. Chain blocks
+    * from `nation` (some deliberately overlapping), positions from `part`.
+    */
+  def liftover(s: SparkSession, d: String): DataFrame = {
+    val i = col("n_nationkey")
+    val srcStart = (i % 5) * 50000
+    val chain = nation(s, d).select(
+      (i % 4 + 1).cast(StringType).as("srcChrom"),
+      srcStart.cast("long").as("srcStart"),
+      // blocks with odd keys run 30 kb into the next block → overlap →
+      // positions in the overlap are ambiguous and must be dropped
+      (srcStart + 50000 + (i % 2) * 30000).cast("long").as("srcEnd"),
+      concat(lit("c"), (i % 6).cast(StringType)).as("dstChrom"),
+      (srcStart + i * 1000).cast("long").as("dstStart"),
+      lit(10000000L).as("dstSize"),
+      (i % 5 === 0).as("dstStrandNeg")
+    ).distinct()
+    val input = part(s, d).select(
+      (col("p_partkey") % 4 + 1).cast(StringType).as("chromosome"),
+      (col("p_partkey") % 300000 + 1).cast("long").as("position")
+    ).distinct()
+    graft.sources.Liftover
+      .convertCoordinatesRelational(input, chain)
+      .select(
+        col("chromosome"), col("position"),
+        col("mappedChromosome"), col("mappedPosition"))
+  }
+
+  /** GnomAD pairwise-LD → LDIndex (operators/PairwiseLdOps.scala;
+    * reference datasource/gnomad/ld.py:263-309): symmetrise the triangular
+    * long-form matrix, r²-threshold, collect each variant's tag
+    * neighbourhood, then read the verification aggregates back out of the
+    * built `ldSet` array (size / max r / lexicographic-min tag) so the
+    * collect itself is what's checked.
+    */
+  def ldIndex(s: SparkSession, d: String): DataFrame = {
+    val i = col("l_orderkey") % 500
+    val j = col("l_suppkey") % 500
+    val ld = lineitem(s, d)
+      .filter(i =!= j)
+      .select(
+        (col("l_partkey") % 4 + 1).cast(StringType).as("chromosome"),
+        concat(lit("v"), i.cast(StringType)).as("variantIdI"),
+        concat(lit("v"), j.cast(StringType)).as("variantIdJ"),
+        (i * 100).cast("long").as("positionI"),
+        (j * 100).cast("long").as("positionJ"),
+        (((i * 31 + j * 17) % 2001 - 1000) / lit(1000.0)).as("r")
+      ).distinct()
+    val sym = graft.operators.PairwiseLdOps.symmetrise(ld)
+    graft.operators.PairwiseLdOps
+      .toLdIndex(sym, minR2 = 0.5)
+      .select(
+        col("chromosome"),
+        col("variantId"),
+        size(col("ldSet")).as("n_tags"),
+        round(array_max(expr("transform(ldSet, x -> x.rOverall)")), 6).as("max_r"),
+        array_min(expr("transform(ldSet, x -> x.tagVariantId)")).as("first_tag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gwas_harmonise" -> (gwasHarmonise _),
     "q_vep_index" -> (vepIndex _),
     "q_l2g_coloc" -> (l2gColoc _),
     "q_l2g_features" -> (l2gFeatures _),
     "q_l2g_e2g" -> (l2gE2g _),
-    "q_sumstat_harmonise" -> (sumstatHarmonise _)
+    "q_sumstat_harmonise" -> (sumstatHarmonise _),
+    "q_liftover" -> (liftover _),
+    "q_ld_index" -> (ldIndex _)
   )
 
   // Shared SQL fragments mirroring the Spark-side generator and the
@@ -412,6 +476,48 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_liftover" ->
+      """WITH chain AS (SELECT DISTINCT
+        |    CAST(n_nationkey % 4 + 1 AS VARCHAR) AS srcChrom,
+        |    (n_nationkey % 5) * 50000 AS srcStart,
+        |    (n_nationkey % 5) * 50000 + 50000 + (n_nationkey % 2) * 30000 AS srcEnd,
+        |    'c' || CAST(n_nationkey % 6 AS VARCHAR) AS dstChrom,
+        |    (n_nationkey % 5) * 50000 + n_nationkey * 1000 AS dstStart,
+        |    10000000 AS dstSize,
+        |    (n_nationkey % 5 = 0) AS neg
+        |  FROM nation),
+        |input AS (SELECT DISTINCT
+        |    CAST(p_partkey % 4 + 1 AS VARCHAR) AS chrom,
+        |    p_partkey % 300000 + 1 AS pos
+        |  FROM part),
+        |m AS (SELECT i.chrom, i.pos, count(*) AS n,
+        |    max(c.dstChrom) AS mc,
+        |    max(CASE WHEN c.neg
+        |         THEN c.dstSize - (c.dstStart + (i.pos - 1 - c.srcStart)) - 1
+        |         ELSE c.dstStart + (i.pos - 1 - c.srcStart) END + 1) AS mp
+        |  FROM input i JOIN chain c
+        |    ON i.chrom = c.srcChrom
+        |    AND i.pos - 1 >= c.srcStart AND i.pos - 1 < c.srcEnd
+        |  GROUP BY 1, 2)
+        |SELECT chrom AS chromosome, pos AS position,
+        |  mc AS "mappedChromosome", mp AS "mappedPosition"
+        |FROM m WHERE n = 1""".stripMargin,
+    "q_ld_index" ->
+      """WITH ld AS (SELECT DISTINCT
+        |    CAST(l_partkey % 4 + 1 AS VARCHAR) AS chrom,
+        |    'v' || CAST(l_orderkey % 500 AS VARCHAR) AS vi,
+        |    'v' || CAST(l_suppkey % 500 AS VARCHAR) AS vj,
+        |    (((l_orderkey % 500) * 31 + (l_suppkey % 500) * 17) % 2001 - 1000)
+        |      / 1000.0 AS r
+        |  FROM lineitem WHERE l_orderkey % 500 <> l_suppkey % 500),
+        |sym AS (SELECT chrom, vi, vj, r FROM ld
+        |  UNION ALL SELECT chrom, vj AS vi, vi AS vj, r FROM ld)
+        |SELECT chrom AS chromosome, vi AS "variantId",
+        |  CAST(count(*) AS INTEGER) AS n_tags,
+        |  round(max(r), 6) AS max_r,
+        |  min(vj) AS first_tag
+        |FROM sym WHERE r * r >= 0.5
+        |GROUP BY 1, 2""".stripMargin,
     "q_l2g_e2g" ->
       """WITH cs AS (SELECT DISTINCT
         |    'L' || CAST(l_orderkey % 300 AS VARCHAR) AS sl,

@@ -96,4 +96,51 @@ object Liftover {
       .drop("_lifted")
     if (filterUnmapped) out.filter(col("mappedPosition").isNotNull) else out
   }
+
+  /** Relational liftover: the chain blocks as a DataFrame
+    * (srcChrom, srcStart, srcEnd, dstChrom, dstStart, dstSize,
+    * dstStrandNeg) instead of a driver-parsed closure. The distinct
+    * (chromosome, position) pairs range-join the broadcast block table,
+    * positions covered by ≠1 block are dropped as ambiguous, and the
+    * mapping joins back onto the input.
+    *
+    * Same 1-based contract as [[convertCoordinates]]. Chain files are a few
+    * MB even for whole genomes, so the broadcast is always safe; the
+    * distinct-then-join-back shape means the range join touches each unique
+    * position once no matter how many input rows share it, and the whole
+    * plan stays in codegen (no UDF).
+    */
+  def convertCoordinatesRelational(
+      df: DataFrame,
+      chainBlocks: DataFrame,
+      chromCol: String = "chromosome",
+      posCol: String = "position",
+      filterUnmapped: Boolean = true
+  ): DataFrame = {
+    val pos0 = col(posCol).cast("long") - 1
+    val dst = when(
+      col("dstStrandNeg"),
+      col("dstSize") - (col("dstStart") + (pos0 - col("srcStart"))) - 1
+    ).otherwise(col("dstStart") + (pos0 - col("srcStart")))
+    val mapping = df
+      .select(col(chromCol), col(posCol))
+      .distinct()
+      .join(
+        broadcast(chainBlocks),
+        col(chromCol) === col("srcChrom") &&
+          pos0 >= col("srcStart") && pos0 < col("srcEnd"),
+        "inner")
+      .withColumn("_dstPos", dst + 1)
+      .groupBy(col(chromCol), col(posCol))
+      .agg(
+        count(lit(1)).as("_n"),
+        max(col("dstChrom")).as("mappedChromosome"),
+        max(col("_dstPos")).as("mappedPosition"))
+      .filter(col("_n") === 1)
+      .drop("_n")
+    df.join(
+      mapping,
+      Seq(chromCol, posCol),
+      if (filterUnmapped) "inner" else "left")
+  }
 }

@@ -69,6 +69,44 @@ class SourcesSpec extends SparkSpec {
     assert(out(1) === (("chr2", 1L, "chrB", 950L)))
   }
 
+  test("relational liftover agrees with the chain-closure UDF and drops ambiguous positions") {
+    import spark.implicits._
+    val blocks = Seq(
+      // chr1 [100,200) → chrA at 500 (+)
+      ("chr1", 100L, 200L, "chrA", 500L, 20000L, false),
+      // chr2 [0,100) → chrB negative strand, size 1000, offset 50
+      ("chr2", 0L, 100L, "chrB", 50L, 1000L, true),
+      // second block covering chr1 150..250 → overlap at [150,200) is ambiguous
+      ("chr1", 150L, 250L, "chrC", 900L, 20000L, false)
+    )
+    val chainDf = blocks.toDF(
+      "srcChrom", "srcStart", "srcEnd", "dstChrom", "dstStart", "dstSize", "dstStrandNeg")
+    val df = Seq(
+      ("chr1", 101L), // single block → chrA 501
+      ("chr1", 180L), // two blocks → ambiguous, dropped
+      ("chr1", 230L), // only the chrC block → 900 + (229-150) + 1
+      ("chr1", 300L), // unmapped
+      ("chr2", 1L)    // negative strand → 950
+    ).toDF("chromosome", "position")
+    val got = Liftover.convertCoordinatesRelational(df, chainDf)
+      .select("chromosome", "position", "mappedChromosome", "mappedPosition")
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(got === Set(
+      ("chr1", 101L, "chrA", 501L),
+      ("chr1", 230L, "chrC", 980L),
+      ("chr2", 1L, "chrB", 950L)))
+    // cross-check the shared cases against the closure-UDF path
+    val chain = Liftover.ChainMap(Map(
+      "chr1" -> Array(
+        Liftover.Block("chr1", 100L, 200L, "chrA", 500L, 20000L, false),
+        Liftover.Block("chr1", 150L, 250L, "chrC", 900L, 20000L, false)),
+      "chr2" -> Array(Liftover.Block("chr2", 0L, 100L, "chrB", 50L, 1000L, true))))
+    val viaUdf = Liftover.convertCoordinates(df, chain)
+      .select("chromosome", "position", "mappedChromosome", "mappedPosition")
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(viaUdf === got)
+  }
+
   test("VEP JSON parser extracts variant identity and gene consequences") {
     import spark.implicits._
     val json = writeFixture(
