@@ -426,7 +426,89 @@ object SourceQueries {
         array_min(expr("transform(ldSet, x -> x.tagVariantId)")).as("first_tag"))
   }
 
+  /** Full L2G feature-factory path (operators/L2gFeatureFactory.scala;
+    * reference method/l2g/feature_factory.py:102-200): four families —
+    * sentinel TSS distance, its protein-coding-restricted clamped
+    * neighbourhood ratio, eQTL coloc H4 maximum, and credible-set
+    * confidence — computed through the named catalog and pivoted into the
+    * training matrix.
+    */
+  def l2gMatrix(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.L2gFeatureFactory
+    val lid = col("o_orderkey") % 400
+    val confidence = when(lid % 4 === 0, "SuSiE fine-mapped credible set with in-sample LD")
+      .when(lid % 4 === 1, "SuSiE fine-mapped credible set with out-of-sample LD")
+      .when(lid % 4 === 2, "PICS fine-mapped credible set extracted from summary statistics")
+      .otherwise("PICS fine-mapped credible set based on reported top hit")
+    val studyLoci = orders(s, d).select(
+      concat(lit("L"), lid.cast(StringType)).as("studyLocusId"),
+      concat(lit("v"), ((lid * 3) % 800).cast(StringType)).as("variantId"),
+      (lid % 5 + 1).cast(StringType).as("chromosome"),
+      (lit(100000) + (lid % 40) * 50000).cast("long").as("position"),
+      confidence.as("confidence")
+    ).distinct()
+    val vk = col("l_orderkey") * 8 + col("l_linenumber")
+    val credset = lineitem(s, d).select(
+      concat(lit("L"), (col("l_orderkey") % 400).cast(StringType)).as("studyLocusId"),
+      concat(lit("v"), (vk % 800).cast(StringType)).as("variantId"),
+      (col("l_orderkey") % 5 + 1).cast(StringType).as("chromosome"),
+      (lit(100000) + (vk % 100) * 10000).cast("long").as("position"),
+      ((vk % 100 + 1) / lit(128.0)).as("posteriorProbability")
+    ).distinct()
+    val ck = col("c_custkey")
+    val coloc = customer(s, d).select(
+      concat(lit("L"), (ck % 400).cast(StringType)).as("leftStudyLocusId"),
+      concat(lit("R"), ck.cast(StringType)).as("rightStudyLocusId"),
+      concat(lit("ENSG"), (ck % 90).cast(StringType)).as("rightGeneId"),
+      when(ck % 2 === 0, "Coloc").otherwise("ECaviar").as("colocalisationMethod"),
+      when(ck % 3 === 0, "eqtl").when(ck % 3 === 1, "pqtl").otherwise("sqtl")
+        .as("rightStudyType"),
+      ((ck % 64) / lit(64.0)).as("clpp"),
+      ((ck % 128) / lit(128.0)).as("h4")
+    ).distinct()
+    val pk = col("p_partkey")
+    val tss = part(s, d).select(
+      concat(lit("v"), (pk % 800).cast(StringType)).as("variantId"),
+      concat(lit("ENSG"), (pk % 90).cast(StringType)).as("geneId"),
+      // distance is a pure function of the (variant, gene) residues so the
+      // (variantId, geneId) pairs stay unique under distinct
+      (((pk % 800) * 499 + (pk % 90) * 31) % 400000).cast("long").as("distance")
+    ).distinct()
+    val giw = part(s, d).select(
+      concat(lit("v"), (pk % 800).cast(StringType)).as("variantId"),
+      concat(lit("ENSG"), ((pk * 7) % 90).cast(StringType)).as("geneId"),
+      when(pk % 3 === 0, "protein_coding").otherwise("lncRNA").as("biotype"),
+      (pk % 600000).cast("long").as("distanceFromFootprint")
+    ).distinct()
+    val genes = supplier(s, d).select(
+      concat(lit("ENSG"), (col("s_suppkey") % 90).cast(StringType)).as("geneId"),
+      (col("s_suppkey") % 5 + 1).cast(StringType).as("chromosome"),
+      (lit(90000) + (col("s_suppkey") % 60) * 40000).cast("long").as("tss"),
+      when(col("s_suppkey") % 2 === 0, "protein_coding").otherwise("lncRNA").as("biotype")
+    ).distinct()
+    val in = L2gFeatureFactory.Inputs(
+      studyLoci = studyLoci, credsetVariants = credset, coloc = coloc,
+      tssDistances = tss, footprintDistances = tss, consequences = tss,
+      genesInWindow = giw, genes = genes,
+      intervals = giw.limit(0).select(
+        col("variantId").as("chromosome"), col("distanceFromFootprint").as("start"),
+        col("distanceFromFootprint").as("end"), col("geneId"),
+        col("distanceFromFootprint").cast("double").as("score")))
+    L2gFeatureFactory
+      .computeAll(in, Seq(
+        "distanceSentinelTss", "distanceSentinelTssNeighbourhood",
+        "eQtlColocH4Maximum", "credibleSetConfidence"))
+      .select(
+        col("studyLocusId"), col("geneId"),
+        round(col("distanceSentinelTss"), 6).as("distanceSentinelTss"),
+        round(col("distanceSentinelTssNeighbourhood"), 6)
+          .as("distanceSentinelTssNeighbourhood"),
+        round(col("eQtlColocH4Maximum"), 6).as("eQtlColocH4Maximum"),
+        col("credibleSetConfidence"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_l2g_matrix" -> (l2gMatrix _),
     "q_gwas_harmonise" -> (gwasHarmonise _),
     "q_vep_index" -> (vepIndex _),
     "q_l2g_coloc" -> (l2gColoc _),
@@ -476,6 +558,66 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_l2g_matrix" ->
+      """WITH sl AS (SELECT DISTINCT
+        |    'L' || CAST(o_orderkey % 400 AS VARCHAR) AS sl,
+        |    'v' || CAST(((o_orderkey % 400) * 3) % 800 AS VARCHAR) AS vid,
+        |    (o_orderkey % 400) % 4 AS conf4
+        |  FROM orders),
+        |conf AS (SELECT sl, CASE conf4 WHEN 0 THEN 1.0 WHEN 1 THEN 0.75
+        |    WHEN 2 THEN 0.5 ELSE 0.25 END AS cscore FROM sl),
+        |cs AS (SELECT DISTINCT
+        |    'L' || CAST(l_orderkey % 400 AS VARCHAR) AS sl,
+        |    'v' || CAST((l_orderkey * 8 + l_linenumber) % 800 AS VARCHAR) AS vid
+        |  FROM lineitem),
+        |coloc AS (SELECT DISTINCT
+        |    'L' || CAST(c_custkey % 400 AS VARCHAR) AS sl,
+        |    'R' || CAST(c_custkey AS VARCHAR) AS rsl,
+        |    'ENSG' || CAST(c_custkey % 90 AS VARCHAR) AS gene,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'coloc' ELSE 'ecaviar' END AS method,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'eqtl' WHEN c_custkey % 3 = 1
+        |         THEN 'pqtl' ELSE 'sqtl' END AS qtl,
+        |    (c_custkey % 128) / 128.0 AS h4
+        |  FROM customer),
+        |tss AS (SELECT DISTINCT
+        |    'v' || CAST(p_partkey % 800 AS VARCHAR) AS vid,
+        |    'ENSG' || CAST(p_partkey % 90 AS VARCHAR) AS gene,
+        |    ((p_partkey % 800) * 499 + (p_partkey % 90) * 31) % 400000 AS d
+        |  FROM part),
+        |giw AS (SELECT DISTINCT
+        |    'v' || CAST(p_partkey % 800 AS VARCHAR) AS vid,
+        |    'ENSG' || CAST((p_partkey * 7) % 90 AS VARCHAR) AS gene
+        |  FROM part),
+        |pcg AS (SELECT DISTINCT 'ENSG' || CAST(s_suppkey % 90 AS VARCHAR) AS gene
+        |  FROM supplier WHERE s_suppkey % 2 = 0),
+        |ds AS (SELECT s.sl, t.gene,
+        |    log10(500000 - abs(t.d) + 1) / log10(500001.0) AS v
+        |  FROM sl s JOIN tss t ON s.vid = t.vid),
+        |nb AS (SELECT sl, gene,
+        |    CASE WHEN mx IS NOT NULL AND mx <> 0
+        |         THEN LEAST(GREATEST(v / mx, 0), 1) ELSE 0.0 END AS v
+        |  FROM (SELECT d2.sl, d2.gene, d2.v,
+        |          max(d2.v) OVER (PARTITION BY d2.sl) AS mx
+        |        FROM ds d2 WHERE d2.gene IN (SELECT gene FROM pcg)) x),
+        |ch4 AS (SELECT c.sl, c.gene, max(c.h4) AS v
+        |  FROM coloc c
+        |  WHERE c.method IN ('coloc', 'coloc_pip_ecaviar') AND c.qtl = 'eqtl'
+        |    AND c.sl IN (SELECT sl FROM sl)
+        |  GROUP BY 1, 2),
+        |cf AS (SELECT DISTINCT c.sl, g.gene, f.cscore AS v
+        |  FROM cs c JOIN giw g ON c.vid = g.vid
+        |  JOIN conf f ON c.sl = f.sl)
+        |SELECT sl AS "studyLocusId", gene AS "geneId",
+        |  round(max(CASE WHEN f = 'dst' THEN v END), 6) AS "distanceSentinelTss",
+        |  round(max(CASE WHEN f = 'nb' THEN v END), 6)
+        |    AS "distanceSentinelTssNeighbourhood",
+        |  round(max(CASE WHEN f = 'h4' THEN v END), 6) AS "eQtlColocH4Maximum",
+        |  max(CASE WHEN f = 'cf' THEN v END) AS "credibleSetConfidence"
+        |FROM (SELECT sl, gene, 'dst' AS f, v FROM ds
+        |      UNION ALL SELECT sl, gene, 'nb' AS f, v FROM nb
+        |      UNION ALL SELECT sl, gene, 'h4' AS f, v FROM ch4
+        |      UNION ALL SELECT sl, gene, 'cf' AS f, v FROM cf) u
+        |GROUP BY 1, 2""".stripMargin,
     "q_liftover" ->
       """WITH chain AS (SELECT DISTINCT
         |    CAST(n_nationkey % 4 + 1 AS VARCHAR) AS srcChrom,
