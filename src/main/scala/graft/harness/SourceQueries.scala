@@ -507,7 +507,45 @@ object SourceQueries {
         col("credibleSetConfidence"))
   }
 
+  /** Gold-standard refinement chain (operators/L2gGoldStandard.scala;
+    * reference l2g_gold_standard.py:76-232): overlap-redundancy filter
+    * followed by interaction-confound removal, on synthetic curation rows
+    * (`orders`), an overlap matrix (`lineitem`) and a gene interactome
+    * (`part`).
+    */
+  def goldStandard(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.L2gGoldStandard
+    val ok = col("o_orderkey") % 1000
+    val gs = orders(s, d).select(
+      concat(lit("SL"), ok.cast(StringType)).as("studyLocusId"),
+      concat(lit("v"), ok.cast(StringType)).as("variantId"),
+      concat(lit("S"), (col("o_custkey") % 20).cast(StringType)).as("studyId"),
+      concat(lit("ENSG"), (ok % 150).cast(StringType)).as("geneId"),
+      when(col("o_orderkey") % 3 === 0, "negative").otherwise("positive")
+        .as("goldStandardSet")
+    ).distinct()
+    val k = col("l_orderkey") * 8 + col("l_linenumber")
+    val overlaps = lineitem(s, d).select(
+      concat(lit("SL"), (k % 1000).cast(StringType)).as("leftStudyLocusId"),
+      concat(lit("SL"), ((k * 7 + 3) % 1000).cast(StringType)).as("rightStudyLocusId"),
+      when(k % 4 === 0, concat(lit("v"), (k % 1000).cast(StringType)))
+        .when(k % 4 === 1, concat(lit("v"), ((k * 7 + 3) % 1000).cast(StringType)))
+        .otherwise(concat(lit("v"), ((k + 500) % 1000).cast(StringType)))
+        .as("tagVariantId")
+    ).distinct()
+    val pk2 = col("p_partkey")
+    val interactions = part(s, d).select(
+      concat(lit("ENSG"), (pk2 % 150).cast(StringType)).as("targetA"),
+      concat(lit("ENSG"), ((pk2 * 11 + 1) % 150).cast(StringType)).as("targetB"),
+      ((pk2 % 100) / lit(100.0)).as("scoring")
+    ).distinct()
+    val top = L2gGoldStandard.processGeneInteractions(interactions)
+    val unique = L2gGoldStandard.filterUniqueAssociations(gs, overlaps)
+    L2gGoldStandard.removeFalseNegatives(unique, top)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gold_standard" -> (goldStandard _),
     "q_l2g_matrix" -> (l2gMatrix _),
     "q_gwas_harmonise" -> (gwasHarmonise _),
     "q_vep_index" -> (vepIndex _),
@@ -558,6 +596,45 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_gold_standard" ->
+      """WITH gs AS (SELECT DISTINCT
+        |    'SL' || CAST(o_orderkey % 1000 AS VARCHAR) AS sl,
+        |    'v' || CAST(o_orderkey % 1000 AS VARCHAR) AS vid,
+        |    'S' || CAST(o_custkey % 20 AS VARCHAR) AS sid,
+        |    'ENSG' || CAST(o_orderkey % 1000 % 150 AS VARCHAR) AS gene,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'negative' ELSE 'positive' END AS gss
+        |  FROM orders),
+        |ov AS (SELECT DISTINCT
+        |    'SL' || CAST(k % 1000 AS VARCHAR) AS l,
+        |    'SL' || CAST((k * 7 + 3) % 1000 AS VARCHAR) AS r,
+        |    CASE WHEN k % 4 = 0 THEN 'v' || CAST(k % 1000 AS VARCHAR)
+        |         WHEN k % 4 = 1 THEN 'v' || CAST((k * 7 + 3) % 1000 AS VARCHAR)
+        |         ELSE 'v' || CAST((k + 500) % 1000 AS VARCHAR) END AS tag
+        |  FROM (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem)),
+        |sqov AS (SELECT l, tag FROM ov UNION SELECT r AS l, tag FROM ov),
+        |gcnt AS (SELECT gene, count(DISTINCT sl) AS n FROM gs GROUP BY 1),
+        |fu AS (SELECT DISTINCT g.sl, g.vid, g.sid, g.gene, g.gss
+        |  FROM gs g JOIN gcnt c ON g.gene = c.gene
+        |  LEFT JOIN sqov o ON g.sl = o.l AND g.vid = o.tag
+        |  WHERE NOT (c.n > 1 AND o.tag IS NOT NULL)),
+        |inter AS (SELECT DISTINCT
+        |    'ENSG' || CAST(p_partkey % 150 AS VARCHAR) AS ga,
+        |    'ENSG' || CAST((p_partkey * 11 + 1) % 150 AS VARCHAR) AS gb,
+        |    (p_partkey % 100) / 100.0 AS sc
+        |  FROM part),
+        |top AS (SELECT ga, gb, max(sc) AS sc FROM inter GROUP BY 1, 2),
+        |sq AS (SELECT ga, gb, sc FROM top
+        |  UNION ALL SELECT gb AS ga, ga AS gb, sc FROM top),
+        |sqf AS (SELECT * FROM sq WHERE sc > 0.7),
+        |ist AS (SELECT DISTINCT gene AS ig, gss AS igs FROM fu)
+        |SELECT DISTINCT f.sl AS "studyLocusId", f.vid AS "variantId",
+        |  f.sid AS "studyId", f.gene AS "geneId", f.gss AS "goldStandardSet"
+        |FROM fu f
+        |LEFT JOIN sqf s ON f.gene = s.ga
+        |LEFT JOIN ist i ON s.gb = i.ig
+        |WHERE (f.gene <> s.gb OR s.gb IS NULL)
+        |  AND ((NOT (f.gss = 'negative') AND i.igs = 'positive')
+        |       OR s.gb IS NULL)""".stripMargin,
     "q_l2g_matrix" ->
       """WITH sl AS (SELECT DISTINCT
         |    'L' || CAST(o_orderkey % 400 AS VARCHAR) AS sl,

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+import graft.functions.DfOps
+
+/** L2G gold-standard (training-label) refinement
+  * (reference: dataset/l2g_gold_standard.py:26-232).
+  *
+  * A gold-standard row is (studyLocusId, variantId, studyId, geneId,
+  * goldStandardSet ∈ {positive, negative}). Refinement removes loci whose
+  * labels are unreliable: redundant associations whose credible sets
+  * overlap another locus pointing at the same gene, and negative labels
+  * confounded by a strong physical interaction with a positive gene.
+  *
+  * Scale notes: every step is an equi join or a window keyed on geneId /
+  * variantId; the interactions table (bounded: gene-pair interactome) is
+  * broadcast-sized, the gold standard itself is curated (thousands of
+  * rows) — at 100 TB only the overlap matrix is big, and it enters through
+  * one equi join on (studyLocusId, tagVariantId).
+  */
+object L2gGoldStandard {
+
+  val InteractionThreshold = 0.7
+  val Positive = "positive"
+  val Negative = "negative"
+
+  /** Top-scoring interaction per (targetA, targetB) pair
+    * (l2g_gold_standard.py:76-106).
+    */
+  def processGeneInteractions(interactions: DataFrame): DataFrame =
+    DfOps
+      .getTopRankedInWindow(
+        interactions,
+        Window.partitionBy(col("targetA"), col("targetB")).orderBy(col("scoring").desc))
+      .select(
+        col("targetA").as("geneIdA"),
+        col("targetB").as("geneIdB"),
+        col("scoring").as("score"))
+
+  /** Symmetrise the overlap matrix (study_locus_overlap.py:85-103). */
+  def squareOverlaps(overlaps: DataFrame): DataFrame =
+    overlaps
+      .unionByName(
+        overlaps.select(
+          col("rightStudyLocusId").as("leftStudyLocusId"),
+          col("leftStudyLocusId").as("rightStudyLocusId"),
+          col("tagVariantId")))
+      .distinct()
+
+  /** Drop loci that are not independent (l2g_gold_standard.py:141-183):
+    * when a locus overlaps another credible set AND its gene is claimed by
+    * more than one study locus, the row is redundant and removed.
+    *
+    * @param goldStandard (studyLocusId, variantId, studyId, geneId,
+    *                     goldStandardSet)
+    * @param overlaps     triangular (leftStudyLocusId, rightStudyLocusId,
+    *                     tagVariantId) — symmetrised internally
+    */
+  def filterUniqueAssociations(goldStandard: DataFrame, overlaps: DataFrame): DataFrame = {
+    val squared = squareOverlaps(
+      overlaps.select("leftStudyLocusId", "rightStudyLocusId", "tagVariantId"))
+    val slSameGene =
+      collect_set(col("studyLocusId")).over(Window.partitionBy(col("geneId")))
+    goldStandard
+      .withColumn("sl_same_gene", slSameGene)
+      .join(
+        squared,
+        goldStandard("studyLocusId") === squared("leftStudyLocusId") &&
+          goldStandard("variantId") === squared("tagVariantId"),
+        "left")
+      .withColumn("overlaps", squared("tagVariantId").isNotNull)
+      .filter(!(size(col("sl_same_gene")) > 1 && col("overlaps")))
+      .select(goldStandard.columns.map(goldStandard(_)): _*)
+      .distinct()
+  }
+
+  /** Remove negative labels confounded by gene-gene interactions
+    * (l2g_gold_standard.py:185-232): a row survives when it has no strong
+    * interactor, or when it is non-negative and at least one strong
+    * interactor is a gold-standard positive. (The final distinct makes the
+    * filter an EXISTS over the join-expanded rows — faithful to the
+    * reference, pinned by its test_remove_false_negatives.)
+    */
+  def removeFalseNegatives(goldStandard: DataFrame, topInteractions: DataFrame): DataFrame = {
+    val squared = topInteractions
+      .unionByName(
+        topInteractions.select(
+          col("geneIdB").as("geneIdA"),
+          col("geneIdA").as("geneIdB"),
+          col("score")))
+      .filter(col("score") > InteractionThreshold)
+    val interactorStatus = goldStandard
+      .select(
+        col("geneId").as("interactorGeneId"),
+        col("goldStandardSet").as("interactorGoldStandardSet"))
+      .distinct()
+    goldStandard
+      .join(squared, goldStandard("geneId") === squared("geneIdA"), "left")
+      .withColumnRenamed("geneIdB", "interactorGeneId")
+      .join(interactorStatus, Seq("interactorGeneId"), "left")
+      .filter(
+        goldStandard("geneId") =!= col("interactorGeneId") ||
+          col("interactorGeneId").isNull)
+      .filter(
+        (!(col("goldStandardSet") === Negative) &&
+          col("interactorGoldStandardSet") === Positive) ||
+          col("interactorGeneId").isNull)
+      .select(goldStandard.columns.map(goldStandard(_)): _*)
+      .distinct()
+  }
+
+  /** Restrict a full feature matrix to gold-standard rows
+    * (l2g_gold_standard.py:108-139): annotate the matrix with
+    * (studyId, variantId) through the credible set, inner-join the
+    * broadcast gold standard on (studyId, variantId, geneId), and keep
+    * protein-coding genes only.
+    */
+  def buildFeatureMatrix(
+      goldStandard: DataFrame,
+      featureMatrix: DataFrame,
+      credibleSets: DataFrame
+  ): DataFrame =
+    featureMatrix
+      .join(
+        credibleSets.select("studyLocusId", "variantId", "studyId"),
+        Seq("studyLocusId"),
+        "left")
+      .join(
+        broadcast(
+          goldStandard.select("studyId", "variantId", "geneId", "goldStandardSet")),
+        Seq("studyId", "variantId", "geneId"),
+        "inner")
+      .filter(col("isProteinCoding") === 1.0)
+      .drop("studyId", "variantId")
+      .distinct()
+}
