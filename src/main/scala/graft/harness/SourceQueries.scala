@@ -544,7 +544,49 @@ object SourceQueries {
     L2gGoldStandard.removeFalseNegatives(unique, top)
   }
 
+  /** StudyIndex validation chain (sources/StudyIndexOps.scala; reference
+    * study_index.py:279-459): duplicate-id flagging (deterministic
+    * tiebreak), deprecated projects, unsupported study types, and EFO →
+    * disease normalisation with unresolved-disease flagging.
+    */
+  def studyValidate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.StudyIndexOps
+    val c = col("c_custkey")
+    val studies = customer(s, d).select(
+      concat(lit("S"), (c % 800).cast(StringType)).as("studyId"),
+      concat(lit("P"), (c % 7).cast(StringType)).as("projectId"),
+      when(c % 4 === 0, "gwas").when(c % 4 === 1, "eqtl")
+        .when(c % 4 === 2, "pqtl").otherwise("bad").as("studyType"),
+      c.as("sampleSize"),
+      when(c % 5 === 0, array().cast("array<string>"))
+        .otherwise(array(
+          concat(lit("EFO_"), (c % 120).cast(StringType)),
+          concat(lit("EFO_"), ((c * 3) % 120).cast(StringType))))
+        .as("traitFromSourceMappedIds"),
+      array().cast("array<string>").as("backgroundTraitFromSourceMappedIds"),
+      lit(null).cast("array<string>").as("qualityControls")
+    ).distinct()
+    val diseaseMap = part(s, d)
+      .filter((col("p_partkey") % 120) % 2 === 0)
+      .select(
+        concat(lit("EFO_"), (col("p_partkey") % 120).cast(StringType)).as("efo"),
+        concat(lit("D"), (((col("p_partkey") % 120) * 3) % 80).cast(StringType))
+          .as("diseaseId")
+      ).distinct()
+    val validated = StudyIndexOps.validateDisease(
+      StudyIndexOps.validateStudyType(
+        StudyIndexOps.validateProjectId(
+          StudyIndexOps.validateUniqueStudyId(studies, col("sampleSize")),
+          Seq("P0", "P3"))),
+      diseaseMap)
+    validated.select(
+      col("studyId"), col("projectId"), col("studyType"), col("sampleSize"),
+      array_sort(col("diseaseIds")).as("diseaseIds"),
+      col("qualityControls"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_study_validate" -> (studyValidate _),
     "q_gold_standard" -> (goldStandard _),
     "q_l2g_matrix" -> (l2gMatrix _),
     "q_gwas_harmonise" -> (gwasHarmonise _),
@@ -596,6 +638,43 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_study_validate" ->
+      """WITH st AS (SELECT DISTINCT
+        |    'S' || CAST(c_custkey % 800 AS VARCHAR) AS sid,
+        |    'P' || CAST(c_custkey % 7 AS VARCHAR) AS pid,
+        |    CASE c_custkey % 4 WHEN 0 THEN 'gwas' WHEN 1 THEN 'eqtl'
+        |         WHEN 2 THEN 'pqtl' ELSE 'bad' END AS stype,
+        |    c_custkey AS n,
+        |    CASE WHEN c_custkey % 5 = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE ['EFO_' || CAST(c_custkey % 120 AS VARCHAR),
+        |               'EFO_' || CAST((c_custkey * 3) % 120 AS VARCHAR)]
+        |    END AS efos
+        |  FROM customer),
+        |dm AS (SELECT DISTINCT
+        |    'EFO_' || CAST(p_partkey % 120 AS VARCHAR) AS efo,
+        |    'D' || CAST(((p_partkey % 120) * 3) % 80 AS VARCHAR) AS did
+        |  FROM part WHERE (p_partkey % 120) % 2 = 0),
+        |fg AS (SELECT sid,
+        |    list_sort(list(DISTINCT dm.did) FILTER (dm.did IS NOT NULL)) AS dids
+        |  FROM (SELECT sid, unnest(efos) AS efo FROM st WHERE len(efos) > 0) e
+        |  LEFT JOIN dm ON e.efo = dm.efo
+        |  GROUP BY sid),
+        |flagged AS (SELECT st.*,
+        |    row_number() OVER (PARTITION BY st.sid ORDER BY n) > 1 AS dup,
+        |    pid IN ('P0', 'P3') AS dep,
+        |    NOT (stype = 'gwas' OR stype LIKE '%qtl') AS badtype,
+        |    coalesce(fg.dids, CAST([] AS VARCHAR[])) AS dids
+        |  FROM st LEFT JOIN fg ON st.sid = fg.sid)
+        |SELECT sid AS "studyId", pid AS "projectId", stype AS "studyType",
+        |  n AS "sampleSize", dids AS "diseaseIds",
+        |  list_sort(list_filter([
+        |    CASE WHEN dup THEN 'The identifier of this study is not unique' END,
+        |    CASE WHEN dep THEN 'Deprecated project' END,
+        |    CASE WHEN badtype THEN 'This type of study is not supported' END,
+        |    CASE WHEN len(dids) = 0 AND stype = 'gwas'
+        |         THEN 'No valid disease identifier found' END],
+        |    x -> x IS NOT NULL)) AS "qualityControls"
+        |FROM flagged""".stripMargin,
     "q_gold_standard" ->
       """WITH gs AS (SELECT DISTINCT
         |    'SL' || CAST(o_orderkey % 1000 AS VARCHAR) AS sl,

@@ -1,7 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.core.GDataset
 
 /** StudyIndex population helpers
   * (reference: dataset/study_index.py:126-230 and
@@ -44,6 +47,86 @@ object StudyIndexOps {
       element_at(PopulationMapCol, sample.getField("ancestry")).as("ancestry"),
       sample.getField("sampleSize").as("sampleSize")
     )
+
+  // StudyQualityCheck flag texts (study_index.py:44-80)
+  val DuplicatedStudyFlag = "The identifier of this study is not unique"
+  val UnknownStudyTypeFlag = "This type of study is not supported"
+  val UnresolvedDiseaseFlag = "No valid disease identifier found"
+  val DeprecatedProjectFlag = "Deprecated project"
+
+  /** Flag non-unique study identifiers (study_index.py:279-296). The
+    * reference keeps one arbitrary copy unflagged (`row_number` over
+    * `orderBy(rand())`); this port takes an explicit deterministic
+    * tiebreak column instead so the flagging is reproducible.
+    */
+  def validateUniqueStudyId(df: DataFrame, tiebreak: Column): DataFrame =
+    df.withColumn(
+      "qualityControls",
+      GDataset.updateQualityFlag(
+        col("qualityControls"),
+        row_number().over(Window.partitionBy(col("studyId")).orderBy(tiebreak)) > 1,
+        DuplicatedStudyFlag))
+
+  /** Flag deprecated project identifiers (study_index.py:298-324). */
+  def validateProjectId(df: DataFrame, deprecatedProjectIds: Seq[String]): DataFrame =
+    if (deprecatedProjectIds.isEmpty) df
+    else
+      df.withColumn(
+        "qualityControls",
+        GDataset.updateQualityFlag(
+          col("qualityControls"),
+          col("projectId").isin(deprecatedProjectIds: _*),
+          DeprecatedProjectFlag))
+
+  /** Flag unsupported study types: anything but `gwas` / `*qtl`
+    * (study_index.py:436-459).
+    */
+  def validateStudyType(df: DataFrame): DataFrame =
+    df.withColumn(
+      "qualityControls",
+      GDataset.updateQualityFlag(
+        col("qualityControls"),
+        !(col("studyType") === "gwas" || col("studyType").endsWith("qtl")),
+        UnknownStudyTypeFlag))
+
+  /** Map source EFO ids to reference disease ids and collect per study
+    * (study_index.py:326-361). The disease map is reference-bounded —
+    * broadcast it so the explode-join never shuffles the study side.
+    */
+  def normaliseDisease(
+      df: DataFrame,
+      sourceDiseaseColumn: String,
+      diseaseColumn: String,
+      diseaseMap: DataFrame
+  ): DataFrame =
+    df.filter(size(col(sourceDiseaseColumn)) > 0)
+      .select(col("studyId"), explode_outer(col(sourceDiseaseColumn)).as("efo"))
+      .join(broadcast(diseaseMap), Seq("efo"), "left")
+      .groupBy(col("studyId"))
+      .agg(collect_set(col("diseaseId")).as(diseaseColumn))
+
+  /** Validate diseases: normalise foreground + background EFO ids and flag
+    * GWAS studies with no resolvable disease (study_index.py:364-434).
+    */
+  def validateDisease(df: DataFrame, diseaseMap: DataFrame): DataFrame = {
+    val fg = normaliseDisease(df, "traitFromSourceMappedIds", "diseaseIds", diseaseMap)
+    val bg = normaliseDisease(
+      df, "backgroundTraitFromSourceMappedIds", "backgroundDiseaseIds", diseaseMap)
+    df.join(fg, Seq("studyId"), "left")
+      .join(bg, Seq("studyId"), "left")
+      .withColumn(
+        "diseaseIds",
+        coalesce(col("diseaseIds"), array().cast("array<string>")))
+      .withColumn(
+        "backgroundDiseaseIds",
+        coalesce(col("backgroundDiseaseIds"), array().cast("array<string>")))
+      .withColumn(
+        "qualityControls",
+        GDataset.updateQualityFlag(
+          col("qualityControls"),
+          size(col("diseaseIds")) === 0 && col("studyType") === "gwas",
+          UnresolvedDiseaseFlag))
+  }
 
   /** discoverySamples → ldPopulationStructure: LD populations aggregated by
     * summed sample size and expressed as relative shares

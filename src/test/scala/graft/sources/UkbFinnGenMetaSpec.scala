@@ -153,4 +153,33 @@ class UkbFinnGenMetaSpec extends SparkSpec {
     // row 1 kept (FinnGen + MVP_EUR)
     assert(out.map(_._1).toSeq === Seq("1_100_A_G", "X_200_C_T"))
   }
+
+  test("study validation chain: duplicates, deprecated projects, types, diseases") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val studies = Seq(
+      ("S1", "P1", "gwas", 10L, Seq("EFO_1", "EFO_9")),
+      ("S1", "P0", "gwas", 20L, Seq("EFO_1")), // duplicate id (larger tiebreak) + deprecated project
+      ("S2", "P2", "sqtl", 30L, Seq.empty[String]), // qtl type fine, no traits → no disease flag (not gwas)
+      ("S3", "P2", "bad", 40L, Seq("EFO_9")),  // unknown type + unresolved disease... but not gwas
+      ("S4", "P2", "gwas", 50L, Seq("EFO_9"))  // gwas with unmappable EFO → unresolved disease
+    ).toDF("studyId", "projectId", "studyType", "sampleSize", "traitFromSourceMappedIds")
+      .withColumn("backgroundTraitFromSourceMappedIds", array().cast("array<string>"))
+      .withColumn("qualityControls", lit(null).cast("array<string>"))
+    val diseaseMap = Seq(("EFO_1", "D1")).toDF("efo", "diseaseId")
+    val out = StudyIndexOps.validateDisease(
+      StudyIndexOps.validateStudyType(
+        StudyIndexOps.validateProjectId(
+          StudyIndexOps.validateUniqueStudyId(studies, col("sampleSize")),
+          Seq("P0"))),
+      diseaseMap)
+      .select("studyId", "sampleSize", "qualityControls", "diseaseIds")
+      .as[(String, Long, Seq[String], Seq[String])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out(("S1", 10L)) === ((Seq.empty, Seq("D1"))))
+    assert(out(("S1", 20L)) === ((Seq(
+      StudyIndexOps.DeprecatedProjectFlag, StudyIndexOps.DuplicatedStudyFlag), Seq("D1"))))
+    assert(out(("S2", 30L)) === ((Seq.empty, Seq.empty)))
+    assert(out(("S3", 40L))._1 === Seq(StudyIndexOps.UnknownStudyTypeFlag))
+    assert(out(("S4", 50L)) === ((Seq(StudyIndexOps.UnresolvedDiseaseFlag), Seq.empty)))
+  }
 }
