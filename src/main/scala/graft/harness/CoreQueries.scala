@@ -211,9 +211,67 @@ object CoreQueries {
     )
   }
 
+  /** Null/array/map helper kernels (functions/ArrayOps.scala; reference
+    * common/spark.py:99-119, 353-384, 520-580, 788-948): dictionary lookup
+    * through a transient map literal, empty-array nullification, null-safe
+    * array union, and first-match struct-field extraction.
+    */
+  def helpers(s: SparkSession, d: String): DataFrame = {
+    val k = col("l_orderkey") * 8 + col("l_linenumber")
+    val base = lineitem(s, d).select(k.as("id"), col("l_returnflag").as("rf"))
+    val kk = col("id")
+    val toks = when(kk % 3 === 0, array().cast("array<string>"))
+      .otherwise(array(
+        concat(lit("x"), (kk % 5).cast(StringType)),
+        concat(lit("y"), (kk % 7).cast(StringType))))
+    val a = when(kk % 4 === 0, lit(null).cast("array<bigint>"))
+      .otherwise(array(kk % 10, kk % 10 + 1))
+    val b = when(kk % 5 === 0, lit(null).cast("array<bigint>"))
+      .otherwise(array(kk % 10 + 1, kk % 12))
+    val structs = array(
+      struct(concat(lit("a"), (kk % 2).cast(StringType)).as("k"), (kk % 50).as("v")),
+      struct(lit("a0").as("k"), (kk % 30).as("v")))
+    base.select(
+      kk.as("id"),
+      ArrayOps.mapColumnByDictionary(
+        col("rf"), Map("A" -> "accepted", "N" -> "neutral", "R" -> "returned"))
+        .as("flag"),
+      ArrayOps.nullifyEmptyArray(toks).as("toks"),
+      array_sort(array_distinct(ArrayOps.safeArrayUnion(a, b))).as("uni"),
+      ArrayOps.filterArrayStruct(structs, "k", lit("a0"), "v").as("fv"))
+  }
+
+  /** Source-reader column kernels (sources/Decode.scala, EqtlCatalogue.scala;
+    * reference datasource/decode/summary_statistics.py:146-210,
+    * eqtl_catalogue/finemapping.py:60-120): deCODE allele-frequency
+    * inference, study-id-from-path extraction, and eQTL-Catalogue
+    * credible-set index parsing.
+    */
+  def sourceCores(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{Decode, EqtlCatalogue}
+    val k = col("l_orderkey") * 8 + col("l_linenumber")
+    val base = lineitem(s, d).select(k.as("id"))
+    val kk = col("id")
+    val impMaf = (kk % 50) / lit(100.0)
+    val eurAf = when(kk % 7 === 0, lit(null).cast("double"))
+      .otherwise((kk % 100) / lit(100.0))
+    base.select(
+      kk.as("id"),
+      round(Decode.inferAlleleFrequency(impMaf, eurAf), 6).as("af"),
+      Decode.studyIdFromFile(
+        concat(lit("PRJ"), (kk % 5).cast(StringType)),
+        concat(lit("/data/Proteomics_SMP_"), kk.cast(StringType), lit(".txt.gz")))
+        .as("studyId"),
+      EqtlCatalogue.extractCredibleSetIndex(
+        concat(lit("cs_"), kk.cast(StringType), lit("_L"), (kk % 9 + 1).cast(StringType)))
+        .as("csIndex"))
+  }
+
   // -- DuckDB oracles --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_helpers" -> (helpers _),
+    "q_source_cores" -> (sourceCores _),
     "q_pvalue_filter" -> (pvalueFilter _),
     "q_neglog_pval" -> (neglogPval _),
     "q_md5_id" -> (md5Id _),
@@ -234,6 +292,36 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_helpers" ->
+      """WITH b AS (SELECT l_orderkey * 8 + l_linenumber AS id,
+        |    l_returnflag AS rf FROM lineitem)
+        |SELECT id,
+        |  CASE rf WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'neutral'
+        |       WHEN 'R' THEN 'returned' END AS flag,
+        |  CASE WHEN id % 3 = 0 THEN NULL
+        |       ELSE ['x' || CAST(id % 5 AS VARCHAR),
+        |             'y' || CAST(id % 7 AS VARCHAR)] END AS toks,
+        |  list_sort(list_distinct(
+        |    CASE WHEN id % 4 <> 0 AND id % 5 <> 0
+        |         THEN list_concat([id % 10, id % 10 + 1], [id % 10 + 1, id % 12])
+        |         WHEN id % 4 <> 0 THEN [id % 10, id % 10 + 1]
+        |         WHEN id % 5 <> 0 THEN [id % 10 + 1, id % 12]
+        |         ELSE NULL END)) AS uni,
+        |  CASE WHEN id % 2 = 0 THEN id % 50 ELSE id % 30 END AS fv
+        |FROM b""".stripMargin,
+    "q_source_cores" ->
+      """WITH b AS (SELECT l_orderkey * 8 + l_linenumber AS id FROM lineitem),
+        |c AS (SELECT id, (id % 50) / 100.0 AS maf,
+        |    CASE WHEN id % 7 = 0 THEN NULL ELSE (id % 100) / 100.0 END AS eur
+        |  FROM b)
+        |SELECT id,
+        |  round(CASE WHEN eur IS NULL THEN maf
+        |       WHEN abs(eur - maf) <= abs(eur - (1.0 - maf)) THEN maf
+        |       ELSE 1.0 - maf END, 6) AS af,
+        |  'PRJ' || CAST(id % 5 AS VARCHAR) || '_Proteomics_SMP_'
+        |    || CAST(id AS VARCHAR) AS "studyId",
+        |  CAST(id % 9 + 1 AS INTEGER) AS "csIndex"
+        |FROM c""".stripMargin,
     "q_pvalue_filter" ->
       """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity/51.0 AS p FROM lineitem),
         |s AS (SELECT l_orderkey, l_linenumber,
