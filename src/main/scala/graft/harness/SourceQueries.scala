@@ -585,7 +585,33 @@ object SourceQueries {
       col("qualityControls"))
   }
 
+  /** Sumstats-QC → StudyIndex flag rollup (sources/StudyIndexOps.scala
+    * annotateSumstatsQc; reference study_index.py:551-660): melt the wide QC
+    * frame, collect per study, flag mean-beta / PZ / GC-lambda / SNP-count
+    * threshold violations and missing sumstats.
+    */
+  def sumstatQcFlags(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.StudyIndexOps
+    val studies = supplier(s, d).select(
+      concat(lit("S"), (col("s_suppkey") % 150).cast(StringType)).as("studyId"),
+      lit(null).cast("array<string>").as("qualityControls")
+    ).distinct()
+    val r = col("c_custkey") % 100
+    val qc = customer(s, d).select(
+      concat(lit("S"), r.cast(StringType)).as("studyId"),
+      (((r % 21) - 10) / lit(100.0)).as("mean_beta"),
+      (((r % 13) - 6) / lit(100.0)).as("mean_diff_pz"),
+      ((r % 11) / lit(100.0)).as("se_diff_pz"),
+      (lit(0.6) + (r % 25) / lit(10.0)).as("gc_lambda"),
+      ((r % 5) * lit(800000.0)).as("n_variants")
+    ).distinct()
+    StudyIndexOps
+      .annotateSumstatsQc(studies, qc)
+      .select(col("studyId"), col("hasSumstats"), col("qualityControls"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sumstat_qc_flags" -> (sumstatQcFlags _),
     "q_study_validate" -> (studyValidate _),
     "q_gold_standard" -> (goldStandard _),
     "q_l2g_matrix" -> (l2gMatrix _),
@@ -638,6 +664,33 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_sumstat_qc_flags" ->
+      """WITH st AS (SELECT DISTINCT
+        |    'S' || CAST(s_suppkey % 150 AS VARCHAR) AS sid FROM supplier),
+        |qv AS (SELECT DISTINCT
+        |    'S' || CAST(c_custkey % 100 AS VARCHAR) AS sid,
+        |    CAST(((c_custkey % 100 % 21) - 10) / 100.0 AS REAL) AS mean_beta,
+        |    CAST(((c_custkey % 100 % 13) - 6) / 100.0 AS REAL) AS mean_diff_pz,
+        |    CAST((c_custkey % 100 % 11) / 100.0 AS REAL) AS se_diff_pz,
+        |    CAST(0.6 + (c_custkey % 100 % 25) / 10.0 AS REAL) AS gc_lambda,
+        |    CAST((c_custkey % 100 % 5) * 800000.0 AS REAL) AS n_variants
+        |  FROM customer)
+        |SELECT st.sid AS "studyId", qv.sid IS NOT NULL AS "hasSumstats",
+        |  list_sort(list_filter([
+        |    CASE WHEN qv.sid IS NULL
+        |         THEN 'Harmonized summary statistics are not available or empty' END,
+    |    CASE WHEN NOT (abs(CAST(qv.mean_beta AS DOUBLE)) <= 0.05)
+        |         THEN 'The mean beta QC check value is not within the expected range' END,
+        |    CASE WHEN NOT (abs(CAST(qv.mean_diff_pz AS DOUBLE)) <= 0.05
+        |                   AND CAST(qv.se_diff_pz AS DOUBLE) <= 0.05)
+        |         THEN 'The PZ QC check values are not within the expected range' END,
+        |    CASE WHEN NOT (CAST(qv.gc_lambda AS DOUBLE) <= 2.5
+        |                   AND CAST(qv.gc_lambda AS DOUBLE) >= 0.7)
+        |         THEN 'The GC lambda value is not within the expected range' END,
+        |    CASE WHEN CAST(qv.n_variants AS DOUBLE) < 2000000
+        |         THEN 'The number of SNPs in the study is below the expected threshold' END],
+        |    x -> x IS NOT NULL)) AS "qualityControls"
+        |FROM st LEFT JOIN qv ON st.sid = qv.sid""".stripMargin,
     "q_study_validate" ->
       """WITH st AS (SELECT DISTINCT
         |    'S' || CAST(c_custkey % 800 AS VARCHAR) AS sid,

@@ -128,6 +128,76 @@ object StudyIndexOps {
           UnresolvedDiseaseFlag))
   }
 
+  val SumstatsNotAvailableFlag = "Harmonized summary statistics are not available or empty"
+  val FailedMeanBetaFlag = "The mean beta QC check value is not within the expected range"
+  val FailedPzFlag = "The PZ QC check values are not within the expected range"
+  val FailedGcLambdaFlag = "The GC lambda value is not within the expected range"
+  val SmallNSnpsFlag = "The number of SNPs in the study is below the expected threshold"
+
+  /** Join summary-statistics QC results into the study index and flag
+    * threshold violations (study_index.py:551-660): the wide QC frame is
+    * melted to (QCCheckName, QCCheckValue) structs (float-cast, like the
+    * reference), collected per study, and each check is read back out of
+    * the array. Missing-sumstats studies get only the availability flag —
+    * their null check values never fire the threshold conditions.
+    */
+  def annotateSumstatsQc(
+      studies: DataFrame,
+      sumstatsQc: DataFrame,
+      thresholdMeanBeta: Double = 0.05,
+      thresholdMeanDiffPz: Double = 0.05,
+      thresholdSeDiffPz: Double = 0.05,
+      thresholdMinGcLambda: Double = 0.7,
+      thresholdMaxGcLambda: Double = 2.5,
+      thresholdMinNVariants: Long = 2000000L
+  ): DataFrame = {
+    import graft.functions.{ArrayOps, DfOps}
+    val melted = DfOps.convertFromWideToLong(
+      sumstatsQc, Seq("studyId"), "QCCheckName", "QCCheckValue")
+    val qcDf = melted
+      .groupBy(col("studyId"))
+      .agg(collect_list(struct(col("QCCheckName"), col("QCCheckValue")))
+        .as("sumstatQCValues"))
+      .withColumn("hasSumstats", lit(true))
+    def qcValue(name: String): Column =
+      ArrayOps.filterArrayStruct(
+        col("sumstatQCValues"), "QCCheckName", lit(name), "QCCheckValue")
+    val base = studies.drop("sumstatQCValues", "hasSumstats")
+    base
+      .join(qcDf, Seq("studyId"), "left")
+      .withColumn("hasSumstats", coalesce(col("hasSumstats"), lit(false)))
+      .withColumn(
+        "qualityControls",
+        GDataset.updateQualityFlag(
+          col("qualityControls"), !col("hasSumstats"), SumstatsNotAvailableFlag))
+      .withColumn(
+        "qualityControls",
+        GDataset.updateQualityFlag(
+          col("qualityControls"),
+          !(abs(qcValue("mean_beta")) <= thresholdMeanBeta),
+          FailedMeanBetaFlag))
+      .withColumn(
+        "qualityControls",
+        GDataset.updateQualityFlag(
+          col("qualityControls"),
+          !(abs(qcValue("mean_diff_pz")) <= thresholdMeanDiffPz &&
+            qcValue("se_diff_pz") <= thresholdSeDiffPz),
+          FailedPzFlag))
+      .withColumn(
+        "qualityControls",
+        GDataset.updateQualityFlag(
+          col("qualityControls"),
+          !(qcValue("gc_lambda") <= thresholdMaxGcLambda &&
+            qcValue("gc_lambda") >= thresholdMinGcLambda),
+          FailedGcLambdaFlag))
+      .withColumn(
+        "qualityControls",
+        GDataset.updateQualityFlag(
+          col("qualityControls"),
+          qcValue("n_variants") < thresholdMinNVariants,
+          SmallNSnpsFlag))
+  }
+
   /** discoverySamples → ldPopulationStructure: LD populations aggregated by
     * summed sample size and expressed as relative shares
     * (study_index.py:182-230). Pure array HOFs — no explode/shuffle.
