@@ -610,7 +610,60 @@ object SourceQueries {
       .select(col("studyId"), col("hasSumstats"), col("qualityControls"))
   }
 
+  /** Drug-enrichment association path (operators/DrugEnrichment.scala;
+    * reference method/drug_enrichment_from_evid.py:23-225): score table →
+    * disease-target evidence → ontology-propagated indirect associations
+    * (max mode) → right-join onto processed ChEMBL pairs with the
+    * genetic-support flag.
+    */
+  def drugAssoc(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.DrugEnrichment
+    val k = col("l_orderkey") * 8 + col("l_linenumber")
+    val scores = lineitem(s, d).select(
+      concat(lit("SL"), (col("l_orderkey") % 500).cast(StringType)).as("studyLocusId"),
+      concat(lit("G"), ((col("l_orderkey") * 3 + col("l_suppkey")) % 200).cast(StringType))
+        .as("geneId"),
+      ((k % 128) / lit(128.0)).as("s")
+    ).distinct()
+    val sl = orders(s, d).select(
+      concat(lit("SL"), (col("o_orderkey") % 500).cast(StringType)).as("studyLocusId"),
+      concat(lit("ST"), ((col("o_orderkey") % 500) % 40).cast(StringType)).as("studyId")
+    ).distinct()
+    val si = orders(s, d).select(
+      concat(lit("ST"), (col("o_orderkey") % 40).cast(StringType)).as("studyId"),
+      array(
+        concat(lit("D"), ((col("o_orderkey") % 40) % 25).cast(StringType)),
+        concat(lit("D"), (((col("o_orderkey") % 40) * 2) % 25).cast(StringType)))
+        .as("diseaseIds")
+    ).distinct()
+    val n = col("n_nationkey")
+    val diseases = nation(s, d).select(
+      concat(lit("D"), n.cast(StringType)).as("id"),
+      array(
+        concat(lit("R"), (n % 5).cast(StringType)),
+        concat(lit("D"), ((n + 7) % 25).cast(StringType))).as("ancestors")
+    ).distinct()
+    val chemblRaw = part(s, d).select(
+      concat(lit("G"), (col("p_partkey") % 200).cast(StringType)).as("targetId"),
+      when(col("p_partkey") % 6 === 0,
+        concat(lit("R"), (col("p_partkey") % 5).cast(StringType)))
+        .otherwise(concat(lit("D"), (col("p_partkey") % 25).cast(StringType)))
+        .as("diseaseId"),
+      ((col("p_partkey") % 9) / lit(2.0)).as("clinicalPhase")
+    ).distinct()
+    val evid = DrugEnrichment.toDiseaseTargetEvidence(scores, "s", "gentropy", sl, si)
+    val ind = DrugEnrichment.evidenceToIndirectAssociations(evid, diseases, useMax = true)
+    val chembl = DrugEnrichment.processChemblEvidence(chemblRaw)
+    chembl
+      .join(ind, Seq("targetId", "diseaseId"), "left")
+      .select(
+        col("targetId"), col("diseaseId"), col("maxClinicalPhase"),
+        coalesce(col("indirect_assoc_score") >= 0.5, lit(false)).as("geneticSupport"),
+        round(col("indirect_assoc_score"), 6).as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_drug_assoc" -> (drugAssoc _),
     "q_sumstat_qc_flags" -> (sumstatQcFlags _),
     "q_study_validate" -> (studyValidate _),
     "q_gold_standard" -> (goldStandard _),
@@ -664,6 +717,41 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_drug_assoc" ->
+      """WITH sc AS (SELECT DISTINCT
+        |    'SL' || CAST(l_orderkey % 500 AS VARCHAR) AS sl,
+        |    'G' || CAST((l_orderkey * 3 + l_suppkey) % 200 AS VARCHAR) AS gene,
+        |    ((l_orderkey * 8 + l_linenumber) % 128) / 128.0 AS s
+        |  FROM lineitem),
+        |slj AS (SELECT DISTINCT
+        |    'SL' || CAST(o_orderkey % 500 AS VARCHAR) AS sl,
+        |    'ST' || CAST((o_orderkey % 500) % 40 AS VARCHAR) AS st FROM orders),
+        |si AS (SELECT DISTINCT
+        |    'ST' || CAST(o_orderkey % 40 AS VARCHAR) AS st,
+        |    ['D' || CAST((o_orderkey % 40) % 25 AS VARCHAR),
+        |     'D' || CAST(((o_orderkey % 40) * 2) % 25 AS VARCHAR)] AS dids
+        |  FROM orders),
+        |evid AS (SELECT sc.gene AS t, unnest(si.dids) AS d, sc.s
+        |  FROM sc JOIN slj ON sc.sl = slj.sl JOIN si ON slj.st = si.st),
+        |anc AS (SELECT 'D' || CAST(n_nationkey AS VARCHAR) AS d,
+        |    'R' || CAST(n_nationkey % 5 AS VARCHAR) AS a FROM nation
+        |  UNION ALL SELECT 'D' || CAST(n_nationkey AS VARCHAR) AS d,
+        |    'D' || CAST((n_nationkey + 7) % 25 AS VARCHAR) AS a FROM nation
+        |  UNION ALL SELECT 'D' || CAST(n_nationkey AS VARCHAR) AS d,
+        |    'D' || CAST(n_nationkey AS VARCHAR) AS a FROM nation),
+        |ind AS (SELECT e.t, anc.a AS d, max(e.s) AS s
+        |  FROM evid e JOIN anc ON e.d = anc.d GROUP BY 1, 2),
+        |cm AS (SELECT t, d, max(ph) AS ph FROM (SELECT DISTINCT
+        |    'G' || CAST(p_partkey % 200 AS VARCHAR) AS t,
+        |    CASE WHEN p_partkey % 6 = 0 THEN 'R' || CAST(p_partkey % 5 AS VARCHAR)
+        |         ELSE 'D' || CAST(p_partkey % 25 AS VARCHAR) END AS d,
+        |    (p_partkey % 9) / 2.0 AS ph
+        |  FROM part) x GROUP BY 1, 2 HAVING max(ph) > 0.5)
+        |SELECT cm.t AS "targetId", cm.d AS "diseaseId",
+        |  cm.ph AS "maxClinicalPhase",
+        |  coalesce(ind.s >= 0.5, false) AS "geneticSupport",
+        |  round(ind.s, 6) AS score
+        |FROM cm LEFT JOIN ind ON cm.t = ind.t AND cm.d = ind.d""".stripMargin,
     "q_sumstat_qc_flags" ->
       """WITH st AS (SELECT DISTINCT
         |    'S' || CAST(s_suppkey % 150 AS VARCHAR) AS sid FROM supplier),
