@@ -662,7 +662,40 @@ object SourceQueries {
         round(col("indirect_assoc_score"), 6).as("score"))
   }
 
+  /** L2G predictions → disease-target evidence
+    * (operators/L2gPredictionOps.scala; reference
+    * l2g_prediction.py:108-179): threshold, study joins, publication-date
+    * validation, disease explosion.
+    */
+  def l2gEvidence(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.L2gPredictionOps
+    val k = col("l_orderkey") * 8 + col("l_linenumber")
+    val preds = lineitem(s, d).select(
+      concat(lit("SL"), (col("l_orderkey") % 500).cast(StringType)).as("studyLocusId"),
+      concat(lit("G"), ((col("l_orderkey") * 3 + col("l_suppkey")) % 200).cast(StringType))
+        .as("geneId"),
+      ((k % 128) / lit(128.0)).as("score")
+    ).distinct()
+    val sl = orders(s, d).select(
+      concat(lit("SL"), (col("o_orderkey") % 500).cast(StringType)).as("studyLocusId"),
+      concat(lit("ST"), ((col("o_orderkey") % 500) % 40).cast(StringType)).as("studyId")
+    ).distinct()
+    val j = col("o_orderkey") % 40
+    val si = orders(s, d).select(
+      concat(lit("ST"), j.cast(StringType)).as("studyId"),
+      array(
+        concat(lit("D"), (j % 25).cast(StringType)),
+        concat(lit("D"), ((j * 2) % 25).cast(StringType))).as("diseaseIds"),
+      when(j % 3 === 0, concat(lit("2021-05-0"), (j % 9 + 1).cast(StringType)))
+        .otherwise(lit("n/a")).as("publicationDate"),
+      when(j % 4 === 0, concat(lit("PM"), j.cast(StringType)))
+        .otherwise(lit(null).cast(StringType)).as("pubmedId")
+    ).distinct()
+    L2gPredictionOps.toDiseaseTargetEvidence(preds, sl, si, l2gThreshold = 0.25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_l2g_evidence" -> (l2gEvidence _),
     "q_drug_assoc" -> (drugAssoc _),
     "q_sumstat_qc_flags" -> (sumstatQcFlags _),
     "q_study_validate" -> (studyValidate _),
@@ -717,6 +750,38 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_l2g_evidence" ->
+      """WITH preds AS (SELECT DISTINCT
+        |    'SL' || CAST(l_orderkey % 500 AS VARCHAR) AS sl,
+        |    'G' || CAST((l_orderkey * 3 + l_suppkey) % 200 AS VARCHAR) AS gene,
+        |    ((l_orderkey * 8 + l_linenumber) % 128) / 128.0 AS score
+        |  FROM lineitem),
+        |slj AS (SELECT DISTINCT
+        |    'SL' || CAST(o_orderkey % 500 AS VARCHAR) AS sl,
+        |    'ST' || CAST((o_orderkey % 500) % 40 AS VARCHAR) AS st FROM orders),
+        |si AS (SELECT DISTINCT
+        |    'ST' || CAST(o_orderkey % 40 AS VARCHAR) AS st,
+        |    ['D' || CAST((o_orderkey % 40) % 25 AS VARCHAR),
+        |     'D' || CAST(((o_orderkey % 40) * 2) % 25 AS VARCHAR)] AS dids,
+        |    CASE WHEN o_orderkey % 40 % 3 = 0
+        |         THEN '2021-05-0' || CAST(o_orderkey % 40 % 9 + 1 AS VARCHAR)
+        |         ELSE 'n/a' END AS pubdate,
+        |    CASE WHEN o_orderkey % 40 % 4 = 0
+        |         THEN 'PM' || CAST(o_orderkey % 40 AS VARCHAR) END AS pmid
+        |  FROM orders)
+        |SELECT 'genetic_association' AS "datatypeId",
+        |  'gwas_credible_sets' AS "datasourceId",
+        |  p.gene AS "targetFromSourceId",
+        |  unnest(si.dids) AS "diseaseFromSourceMappedId",
+        |  p.score AS "resourceScore",
+        |  CASE WHEN regexp_matches(si.pubdate, '\d{4}-\d{2}-\d{2}')
+        |       THEN si.pubdate END AS "curationDate",
+        |  p.sl AS "studyLocusId",
+        |  CASE WHEN si.pmid IS NOT NULL THEN [si.pmid] END AS literature
+        |FROM preds p
+        |JOIN slj ON p.sl = slj.sl
+        |JOIN si ON slj.st = si.st
+        |WHERE p.score >= 0.25""".stripMargin,
     "q_drug_assoc" ->
       """WITH sc AS (SELECT DISTINCT
         |    'SL' || CAST(l_orderkey % 500 AS VARCHAR) AS sl,

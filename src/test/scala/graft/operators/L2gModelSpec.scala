@@ -22,4 +22,32 @@ class L2gModelSpec extends SparkSpec {
     assert(avgByLabel(0.0) < 0.1)
     assert(scored.columns.contains("score") && !scored.columns.contains("features"))
   }
+
+  test("path attribution is additive-exact: explain score equals model probability") {
+    import spark.implicits._
+    val data = (0 until 400).map { i =>
+      val f1 = (i % 100) / 100.0
+      val f2 = ((i * 7) % 13) / 13.0
+      (if (f1 > 0.5) 1.0 else 0.0, f1, f2)
+    }.toDF("goldStandardSet", "f1", "f2")
+    val model = L2gModel.train(data, Seq("f1", "f2"), maxIter = 10)
+    val scored = L2gModel.score(model, data, Seq("f1", "f2"))
+      .select(col("f1"), col("f2"), col("score").as("model_score"))
+    val explained = L2gModel.explain(model, scored, Seq("f1", "f2"))
+    val rows = explained
+      .select("model_score", "score", "shapBaseValue", "features")
+      .as[(Double, Double, Double, Seq[(String, Double, Double)])]
+      .collect()
+    rows.foreach { case (modelScore, explainScore, base, feats) =>
+      assert(math.abs(modelScore - explainScore) < 1e-9, "additivity broken")
+      assert(feats.map(_._1) === Seq("f1", "f2"))
+    }
+    // the decisive feature carries (much) more attribution mass than noise
+    val massByFeature = rows
+      .flatMap(_._4)
+      .groupBy(_._1)
+      .view.mapValues(_.map(x => math.abs(x._3)).sum)
+      .toMap
+    assert(massByFeature("f1") > 10 * massByFeature("f2"))
+  }
 }
