@@ -112,6 +112,69 @@ object L2gGoldStandard {
       .distinct()
   }
 
+  /** 500 kb window used for negative-label expansion
+    * (open_targets/l2g_gold_standard.py:21).
+    */
+  val LocusToGeneWindow = 500000L
+
+  /** Parse the Open Targets gold-standard curation export into positive
+    * rows (datasource/open_targets/l2g_gold_standard.py:24-58): keep
+    * High/Medium-confidence curations, build the GRCh38 variantId, hash the
+    * (studyId, variantId) studyLocusId, collect curation sources.
+    */
+  def parsePositiveCuration(curation: DataFrame): DataFrame =
+    curation
+      .filter(col("gold_standard_info.highest_confidence").isin("High", "Medium"))
+      .select(
+        col("association_info.otg_id").as("studyId"),
+        col("gold_standard_info.gene_id").as("geneId"),
+        concat_ws(
+          "_",
+          col("sentinel_variant.locus_GRCh38.chromosome"),
+          col("sentinel_variant.locus_GRCh38.position"),
+          col("sentinel_variant.alleles.reference"),
+          col("sentinel_variant.alleles.alternative")).as("variantId"),
+        col("metadata.set_label").as("source"))
+      .withColumn(
+        "studyLocusId",
+        graft.datasets.StudyLocus.assignStudyLocusId(Seq("studyId", "variantId")))
+      .groupBy(col("studyLocusId"), col("studyId"), col("variantId"), col("geneId"))
+      .agg(collect_set(col("source")).as("sources"))
+
+  /** Expand the positive curation with negatives: every gene within 500 kb
+    * of the sentinel that is NOT the curated gene becomes a negative label;
+    * curated genes missing from the variant index stay positive
+    * (open_targets/l2g_gold_standard.py:60-107).
+    *
+    * @param distanceToGene (variantId, targetId, distanceFromTss)
+    */
+  def expandGoldStandardWithNegatives(
+      positiveSet: DataFrame,
+      distanceToGene: DataFrame
+  ): DataFrame =
+    positiveSet
+      .withColumnRenamed("geneId", "curated_geneId")
+      .join(
+        distanceToGene
+          .select(
+            col("variantId"),
+            col("targetId").as("non_curated_geneId"),
+            col("distanceFromTss"))
+          .filter(col("distanceFromTss") <= LocusToGeneWindow),
+        Seq("variantId"),
+        "left")
+      .withColumn(
+        "goldStandardSet",
+        when(
+          col("curated_geneId") === col("non_curated_geneId") ||
+            col("non_curated_geneId").isNull,
+          Positive).otherwise(Negative))
+      .withColumn(
+        "geneId",
+        when(col("goldStandardSet") === Positive, col("curated_geneId"))
+          .otherwise(col("non_curated_geneId")))
+      .drop("distanceFromTss", "curated_geneId", "non_curated_geneId")
+
   /** Restrict a full feature matrix to gold-standard rows
     * (l2g_gold_standard.py:108-139): annotate the matrix with
     * (studyId, variantId) through the credible set, inner-join the

@@ -55,6 +55,47 @@ class L2gGoldStandardSpec extends SparkSpec {
       ("4", "variant4", "study1", "gene4", "positive")))
   }
 
+  test("positive curation parsing builds ids and collects sources") {
+    import org.apache.spark.sql.functions.{size => asize, col}
+    val curation = Seq(
+      ("High", "GCST1", "gene1", "1", 1000, "A", "C", "ProGeM"),
+      ("Medium", "GCST1", "gene1", "1", 1000, "A", "C", "otg"),
+      ("Low", "GCST2", "gene2", "2", 5, "G", "T", "x") // dropped
+    ).map { case (conf, study, gene, chrom, pos, ref, alt, label) =>
+      ((conf, gene), (study), ((chrom, pos), (ref, alt)), (label))
+    }.toDF("gold_standard_info_t", "assoc", "sv", "label")
+      .selectExpr(
+        "named_struct('highest_confidence', gold_standard_info_t._1, 'gene_id', gold_standard_info_t._2) AS gold_standard_info",
+        "named_struct('otg_id', assoc) AS association_info",
+        "named_struct('locus_GRCh38', named_struct('chromosome', sv._1._1, 'position', sv._1._2), 'alleles', named_struct('reference', sv._2._1, 'alternative', sv._2._2)) AS sentinel_variant",
+        "named_struct('set_label', label) AS metadata")
+    val got = L2gGoldStandard.parsePositiveCuration(curation)
+    assert(got.columns.toSeq === Seq("studyLocusId", "studyId", "variantId", "geneId", "sources"))
+    val row = got.collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[String]("variantId") === "1_1000_A_C")
+    assert(got.select(asize(col("sources"))).as[Int].collect().head === 2)
+  }
+
+  test("negative expansion matches the reference test fixture") {
+    val positives = Seq(
+      ("variant1", "gene1", "study1"),
+      ("variant2", "gene2", "study1")
+    ).toDF("variantId", "geneId", "studyId")
+    val distances = Seq(
+      ("variant1", "gene1", 5L),
+      ("variant1", "gene3", 10L)
+    ).toDF("variantId", "targetId", "distanceFromTss")
+    val got = L2gGoldStandard.expandGoldStandardWithNegatives(positives, distances)
+      .select("variantId", "studyId", "geneId", "goldStandardSet")
+      .as[(String, String, String, String)].collect().toSet
+    assert(got === Set(
+      ("variant1", "study1", "gene1", "positive"),
+      ("variant1", "study1", "gene3", "negative"),
+      ("variant2", "study1", "gene2", "positive"))) // not in index → stays positive
+    assert(got.count(_._4 == "positive") === positives.count().toInt)
+  }
+
   test("buildFeatureMatrix restricts to gold-standard protein-coding rows") {
     val gs = Seq(
       ("9", "variant1", "study1", "G1", "positive"),
