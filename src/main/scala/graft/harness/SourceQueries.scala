@@ -151,17 +151,20 @@ object SourceQueries {
       VepParser.transcriptConsequences(canonical).as("tc"),
       VepParser.variantEffects(canonical, col("most_severe_consequence")).as("ve")
     )
-    val cadd = get(filter(col("ve"), e => e.getField("method") === "CADD"), lit(0))
-      .getField("score")
+    val caddEntry = get(filter(col("ve"), e => e.getField("method") === "CADD"), lit(0))
+    val cadd = caddEntry.getField("score")
+    val caddNorm = caddEntry.getField("normalisedScore")
     shaped
       .select(
         col("vid"), col("so_id"),
         round(cadd.cast("double"), 6).as("cadd"),
+        round(caddNorm.cast("double"), 6).as("cadd_norm"),
         explode(col("tc")).as("t"))
       .select(
         col("vid"),
         col("so_id"),
         col("cadd"),
+        col("cadd_norm"),
         col("t.targetId").as("gene_id"),
         concat_ws(",", col("t.variantFunctionalConsequenceIds")).as("so_ids"),
         round(col("t.consequenceScore").cast("double"), 6).as("score"),
@@ -1194,7 +1197,13 @@ object SourceQueries {
         |    CASE WHEN p_partkey % 4 = 0 OR (p_partkey + 1) % 4 = 0
         |         THEN 10.0 + p_partkey % 30 END AS cadd
         |  FROM part JOIN t6 ON t6.i = CAST(p_partkey % 6 AS INTEGER))
-        |SELECT r.k AS vid, v.so_id, round(CAST(v.cadd AS DOUBLE), 6) AS cadd, r.gene_id,
+        |SELECT r.k AS vid, v.so_id, round(CAST(v.cadd AS DOUBLE), 6) AS cadd,
+        |  round(CASE
+        |    WHEN v.cadd <= 10 THEN (v.cadd - 0) / 10.0 * 1.0 + (-1.0)
+        |    WHEN v.cadd <= 20 THEN (v.cadd - 10) / 10.0 * 0.5 + 0.0
+        |    WHEN v.cadd <= 30 THEN (v.cadd - 20) / 10.0 * 0.25 + 0.5
+        |    ELSE (v.cadd - 30) / 51.0 * 0.25 + 0.75 END, 6) AS cadd_norm,
+        |  r.gene_id,
         |  r.t_so AS so_ids, round(CAST(r.t_sc AS DOUBLE), 6) AS score,
         |  CAST(r.dist AS BIGINT) AS dist, CAST(r.tidx AS INTEGER) AS tidx
         |FROM ranked r JOIN vmeta v ON r.k = v.k""".stripMargin,

@@ -142,24 +142,25 @@ object VepParser {
     * predictors are dropped (vep_parser.py:634-689).
     */
   def variantEffects(transcripts: Column, mostSevereConsequence: Column): Column =
-    when(
-      transcripts.isNotNull,
-      filter(
-        array(
-          variantEffectExtractor(transcripts, "CADD", Some("cadd_phred")),
-          variantEffectExtractor(
-            transcripts, "PolyPhen", Some("polyphen_score"), Some("polyphen_prediction")),
-          variantEffectExtractor(
-            transcripts, "SIFT", Some("sift_score"), Some("sift_prediction")),
-          variantEffectExtractor(
-            transcripts, "LOFTEE", Some("lof"), Some("lof"), Some("lof_filter")),
-          variantEffectExtractor(transcripts, "GERP", Some("conservation")),
-          maxAlphaMissense(transcripts),
-          vepPrediction(mostSevereConsequence)
-        ),
-        p => p.isNotNull
-      )
-    ).otherwise(array(vepPrediction(mostSevereConsequence)))
+    VariantEffectNormaliser.normaliseVariantEffect(
+      when(
+        transcripts.isNotNull,
+        filter(
+          array(
+            variantEffectExtractor(transcripts, "CADD", Some("cadd_phred")),
+            variantEffectExtractor(
+              transcripts, "PolyPhen", Some("polyphen_score"), Some("polyphen_prediction")),
+            variantEffectExtractor(
+              transcripts, "SIFT", Some("sift_score"), Some("sift_prediction")),
+            variantEffectExtractor(
+              transcripts, "LOFTEE", Some("lof"), Some("lof"), Some("lof_filter")),
+            variantEffectExtractor(transcripts, "GERP", Some("conservation")),
+            maxAlphaMissense(transcripts),
+            vepPrediction(mostSevereConsequence)
+          ),
+          p => p.isNotNull
+        )
+      ).otherwise(array(vepPrediction(mostSevereConsequence))))
 
   /** "A/B" + protein position → one-letter substitution code "A1B"
     * (vep_parser.py:488-525).
