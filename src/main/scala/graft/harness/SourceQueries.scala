@@ -697,7 +697,34 @@ object SourceQueries {
     L2gPredictionOps.toDiseaseTargetEvidence(preds, sl, si, l2gThreshold = 0.25)
   }
 
+  /** Variant → VCF export for annotation tools
+    * (sources/OpenTargetsVariants.scala asVcf; reference
+    * open_targets/variants.py:68-136): merge direct + locus-carried ids,
+    * split into VCF columns, drop non-ACGT alleles.
+    */
+  def vcfExport(s: SparkSession, d: String): DataFrame = {
+    val pk = col("p_partkey")
+    val letters = array(lit("A"), lit("C"), lit("G"), lit("T"))
+    val chrom = (pk % 4 + 1).cast(StringType)
+    val pos = (pk % 100000 + 1)
+    val ref = element_at(letters, (pk % 4 + 1).cast(IntegerType))
+    val alt = when(pk % 7 === 0, lit("N"))
+      .otherwise(element_at(letters, ((pk / 4) % 4 + 1).cast(IntegerType)))
+    val vid = concat_ws("_", chrom, pos.cast(StringType), ref, alt)
+    val variants = part(s, d).select(
+      when(pk % 13 === 0, lit(null).cast(StringType)).otherwise(vid).as("variantId"),
+      when(pk % 3 === 0,
+        array(struct(
+          concat_ws("_", chrom, (pos + 7).cast(StringType), lit("A"), lit("C"))
+            .as("variantId"))))
+        .otherwise(lit(null).cast("array<struct<variantId:string>>")).as("locus"),
+      when(pk % 5 === 0, concat(lit("rs"), pk.cast(StringType)))
+        .otherwise(lit(null).cast(StringType)).as("variantRsId"))
+    graft.sources.OpenTargetsVariants.asVcf(variants)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vcf_export" -> (vcfExport _),
     "q_l2g_evidence" -> (l2gEvidence _),
     "q_drug_assoc" -> (drugAssoc _),
     "q_sumstat_qc_flags" -> (sumstatQcFlags _),
@@ -753,6 +780,36 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_vcf_export" ->
+      """WITH base AS (SELECT p_partkey AS k,
+        |    CASE WHEN p_partkey % 13 = 0 THEN NULL
+        |         ELSE CAST(p_partkey % 4 + 1 AS VARCHAR) || '_'
+        |           || CAST(p_partkey % 100000 + 1 AS VARCHAR) || '_'
+        |           || ['A','C','G','T'][CAST(p_partkey % 4 AS INTEGER) + 1] || '_'
+        |           || CASE WHEN p_partkey % 7 = 0 THEN 'N'
+        |                   ELSE ['A','C','G','T'][CAST((p_partkey // 4) % 4 AS INTEGER) + 1] END
+        |    END AS vid,
+        |    CASE WHEN p_partkey % 3 = 0
+        |         THEN CAST(p_partkey % 4 + 1 AS VARCHAR) || '_'
+        |           || CAST(p_partkey % 100000 + 8 AS VARCHAR) || '_A_C' END AS lvid,
+        |    CASE WHEN p_partkey % 5 = 0
+        |         THEN 'rs' || CAST(p_partkey AS VARCHAR) END AS rsid
+        |  FROM part),
+        |rows0 AS (SELECT vid AS v, rsid FROM base WHERE vid IS NOT NULL
+        |  UNION ALL
+        |  SELECT lvid AS v, rsid FROM base WHERE vid IS NOT NULL AND lvid IS NOT NULL),
+        |shaped AS (SELECT DISTINCT
+        |    coalesce(string_split(v, '_')[1], '.') AS "#CHROM",
+        |    CAST(string_split(v, '_')[2] AS INTEGER) AS "POS",
+        |    coalesce(rsid, '.') AS "ID",
+        |    coalesce(string_split(v, '_')[3], '.') AS "REF",
+        |    coalesce(string_split(v, '_')[4], '.') AS "ALT",
+        |    '.' AS "QUAL", '.' AS "FILTER", '.' AS "INFO"
+        |  FROM rows0)
+        |SELECT * FROM shaped
+        |WHERE "#CHROM" <> '.' AND "POS" IS NOT NULL
+        |  AND regexp_matches("REF", '^[GCTA.]*$')
+        |  AND regexp_matches("ALT", '^[GCTA.]*$')""".stripMargin,
     "q_l2g_evidence" ->
       """WITH preds AS (SELECT DISTINCT
         |    'SL' || CAST(l_orderkey % 500 AS VARCHAR) AS sl,
