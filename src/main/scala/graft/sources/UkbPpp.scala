@@ -1,3 +1,5 @@
+// (UKBiobank GWAS study index lives in UkBiobank.scala alongside this
+// pQTL reader.)
 package graft.sources
 
 import org.apache.spark.sql.functions._

@@ -154,6 +154,28 @@ class UkbFinnGenMetaSpec extends SparkSpec {
     assert(out.map(_._1).toSeq === Seq("1_100_A_G", "X_200_C_T"))
   }
 
+  test("UKBiobank study index: constants, PheCode trait recomposition, LD structure") {
+    val manifest = Seq(
+      ("SAIGE_585", "J40: Chronic bronchitis", 400000L, 2000L, "/sumstats/585.tsv"),
+      ("NEALE2_50", "Standing height", 360000L, 0L, "/sumstats/50.tsv")
+    ).toDF("code", "trait", "n_total", "n_cases", "in_path")
+    val got = UkBiobank.fromSource(manifest)
+      .selectExpr(
+        "studyId", "projectId", "pubmedId", "publicationDate", "traitFromSource",
+        "discoverySamples[0].ancestry AS anc",
+        "ldPopulationStructure[0].ldPopulation AS pop",
+        "round(ldPopulationStructure[0].relativeSampleSize, 6) AS share")
+      .as[(String, String, Option[String], String, String, String, String, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    val saige = got("SAIGE_585")
+    assert(saige === (("UKBiobank", Some("30104761"), "2018-10-24",
+      "Chronic Bronchitis | j40", "European=400000", "nfe", 1.0)))
+    val neale = got("NEALE2_50")
+    assert(neale._2.isEmpty)
+    assert(neale._3 === "2018-08-01")
+    assert(neale._4 === "Standing height")
+  }
+
   test("study validation chain: duplicates, deprecated projects, types, diseases") {
     import org.apache.spark.sql.functions.{array, col, lit}
     val studies = Seq(
