@@ -70,4 +70,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "gene window join should broadcast genes")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_l2g_e2g bin-accelerated overlap is an equi join, never a range cross-product") {
+    val p = plan(graft.harness.SourceQueries.l2gE2g(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval overlap must go through the (chromosome, bin) equi join")
+  }
+
+  test("q_drug_assoc broadcasts the bounded ontology, keeps evidence joins equi") {
+    val p = plan(graft.harness.SourceQueries.drugAssoc(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "ancestor table should broadcast")
+  }
+
+  test("q_liftover broadcasts the chain blocks against the big position side") {
+    val p = plan(graft.harness.SourceQueries.liftover(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "chain table must be the broadcast side of the range join")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
