@@ -125,7 +125,52 @@ object QcQueries {
       )
   }
 
+  /** StudyLocus validation chain (operators/StudyLocusQc.scala; reference
+    * study_locus.py:252-500, 1180-1242, 1423-1494): chromosome labels,
+    * sub-significant leads, duplicated ids (deterministic tiebreak),
+    * abnormal PIP sums, MHC region, redundant PICS top hits and the final
+    * confidence assignment.
+    */
+  def studyLocusQc(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.StudyLocusQc
+    val o = col("o_orderkey")
+    val c = o % 26 + 1
+    val chrom = when(c <= 22, c.cast(StringType))
+      .when(c === 23, lit("X")).when(c === 24, lit("Y"))
+      .when(c === 25, lit("chr9")).otherwise(lit("26"))
+    val method = when(o % 4 === 0, "PICS").when(o % 4 === 1, "SuSie")
+      .when(o % 4 === 2, "SuSiE-inf").otherwise("other")
+    val df = orders(s, d).select(
+      concat(lit("SL"), (o % 900).cast(StringType)).as("studyLocusId"),
+      o.as("key"),
+      concat(lit("ST"), (o % 40).cast(StringType)).as("studyId"),
+      chrom.as("chromosome"),
+      (o % 40000000).cast("long").as("position"),
+      (lit(1.0) + (o % 39) / lit(10.0)).cast(FloatType).as("pValueMantissa"),
+      (-(o % 12 + 3)).cast(IntegerType).as("pValueExponent"),
+      array(
+        struct((lit(0.5) + (o % 16) / lit(32.0)).as("posteriorProbability")),
+        struct(((o % 17) / lit(32.0)).as("posteriorProbability")))
+        .as("locus"),
+      method.as("finemappingMethod"),
+      when(o % 7 === 0, array(lit(StudyLocusQc.TopHitFlag)))
+        .otherwise(array().cast("array<string>")).as("qualityControls")
+    )
+    val out = StudyLocusQc.assignConfidence(
+      StudyLocusQc.qcRedundantTopHitsFromPics(
+        StudyLocusQc.qcMhcRegion(
+          StudyLocusQc.qcAbnormalPips(
+            StudyLocusQc.validateUniqueStudyLocusId(
+              StudyLocusQc.validateLeadPvalue(
+                StudyLocusQc.validateChromosomeLabel(df), 5e-8),
+              col("key"))))))
+    out.select(
+      col("studyLocusId"), col("key"), col("chromosome"), col("confidence"),
+      array_sort(col("qualityControls")).as("qualityControls"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_studylocus_qc" -> (studyLocusQc _),
     "q_trans_qtl" -> (transQtl _),
     "q_susie_explained" -> (susieExplained _),
     "q_credset_qc" -> (credsetQc _),
@@ -134,6 +179,54 @@ object QcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_studylocus_qc" ->
+      """WITH b AS (SELECT o_orderkey AS o,
+        |    'SL' || CAST(o_orderkey % 900 AS VARCHAR) AS sl,
+        |    'ST' || CAST(o_orderkey % 40 AS VARCHAR) AS st,
+        |    CASE WHEN o_orderkey % 26 + 1 <= 22 THEN CAST(o_orderkey % 26 + 1 AS VARCHAR)
+        |         WHEN o_orderkey % 26 + 1 = 23 THEN 'X'
+        |         WHEN o_orderkey % 26 + 1 = 24 THEN 'Y'
+        |         WHEN o_orderkey % 26 + 1 = 25 THEN 'chr9' ELSE '26' END AS chrom,
+        |    o_orderkey % 40000000 AS pos,
+        |    CAST(1.0 + (o_orderkey % 39) / 10.0 AS REAL) AS m,
+        |    -(o_orderkey % 12 + 3) AS e,
+        |    (0.0 + (0.5 + (o_orderkey % 16) / 32.0)) + (o_orderkey % 17) / 32.0 AS pipsum,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN 'PICS'
+        |         WHEN o_orderkey % 4 = 1 THEN 'SuSie'
+        |         WHEN o_orderkey % 4 = 2 THEN 'SuSiE-inf' ELSE 'other' END AS method,
+        |    o_orderkey % 7 = 0 AS tophit
+        |  FROM orders),
+        |pics AS (SELECT st, bool_or(method = 'PICS' AND NOT tophit) AS haspics
+        |  FROM b GROUP BY st),
+        |fl AS (SELECT b.*,
+        |    row_number() OVER (PARTITION BY b.sl ORDER BY b.o) > 1 AS dupf,
+        |    b.chrom NOT IN ('1','2','3','4','5','6','7','8','9','10','11','12',
+        |      '13','14','15','16','17','18','19','20','21','22','X','Y','XY','MT') AS chromf,
+        |    -(log10(CAST(b.m AS DOUBLE)) + b.e) < 7.301029995663981 AS pvalf,
+        |    b.pipsum < 0.99 OR b.pipsum > 1.0001 AS pipf,
+        |    b.chrom = '6' AND b.pos BETWEEN 25726063 AND 33400556 AS mhcf,
+        |    b.tophit AND coalesce(p.haspics, false) AS redf
+        |  FROM b LEFT JOIN pics p ON b.st = p.st)
+        |SELECT sl AS "studyLocusId", o AS key, chrom AS chromosome,
+        |  CASE WHEN method IN ('SuSie', 'SuSiE-inf')
+        |       THEN 'SuSiE fine-mapped credible set with in-sample LD'
+        |       WHEN method = 'PICS' AND tophit
+        |       THEN 'PICS fine-mapped credible set based on reported top hit'
+        |       WHEN method = 'PICS'
+        |       THEN 'PICS fine-mapped credible set extracted from summary statistics'
+        |       ELSE 'Unknown confidence' END AS confidence,
+        |  list_sort(list_distinct(list_filter([
+        |    CASE WHEN tophit THEN 'Study locus from curated top hit' END,
+        |    CASE WHEN chromf THEN 'Chromosome not in 1:22, X, Y, XY or MT' END,
+        |    CASE WHEN pvalf THEN 'Subsignificant p-value' END,
+        |    CASE WHEN dupf THEN 'Non-unique study locus identifier' END,
+        |    CASE WHEN pipf THEN
+        |      'Study locus with a sum of PIPs that not in the expected range [0.95,1]' END,
+        |    CASE WHEN mhcf THEN 'MHC region' END,
+        |    CASE WHEN redf THEN
+        |      'PICS results from summary statistics available for this same study' END],
+        |    x -> x IS NOT NULL))) AS "qualityControls"
+        |FROM fl""".stripMargin,
     "q_trans_qtl" ->
       """WITH cred AS (SELECT 'L' || CAST(o_orderkey AS VARCHAR) AS studyLocusId,
         |    'q' || CAST(o_orderkey % 20 AS VARCHAR) AS studyId,
