@@ -723,7 +723,64 @@ object SourceQueries {
     graft.sources.OpenTargetsVariants.asVcf(variants)
   }
 
+  /** eQTL-Catalogue SuSiE ingestion (sources/EqtlCatalogue.scala
+    * parseSusieResults + fromSusieResults; reference
+    * eqtl_catalogue/finemapping.py:123-263): lbf column dispatch by
+    * credible-set index, metadata shaping, per-credible-set lead collapse
+    * with locus collection and log10BF.
+    */
+  def eqtlSusie(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.EqtlCatalogue
+    val k = col("l_orderkey") * 8 + col("l_linenumber")
+    def traitId = concat(lit("T"), (k % 300).cast(StringType))
+    def region = concat(lit("R"), (k % 4).cast(StringType))
+    def dataset = concat(lit("D"), (k % 7).cast(StringType))
+    def variant = concat(
+      lit("chr"), (k % 22 + 1).cast(StringType), lit("_"),
+      (k % 500000).cast(StringType), lit("_A_C"))
+    val cs = lineitem(s, d).select(
+      traitId.as("molecular_trait_id"), region.as("region"),
+      variant.as("variant"), dataset.as("dataset_id"),
+      (k % 3 + 1).cast("int").as("credibleSetIndex"),
+      ((k % 64 + 1) / lit(128.0)).as("pip"),
+      pow(lit(10.0), -(k % 20 + 4).cast("double")).as("pvalue"),
+      ((k % 21) - 10).cast("double").as("beta"),
+      (lit(0.01) + (k % 16) / lit(128.0)).as("se"),
+      concat(lit("ENSG"), (k % 80).cast(StringType)).as("gene_id")
+    ).distinct()
+    val lbfCols = (1 to 10).map(i =>
+      (((k * (i + 3)) % 100) / lit(10.0) - 3.0).as(s"lbf_variable$i"))
+    val lbf = lineitem(s, d).select(
+      (Seq(
+        traitId.as("molecular_trait_id"), region.as("region"),
+        variant.as("variant"), dataset.as("dataset_id"),
+        (k % 22 + 1).cast(StringType).as("chromosome"),
+        (k % 500000).cast("int").as("position")) ++ lbfCols): _*
+    ).distinct()
+    val j = col("n_nationkey") % 7
+    val meta = nation(s, d).select(
+      concat(lit("D"), j.cast(StringType)).as("dataset_id"),
+      concat(lit("S"), j.cast(StringType)).as("study_id"),
+      concat(lit("lab"), (j % 3).cast(StringType)).as("study_label"),
+      lit("sg").as("sample_group"),
+      concat(lit("UBERON_"), j.cast(StringType)).as("tissue_id"),
+      lit("naive").as("condition_label"),
+      ((j + 1) * 100).cast("int").as("sample_size"),
+      when(j % 3 === 0, "ge").when(j % 3 === 1, "leafcutter").otherwise("aptamer")
+        .as("quant_method"),
+      concat(lit("3"), j.cast(StringType)).as("pmid"),
+      when(j % 2 === 0, "bulk").otherwise("single-cell").as("study_type")
+    ).distinct()
+    val parsed = EqtlCatalogue.parseSusieResults(cs, lbf, meta)
+    EqtlCatalogue.fromSusieResults(parsed).select(
+      col("studyId"), col("variantId"), col("credibleSetIndex"),
+      col("studyType"), col("geneId"),
+      size(col("locus")).as("n_locus"),
+      round(col("credibleSetlog10BF"), 4).as("bf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eqtl_susie" -> (eqtlSusie _),
     "q_vcf_export" -> (vcfExport _),
     "q_l2g_evidence" -> (l2gEvidence _),
     "q_drug_assoc" -> (drugAssoc _),
@@ -780,6 +837,54 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_eqtl_susie" ->
+      """WITH r AS (SELECT DISTINCT
+        |    l_orderkey * 8 + l_linenumber AS k,
+        |    'T' || CAST((l_orderkey * 8 + l_linenumber) % 300 AS VARCHAR) AS trait,
+        |    'R' || CAST((l_orderkey * 8 + l_linenumber) % 4 AS VARCHAR) AS region,
+        |    'D' || CAST((l_orderkey * 8 + l_linenumber) % 7 AS VARCHAR) AS ds,
+        |    CAST((l_orderkey * 8 + l_linenumber) % 22 + 1 AS VARCHAR) || '_'
+        |      || CAST((l_orderkey * 8 + l_linenumber) % 500000 AS VARCHAR)
+        |      || '_A_C' AS vid,
+        |    CAST((l_orderkey * 8 + l_linenumber) % 3 + 1 AS INTEGER) AS csi,
+        |    ((l_orderkey * 8 + l_linenumber) % 64 + 1) / 128.0 AS pip,
+        |    'ENSG' || CAST((l_orderkey * 8 + l_linenumber) % 80 AS VARCHAR) AS gene,
+        |    (((l_orderkey * 8 + l_linenumber)
+        |      * ((l_orderkey * 8 + l_linenumber) % 3 + 4)) % 100) / 10.0 - 3.0 AS logbf
+        |  FROM lineitem),
+        |meta AS (SELECT DISTINCT
+        |    'D' || CAST(n_nationkey % 7 AS VARCHAR) AS ds,
+        |    'lab' || CAST(n_nationkey % 7 % 3 AS VARCHAR) AS label,
+        |    CASE WHEN n_nationkey % 7 % 3 = 0 THEN 'ge'
+        |         WHEN n_nationkey % 7 % 3 = 1 THEN 'leafcutter'
+        |         ELSE 'aptamer' END AS quant,
+        |    n_nationkey % 7 % 2 = 1 AS single_cell
+        |  FROM nation),
+        |rj AS (SELECT r.*,
+        |    m.label || '_' || m.quant || '_sg_t'
+        |      || CAST(r.k % 300 AS VARCHAR) AS sid,
+        |    CASE WHEN m.single_cell THEN 'sc' ELSE '' END ||
+        |      CASE m.quant WHEN 'ge' THEN 'eqtl'
+        |           WHEN 'leafcutter' THEN 'sqtl' ELSE 'pqtl' END AS stype
+        |  FROM r JOIN meta m ON r.ds = m.ds),
+        |g AS (SELECT ds, trait, region, csi, max(logbf) AS mx, count(*) AS n
+        |  FROM rj GROUP BY 1, 2, 3, 4),
+        |s AS (SELECT rj.ds, rj.trait, rj.region, rj.csi,
+        |    max(g.n) AS n, (max(g.mx) + ln(sum(exp(rj.logbf - g.mx)))
+        |      - ln(500.0)) / ln(10.0) AS bf
+        |  FROM rj JOIN g ON rj.ds = g.ds AND rj.trait = g.trait
+        |    AND rj.region = g.region AND rj.csi = g.csi
+        |  GROUP BY 1, 2, 3, 4),
+        |lead AS (SELECT rj.*, row_number() OVER (
+        |    PARTITION BY ds, trait, region, csi
+        |    ORDER BY pip DESC, vid ASC) AS rn FROM rj)
+        |SELECT l.sid AS "studyId", l.vid AS "variantId",
+        |  l.csi AS "credibleSetIndex", l.stype AS "studyType",
+        |  l.gene AS "geneId", CAST(s.n AS INTEGER) AS n_locus,
+        |  round(s.bf, 4) AS bf
+        |FROM lead l JOIN s ON l.ds = s.ds AND l.trait = s.trait
+        |  AND l.region = s.region AND l.csi = s.csi
+        |WHERE l.rn = 1""".stripMargin,
     "q_vcf_export" ->
       """WITH base AS (SELECT p_partkey AS k,
         |    CASE WHEN p_partkey % 13 = 0 THEN NULL
