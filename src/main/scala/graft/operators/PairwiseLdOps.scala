@@ -69,4 +69,58 @@ object PairwiseLdOps {
           struct(col("variantIdJ").as("tagVariantId"), col("r").as("rOverall"))
         ).as("ldSet")
       )
+
+  // --- LDAnnotator column kernels (reference: method/ld.py:20-115) ---
+
+  /** Major LD population from the relativeSampleSize-ordered structure;
+    * nfe wins ties (method/ld.py:23-44).
+    */
+  def getMajorPopulation(orderedPopulations: Column): Column = {
+    val majorSize = orderedPopulations.getItem(0).getField("relativeSampleSize")
+    val majors = filter(
+      orderedPopulations,
+      x => x.getField("relativeSampleSize") === majorSize)
+    val hasNfe = filter(majors, x => x.getField("ldPopulation") === "nfe")
+    when(size(majors) > 1 && size(hasNfe) === 1, lit("nfe"))
+      .otherwise(orderedPopulations.getItem(0).getField("ldPopulation"))
+  }
+
+  /** Per-tag r² from the major population's r in the nested per-population
+    * rValues (method/ld.py:47-75); missing population → 0.0.
+    */
+  def calculateR2Major(ldSet: Column, majorPopulation: Column): Column =
+    transform(
+      ldSet,
+      x =>
+        struct(
+          x.getField("tagVariantId").as("tagVariantId"),
+          coalesce(
+            pow(
+              get(
+                filter(
+                  x.getField("rValues"),
+                  y => y.getField("population") === majorPopulation)
+                  .getField("r"),
+                lit(0)),
+              2),
+            lit(0.0)).as("r2Overall")))
+
+  /** Flag associations with no LD information (method/ld.py:77-92). */
+  def qcUnresolvedLd(ldSet: Column, qualityControls: Column): Column =
+    graft.core.GDataset.updateQualityFlag(
+      qualityControls,
+      ldSet.isNull,
+      "Variant not found in LD reference")
+
+  /** When no LD info exists but the lead is known, the lead becomes its own
+    * single-tag LD set with r² = 1 (method/ld.py:94-115).
+    */
+  def rescueLeadVariant(ldSet: Column, variantId: Column): Column =
+    when(
+      (ldSet.isNull || size(ldSet) === 0) && variantId.isNotNull,
+      array(
+        struct(
+          variantId.as("tagVariantId"),
+          lit(1.0).as("r2Overall"))))
+      .otherwise(ldSet)
 }

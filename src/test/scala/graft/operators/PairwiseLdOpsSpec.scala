@@ -49,4 +49,48 @@ class PairwiseLdOpsSpec extends SparkSpec {
       .select(expr("transform(ldSet, x -> x.tagVariantId)")).as[Seq[String]].head()
     assert(v1.toSet === Set("v1", "v2")) // v3 pruned (r² = 0.04)
   }
+
+  test("major population: nfe wins ties, first element otherwise (method/ld.py:23-44)") {
+    import spark.implicits._
+    def major(pops: Seq[(String, Double)]): String =
+      Seq(pops).toDF("p")
+        .select(expr(
+          "transform(p, x -> named_struct('ldPopulation', x._1, 'relativeSampleSize', x._2))"
+        ).as("pops"))
+        .select(PairwiseLdOps.getMajorPopulation(col("pops"))).as[String].head()
+    assert(major(Seq(("afr", 0.5), ("nfe", 0.5))) === "nfe")
+    assert(major(Seq(("afr", 0.5), ("eas", 0.5))) === "afr")
+    assert(major(Seq(("fin", 0.8), ("nfe", 0.2))) === "fin")
+  }
+
+  test("r2 from major population, unresolved flag, lead rescue (method/ld.py:47-115)") {
+    import spark.implicits._
+    val df = Seq(
+      ("L1", "v1", Some(Seq(("t1", Seq(("nfe", 0.8), ("afr", 0.1))),
+        ("t2", Seq(("afr", 0.9)))))),
+      ("L2", "v2", None) // no LD info → flag + rescue
+    ).toDF("id", "variantId", "raw")
+      .select(
+        col("id"), col("variantId"),
+        expr("""transform(raw, x -> named_struct(
+          'tagVariantId', x._1,
+          'rValues', transform(x._2, y -> named_struct('population', y._1, 'r', y._2))))""")
+          .as("ldSet"),
+        lit(null).cast("array<string>").as("qualityControls"))
+    val out = df.select(
+      col("id"),
+      PairwiseLdOps.qcUnresolvedLd(col("ldSet"), col("qualityControls")).as("qc"),
+      PairwiseLdOps.rescueLeadVariant(
+        PairwiseLdOps.calculateR2Major(col("ldSet"), lit("nfe")),
+        col("variantId")).as("ldSet"))
+      .selectExpr("id", "qc", "transform(ldSet, x -> struct(x.tagVariantId, x.r2Overall)) AS s")
+      .as[(String, Seq[String], Seq[(String, Double)])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("L1")._1 === Seq.empty)
+    val l1 = out("L1")._2.toMap
+    assert(math.abs(l1("t1") - 0.64) < 1e-12)
+    assert(l1("t2") === 0.0) // nfe absent → 0.0
+    assert(out("L2")._1 === Seq("Variant not found in LD reference"))
+    assert(out("L2")._2 === Seq(("v2", 1.0)))
+  }
 }
