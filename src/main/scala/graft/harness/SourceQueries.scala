@@ -779,7 +779,91 @@ object SourceQueries {
       round(col("credibleSetlog10BF"), 4).as("bf"))
   }
 
+  /** Full LD-annotation chain (operators/PairwiseLdOps.scala; reference
+    * method/ld.py:20-199 + datasource/gnomad/ld.py:55-99): long-form
+    * per-population LD rows → nested LDIndex shape → major-population
+    * selection (nfe tie-break) → r² from the major ancestry → unresolved
+    * flag → lead-variant rescue, exploded back to rows for the oracle.
+    */
+  def ldAnnotate(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ArrayOps
+    import graft.operators.PairwiseLdOps
+    val k = col("l_orderkey") * 8 + col("l_linenumber")
+    val v = k % 500
+    val t = (k * 7) % 600
+    val p = k % 3
+    val ldLong = lineitem(s, d).select(
+      (v % 4 + 1).cast(StringType).as("chromosome"),
+      concat(lit("v"), v.cast(StringType)).as("variantId"),
+      concat(lit("t"), t.cast(StringType)).as("tagVariantId"),
+      when(p === 0, "nfe").when(p === 1, "afr").otherwise("eas").as("population"),
+      (((v * 13 + t * 7 + p * 11) % 1000) / lit(1000.0) - 0.5).as("r")
+    ).distinct()
+    val nested = PairwiseLdOps.aggregateAcrossPopulations(ldLong)
+    val o = col("o_orderkey") % 400
+    // variants 500..699 are absent from the LD index → unresolved + rescue
+    val vv = (o * 3) % 700
+    val loci = orders(s, d).select(
+      concat(lit("L"), o.cast(StringType)).as("studyLocusId"),
+      concat(lit("v"), vv.cast(StringType)).as("variantId"),
+      (vv % 4 + 1).cast(StringType).as("chromosome"),
+      concat(lit("ST"), (o % 40).cast(StringType)).as("studyId")
+    ).distinct()
+    val j = col("o_orderkey") % 40
+    val p1 = when(j % 4 === 0, "nfe").when(j % 4 === 1, "afr")
+      .when(j % 4 === 2, "eas").otherwise("fin")
+    val tie = j % 5 === 0 && (j % 4 === 1 || j % 4 === 2)
+    val studies = orders(s, d).select(
+      concat(lit("ST"), j.cast(StringType)).as("studyId"),
+      array(
+        struct(
+          p1.as("ldPopulation"),
+          when(tie, 0.5).otherwise(0.75).as("relativeSampleSize")),
+        struct(
+          lit("nfe").as("ldPopulation"),
+          when(tie, 0.5).otherwise(0.25).as("relativeSampleSize")))
+        .as("ldPopulationStructure")
+    ).distinct()
+    val annotated = loci
+      .join(
+        studies.select(
+          col("studyId"),
+          ArrayOps
+            .orderArrayOfStructsByField("ldPopulationStructure", "relativeSampleSize")
+            .as("ldPopulationStructure")),
+        Seq("studyId"),
+        "left")
+      .join(nested, Seq("variantId", "chromosome"), "left")
+      .withColumn(
+        "majorPopulation",
+        when(
+          col("ldPopulationStructure").isNotNull,
+          PairwiseLdOps.getMajorPopulation(col("ldPopulationStructure"))))
+      .withColumn(
+        "ldSet",
+        when(
+          col("ldPopulationStructure").isNotNull,
+          PairwiseLdOps.calculateR2Major(col("ldSet"), col("majorPopulation"))))
+      .withColumn(
+        "qualityControls",
+        PairwiseLdOps.qcUnresolvedLd(col("ldSet"), lit(null).cast("array<string>")))
+      .withColumn(
+        "ldSet",
+        PairwiseLdOps.rescueLeadVariant(col("ldSet"), col("variantId")))
+    annotated
+      .select(
+        col("studyLocusId"), col("variantId"), col("majorPopulation"),
+        concat_ws(";", col("qualityControls")).as("qc_str"),
+        explode(col("ldSet")).as("tag"))
+      .select(
+        col("studyLocusId"), col("variantId"), col("majorPopulation"),
+        col("qc_str"),
+        col("tag.tagVariantId").as("tagVariantId"),
+        round(col("tag.r2Overall"), 6).as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ld_annotate" -> (ldAnnotate _),
     "q_eqtl_susie" -> (eqtlSusie _),
     "q_vcf_export" -> (vcfExport _),
     "q_l2g_evidence" -> (l2gEvidence _),
@@ -837,6 +921,52 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ld_annotate" ->
+      """WITH ldr AS (SELECT DISTINCT
+        |    CAST(((l_orderkey * 8 + l_linenumber) % 500) % 4 + 1 AS VARCHAR) AS chrom,
+        |    'v' || CAST((l_orderkey * 8 + l_linenumber) % 500 AS VARCHAR) AS vid,
+        |    't' || CAST(((l_orderkey * 8 + l_linenumber) * 7) % 600 AS VARCHAR) AS tag,
+        |    CASE (l_orderkey * 8 + l_linenumber) % 3 WHEN 0 THEN 'nfe'
+        |         WHEN 1 THEN 'afr' ELSE 'eas' END AS pop,
+        |    ((((l_orderkey * 8 + l_linenumber) % 500) * 13
+        |      + (((l_orderkey * 8 + l_linenumber) * 7) % 600) * 7
+        |      + ((l_orderkey * 8 + l_linenumber) % 3) * 11) % 1000) / 1000.0
+        |      - 0.5 AS r
+        |  FROM lineitem),
+        |loci AS (SELECT DISTINCT
+        |    'L' || CAST(o_orderkey % 400 AS VARCHAR) AS sl,
+        |    'v' || CAST((o_orderkey % 400 * 3) % 700 AS VARCHAR) AS vid,
+        |    CAST(((o_orderkey % 400 * 3) % 700) % 4 + 1 AS VARCHAR) AS chrom,
+        |    'ST' || CAST(o_orderkey % 400 % 40 AS VARCHAR) AS st
+        |  FROM orders),
+        |sts AS (SELECT DISTINCT o_orderkey % 40 AS j FROM orders),
+        |major AS (SELECT 'ST' || CAST(j AS VARCHAR) AS st,
+        |    CASE WHEN j % 5 = 0 AND (j % 4 = 1 OR j % 4 = 2) THEN 'nfe'
+        |         WHEN j % 4 = 0 THEN 'nfe' WHEN j % 4 = 1 THEN 'afr'
+        |         WHEN j % 4 = 2 THEN 'eas' ELSE 'fin' END AS major
+        |  FROM sts),
+        |hasld AS (SELECT DISTINCT chrom, vid FROM ldr),
+        |tagr AS (SELECT DISTINCT chrom, vid, tag FROM ldr),
+        |ann AS (SELECT l.sl, l.vid, l.chrom, m.major,
+        |    CASE WHEN h.vid IS NULL
+        |         THEN 'Variant not found in LD reference' ELSE '' END AS qc_str,
+        |    h.vid IS NOT NULL AS has
+        |  FROM loci l JOIN major m ON l.st = m.st
+        |  LEFT JOIN hasld h ON l.vid = h.vid AND l.chrom = h.chrom)
+        |SELECT a.sl AS "studyLocusId", a.vid AS "variantId",
+        |  a.major AS "majorPopulation", a.qc_str,
+        |  t.tag AS "tagVariantId",
+        |  round(coalesce(power(rm.r, 2), 0.0), 6) AS r2
+        |FROM ann a
+        |JOIN tagr t ON a.vid = t.vid AND a.chrom = t.chrom
+        |LEFT JOIN ldr rm ON rm.vid = t.vid AND rm.chrom = t.chrom
+        |  AND rm.tag = t.tag AND rm.pop = a.major
+        |WHERE a.has
+        |UNION ALL
+        |SELECT sl AS "studyLocusId", vid AS "variantId",
+        |  major AS "majorPopulation", qc_str,
+        |  vid AS "tagVariantId", 1.0 AS r2
+        |FROM ann WHERE NOT has""".stripMargin,
     "q_eqtl_susie" ->
       """WITH r AS (SELECT DISTINCT
         |    l_orderkey * 8 + l_linenumber AS k,
