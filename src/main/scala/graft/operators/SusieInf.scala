@@ -364,9 +364,21 @@ object SusieInf {
       coverage: Double = 0.99,
       purity: Double = 0.5,
       dedup: Boolean = true
-  ): List[List[Int]] = {
+  ): List[List[Int]] =
+    credInfWithEffects(PIP, ld, coverage, purity, dedup).map(_._2)
+
+  /** Like [[credInf]] but keeps the single-effect column index each
+    * credible set came from, so callers can read the matching lbf.
+    */
+  def credInfWithEffects(
+      PIP: DenseMatrix[Double],
+      ld: DenseMatrix[Double],
+      coverage: Double = 0.99,
+      purity: Double = 0.5,
+      dedup: Boolean = true
+  ): List[(Int, List[Int])] = {
     val p = PIP.rows
-    var cred = List.empty[List[Int]]
+    var cred = List.empty[(Int, List[Int])]
     for (i <- 0 until PIP.cols) {
       val sortinds = (0 until p).sortBy(j => -PIP(j, i))
       var cum = 0.0
@@ -379,14 +391,19 @@ object SusieInf {
       }
       if (ind >= 0) {
         val credset = sortinds.take(ind + 1).toList
-        if (credset.length == 1) cred :+= credset
+        if (credset.length == 1) cred :+= ((i, credset))
         else {
           val rows = credset.take(100)
           val minAbs = rows.flatMap(a => rows.map(b => math.abs(ld(a, b)))).min
-          if (minAbs > purity) cred :+= credset.sorted
+          if (minAbs > purity) cred :+= ((i, credset.sorted))
         }
       }
     }
-    if (dedup) cred.distinct else cred
+    if (dedup) {
+      // reference dedups by variant membership; keep the first effect
+      // column that produced each distinct set
+      val seen = scala.collection.mutable.Set.empty[List[Int]]
+      cred.filter { case (_, s) => seen.add(s) }
+    } else cred
   }
 }

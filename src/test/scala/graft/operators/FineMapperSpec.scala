@@ -68,12 +68,20 @@ class FineMapperSpec extends SparkSpec {
     val ld = (for { i <- 0 until n; j <- (i + 1) until n }
       yield ("G", f"v$i%03d", f"v$j%03d", math.pow(0.9, j - i)))
       .toDF("studyLocusId", "vi", "vj", "r")
-    val out = FineMapper.finemapLoci(spark, sumstats, ld, n = 10000)
+    val result = FineMapper.finemapLoci(spark, sumstats, ld, n = 10000)
+    val out = result
+      .select("studyLocusId", "variantId", "credibleSetIndex", "pip", "credibleSetlog10BF")
       .as[(String, String, Int, Double, Double)]
       .collect()
     assert(out.nonEmpty)
     val top = out.maxBy(_._4)
     assert(top._2 === f"v$causal%03d")
     assert(top._4 > 0.15, s"causal PIP should dominate, got ${top._4}")
+    // post-QC columns: purity within (0,1], exactly one lead per credible set
+    val qc = result
+      .select("credibleSetIndex", "purityMeanR2", "purityMinR2", "isLead")
+      .as[(Int, Double, Double, Boolean)].collect()
+    assert(qc.forall(r => r._2 > 0 && r._2 <= 1.0 && r._3 > 0 && r._3 <= 1.0))
+    assert(qc.groupBy(_._1).forall { case (_, rows) => rows.count(_._4) === 1 })
   }
 }
