@@ -96,6 +96,60 @@ object OpenTargetsVariants {
         "variantEffect",
         VariantEffectNormaliser.normaliseVariantEffect(col("variantEffect")))
 
+  /** Variant → gene distance pairs from the transcript consequences
+    * (dataset/variant_index.py:255-287).
+    */
+  def getDistanceToGene(
+      variantIndex: DataFrame,
+      distanceType: String = "distanceFromTss",
+      maxDistance: Int = 500000
+  ): DataFrame = {
+    require(
+      distanceType == "distanceFromTss" || distanceType == "distanceFromFootprint",
+      s"invalid distance type: $distanceType")
+    require(maxDistance <= 500000, s"max_distance must be <= 500000, got $maxDistance")
+    val df = variantIndex
+      .select(col("variantId"), explode(col("transcriptConsequences")).as("tc"))
+      .select(col("variantId"), col("tc.targetId"), col(s"tc.$distanceType"))
+    if (maxDistance == 500000) df else df.filter(col(distanceType) <= maxDistance)
+  }
+
+  /** Enrich variantEffect with amino-acid-level predictions (FoldX et al.):
+    * extract the transcript-carried amino-acid change + UniProt accessions,
+    * join the amino-acid annotation, union the predictor arrays, keep the
+    * richest row per variant (dataset/variant_index.py:289-341).
+    */
+  def annotateWithAminoAcidConsequences(
+      variantIndex: DataFrame,
+      aminoAcidVariants: DataFrame
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("variantId")).orderBy(size(col("variantEffect")).desc)
+    val aaChanging = filter(
+      col("transcriptConsequences"),
+      vep => vep.getField("aminoAcidChange").isNotNull)
+    variantIndex
+      .withColumn("aminoAcidChange", get(aaChanging, lit(0)).getField("aminoAcidChange"))
+      .withColumn(
+        "uniprotAccession",
+        explode_outer(get(aaChanging, lit(0)).getField("uniprotAccessions")))
+      .join(
+        aminoAcidVariants.withColumnRenamed("variantEffect", "annotations"),
+        Seq("uniprotAccession", "aminoAcidChange"),
+        "left")
+      .withColumn(
+        "variantEffect",
+        when(
+          col("annotations").isNotNull,
+          array_union(col("variantEffect"), col("annotations")))
+          .otherwise(col("variantEffect")))
+      .drop("uniprotAccession", "aminoAcidChange", "annotations")
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .drop("rank")
+  }
+
   /** UniProt accessions where one structural position maps to several
     * sequence positions — un-disambiguatable, dropped
     * (foldex_integration.py:79-99).

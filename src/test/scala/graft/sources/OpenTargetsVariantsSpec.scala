@@ -47,6 +47,46 @@ class OpenTargetsVariantsSpec extends SparkSpec {
       ("P1", "A10G", "FoldX", 1.0)))
   }
 
+  test("distance-to-gene extraction explodes transcripts and bounds the window") {
+    val vi = Seq(
+      ("v1", Seq(("G1", 100L), ("G2", 400000L))),
+      ("v2", Seq(("G3", 499999L)))
+    ).toDF("variantId", "raw")
+      .select(
+        col("variantId"),
+        expr("transform(raw, x -> named_struct('targetId', x._1, 'distanceFromTss', x._2))")
+          .as("transcriptConsequences"))
+    val all = OpenTargetsVariants.getDistanceToGene(vi)
+      .as[(String, String, Long)].collect().toSet
+    assert(all === Set(("v1", "G1", 100L), ("v1", "G2", 400000L), ("v2", "G3", 499999L)))
+    val near = OpenTargetsVariants.getDistanceToGene(vi, maxDistance = 1000)
+      .as[(String, String, Long)].collect().toSet
+    assert(near === Set(("v1", "G1", 100L)))
+  }
+
+  test("amino-acid consequence enrichment unions predictor arrays and keeps richest row") {
+    val vi = Seq(
+      ("v1", Seq(("A10V", Seq("P1"))), Seq("VEP")),
+      ("v2", Seq((null.asInstanceOf[String], Seq.empty[String])), Seq("VEP"))
+    ).toDF("variantId", "tc0", "ve0")
+      .select(
+        col("variantId"),
+        expr(
+          "transform(tc0, x -> named_struct('aminoAcidChange', x._1, 'uniprotAccessions', x._2))")
+          .as("transcriptConsequences"),
+        expr("transform(ve0, m -> named_struct('method', m))").as("variantEffect"))
+    val aa = Seq(("P1", "A10V", Seq("FoldX")))
+      .toDF("uniprotAccession", "aminoAcidChange", "ve0")
+      .select(
+        col("uniprotAccession"), col("aminoAcidChange"),
+        expr("transform(ve0, m -> named_struct('method', m))").as("variantEffect"))
+    val got = OpenTargetsVariants.annotateWithAminoAcidConsequences(vi, aa)
+      .selectExpr("variantId", "transform(variantEffect, x -> x.method) AS methods")
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("v1") === Seq("VEP", "FoldX"))
+    assert(got("v2") === Seq("VEP"))
+  }
+
   test("asVcf merges locus ids, drops dirty alleles, keeps rsId") {
     val variants = Seq(
       (Some("1_100_A_C"), Some(Seq("1_107_A_C")), Some("rs1")),
