@@ -862,7 +862,30 @@ object SourceQueries {
         round(col("tag.r2Overall"), 6).as("r2"))
   }
 
+  /** Ontology transitive closure (operators/OntologyClosure.scala; replaces
+    * the reference's driver-side graph walk in
+    * biosample_ontologies/utils.py:26-70): semi-naive BFS over a synthetic
+    * DAG — binary-tree parents plus cross edges — checked against DuckDB's
+    * recursive CTE.
+    */
+  def ontologyClosure(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.OntologyClosure
+    val c = col("o_orderkey") % 1000 + 2 // nodes 2..1001
+    val tree = orders(s, d).select(
+      concat(lit("N"), c.cast(StringType)).as("child"),
+      concat(lit("N"), (c / 2).cast("long").cast(StringType)).as("parent"))
+    val cross = orders(s, d)
+      .filter(c % 7 === 0)
+      .select(
+        concat(lit("N"), c.cast(StringType)).as("child"),
+        concat(lit("N"), (c / 3).cast("long").cast(StringType)).as("parent"))
+    OntologyClosure
+      .transitiveClosure(tree.unionByName(cross).distinct())
+      .select(col("node"), col("ancestor"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ontology_closure" -> (ontologyClosure _),
     "q_ld_annotate" -> (ldAnnotate _),
     "q_eqtl_susie" -> (eqtlSusie _),
     "q_vcf_export" -> (vcfExport _),
@@ -921,6 +944,22 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ontology_closure" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT
+        |    'N' || CAST(o_orderkey % 1000 + 2 AS VARCHAR) AS child,
+        |    'N' || CAST((o_orderkey % 1000 + 2) // 2 AS VARCHAR) AS parent
+        |  FROM orders
+        |  UNION
+        |  SELECT DISTINCT
+        |    'N' || CAST(o_orderkey % 1000 + 2 AS VARCHAR) AS child,
+        |    'N' || CAST((o_orderkey % 1000 + 2) // 3 AS VARCHAR) AS parent
+        |  FROM orders WHERE (o_orderkey % 1000 + 2) % 7 = 0),
+        |closure AS (
+        |  SELECT child AS node, parent AS ancestor FROM e
+        |  UNION
+        |  SELECT c.node, e.parent AS ancestor
+        |  FROM closure c JOIN e ON c.ancestor = e.child)
+        |SELECT node, ancestor FROM closure""".stripMargin,
     "q_ld_annotate" ->
       """WITH ldr AS (SELECT DISTINCT
         |    CAST(((l_orderkey * 8 + l_linenumber) % 500) % 4 + 1 AS VARCHAR) AS chrom,
