@@ -44,6 +44,23 @@ final case class SummaryStatistics(df: DataFrame) extends GDataset[SummaryStatis
   /** Distance-based clumping → [[StudyLocus]]
     * (dataset/summary_statistics.py:60-88).
     */
+  /** Locus-breaker clumping (dataset/summary_statistics.py:90-119). */
+  def locusBreakerClumping(
+      baselinePvalueCutoff: Double = 1e-5,
+      distanceCutoff: Long = 250000,
+      pvalueCutoff: Double = 5e-8,
+      flankingDistance: Long = 100000
+  ): StudyLocus =
+    StudyLocus(
+      graft.operators.LocusBreaker.locusBreaker(
+        df, baselinePvalueCutoff, distanceCutoff, pvalueCutoff, flankingDistance))
+
+  /** Keep rows of the given studies — left-semi join, never collect→isin
+    * (dataset/summary_statistics.py:178-207).
+    */
+  def limitToStudies(studies: DataFrame): SummaryStatistics =
+    withDf(graft.operators.Annotations.limitToStudies(df, studies))
+
   def windowBasedClumping(distance: Long = 500000): StudyLocus =
     StudyLocus(WindowBasedClumping.clump(df, distance))
 }
