@@ -884,7 +884,60 @@ object SourceQueries {
       .select(col("node"), col("ancestor"))
   }
 
+  /** Intervals validation chain (sources/Intervals.scala
+    * validate*; reference dataset/intervals.py:165-496): datasource ids,
+    * contig-bounded ranges, target/biosample FKs, interval types
+    * (unknown + ambiguous per region), score bounds.
+    */
+  def intervalQc(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Intervals
+    val k = col("l_orderkey") * 8 + col("l_linenumber")
+    val start = (k % 900).cast("long")
+    val iv = lineitem(s, d).select(
+      when(k % 9 === 0, lit("chrZ")).otherwise((k % 3 + 1).cast(StringType))
+        .as("chromosome"),
+      start.as("start"),
+      (start + 50 + when(k % 11 === 0, 5000).otherwise(0)).as("end"),
+      concat(lit("ENSG"), (k % 50).cast(StringType)).as("geneId"),
+      when(k % 5 === 0, "badsrc").when(k % 5 === 1, "epiraction").otherwise("E2G")
+        .as("datasourceId"),
+      // (k % 7) % 6 is NOT determined by the (chromosome, start, end, gene)
+      // residues, so the same region can carry different types → exercises
+      // the ambiguity flag
+      when((k % 7) % 6 === 0, "promoter").when((k % 7) % 6 === 1, "enhancer")
+        .when((k % 7) % 6 === 2, "intragenic").when((k % 7) % 6 === 3, "intergenic")
+        .when((k % 7) % 6 === 4, "genic").otherwise("badtype").as("intervalType"),
+      when(k % 13 === 0, lit(null).cast("double"))
+        .otherwise((k % 16) / lit(8.0) - 0.5).as("score"),
+      concat(lit("BS"), (k % 30).cast(StringType)).as("biosampleFromSourceId"),
+      k.as("intervalId")
+    ).distinct()
+    val contigs = nation(s, d)
+      .filter(col("n_nationkey") < 3)
+      .select(
+        (col("n_nationkey") + 1).cast(StringType).as("id"),
+        lit(0L).as("start"), lit(1000L).as("end"))
+    val genes = supplier(s, d)
+      .select(concat(lit("ENSG"), (col("s_suppkey") % 40).cast(StringType)).as("id"))
+      .distinct()
+    val biosamples = nation(s, d)
+      .select(concat(lit("BS"), col("n_nationkey").cast(StringType)).as("biosampleId"))
+    val validated = Intervals.validateScore(
+      Intervals.validateIntervalType(
+        Intervals.validateBiosample(
+          Intervals.validateTarget(
+            Intervals.validateIntervalRange(
+              Intervals.validateDatasourceId(iv), contigs),
+            genes),
+          biosamples)),
+      0.0, 1.0)
+    validated.select(
+      col("intervalId"), col("chromosome"),
+      array_sort(col("qualityControls")).as("qualityControls"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_qc" -> (intervalQc _),
     "q_ontology_closure" -> (ontologyClosure _),
     "q_ld_annotate" -> (ldAnnotate _),
     "q_eqtl_susie" -> (eqtlSusie _),
@@ -944,6 +997,47 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_interval_qc" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
+        |iv AS (SELECT k,
+        |    CASE WHEN k % 9 = 0 THEN 'chrZ'
+        |         ELSE CAST(k % 3 + 1 AS VARCHAR) END AS chrom,
+        |    k % 900 AS s,
+        |    k % 900 + 50 + CASE WHEN k % 11 = 0 THEN 5000 ELSE 0 END AS e,
+        |    k % 50 AS gene,
+        |    CASE WHEN k % 5 = 0 THEN 'badsrc' WHEN k % 5 = 1 THEN 'epiraction'
+        |         ELSE 'E2G' END AS src,
+        |    CASE (k % 7) % 6 WHEN 0 THEN 'promoter' WHEN 1 THEN 'enhancer'
+        |         WHEN 2 THEN 'intragenic' WHEN 3 THEN 'intergenic'
+        |         WHEN 4 THEN 'genic' ELSE 'badtype' END AS itype,
+        |    CASE WHEN k % 13 = 0 THEN NULL
+        |         ELSE (k % 16) / 8.0 - 0.5 END AS score,
+        |    k % 30 AS bios
+        |  FROM b),
+        |amb AS (SELECT chrom, s, e, gene,
+        |    count(DISTINCT itype) AS ntypes
+        |  FROM iv GROUP BY 1, 2, 3, 4)
+        |SELECT iv.k AS "intervalId", iv.chrom AS chromosome,
+        |  list_sort(list_filter([
+        |    CASE WHEN iv.src NOT IN ('E2G', 'epiraction')
+        |         THEN 'Project id could not be resolved to any known dataset' END,
+        |    CASE WHEN iv.chrom = 'chrZ'
+        |         THEN 'Interval chromosome was not found in contig index' END,
+        |    CASE WHEN iv.chrom <> 'chrZ' AND (iv.s < 0 OR iv.e > 1000)
+        |         THEN 'Interval range exceeded chromosome bounds' END,
+        |    CASE WHEN iv.gene >= 40
+        |         THEN 'Target/gene identifier could not match to reference' END,
+        |    CASE WHEN iv.bios >= 25
+        |         THEN 'Biosample identifier was not found in the reference' END,
+        |    CASE WHEN iv.itype = 'badtype'
+        |         THEN 'Interval type is not supported' END,
+        |    CASE WHEN amb.ntypes > 1
+        |         THEN 'Multiple interval types for the same (region, geneId) pair' END,
+        |    CASE WHEN iv.score IS NULL OR NOT (iv.score BETWEEN 0 AND 1)
+        |         THEN 'Score was above or below specified thresholds' END],
+        |    x -> x IS NOT NULL)) AS "qualityControls"
+        |FROM iv JOIN amb ON iv.chrom = amb.chrom AND iv.s = amb.s
+        |  AND iv.e = amb.e AND iv.gene = amb.gene""".stripMargin,
     "q_ontology_closure" ->
       """WITH RECURSIVE e AS (SELECT DISTINCT
         |    'N' || CAST(o_orderkey % 1000 + 2 AS VARCHAR) AS child,

@@ -15,6 +15,120 @@ object Intervals {
     StructField("score", DoubleType)
   ))
 
+  // IntervalQualityCheck flag texts (dataset/intervals.py:31-44)
+  val UnresolvedTargetFlag = "Target/gene identifier could not match to reference"
+  val UnknownBiosampleFlag = "Biosample identifier was not found in the reference"
+  val ScoreOutsideBoundsFlag = "Score was above or below specified thresholds"
+  val UnknownIntervalTypeFlag = "Interval type is not supported"
+  val UnknownProjectIdFlag = "Project id could not be resolved to any known dataset"
+  val InvalidChromosomeFlag = "Interval chromosome was not found in contig index"
+  val InvalidRangeFlag = "Interval range exceeded chromosome bounds"
+  val AmbiguousIntervalTypeFlag =
+    "Multiple interval types for the same (region, geneId) pair"
+
+  val KnownDataSources: Seq[String] = Seq("E2G", "epiraction")
+  val KnownIntervalTypes: Seq[String] =
+    Seq("promoter", "enhancer", "intragenic", "intergenic", "genic")
+
+  private def qcCol(df: DataFrame): Column =
+    if (df.columns.contains("qualityControls")) col("qualityControls")
+    else array().cast("array<string>")
+
+  /** Flag unknown datasource ids (dataset/intervals.py:165-207). */
+  def validateDatasourceId(df: DataFrame): DataFrame =
+    df.withColumn(
+      "qualityControls",
+      graft.core.GDataset.updateQualityFlag(
+        qcCol(df),
+        !col("datasourceId").isin(KnownDataSources: _*),
+        UnknownProjectIdFlag))
+
+  /** Flag non-canonical chromosomes and out-of-bounds ranges against the
+    * broadcast contig index (dataset/intervals.py:207-283).
+    */
+  def validateIntervalRange(df: DataFrame, contigIndex: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val contigs = broadcast(
+      contigIndex.select(
+        col("start").as("contigStart"),
+        col("end").as("contigEnd"),
+        col("id").as("chromosome")))
+    df.join(contigs, Seq("chromosome"), "left")
+      .withColumn(
+        "qualityControls",
+        graft.core.GDataset.updateQualityFlag(
+          qcCol(df),
+          col("contigStart").isNull || col("contigEnd").isNull,
+          InvalidChromosomeFlag))
+      .withColumn(
+        "qualityControls",
+        graft.core.GDataset.updateQualityFlag(
+          col("qualityControls"),
+          col("start") < col("contigStart") || col("end") > col("contigEnd"),
+          InvalidRangeFlag))
+      .drop("contigStart", "contigEnd")
+  }
+
+  /** Flag intervals whose gene is absent from the target index
+    * (dataset/intervals.py:284-337).
+    */
+  def validateTarget(df: DataFrame, targetIndex: DataFrame): DataFrame =
+    df.join(
+      targetIndex.select(col("id").as("geneId"), lit(true).as("isIdFound")),
+      Seq("geneId"),
+      "left")
+      .withColumn(
+        "qualityControls",
+        graft.core.GDataset.updateQualityFlag(
+          qcCol(df), col("isIdFound").isNull, UnresolvedTargetFlag))
+      .drop("isIdFound")
+
+  /** Flag intervals whose biosample is absent from the biosample index
+    * (dataset/intervals.py:338-391).
+    */
+  def validateBiosample(df: DataFrame, biosampleIndex: DataFrame): DataFrame =
+    df.join(
+      biosampleIndex.select(
+        col("biosampleId").as("biosampleFromSourceId"), lit(true).as("isIdFound")),
+      Seq("biosampleFromSourceId"),
+      "left")
+      .withColumn(
+        "qualityControls",
+        graft.core.GDataset.updateQualityFlag(
+          qcCol(df), col("isIdFound").isNull, UnknownBiosampleFlag))
+      .drop("isIdFound")
+
+  /** Flag unsupported interval types and (region, gene) pairs carrying
+    * multiple types (dataset/intervals.py:392-450).
+    */
+  def validateIntervalType(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("chromosome"), col("start"), col("end"), col("geneId"))
+    df.withColumn(
+      "qualityControls",
+      graft.core.GDataset.updateQualityFlag(
+        qcCol(df),
+        !col("intervalType").isin(KnownIntervalTypes: _*),
+        UnknownIntervalTypeFlag))
+      .withColumn(
+        "qualityControls",
+        graft.core.GDataset.updateQualityFlag(
+          col("qualityControls"),
+          size(collect_set(col("intervalType")).over(w)) > 1,
+          AmbiguousIntervalTypeFlag))
+  }
+
+  /** Flag scores outside [minScore, maxScore] or null
+    * (dataset/intervals.py:452-496).
+    */
+  def validateScore(df: DataFrame, minScore: Double, maxScore: Double): DataFrame =
+    df.withColumn(
+      "qualityControls",
+      graft.core.GDataset.updateQualityFlag(
+        qcCol(df),
+        !col("score").between(minScore, maxScore) || col("score").isNull,
+        ScoreOutsideBoundsFlag))
+
   /** Read a headerless BED(-ish) file into the intervals shape: normalised
     * chromosome, half-open → closed coordinates, gene id parsed from the
     * name field (`<gene>|<rest>` or plain gene id).

@@ -102,4 +102,42 @@ class BgzfCodecSpec extends SparkSpec {
       .as[Option[Int]].collect().toSeq
     assert(got === Seq(Some(0), Some(0), Some(100), None))
   }
+
+  test("interval validators match the reference doctests (intervals.py:165-496)") {
+    import spark.implicits._
+    val iv = Seq(
+      ("1", 100L, 200L, "ENSG1", "UNKNOWN_ID", "promoter", Some(0.5), "BS1", "interval1"),
+      ("1", 150L, 250L, "ENSG2", "E2G", "enhancer", Some(-1.0), "BS_UNKNOWN", "interval2"),
+      ("2", 300L, 400L, "ENSG3", "epiraction", "intragenic", Some(2.0), "BS1", "interval3"),
+      ("2", 300L, 400L, "ENSG3", "E2G", "intergenic", None, "BS1", "interval4"),
+      ("UNKNOWN_CHR", 400L, 500L, "ENSGX", "E2G", "other", Some(0.1), "BS1", "interval5"),
+      ("2", 100L, 9999L, "ENSG3", "E2G", "genic", Some(0.9), "BS1", "interval6")
+    ).toDF("chromosome", "start", "end", "geneId", "datasourceId",
+      "intervalType", "score", "biosampleFromSourceId", "intervalId")
+    val contigs = Seq(("1", 0L, 1000L), ("2", 0L, 1000L)).toDF("id", "start", "end")
+    val genes = Seq("ENSG1", "ENSG2", "ENSG3").toDF("id")
+    val biosamples = Seq("BS1").toDF("biosampleId")
+    val out = Intervals.validateScore(
+      Intervals.validateIntervalType(
+        Intervals.validateBiosample(
+          Intervals.validateTarget(
+            Intervals.validateIntervalRange(
+              Intervals.validateDatasourceId(iv), contigs),
+            genes),
+          biosamples)),
+      0.0, 1.0)
+      .select("intervalId", "qualityControls")
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("interval1") === Seq(Intervals.UnknownProjectIdFlag))
+    assert(out("interval2").toSet === Set(
+      Intervals.UnknownBiosampleFlag, Intervals.ScoreOutsideBoundsFlag))
+    assert(out("interval3").toSet === Set(
+      Intervals.AmbiguousIntervalTypeFlag, Intervals.ScoreOutsideBoundsFlag))
+    assert(out("interval4").toSet === Set(
+      Intervals.AmbiguousIntervalTypeFlag, Intervals.ScoreOutsideBoundsFlag))
+    assert(out("interval5").toSet === Set(
+      Intervals.InvalidChromosomeFlag, Intervals.UnresolvedTargetFlag,
+      Intervals.UnknownIntervalTypeFlag))
+    assert(out("interval6") === Seq(Intervals.InvalidRangeFlag))
+  }
 }
