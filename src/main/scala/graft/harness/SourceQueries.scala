@@ -1016,7 +1016,8 @@ object SourceQueries {
         |  FROM b),
         |amb AS (SELECT chrom, s, e, gene,
         |    count(DISTINCT itype) AS ntypes
-        |  FROM iv GROUP BY 1, 2, 3, 4)
+        |  FROM iv GROUP BY 1, 2, 3, 4),
+        |genes AS (SELECT DISTINCT s_suppkey % 40 AS g FROM supplier)
         |SELECT iv.k AS "intervalId", iv.chrom AS chromosome,
         |  list_sort(list_filter([
         |    CASE WHEN iv.src NOT IN ('E2G', 'epiraction')
@@ -1025,7 +1026,7 @@ object SourceQueries {
         |         THEN 'Interval chromosome was not found in contig index' END,
         |    CASE WHEN iv.chrom <> 'chrZ' AND (iv.s < 0 OR iv.e > 1000)
         |         THEN 'Interval range exceeded chromosome bounds' END,
-        |    CASE WHEN iv.gene >= 40
+        |    CASE WHEN iv.gene NOT IN (SELECT g FROM genes)
         |         THEN 'Target/gene identifier could not match to reference' END,
         |    CASE WHEN iv.bios >= 25
         |         THEN 'Biosample identifier was not found in the reference' END,
