@@ -936,7 +936,41 @@ object SourceQueries {
       array_sort(col("qualityControls")).as("qualityControls"))
   }
 
+  /** Variant-direction LUT build (sources/VariantDirection.scala
+    * fromVariantIndex; reference dataset/variant_direction.py:265-440):
+    * 4-way orientation expansion for strand-resolvable SNPs, 2-way for
+    * palindromes, rangeId bucketing.
+    */
+  def variantDirection(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VariantDirection
+    val pk = col("p_partkey")
+    val letters = array(lit("A"), lit("C"), lit("G"), lit("T"))
+    val vi = part(s, d).select(
+      (pk % 4 + 1).cast(StringType).as("chromosome"),
+      (pk % 20000000).cast(IntegerType).as("position"),
+      element_at(letters, (pk % 4 + 1).cast(IntegerType)).as("referenceAllele"),
+      element_at(letters, ((pk / 4) % 4 + 1).cast(IntegerType)).as("alternateAllele")
+    ).distinct()
+      .withColumn(
+        "variantId",
+        concat_ws("_", col("chromosome"), col("position"),
+          col("referenceAllele"), col("alternateAllele")))
+      .withColumn(
+        "alleleFrequencies",
+        expr("array(named_struct('populationName', 'nfe', 'alleleFrequency', 0.5))"))
+    VariantDirection
+      .fromVariantIndex(vi)
+      .select(
+        col("chromosome"), col("rangeId"), col("originalVariantId"),
+        col("type").cast(IntegerType).as("vtype"),
+        col("variantId"),
+        col("direction").cast(IntegerType).as("direction"),
+        col("strand").cast(IntegerType).as("strand"),
+        col("isStrandAmbiguous"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_variant_direction" -> (variantDirection _),
     "q_interval_qc" -> (intervalQc _),
     "q_ontology_closure" -> (ontologyClosure _),
     "q_ld_annotate" -> (ldAnnotate _),
@@ -997,6 +1031,36 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_variant_direction" ->
+      """WITH v AS (SELECT DISTINCT
+        |    CAST(p_partkey % 4 + 1 AS VARCHAR) AS chrom,
+        |    CAST(p_partkey % 20000000 AS INTEGER) AS pos,
+        |    ['A','C','G','T'][CAST(p_partkey % 4 AS INTEGER) + 1] AS ref,
+        |    ['A','C','G','T'][CAST((p_partkey // 4) % 4 AS INTEGER) + 1] AS alt
+        |  FROM part),
+        |w AS (SELECT *,
+        |    chrom || '_' || pos || '_' || ref || '_' || alt AS ovid,
+        |    CAST(pos // 10000000 AS INTEGER) AS rangeId,
+        |    translate(ref, 'ACGT', 'TGCA') AS cref,
+        |    translate(alt, 'ACGT', 'TGCA') AS calt,
+        |    translate(alt, 'ACGT', 'TGCA') = ref AS amb
+        |  FROM v)
+        |SELECT chrom AS chromosome, rangeId, ovid AS "originalVariantId",
+        |  1 AS vtype, chrom || '_' || pos || '_' || ref || '_' || alt AS "variantId",
+        |  1 AS direction, 1 AS strand, amb AS "isStrandAmbiguous"
+        |FROM w
+        |UNION ALL
+        |SELECT chrom, rangeId, ovid, 1,
+        |  chrom || '_' || pos || '_' || alt || '_' || ref,
+        |  -1, 1, amb FROM w
+        |UNION ALL
+        |SELECT chrom, rangeId, ovid, 1,
+        |  chrom || '_' || pos || '_' || cref || '_' || calt,
+        |  1, -1, false FROM w WHERE NOT amb
+        |UNION ALL
+        |SELECT chrom, rangeId, ovid, 1,
+        |  chrom || '_' || pos || '_' || calt || '_' || cref,
+        |  -1, -1, false FROM w WHERE NOT amb""".stripMargin,
     "q_interval_qc" ->
       """WITH b AS (SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
         |iv AS (SELECT k,
