@@ -148,6 +148,58 @@ object L2gFeatureFactory {
     L2gFeatures.featureMatrix(longs.reduce(_ unionByName _), names)
   }
 
+  /** Missing-value handling for the wide matrix
+    * (l2g_feature_matrix.py:138-168): gene-count features impute with the
+    * per-locus mean (they are locus attributes), everything else fills with
+    * `naValue`.
+    */
+  def fillNa(
+      matrix: DataFrame,
+      naValue: Double = 0.0,
+      featureCols: Seq[String] = AllFeatureNames
+  ): DataFrame = {
+    val countCols = Seq("proteinGeneCount500kb", "geneCount500kb")
+      .filter(matrix.columns.contains)
+    val imputed = countCols.foldLeft(matrix) { (df, c) =>
+      df.withColumn(
+        c,
+        when(
+          col(c).isNull,
+          mean(col(c)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("studyLocusId"))))
+          .otherwise(col(c)))
+    }
+    imputed.na.fill(naValue, featureCols.filter(matrix.columns.contains))
+  }
+
+  /** Per-feature missingness (null-or-zero) rate in ONE aggregation pass —
+    * the reference fires one count job per feature
+    * (l2g_feature_matrix.py:113-136).
+    */
+  def featureMissingnessRate(
+      matrix: DataFrame,
+      featureCols: Seq[String]
+  ): Map[String, Double] = {
+    val present = featureCols.filter(matrix.columns.contains)
+    require(present.nonEmpty, "No features found")
+    val aggs = count(lit(1)).as("_total") +:
+      present.map(c =>
+        sum(when(col(c).isNull || col(c) === 0, 1L).otherwise(0L)).as(s"_miss_$c"))
+    val row = matrix.select(aggs: _*).collect().head
+    val total = row.getAs[Long]("_total").toDouble
+    present.map(c => c -> row.getAs[Long](s"_miss_$c") / total).toMap
+  }
+
+  /** Keep id columns + the requested features, float-cast
+    * (l2g_feature_matrix.py:170-199).
+    */
+  def selectFeatures(matrix: DataFrame, features: Seq[String]): DataFrame = {
+    require(features.nonEmpty, "features must be selected")
+    matrix.select(
+      (Seq(col("studyLocusId"), col("geneId")) ++
+        features.map(c => col(c).cast("float").as(c))): _*)
+  }
+
   /** Sentinel rows: the lead variant of each locus with unit pp. */
   private def sentinels(in: Inputs): DataFrame =
     in.studyLoci.select(

@@ -73,6 +73,37 @@ class L2gFeatureFactorySpec extends SparkSpec {
     }
   }
 
+  test("fillNa imputes gene counts with locus means, fills the rest with zero") {
+    val m = Seq(
+      ("L1", "G1", Some(4.0), Some(0.5)),
+      ("L1", "G2", None, None),
+      ("L2", "G3", None, Some(0.1))
+    ).toDF("studyLocusId", "geneId", "geneCount500kb", "distanceSentinelTss")
+    val got = L2gFeatureFactory
+      .fillNa(m, featureCols = Seq("geneCount500kb", "distanceSentinelTss"))
+      .as[(String, String, Double, Double)].collect().toSet
+    assert(got === Set(
+      ("L1", "G1", 4.0, 0.5),
+      ("L1", "G2", 4.0, 0.0), // locus mean for count, 0 for distance
+      ("L2", "G3", 0.0, 0.1))) // no non-null count in locus → fillna 0
+  }
+
+  test("missingness rate computes all features in one pass") {
+    val m = Seq(
+      ("L1", "G1", Some(1.0), Some(0.0)),
+      ("L1", "G2", None, Some(0.2))
+    ).toDF("studyLocusId", "geneId", "a", "b")
+    val got = L2gFeatureFactory.featureMissingnessRate(m, Seq("a", "b"))
+    assert(got === Map("a" -> 0.5, "b" -> 0.5)) // b: one zero counts as missing
+  }
+
+  test("selectFeatures keeps ids and float-casts the requested columns") {
+    val m = Seq(("L1", "G1", 0.5, 0.9)).toDF("studyLocusId", "geneId", "a", "b")
+    val got = L2gFeatureFactory.selectFeatures(m, Seq("a"))
+    assert(got.columns.toSeq === Seq("studyLocusId", "geneId", "a"))
+    assert(got.schema("a").dataType.typeName === "float")
+  }
+
   test("computeAll assembles the full wide matrix with one column per feature") {
     val m = L2gFeatureFactory.computeAll(inputs())
     assert(m.columns.toSeq ===
