@@ -62,6 +62,72 @@ object L2gModel {
       .drop("features", "rawPrediction", "probability", "prediction")
   }
 
+  /** Evaluation metrics for a scored matrix (method/l2g/trainer.py:196-260):
+    * area under ROC and average precision (area under the PR curve),
+    * computed cluster-side with Spark ML evaluators — no sklearn round trip.
+    */
+  def evaluate(
+      scored: DataFrame,
+      labelCol: String = "goldStandardSet",
+      scoreCol: String = "score"
+  ): Map[String, Double] = {
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    import org.apache.spark.ml.functions.array_to_vector
+    val prepared = scored.withColumn(
+      "_rawScore",
+      array_to_vector(array(lit(1.0) - col(scoreCol), col(scoreCol))))
+    def metric(name: String): Double =
+      new BinaryClassificationEvaluator()
+        .setLabelCol(labelCol)
+        .setRawPredictionCol("_rawScore")
+        .setMetricName(name)
+        .evaluate(prepared)
+    Map(
+      "areaUnderROC" -> metric("areaUnderROC"),
+      "averagePrecision" -> metric("areaUnderPR"))
+  }
+
+  /** K-fold cross-validated training with a small hyperparameter sweep
+    * (method/l2g/trainer.py:273-380, which wraps sklearn GridSearchCV):
+    * Spark ML `CrossValidator` over maxDepth × maxIter, folds and model
+    * selection evaluated on the cluster.
+    */
+  def trainWithCv(
+      featureMatrix: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String = "goldStandardSet",
+      numFolds: Int = 5,
+      maxDepthGrid: Seq[Int] = Seq(3, 5),
+      maxIterGrid: Seq[Int] = Seq(10, 20)
+  ): GBTClassificationModel = {
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray)
+      .setOutputCol("features")
+      .setHandleInvalid("keep")
+      .transform(featureMatrix)
+    val gbt = new GBTClassifier()
+      .setLabelCol(labelCol)
+      .setFeaturesCol("features")
+      .setSeed(42)
+    val grid = new ParamGridBuilder()
+      .addGrid(gbt.maxDepth, maxDepthGrid)
+      .addGrid(gbt.maxIter, maxIterGrid)
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(gbt)
+      .setEvaluator(
+        new BinaryClassificationEvaluator()
+          .setLabelCol(labelCol)
+          .setMetricName("areaUnderROC"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(numFolds)
+      .setParallelism(4)
+      .setSeed(42)
+    cv.fit(assembled).bestModel.asInstanceOf[GBTClassificationModel]
+  }
+
   /** Flattened decision-tree node: `featureIndex = -1` marks a leaf. */
   final case class FlatNode(
       featureIndex: Int, threshold: Double, left: Int, right: Int, prediction: Double)

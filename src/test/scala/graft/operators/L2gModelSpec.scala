@@ -23,6 +23,22 @@ class L2gModelSpec extends SparkSpec {
     assert(scored.columns.contains("score") && !scored.columns.contains("features"))
   }
 
+  test("evaluation metrics and cross-validated training on separable data") {
+    import spark.implicits._
+    val data = (0 until 200).map { i =>
+      val f1 = (i % 100) / 100.0
+      val f2 = ((i * 7) % 13) / 13.0
+      (if (f1 > 0.5) 1.0 else 0.0, f1, f2)
+    }.toDF("goldStandardSet", "f1", "f2")
+    val model = L2gModel.trainWithCv(
+      data, Seq("f1", "f2"), numFolds = 3,
+      maxDepthGrid = Seq(3), maxIterGrid = Seq(5, 10))
+    val scored = L2gModel.score(model, data, Seq("f1", "f2"))
+    val metrics = L2gModel.evaluate(scored)
+    assert(metrics("areaUnderROC") > 0.99, metrics.toString)
+    assert(metrics("averagePrecision") > 0.99, metrics.toString)
+  }
+
   test("path attribution is additive-exact: explain score equals model probability") {
     import spark.implicits._
     val data = (0 until 400).map { i =>
