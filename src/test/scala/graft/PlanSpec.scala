@@ -90,4 +90,22 @@ class PlanSpec extends SparkSpec {
       "chain table must be the broadcast side of the range join")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_eqtl_susie broadcasts the bounded study metadata, equi-joins the lbf side") {
+    val p = plan(graft.harness.SourceQueries.eqtlSusie(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "study metadata should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_interval_qc broadcasts the contig index against the interval side") {
+    val p = plan(graft.harness.SourceQueries.intervalQc(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "contig index should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_variant_direction expansion is explode + projection, no join at all") {
+    val p = plan(graft.harness.SourceQueries.variantDirection(spark, sfDir))
+    assert(p.contains("Generate"), "orientation expansion should be an explode")
+    assert(!p.contains("Join"), s"LUT build must not join:\n$p")
+  }
 }
