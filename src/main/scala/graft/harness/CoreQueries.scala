@@ -236,8 +236,13 @@ object CoreQueries {
       ArrayOps.mapColumnByDictionary(
         col("rf"), Map("A" -> "accepted", "N" -> "neutral", "R" -> "returned"))
         .as("flag"),
-      ArrayOps.nullifyEmptyArray(toks).as("toks"),
-      array_sort(array_distinct(ArrayOps.safeArrayUnion(a, b))).as("uni"),
+      // Arrays are serialized to '|'-joined strings at the output boundary so
+      // the driver's row-sorting oracle harness can hash them; the DuckDB
+      // oracle mirrors the same serialization.
+      array_join(ArrayOps.nullifyEmptyArray(toks), "|").as("toks"),
+      array_join(
+        array_sort(array_distinct(ArrayOps.safeArrayUnion(a, b)))
+          .cast("array<string>"), "|").as("uni"),
       ArrayOps.filterArrayStruct(structs, "k", lit("a0"), "v").as("fv"))
   }
 
@@ -299,14 +304,14 @@ object CoreQueries {
         |  CASE rf WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'neutral'
         |       WHEN 'R' THEN 'returned' END AS flag,
         |  CASE WHEN id % 3 = 0 THEN NULL
-        |       ELSE ['x' || CAST(id % 5 AS VARCHAR),
-        |             'y' || CAST(id % 7 AS VARCHAR)] END AS toks,
-        |  list_sort(list_distinct(
+        |       ELSE 'x' || CAST(id % 5 AS VARCHAR) || '|' ||
+        |            'y' || CAST(id % 7 AS VARCHAR) END AS toks,
+        |  array_to_string(list_transform(list_sort(list_distinct(
         |    CASE WHEN id % 4 <> 0 AND id % 5 <> 0
         |         THEN list_concat([id % 10, id % 10 + 1], [id % 10 + 1, id % 12])
         |         WHEN id % 4 <> 0 THEN [id % 10, id % 10 + 1]
         |         WHEN id % 5 <> 0 THEN [id % 10 + 1, id % 12]
-        |         ELSE NULL END)) AS uni,
+        |         ELSE NULL END)), x -> CAST(x AS VARCHAR)), '|') AS uni,
         |  CASE WHEN id % 2 = 0 THEN id % 50 ELSE id % 30 END AS fv
         |FROM b""".stripMargin,
     "q_source_cores" ->

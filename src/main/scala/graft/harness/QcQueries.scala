@@ -164,9 +164,11 @@ object QcQueries {
               StudyLocusQc.validateLeadPvalue(
                 StudyLocusQc.validateChromosomeLabel(df), 5e-8),
               col("key"))))))
+    // Flattened to a '|'-joined string at the output boundary (driver's
+    // oracle harness cannot sort rows with array cells); DuckDB mirrors.
     out.select(
       col("studyLocusId"), col("key"), col("chromosome"), col("confidence"),
-      array_sort(col("qualityControls")).as("qualityControls"))
+      array_join(array_sort(col("qualityControls")), "|").as("qualityControls"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -215,7 +217,7 @@ object QcQueries {
         |       WHEN method = 'PICS'
         |       THEN 'PICS fine-mapped credible set extracted from summary statistics'
         |       ELSE 'Unknown confidence' END AS confidence,
-        |  list_sort(list_distinct(list_filter([
+        |  coalesce(array_to_string(list_sort(list_distinct(list_filter([
         |    CASE WHEN tophit THEN 'Study locus from curated top hit' END,
         |    CASE WHEN chromf THEN 'Chromosome not in 1:22, X, Y, XY or MT' END,
         |    CASE WHEN pvalf THEN 'Subsignificant p-value' END,
@@ -225,7 +227,7 @@ object QcQueries {
         |    CASE WHEN mhcf THEN 'MHC region' END,
         |    CASE WHEN redf THEN
         |      'PICS results from summary statistics available for this same study' END],
-        |    x -> x IS NOT NULL))) AS "qualityControls"
+        |    x -> x IS NOT NULL))), '|'), '') AS "qualityControls"
         |FROM fl""".stripMargin,
     "q_trans_qtl" ->
       """WITH cred AS (SELECT 'L' || CAST(o_orderkey AS VARCHAR) AS studyLocusId,

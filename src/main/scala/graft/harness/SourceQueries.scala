@@ -582,10 +582,12 @@ object SourceQueries {
           StudyIndexOps.validateUniqueStudyId(studies, col("sampleSize")),
           Seq("P0", "P3"))),
       diseaseMap)
+    // Arrays flattened to '|'-joined strings at the output boundary
+    // (driver's oracle harness cannot sort rows with array cells).
     validated.select(
       col("studyId"), col("projectId"), col("studyType"), col("sampleSize"),
-      array_sort(col("diseaseIds")).as("diseaseIds"),
-      col("qualityControls"))
+      array_join(array_sort(col("diseaseIds")), "|").as("diseaseIds"),
+      array_join(array_sort(col("qualityControls")), "|").as("qualityControls"))
   }
 
   /** Sumstats-QC → StudyIndex flag rollup (sources/StudyIndexOps.scala
@@ -608,9 +610,12 @@ object SourceQueries {
       (lit(0.6) + (r % 25) / lit(10.0)).as("gc_lambda"),
       ((r % 5) * lit(800000.0)).as("n_variants")
     ).distinct()
+    // qualityControls flattened to a '|'-joined string for the driver oracle.
     StudyIndexOps
       .annotateSumstatsQc(studies, qc)
-      .select(col("studyId"), col("hasSumstats"), col("qualityControls"))
+      .select(
+        col("studyId"), col("hasSumstats"),
+        array_join(array_sort(col("qualityControls")), "|").as("qualityControls"))
   }
 
   /** Drug-enrichment association path (operators/DrugEnrichment.scala;
@@ -694,7 +699,11 @@ object SourceQueries {
       when(j % 4 === 0, concat(lit("PM"), j.cast(StringType)))
         .otherwise(lit(null).cast(StringType)).as("pubmedId")
     ).distinct()
-    L2gPredictionOps.toDiseaseTargetEvidence(preds, sl, si, l2gThreshold = 0.25)
+    // literature (array<string>) flattened to a '|'-joined string for the
+    // driver oracle.
+    L2gPredictionOps
+      .toDiseaseTargetEvidence(preds, sl, si, l2gThreshold = 0.25)
+      .withColumn("literature", array_join(col("literature"), "|"))
   }
 
   /** Variant → VCF export for annotation tools
@@ -931,9 +940,10 @@ object SourceQueries {
             genes),
           biosamples)),
       0.0, 1.0)
+    // qualityControls flattened to a '|'-joined string for the driver oracle.
     validated.select(
       col("intervalId"), col("chromosome"),
-      array_sort(col("qualityControls")).as("qualityControls"))
+      array_join(array_sort(col("qualityControls")), "|").as("qualityControls"))
   }
 
   /** Variant-direction LUT build (sources/VariantDirection.scala
@@ -1083,7 +1093,7 @@ object SourceQueries {
         |  FROM iv GROUP BY 1, 2, 3, 4),
         |genes AS (SELECT DISTINCT s_suppkey % 40 AS g FROM supplier)
         |SELECT iv.k AS "intervalId", iv.chrom AS chromosome,
-        |  list_sort(list_filter([
+        |  array_to_string(list_sort(list_filter([
         |    CASE WHEN iv.src NOT IN ('E2G', 'epiraction')
         |         THEN 'Project id could not be resolved to any known dataset' END,
         |    CASE WHEN iv.chrom = 'chrZ'
@@ -1100,7 +1110,7 @@ object SourceQueries {
         |         THEN 'Multiple interval types for the same (region, geneId) pair' END,
         |    CASE WHEN iv.score IS NULL OR NOT (iv.score BETWEEN 0 AND 1)
         |         THEN 'Score was above or below specified thresholds' END],
-        |    x -> x IS NOT NULL)) AS "qualityControls"
+        |    x -> x IS NOT NULL)), '|') AS "qualityControls"
         |FROM iv JOIN amb ON iv.chrom = amb.chrom AND iv.s = amb.s
         |  AND iv.e = amb.e AND iv.gene = amb.gene""".stripMargin,
     "q_ontology_closure" ->
@@ -1270,7 +1280,7 @@ object SourceQueries {
         |  CASE WHEN regexp_matches(si.pubdate, '\d{4}-\d{2}-\d{2}')
         |       THEN si.pubdate END AS "curationDate",
         |  p.sl AS "studyLocusId",
-        |  CASE WHEN si.pmid IS NOT NULL THEN [si.pmid] END AS literature
+        |  si.pmid AS literature
         |FROM preds p
         |JOIN slj ON p.sl = slj.sl
         |JOIN si ON slj.st = si.st
@@ -1322,7 +1332,7 @@ object SourceQueries {
         |    CAST((c_custkey % 100 % 5) * 800000.0 AS REAL) AS n_variants
         |  FROM customer)
         |SELECT st.sid AS "studyId", qv.sid IS NOT NULL AS "hasSumstats",
-        |  list_sort(list_filter([
+        |  coalesce(array_to_string(list_sort(list_filter([
         |    CASE WHEN qv.sid IS NULL
         |         THEN 'Harmonized summary statistics are not available or empty' END,
     |    CASE WHEN NOT (abs(CAST(qv.mean_beta AS DOUBLE)) <= 0.05)
@@ -1335,7 +1345,7 @@ object SourceQueries {
         |         THEN 'The GC lambda value is not within the expected range' END,
         |    CASE WHEN CAST(qv.n_variants AS DOUBLE) < 2000000
         |         THEN 'The number of SNPs in the study is below the expected threshold' END],
-        |    x -> x IS NOT NULL)) AS "qualityControls"
+        |    x -> x IS NOT NULL)), '|'), '') AS "qualityControls"
         |FROM st LEFT JOIN qv ON st.sid = qv.sid""".stripMargin,
     "q_study_validate" ->
       """WITH st AS (SELECT DISTINCT
@@ -1365,14 +1375,15 @@ object SourceQueries {
         |    coalesce(fg.dids, CAST([] AS VARCHAR[])) AS dids
         |  FROM st LEFT JOIN fg ON st.sid = fg.sid)
         |SELECT sid AS "studyId", pid AS "projectId", stype AS "studyType",
-        |  n AS "sampleSize", dids AS "diseaseIds",
-        |  list_sort(list_filter([
+        |  n AS "sampleSize",
+        |  coalesce(array_to_string(list_sort(dids), '|'), '') AS "diseaseIds",
+        |  coalesce(array_to_string(list_sort(list_filter([
         |    CASE WHEN dup THEN 'The identifier of this study is not unique' END,
         |    CASE WHEN dep THEN 'Deprecated project' END,
         |    CASE WHEN badtype THEN 'This type of study is not supported' END,
         |    CASE WHEN len(dids) = 0 AND stype = 'gwas'
         |         THEN 'No valid disease identifier found' END],
-        |    x -> x IS NOT NULL)) AS "qualityControls"
+        |    x -> x IS NOT NULL)), '|'), '') AS "qualityControls"
         |FROM flagged""".stripMargin,
     "q_gold_standard" ->
       """WITH gs AS (SELECT DISTINCT
