@@ -1,0 +1,439 @@
+package graft.harness
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.harness.Tables._
+import graft.sources.{FinnGen, GwasCatalog, GwasCatalogStudyIndex, GwasCatalogStudySplitter}
+
+/** Study-side ingestion queries: GWAS-Catalog study index (ancestry parsing,
+  * sample-size extraction), multi-trait study splitting, OT curation
+  * annotation, the FinnGen study index and the GWAS-Catalog harmonised
+  * summary-statistics preprocess.
+  *
+  * Struct-array outputs are serialized to sorted '|'-joined strings at the
+  * query boundary (the driver's oracle harness cannot sort rows with array
+  * cells); every oracle mirrors the same serialization.
+  */
+object StudyQueries {
+
+  // array<struct<ancestry,sampleSize>> → sorted "ancestry:size|…"
+  private def serializeSamples(c: Column): Column =
+    array_join(
+      array_sort(
+        transform(
+          c,
+          x =>
+            concat_ws(
+              ":",
+              x.getField("ancestry"),
+              x.getField("sampleSize").cast(StringType)))),
+      "|")
+
+  // array<struct<ldPopulation,relativeSampleSize>> → sorted "pop:share6"
+  private def serializeLdPopulations(c: Column): Column =
+    array_join(
+      array_sort(
+        transform(
+          c,
+          x =>
+            concat_ws(
+              ":",
+              x.getField("ldPopulation"),
+              format_string("%.6f", x.getField("relativeSampleSize"))))),
+      "|")
+
+  /** GWAS-Catalog study-index ingestion end-to-end
+    * (sources/GwasCatalogStudyIndex.scala fromSource; reference
+    * datasource/gwas_catalog/study_index.py:36-136, 232-289, 475-639):
+    * study-table harmonisation, ancestry parsing with even sample-size
+    * splitting across comma-separated labels (parenthesis-aware), LD
+    * population mapping, and discovery sample-size extraction from the
+    * free-text initial-sample-size field.
+    */
+  def gcatStudyIndex(s: SparkSession, d: String): DataFrame = {
+    val g = col("c_custkey") % 400
+    val nc = (g % 50) * 100 + 1000
+    val nctl = (g % 30) * 100 + 500
+    val studies = customer(s, d).select(
+      concat(lit("GCST"), g.cast(StringType)).as("STUDY ACCESSION"),
+      concat(lit("PM"), (g % 97).cast(StringType)).as("PUBMED ID"),
+      concat(lit("Author"), (g % 13).cast(StringType)).as("FIRST AUTHOR"),
+      lit("2021-01-01").as("DATE"),
+      lit("J Hum Genet").as("JOURNAL"),
+      concat(lit("Title "), g.cast(StringType)).as("STUDY"),
+      when(g % 11 === 0, lit(null).cast(StringType))
+        .otherwise(concat(lit("trait "), (g % 23).cast(StringType)))
+        .as("DISEASE/TRAIT"),
+      when(g % 17 === 0, lit(null).cast(StringType))
+        .otherwise(
+          concat(
+            format_number(nc, 0), lit(" European cases, "),
+            format_number(nctl, 0), lit(" European controls")))
+        .as("INITIAL SAMPLE SIZE"),
+      concat(
+        lit("http://www.ebi.ac.uk/efo/EFO_"), (g % 120).cast(StringType),
+        lit(",http://purl.obolibrary.org/obo/MONDO_"), (g % 80).cast(StringType))
+        .as("MAPPED_TRAIT_URI"),
+      when(g % 3 === 0, lit(null).cast(StringType))
+        .otherwise(
+          concat(lit("http://purl.obolibrary.org/obo/HP_"), (g % 60).cast(StringType)))
+        .as("MAPPED BACKGROUND TRAIT URI"),
+      when(g % 5 === 0, lit(null).cast(StringType))
+        .when(g % 5 === 1, lit(""))
+        .otherwise(lit("UKB|GERA|GERA|BioME")).as("COHORT")
+    ).distinct()
+    val o = col("o_orderkey")
+    val m = o % 6
+    val ancestryLut = orders(s, d).select(
+      concat(lit("GCST"), (o % 400).cast(StringType)).as("STUDY ACCESSION"),
+      when(o % 3 === 0, lit("replication")).otherwise(lit("initial")).as("STAGE"),
+      when(m === 0, "European").when(m === 1, "African")
+        .when(m === 2, "European, African")
+        .when(m === 3, "East Asian, South Asian")
+        .when(m === 4, "Finnish")
+        .otherwise(
+          "Greater Middle Eastern (Middle Eastern, North African or Persian)")
+        .as("BROAD ANCESTRAL CATEGORY"),
+      ((o % 90) * 10 + 15).cast(StringType).as("NUMBER OF INDIVIDUALS")
+    ).distinct()
+    GwasCatalogStudyIndex
+      .fromSource(studies, ancestryLut)
+      .select(
+        col("studyId"), col("pubmedId"), col("publicationFirstAuthor"),
+        col("traitFromSource"),
+        array_join(array_sort(col("traitFromSourceMappedIds")), "|")
+          .as("traitEfos"),
+        array_join(array_sort(col("backgroundTraitFromSourceMappedIds")), "|")
+          .as("backgroundEfos"),
+        array_join(array_sort(col("cohorts")), "|").as("cohorts"),
+        col("nCases"), col("nControls"), col("nSamples"),
+        serializeSamples(col("discoverySamples")).as("discoverySamples"),
+        serializeLdPopulations(col("ldPopulationStructure"))
+          .as("ldPopulationStructure"),
+        serializeSamples(col("replicationSamples")).as("replicationSamples"))
+  }
+
+  /** Multi-trait study splitting + association re-keying
+    * (sources/GwasCatalogStudyIndex.scala GwasCatalogStudySplitter.split;
+    * reference study_splitter.py:20-138, study_index.py:299-341,
+    * associations.py:1194-1253): trait/EFO/study-id resolution from the
+    * substudy description, study fan-out, ambiguous-association and top-hit
+    * flagging.
+    */
+  def gcatSplit(s: SparkSession, d: String): DataFrame = {
+    val sg = col("p_partkey") % 300
+    val studies = part(s, d).select(
+      concat(lit("GCST"), sg.cast(StringType)).as("studyId"),
+      concat(lit("ST"), (sg % 40).cast(StringType)).as("traitFromSource"),
+      array(concat(lit("EFO_"), (sg % 50).cast(StringType)))
+        .as("traitFromSourceMappedIds")
+    ).distinct()
+    val o = col("o_orderkey")
+    val subDesc = concat(
+      lit("AT"), (o % 3).cast(StringType), lit("|"),
+      when(o % 3 === 0, "no_pvalue_text")
+        .when(o % 3 === 1, "BMI adjusted").otherwise("males"),
+      lit("|"),
+      concat(
+        lit("EFO_"), (o % 5).cast(StringType),
+        when(o % 2 === 0, concat(lit("/EFO_"), (o % 7).cast(StringType)))
+          .otherwise(lit(""))))
+    // `tag` keeps rows distinct while letting (studyId, variantId,
+    // subStudyDescription) collide — that collision is what the
+    // ambiguous-association flag detects.
+    val associations = orders(s, d).select(
+      concat(lit("GCST"), (o % 300).cast(StringType)).as("studyId"),
+      concat(lit("v"), (o % 90).cast(StringType)).as("variantId"),
+      subDesc.as("subStudyDescription"),
+      (o % 11).as("tag"),
+      array().cast("array<string>").as("qualityControls")
+    ).distinct()
+    val (updStudies, updAssociations) =
+      GwasCatalogStudySplitter.split(studies, associations)
+    updAssociations
+      .select(
+        col("studyId"), col("variantId"), col("studyLocusId"), col("tag"),
+        array_join(array_sort(col("qualityControls")), "|")
+          .as("qualityControls"))
+      .join(
+        updStudies.select(
+          col("studyId"),
+          col("traitFromSource"),
+          array_join(col("traitFromSourceMappedIds"), "|").as("efos")),
+        Seq("studyId"),
+        "left")
+  }
+
+  /** OT curation parsing + study-index curation annotation
+    * (sources/GwasCatalogStudyIndex.scala parseCurationTable +
+    * annotateFromStudyCuration; reference study_index_ot_curation.py:26-52,
+    * study_index.py:343-413): pipe-separated flag strings back to arrays,
+    * curated study type override, analysis-flag merge and the
+    * not-curated quality flag.
+    */
+  def gcatCuration(s: SparkSession, d: String): DataFrame = {
+    val u = col("s_suppkey") % 120
+    val studies = supplier(s, d).select(
+      concat(lit("GCST"), u.cast(StringType)).as("studyId"),
+      lit("gwas").as("studyType")
+    ).distinct()
+    val n = col("n_nationkey")
+    // No qualityControl column on purpose: exercises the missing-column
+    // branch of the curation parser.
+    val curationRaw = nation(s, d).select(
+      concat(lit("GCST"), (n * 5).cast(StringType)).as("studyId"),
+      when(n % 3 === 0, lit("eqtl")).otherwise(lit(null).cast(StringType))
+        .as("studyType"),
+      when(n % 2 === 0, lit("Multivariate analysis|ExWAS"))
+        .otherwise(lit(null).cast(StringType)).as("analysisFlag"),
+      lit("true").as("isCurated")
+    )
+    val curation = GwasCatalogStudyIndex.parseCurationTable(curationRaw)
+    GwasCatalogStudyIndex
+      .annotateFromStudyCuration(studies, Some(curation))
+      .select(
+        col("studyId"), col("studyType"),
+        array_join(array_sort(col("analysisFlags")), "|").as("analysisFlags"),
+        array_join(array_sort(col("qualityControls")), "|")
+          .as("qualityControls"))
+  }
+
+  /** FinnGen study index from the parsed phenotype table
+    * (sources/FinnGen.scala studyIndexFromPhenotypes; reference
+    * datasource/finngen/study_index.py:69-127): release-prefixed study ids,
+    * case/control counts, constant annotations and the Finnish LD
+    * population structure.
+    */
+  def finngenStudies(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey") % 500
+    val phenotypes = orders(s, d).select(
+      concat(lit("AB"), k.cast(StringType)).as("phenocode"),
+      concat(lit("Pheno "), (k % 37).cast(StringType)).as("phenostring"),
+      ((k * 7) % 9999).cast(LongType).as("num_cases"),
+      ((k * 13) % 99999).cast(LongType).as("num_controls")
+    ).distinct()
+    FinnGen
+      .studyIndexFromPhenotypes(
+        phenotypes,
+        releasePrefix = "FINNGEN_R11",
+        sumstatsUrlPrefix = "https://storage.example.org/finngen/sumstat/",
+        sumstatsUrlSuffix = ".gz",
+        sampleSize = 500348)
+      .select(
+        col("studyId"), col("traitFromSource"),
+        col("nCases"), col("nControls"), col("nSamples"),
+        col("summarystatsLocation"), col("projectId"), col("studyType"),
+        col("hasSumstats"), col("initialSampleSize"), col("pubmedId"),
+        array_join(col("cohorts"), "|").as("cohorts"),
+        serializeLdPopulations(col("ldPopulationStructure"))
+          .as("ldPopulationStructure"))
+  }
+
+  /** GWAS-Catalog harmonised summary-statistics preprocess
+    * (sources/GwasCatalog.scala fromHarmonizedSumstats; reference
+    * datasource/gwas_catalog/summary_statistics.py:60-211): hm_-prefixed
+    * column dispatch, scientific-notation p-value split, odds-ratio → beta
+    * conversion, accession-from-filename, and the position/zero-beta
+    * filters.
+    */
+  def gcatSumstats(s: SparkSession, d: String): DataFrame = {
+    val k = col("l_orderkey") * 8 + col("l_linenumber")
+    val raw = lineitem(s, d).select(
+      (k % 22 + 1).cast(StringType).as("hm_chrom"),
+      when(k % 19 === 0, lit(null).cast(StringType))
+        .otherwise((k % 5000000).cast(StringType)).as("hm_pos"),
+      lit("A").as("hm_other_allele"),
+      lit("G").as("hm_effect_allele"),
+      concat((k % 9 + 1).cast(StringType), lit("e-"), (k % 30 + 2).cast(StringType))
+        .as("p_value"),
+      when(k % 7 === 0, lit(null).cast(StringType))
+        .otherwise(((k % 21 - 10) / lit(10.0)).cast(StringType)).as("hm_beta"),
+      when(k % 7 === 0, ((k % 5 + 1) / lit(2.0)).cast(StringType))
+        .otherwise(lit(null).cast(StringType)).as("hm_odds_ratio"),
+      ((k % 13 + 1) / lit(100.0)).cast(StringType).as("standard_error"),
+      ((k % 100) / lit(100.0)).cast(StringType).as("effect_allele_frequency"),
+      (k % 100000).cast(StringType).as("n")
+    )
+    GwasCatalog
+      .fromHarmonizedSumstats(
+        raw,
+        "ftp://example.org/GCST90086001-GCST90087000/GCST90086758/harmonised/35078996-GCST90086758-EFO_0007937.h.tsv.gz")
+      .select(
+        col("studyId"), col("variantId"), col("chromosome"), col("position"),
+        col("pValueMantissa"), col("pValueExponent"),
+        round(col("beta"), 6).as("beta"),
+        round(col("standardError"), 6).as("standardError"),
+        col("effectAlleleFrequencyFromSource"), col("sampleSize"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gcat_study_index" -> (gcatStudyIndex _),
+    "q_gcat_split" -> (gcatSplit _),
+    "q_gcat_curation" -> (gcatCuration _),
+    "q_finngen_studies" -> (finngenStudies _),
+    "q_gcat_sumstats" -> (gcatSumstats _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_gcat_study_index" ->
+      """WITH g AS (SELECT DISTINCT c_custkey % 400 AS g FROM customer),
+        |st AS (SELECT g, 'GCST' || CAST(g AS VARCHAR) AS sid,
+        |    (g % 50) * 100 + 1000 AS nc, (g % 30) * 100 + 500 AS nctl,
+        |    g % 17 = 0 AS nosample FROM g),
+        |anc AS (SELECT DISTINCT o_orderkey % 400 AS ag,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'replication' ELSE 'initial' END AS stage,
+        |    o_orderkey % 6 AS m,
+        |    (o_orderkey % 90) * 10 + 15 AS n
+        |  FROM orders),
+        |lab AS (SELECT ag, stage, n,
+        |    CASE m WHEN 0 THEN 'European' WHEN 1 THEN 'African'
+        |         WHEN 2 THEN 'European, African'
+        |         WHEN 3 THEN 'East Asian, South Asian'
+        |         WHEN 4 THEN 'Finnish'
+        |         ELSE 'Greater Middle Eastern (Middle Eastern, North African or Persian)'
+        |    END AS label,
+        |    CASE m WHEN 2 THEN ['European', 'African']
+        |         WHEN 3 THEN ['East Asian', 'South Asian']
+        |         WHEN 0 THEN ['European'] WHEN 1 THEN ['African']
+        |         WHEN 4 THEN ['Finnish']
+        |         ELSE ['Greater Middle Eastern (Middle Eastern, North African or Persian)']
+        |    END AS pops
+        |  FROM anc),
+        |expl AS (SELECT ag, n, len(pops) AS kk, unnest(pops) AS pop
+        |  FROM lab WHERE stage = 'initial'),
+        |disc AS (SELECT ag, pop, SUM(CAST(floor(n / kk) AS INTEGER)) AS tot
+        |  FROM expl GROUP BY 1, 2),
+        |discs AS (SELECT ag, string_agg(pop || ':' || CAST(tot AS VARCHAR), '|'
+        |    ORDER BY pop || ':' || CAST(tot AS VARCHAR)) AS ds
+        |  FROM disc GROUP BY 1),
+        |ldm AS (SELECT ag,
+        |    CASE pop WHEN 'European' THEN 'nfe' WHEN 'African' THEN 'afr'
+        |         WHEN 'East Asian' THEN 'eas' WHEN 'South Asian' THEN 'eas'
+        |         WHEN 'Finnish' THEN 'fin' ELSE 'eas' END AS ld, tot
+        |  FROM disc),
+        |ldp AS (SELECT ag, ld, SUM(tot) AS sa FROM ldm GROUP BY 1, 2),
+        |ldt AS (SELECT ag, SUM(sa) AS t FROM ldp GROUP BY 1),
+        |lds AS (SELECT ldp.ag,
+        |    string_agg(ld || ':' || printf('%.6f', sa / t), '|'
+        |      ORDER BY ld || ':' || printf('%.6f', sa / t)) AS lp
+        |  FROM ldp JOIN ldt ON ldp.ag = ldt.ag GROUP BY 1),
+        |reps AS (SELECT ag, string_agg(label || ':' || CAST(n AS VARCHAR), '|'
+        |    ORDER BY label || ':' || CAST(n AS VARCHAR)) AS rs
+        |  FROM (SELECT DISTINCT ag, label, n FROM lab WHERE stage = 'replication')
+        |  GROUP BY 1)
+        |SELECT st.sid AS "studyId",
+        |  'PM' || CAST(g % 97 AS VARCHAR) AS "pubmedId",
+        |  'Author' || CAST(g % 13 AS VARCHAR) AS "publicationFirstAuthor",
+        |  CASE WHEN g % 11 = 0 THEN 'Unreported'
+        |       ELSE 'trait ' || CAST(g % 23 AS VARCHAR) END AS "traitFromSource",
+        |  'EFO_' || CAST(g % 120 AS VARCHAR) || '|MONDO_' || CAST(g % 80 AS VARCHAR)
+        |    AS "traitEfos",
+        |  CASE WHEN g % 3 = 0 THEN NULL
+        |       ELSE 'HP_' || CAST(g % 60 AS VARCHAR) END AS "backgroundEfos",
+        |  CASE WHEN g % 5 IN (0, 1) THEN NULL
+        |       ELSE 'BioME|GERA|UKB' END AS cohorts,
+        |  CASE WHEN nosample THEN 0 ELSE nc END AS "nCases",
+        |  CASE WHEN nosample THEN 0 ELSE nctl END AS "nControls",
+        |  CASE WHEN nosample THEN NULL ELSE nc + nctl END AS "nSamples",
+        |  discs.ds AS "discoverySamples",
+        |  lds.lp AS "ldPopulationStructure",
+        |  reps.rs AS "replicationSamples"
+        |FROM st
+        |LEFT JOIN discs ON st.g = discs.ag
+        |LEFT JOIN lds ON st.g = lds.ag
+        |LEFT JOIN reps ON st.g = reps.ag""".stripMargin,
+    "q_gcat_split" ->
+      """WITH a AS (SELECT DISTINCT
+        |    'GCST' || CAST(o_orderkey % 300 AS VARCHAR) AS sid,
+        |    'v' || CAST(o_orderkey % 90 AS VARCHAR) AS vid,
+        |    'AT' || CAST(o_orderkey % 3 AS VARCHAR) || '|' ||
+        |      CASE o_orderkey % 3 WHEN 0 THEN 'no_pvalue_text'
+        |           WHEN 1 THEN 'BMI adjusted' ELSE 'males' END || '|' ||
+        |      'EFO_' || CAST(o_orderkey % 5 AS VARCHAR) ||
+        |      CASE WHEN o_orderkey % 2 = 0
+        |           THEN '/EFO_' || CAST(o_orderkey % 7 AS VARCHAR) ELSE '' END
+        |      AS sdesc,
+        |    o_orderkey % 11 AS tag
+        |  FROM orders),
+        |r AS (SELECT *, dense_rank() OVER (PARTITION BY sid ORDER BY sdesc) AS dr
+        |  FROM a),
+        |res AS (SELECT sid, vid, sdesc, tag,
+        |    CASE WHEN dr = 1 THEN sid
+        |         ELSE sid || '_' || CAST(dr AS VARCHAR) END AS usid,
+        |    CASE WHEN string_split(sdesc, '|')[2] <> 'no_pvalue_text'
+        |         THEN string_split(sdesc, '|')[1] || ' [' ||
+        |              string_split(sdesc, '|')[2] || ']'
+        |         ELSE string_split(sdesc, '|')[1] END AS rtrait,
+        |    replace(string_split(sdesc, '|')[3], '/', '|') AS refo
+        |  FROM r),
+        |upd AS (SELECT usid, vid, rtrait, refo, tag,
+        |    count(*) OVER (PARTITION BY usid, vid) AS cnt
+        |  FROM res)
+        |SELECT usid AS "studyId", vid AS "variantId",
+        |  md5(usid || vid) AS "studyLocusId", tag,
+        |  CASE WHEN cnt > 1
+        |       THEN 'Association with ambiguous study|Study locus from curated top hit'
+        |       ELSE 'Study locus from curated top hit' END AS "qualityControls",
+        |  rtrait AS "traitFromSource",
+        |  refo AS efos
+        |FROM upd""".stripMargin,
+    "q_gcat_curation" ->
+      """WITH st AS (SELECT DISTINCT
+        |    'GCST' || CAST(s_suppkey % 120 AS VARCHAR) AS sid FROM supplier),
+        |cur AS (SELECT 'GCST' || CAST(n_nationkey * 5 AS VARCHAR) AS sid,
+        |    CASE WHEN n_nationkey % 3 = 0 THEN 'eqtl' END AS ctype,
+        |    CASE WHEN n_nationkey % 2 = 0
+        |         THEN 'ExWAS|Multivariate analysis' ELSE '' END AS aflags
+        |  FROM nation)
+        |SELECT st.sid AS "studyId",
+        |  coalesce(cur.ctype, 'gwas') AS "studyType",
+        |  coalesce(cur.aflags, '') AS "analysisFlags",
+        |  CASE WHEN cur.sid IS NULL
+        |       THEN 'GWAS Catalog study has not been curated by Open Targets'
+        |       ELSE '' END AS "qualityControls"
+        |FROM st LEFT JOIN cur ON st.sid = cur.sid""".stripMargin,
+    "q_finngen_studies" ->
+      """WITH k AS (SELECT DISTINCT o_orderkey % 500 AS k FROM orders)
+        |SELECT 'FINNGEN_R11_AB' || CAST(k AS VARCHAR) AS "studyId",
+        |  'Pheno ' || CAST(k % 37 AS VARCHAR) AS "traitFromSource",
+        |  CAST((k * 7) % 9999 AS INTEGER) AS "nCases",
+        |  CAST((k * 13) % 99999 AS INTEGER) AS "nControls",
+        |  CAST((k * 7) % 9999 + (k * 13) % 99999 AS INTEGER) AS "nSamples",
+        |  'https://storage.example.org/finngen/sumstat/AB' || CAST(k AS VARCHAR)
+        |    || '.gz' AS "summarystatsLocation",
+        |  'FINNGEN_R11' AS "projectId",
+        |  'gwas' AS "studyType",
+        |  true AS "hasSumstats",
+        |  '500,348 (282,064 females and 218,284 males)' AS "initialSampleSize",
+        |  '36653562' AS "pubmedId",
+        |  'FinnGen' AS cohorts,
+        |  'fin:1.000000' AS "ldPopulationStructure"
+        |FROM k""".stripMargin,
+    "q_gcat_sumstats" ->
+      """WITH b AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
+        |c AS (SELECT k,
+        |    CAST(k % 22 + 1 AS VARCHAR) AS chrom,
+        |    CASE WHEN k % 19 = 0 THEN NULL ELSE k % 5000000 END AS pos,
+        |    CAST(k % 9 + 1 AS REAL) AS pm,
+        |    -(k % 30 + 2) AS pe,
+        |    CASE WHEN k % 7 = 0 THEN ln((k % 5 + 1) / 2.0)
+        |         ELSE (k % 21 - 10) / 10.0 END AS beta,
+        |    (k % 13 + 1) / 100.0 AS se,
+        |    CAST((k % 100) / 100.0 AS REAL) AS eaf,
+        |    CAST(k % 100000 AS INTEGER) AS n
+        |  FROM b)
+        |SELECT 'GCST90086758' AS "studyId",
+        |  chrom || '_' || CAST(pos AS VARCHAR) || '_A_G' AS "variantId",
+        |  chrom AS chromosome,
+        |  CAST(pos AS INTEGER) AS position,
+        |  pm AS "pValueMantissa", CAST(pe AS INTEGER) AS "pValueExponent",
+        |  round(beta, 6) AS beta,
+        |  round(se, 6) AS "standardError",
+        |  eaf AS "effectAlleleFrequencyFromSource",
+        |  n AS "sampleSize"
+        |FROM c
+        |WHERE pos IS NOT NULL AND beta <> 0""".stripMargin
+  )
+}

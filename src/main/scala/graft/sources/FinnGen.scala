@@ -53,4 +53,87 @@ object FinnGen {
       .sortWithinPartitions("chromosome", "position")
     SummaryStatistics(df)
   }
+
+  // Constant study-level annotations for FinnGen releases
+  // (reference: datasource/finngen/study_index.py:36-41).
+  val StudyType = "gwas"
+  val HasSumstats = true
+  val InitialSampleSize = "500,348 (282,064 females and 218,284 males)"
+  val PubmedId = "36653562"
+
+  /** Validate a `FINNGEN_R*` release prefix and return (prefix-without-
+    * trailing-underscore, release) (study_index.py:44-67
+    * validate_release_prefix).
+    */
+  def validateReleasePrefix(releasePrefix: String): (String, String) = {
+    val pattern = "FINNGEN_(R\\d+)_?".r
+    pattern.findPrefixMatchOf(releasePrefix) match {
+      case Some(m) =>
+        val prefix =
+          if (releasePrefix.endsWith("_")) releasePrefix.dropRight(1)
+          else releasePrefix
+        (prefix, m.group(1).toUpperCase)
+      case None =>
+        throw new IllegalArgumentException(
+          s"Invalid FinnGen release prefix: $releasePrefix, use the format FINNGEN_R*")
+    }
+  }
+
+  /** FinnGen phenotype table (parsed REST JSON: `phenocode`, `phenostring`,
+    * `num_cases`, `num_controls`) → StudyIndex rows with the release
+    * constants, summary-statistics location and the Finnish LD population
+    * structure (study_index.py:69-127 from_source). Pure projection — no
+    * shuffle; the phenotype table is a few thousand rows.
+    */
+  def studyIndexFromPhenotypes(
+      phenotypes: DataFrame,
+      releasePrefix: String,
+      sumstatsUrlPrefix: String,
+      sumstatsUrlSuffix: String,
+      sampleSize: Int
+  ): DataFrame = {
+    val discoverySamples = array(
+      struct(
+        lit(sampleSize).cast(IntegerType).as("sampleSize"),
+        lit("Finnish").as("ancestry")))
+    phenotypes
+      .select(
+        concat_ws("_", lit(releasePrefix), col("phenocode")).as("studyId"),
+        col("phenostring").as("traitFromSource"),
+        col("num_cases").cast(IntegerType).as("nCases"),
+        col("num_controls").cast(IntegerType).as("nControls"),
+        (col("num_cases") + col("num_controls")).cast(IntegerType).as("nSamples"),
+        discoverySamples.as("discoverySamples"),
+        // Cohort label is consistent with GWAS Catalog curation.
+        array(lit("FinnGen")).as("cohorts"),
+        concat(
+          lit(sumstatsUrlPrefix), col("phenocode"), lit(sumstatsUrlSuffix))
+          .as("summarystatsLocation"),
+        lit(releasePrefix).as("projectId"),
+        lit(StudyType).as("studyType"),
+        lit(HasSumstats).as("hasSumstats"),
+        lit(InitialSampleSize).as("initialSampleSize"),
+        lit(PubmedId).as("pubmedId"))
+      .withColumn(
+        "ldPopulationStructure",
+        StudyIndexOps.aggregateAndMapAncestries(col("discoverySamples")))
+  }
+
+  /** Phenotype JSON document (one array of objects, as served by the FinnGen
+    * REST endpoint) → StudyIndex (study_index.py:94-99: the reference
+    * parallelizes the body and `spark.read.json`s it).
+    */
+  def studyIndexFromJson(
+      spark: SparkSession,
+      jsonBody: String,
+      releasePrefix: String,
+      sumstatsUrlPrefix: String,
+      sumstatsUrlSuffix: String,
+      sampleSize: Int
+  ): DataFrame = {
+    import spark.implicits._
+    studyIndexFromPhenotypes(
+      spark.read.json(Seq(jsonBody).toDS()),
+      releasePrefix, sumstatsUrlPrefix, sumstatsUrlSuffix, sampleSize)
+  }
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.functions.{GenomicOps, Stats}
@@ -454,5 +454,65 @@ object GwasCatalog {
       se,
       GenomicOps.parseEfos(col("MAPPED_TRAIT_URI")).as("efos")
     )
+  }
+
+  /** GCST accession from a harmonised summary-statistics file name
+    * (summary_statistics.py:23-53 filename_to_study_identifier).
+    */
+  def filenameToStudyIdentifier(path: String): String = {
+    val fileName = path.split("/").last
+    "(GCST\\d+)".r.findFirstIn(fileName).getOrElse(
+      throw new IllegalArgumentException(
+        s"""Path ("$path") does not contain GWAS Catalog study identifier."""))
+  }
+
+  /** GWAS-Catalog harmonised summary-statistics preprocess: column-presence
+    * dispatch between the old (`hm_`-prefixed) and new harmonisation
+    * formats, p-value split (or reconstruction from -log10 p), OR/CI → beta
+    * conversion through the shared harmonisation core, and the
+    * position/beta sanity filters (summary_statistics.py:60-211
+    * from_gwas_harmonized_summary_stats).
+    *
+    * The reference persists before filtering and round-robin repartitions to
+    * 20; here the filters stay declarative (they push into the scan) and
+    * the caller owns layout — a sort-free filter + range partition by
+    * (chromosome, position) is the 100 TB layout, not a global orderBy.
+    */
+  def fromHarmonizedSumstats(raw: DataFrame, sumstatsFile: String): DataFrame = {
+    val cols = raw.columns.toSet
+    def pick(preferred: String, fallbacks: String*): Column =
+      (preferred +: fallbacks).find(cols.contains).map(col)
+        .getOrElse(lit(null))
+    val chromosome = pick("hm_chrom", "chromosome").cast(StringType)
+    val position = pick("hm_pos", "base_pair_location").cast(IntegerType)
+    val refAllele = pick("hm_other_allele", "other_allele")
+    val altAllele = pick("hm_effect_allele", "effect_allele")
+    val (mantissa, exponent) =
+      if (cols.contains("p_value")) Stats.splitPvalueColumn(col("p_value"))
+      else Stats.pvalueFromNeglogpval(col("neg_log_10_p_value"))
+    val (beta, se) = Stats.normaliseGwasStatistics(
+      beta0 = pick("hm_beta", "beta").cast(DoubleType),
+      oddsRatio = pick("hm_odds_ratio", "odds_ratio", "hazard_ratio").cast(DoubleType),
+      standardError = pick("standard_error").cast(DoubleType),
+      ciUpper = pick("ci_upper").cast(DoubleType),
+      ciLower = pick("ci_lower").cast(DoubleType),
+      mantissa = mantissa,
+      exponent = exponent
+    )
+    raw.select(
+      lit(filenameToStudyIdentifier(sumstatsFile)).as("studyId"),
+      concat_ws("_", chromosome, position, refAllele, altAllele).as("variantId"),
+      chromosome.as("chromosome"),
+      position.as("position"),
+      mantissa,
+      exponent,
+      beta,
+      se,
+      pick("effect_allele_frequency").cast("float")
+        .as("effectAlleleFrequencyFromSource"),
+      pick("n").cast(IntegerType).as("sampleSize")
+    )
+      .filter(col("position").isNotNull)
+      .filter(col("beta").isNotNull && col("beta") =!= 0)
   }
 }
