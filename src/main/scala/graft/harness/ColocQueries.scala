@@ -314,7 +314,11 @@ object ColocQueries {
          |  CAST(sum(CASE WHEN pValueExponent < -8 OR (pValueExponent = -8 AND pValueMantissa <= 5.0)
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_variants_sig
          |FROM gw GROUP BY studyId""".stripMargin
-    // q_pz_test: no oracle — needs the chi² survival function, unavailable in
-    // DuckDB; covered by golden doctest values in SumstatQCSpec instead.
+    ,
+    // q_pz_test needs the chi² survival function, unavailable in DuckDB, so
+    // its oracle is a pinned golden: the 10-row sf0.01 output (deterministic
+    // synthetic sumstats), verified against scipy in SumstatQCSpec, dumped
+    // as a VALUES literal. Valid at the driver's correctness SF (0.01) only.
+    "q_pz_test" -> MiscQueries.resourceSql("q_pz_test_sf001_oracle.sql")
   )
 }

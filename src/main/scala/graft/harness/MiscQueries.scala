@@ -85,8 +85,8 @@ object MiscQueries {
     * AR(1) LD structure (r = 0.9^|i-j|) and z decaying away from one causal
     * variant per locus — z and r are pure functions of (locusIdx, varIdx),
     * so the generator is idempotent under the sparse/duplicated orderkeys of
-    * any scale factor. Rows-only check in the harness (the Bayesian kernel
-    * has no SQL oracle); exact-PIP golden parity lives in FineMapperSpec and
+    * any scale factor. The oracle is the pinned 259-row golden (see
+    * resourceSql below); exact-PIP golden parity lives in FineMapperSpec and
     * SusieInfSpec.
     */
   def finemap(s: SparkSession, d: String): DataFrame = {
@@ -138,7 +138,21 @@ object MiscQueries {
     "q_multimodal" -> (multimodal _)
   )
 
+  /** Pinned-golden oracle for q_finemap: the generator is a pure function
+    * of (locusIdx, varIdx) over a fully-covered 40×60 grid, so the
+    * fine-mapper's 259-row output is identical at every sf ≥ 0.01; the
+    * values were verified against FinucaneLab CSV goldens in
+    * FineMapperSpec/SusieInfSpec and dumped as a VALUES literal. This turns
+    * the driver's `no_oracle` into a real row/schema/hash check.
+    */
+  private[harness] def resourceSql(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/goldens/$name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_finemap" -> resourceSql("q_finemap_sf001_oracle.sql"),
     "q_minmax" ->
       """WITH w AS (SELECT event_id, value,
         |    min(value) OVER (PARTITION BY event_type) AS mn,
