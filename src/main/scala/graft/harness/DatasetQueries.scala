@@ -105,15 +105,34 @@ object DatasetQueries {
     * (GSession.writeSortedParquet): every row's rank under the total
     * (chromosome, position, studyId) order — deterministic because
     * positions are unique within (studyId, chromosome).
+    *
+    * Computed scale-safely: rank within chromosome (a partitioned,
+    * parallel window) plus a broadcast per-chromosome row-count offset —
+    * the same total order as a single unpartitioned row_number() without
+    * ever funnelling all rows through one task. The only unpartitioned
+    * window left runs over the ~25-row chromosome count frame.
     */
   def globalSortQ(s: SparkSession, d: String): DataFrame = {
     val ss = GenomicQueries.synthSumstats(s, d).df
-    ss.select(
+    val within = ss.select(
       col("studyId"), col("chromosome"), col("position"),
       row_number().over(
-        Window.orderBy(col("chromosome"), col("position"), col("studyId"))
-      ).as("global_rank")
-    )
+        Window.partitionBy(col("chromosome"))
+          .orderBy(col("position"), col("studyId"))
+      ).as("chrom_rank"))
+    // Offsets via a bounded self-join on the ~25-row chromosome count frame
+    // (a running-sum window here would be unpartitioned and trip Spark's
+    // single-partition warning even though the frame is tiny).
+    val counts = within.groupBy("chromosome").agg(count(lit(1)).as("n"))
+    val offsets = counts.alias("a")
+      .join(counts.alias("b"), col("b.chromosome") < col("a.chromosome"), "left")
+      .groupBy(col("a.chromosome").as("chromosome"))
+      .agg(coalesce(sum(col("b.n")), lit(0L)).as("offset"))
+    within
+      .join(broadcast(offsets), Seq("chromosome"))
+      .select(
+        col("studyId"), col("chromosome"), col("position"),
+        (col("chrom_rank") + col("offset")).cast("int").as("global_rank"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -12,6 +12,16 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  /** Persist unless this plan is already registered with the CacheManager
+    * (`df.storageLevel` consults it by plan equality) — a second persist on
+    * a structurally-equal plan would log a CacheManager warning and cache
+    * nothing new.
+    */
+  private def persistOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+
   /** Per-document signature table: doc id, shingle set, band hashes.
     *
     * Relational formulation — tokens exploded to rows, n-grams formed with
@@ -74,9 +84,9 @@ object Dedup {
     // computed once (a few band hashes per document, tiny). Lifecycle is
     // caller-owned: a long-lived service should unpersist via
     // spark.catalog.clearCache() between batches.
-    val exploded = sigs
-      .select(col(idCol), posexplode(col("bands")).as(Seq("band", "band_hash")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = persistOnce(
+      sigs.select(
+        col(idCol), posexplode(col("bands")).as(Seq("band", "band_hash"))))
     exploded.as("a")
       .join(
         exploded.as("b"),
@@ -103,7 +113,7 @@ object Dedup {
     // signature computation is the dominant cost (token-level shuffle) and
     // feeds both candidate generation and verification — persisted; caller
     // owns the unpersist (clearCache between batches in long-lived use)
-    val sigs = signatures(docs).persist()
+    val sigs = persistOnce(signatures(docs))
     val pairs = candidatePairs(sigs)
     val shingleSets = sigs.select(col("doc_id"), array_distinct(col("shingles")).as("s"))
     pairs
