@@ -128,6 +128,62 @@ object L2gModel {
     cv.fit(assembled).bestModel.asInstanceOf[GBTClassificationModel]
   }
 
+  /** Persist a trained model together with its feature-name contract
+    * (method/l2g/model.py:230-250 save; the reference's skops artefact is
+    * replaced by Spark ML native persistence, which distributes the tree
+    * ensemble as parquet). The sidecar `features.json` records the exact
+    * assembler column order — scoring with a different feature list or
+    * order would silently permute the vector, so [[load]] verifies it.
+    * Hadoop FS APIs are used throughout, so `path` may be any supported
+    * scheme (local, HDFS, object store).
+    */
+  def save(
+      spark: org.apache.spark.sql.SparkSession,
+      model: GBTClassificationModel,
+      featureCols: Seq[String],
+      path: String
+  ): Unit = {
+    model.write.overwrite().save(s"$path/classifier")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/features.json"), true)
+    try out.write(
+      featureCols
+        .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load a persisted model and its feature contract
+    * (method/l2g/model.py:252-325 load_from_disk). When `expectedFeatures`
+    * is given, a name-or-order mismatch fails fast instead of producing
+    * silently permuted scores.
+    */
+  def load(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      expectedFeatures: Seq[String] = Seq.empty
+  ): (GBTClassificationModel, Seq[String]) = {
+    val model = GBTClassificationModel.load(s"$path/classifier")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/features.json"))
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // Minimal parse of the flat string array written by save().
+    val features = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .toSeq
+    if (expectedFeatures.nonEmpty && features != expectedFeatures)
+      throw new IllegalArgumentException(
+        s"Persisted model was trained on features [${features.mkString(", ")}] " +
+          s"but [${expectedFeatures.mkString(", ")}] requested")
+    (model, features)
+  }
+
   /** Flattened decision-tree node: `featureIndex = -1` marks a leaf. */
   final case class FlatNode(
       featureIndex: Int, threshold: Double, left: Int, right: Int, prediction: Double)

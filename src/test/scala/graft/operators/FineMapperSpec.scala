@@ -84,4 +84,66 @@ class FineMapperSpec extends SparkSpec {
     assert(qc.forall(r => r._2 > 0 && r._2 <= 1.0 && r._3 > 0 && r._3 <= 1.0))
     assert(qc.groupBy(_._1).forall { case (_, rows) => rows.count(_._4) === 1 })
   }
+
+  test("simulation benchmark: credible sets recover planted causal variants") {
+    // The reference's own quality gate for the fine-mapper
+    // (finemapping_simulations.py:16-245): simulate GWAS z-scores from an
+    // LD matrix with known causal SNPs (joint z at causals ~ sqrt(Tau) *
+    // N(0,1), marginal mean U @ jz, draw z ~ MVN(mean, U) via Cholesky),
+    // fine-map, then measure how often a credible set contains a causal
+    // variant (accuracy) and how many causals are recovered (sensitivity).
+    import spark.implicits._
+    import breeze.linalg.{cholesky, DenseMatrix, DenseVector}
+
+    val m = 50 // variants per locus
+    val nLoci = 8
+    val nCausal = 2
+    val nSamples = 100000
+    val he2 = 0.01
+    val tau = nSamples * he2 / nCausal
+    val rho = 0.9
+    val u = DenseMatrix.tabulate(m, m)((i, j) => math.pow(rho, math.abs(i - j)))
+    val chol = cholesky(u)
+    val rng = new scala.util.Random(42)
+
+    val sims = (0 until nLoci).map { locus =>
+      val causals = rng.shuffle((0 until m).toList).take(nCausal)
+      val jz = DenseVector.zeros[Double](m)
+      causals.foreach(i => jz(i) = rng.nextGaussian() * math.sqrt(tau))
+      val muz = u * jz
+      val eps = DenseVector.fill(m)(rng.nextGaussian())
+      val z = muz + chol * eps
+      (s"SIM$locus", causals.toSet, z)
+    }
+    val sumstats = sims.flatMap { case (id, _, z) =>
+      (0 until m).map(i => (id, f"v$i%03d", z(i)))
+    }.toDF("studyLocusId", "variantId", "z")
+    val ld = sims.flatMap { case (id, _, _) =>
+      for (i <- 0 until m; j <- i + 1 until m)
+        yield (id, f"v$i%03d", f"v$j%03d", math.pow(rho, j - i))
+    }.toDF("studyLocusId", "vi", "vj", "r")
+
+    val credSets = FineMapper.finemapLoci(spark, sumstats, ld, n = nSamples)
+      .select("studyLocusId", "variantId", "credibleSetIndex", "isLead")
+      .as[(String, String, Int, Boolean)]
+      .collect()
+
+    val causalByLocus = sims.map(s => s._1 -> s._2).toMap
+    val bySet = credSets.groupBy(r => (r._1, r._3))
+    assert(bySet.nonEmpty, "simulation produced no credible sets")
+    val hits = bySet.count { case ((locus, _), rows) =>
+      rows.exists(r => causalByLocus(locus).contains(r._2.stripPrefix("v").toInt))
+    }
+    val accuracy = hits.toDouble / bySet.size
+    // sensitivity: planted causals recovered by some credible set
+    val recovered = sims.map { case (id, causals, _) =>
+      causals.count(c =>
+        credSets.exists(r => r._1 == id && r._2 == f"v$c%03d"))
+    }.sum
+    val sensitivity = recovered.toDouble / (nCausal * nLoci)
+    // The reference benchmarks SuSiE-inf at ~0.95+ accuracy in the
+    // noise-free setting; these bounds leave slack for the small n_iter.
+    assert(accuracy >= 0.75, s"accuracy $accuracy below threshold ($bySet)")
+    assert(sensitivity >= 0.5, s"sensitivity $sensitivity below threshold")
+  }
 }

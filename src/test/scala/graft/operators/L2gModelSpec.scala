@@ -66,4 +66,28 @@ class L2gModelSpec extends SparkSpec {
       .toMap
     assert(massByFeature("f1") > 10 * massByFeature("f2"))
   }
+
+  test("save/load round-trips the model and enforces the feature contract") {
+    import spark.implicits._
+    val data = (0 until 200).map { i =>
+      val f1 = (i % 100) / 100.0
+      val f2 = ((i * 7) % 13) / 13.0
+      (if (f1 > 0.5) 1.0 else 0.0, f1, f2)
+    }.toDF("goldStandardSet", "f1", "f2")
+    val model = L2gModel.train(data, Seq("f1", "f2"), maxIter = 5)
+    val dir = java.nio.file.Files.createTempDirectory("l2g-model").toString
+    L2gModel.save(spark, model, Seq("f1", "f2"), dir)
+    val (loaded, features) = L2gModel.load(spark, dir, Seq("f1", "f2"))
+    assert(features === Seq("f1", "f2"))
+    // identical scores from the reloaded model
+    val orig = L2gModel.score(model, data, Seq("f1", "f2"))
+      .select("score").as[Double].collect()
+    val rt = L2gModel.score(loaded, data, features)
+      .select("score").as[Double].collect()
+    assert(orig.zip(rt).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // wrong feature list fails fast instead of permuting the vector
+    intercept[IllegalArgumentException] {
+      L2gModel.load(spark, dir, Seq("f2", "f1"))
+    }
+  }
 }
