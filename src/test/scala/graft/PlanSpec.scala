@@ -108,4 +108,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), "orientation expansion should be an explode")
     assert(!p.contains("Join"), s"LUT build must not join:\n$p")
   }
+
+  test("q_gcat_split broadcasts the bounded study index against associations") {
+    val p = plan(graft.harness.StudyQueries.gcatSplit(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "study index should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_gcat_study_index pivot is static: no pivot-value enumeration pass") {
+    // the pivot values are pinned to initial/replication, so the whole query
+    // compiles to one plan with no first-pass distinct collection; ancestry
+    // parsing stays in array HOFs (no Generate from a per-ancestry explode
+    // feeding a re-aggregation)
+    val df = graft.harness.StudyQueries.gcatStudyIndex(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+    val generates = p.linesIterator.count(_.contains(" Generate "))
+    // only the sample-size text explode remains
+    assert(generates <= 1, s"expected at most one explode, plan:\n$p")
+  }
+
+  test("q_gcat_sumstats preprocess is a shuffle-free pushed-down projection") {
+    val p = plan(graft.harness.StudyQueries.gcatSumstats(spark, sfDir))
+    assert(!p.contains("Exchange"), "column dispatch must not shuffle")
+    assert(p.contains("*(1)"), "p-value/effect kernels must stay in codegen")
+  }
 }
