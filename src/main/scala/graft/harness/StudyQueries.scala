@@ -268,15 +268,191 @@ object StudyQueries {
         col("effectAlleleFrequencyFromSource"), col("sampleSize"))
   }
 
+  /** deCODE pQTL study-index assembly (sources/Decode.scala
+    * manifestFromBucketListing + aptamerMetadata + studyIndexFromManifest;
+    * reference datasource/decode/manifest.py:83-170,
+    * aptamer_metadata.py:65-127, study_index.py:60-437): bucket-listing
+    * parse, study-id part extraction, NA/Deprecated filtering, aptamer
+    * inner join, molecular-complex left join on the sorted protein-id key,
+    * publication constants and Icelandic LD structure.
+    */
+  def decodeStudies(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Decode
+    val k = col("l_orderkey") * 8 + col("l_linenumber")
+    val inner = when(k % 2 === 0, "SMP_PC0").otherwise(lit("PC0"))
+    val apt = concat(lit("1000"), (k % 500).cast(StringType), lit("_"), (k % 97).cast(StringType))
+    val gene = when(k % 13 === 0, "NA")
+      .otherwise(concat(lit("G"), (k % 200).cast(StringType)))
+    val protein = when(k % 17 === 0, "Deprecated")
+      .when(k % 17 === 1, "No_Protein")
+      .otherwise(concat(lit("P"), (k % 150).cast(StringType)))
+    // time/size derive from the same residues as the path, so DISTINCT
+    // yields exactly one manifest row per study id.
+    val listing = lineitem(s, d).select(
+      lit("2024-03-01").as("date"),
+      lit("12:00:00").as("time"),
+      (k % 97).cast(StringType).as("size"),
+      lit("KiB").as("unit"),
+      concat(
+        lit("data/Proteomics_"), inner, lit("_"), apt, lit("_"), gene,
+        lit("_"), protein, lit("_3.txt.gz")).as("relativePath")
+    ).distinct()
+    val manifest = Decode.manifestFromBucketListing(listing, "decode-bucket")
+    val ap = col("p_partkey")
+    val aptamerRaw = part(s, d).select(
+      concat(
+        lit("SeqId.1000"), (ap % 500).cast(StringType), lit("-"),
+        (ap % 97).cast(StringType)).as("seqid"),
+      concat(lit("T"), (ap % 300).cast(StringType)).as("target_name"),
+      concat(lit("Target "), (ap % 300).cast(StringType)).as("target_full_name"),
+      when(ap % 5 === 0,
+        concat(lit("GA"), (ap % 40).cast(StringType), lit(", GB"), (ap % 7).cast(StringType)))
+        .otherwise(concat(lit("GA"), (ap % 40).cast(StringType))).as("gene_name"),
+      when(ap % 5 === 0,
+        concat(lit("U"), (ap % 40).cast(StringType), lit(",U"), (ap % 40 + 100).cast(StringType)))
+        .otherwise(concat(lit("U"), (ap % 40).cast(StringType))).as("uniprot")
+    ).distinct()
+    val aptamers = Decode.aptamerMetadata(aptamerRaw)
+    val n = col("n_nationkey")
+    val complexes = nation(s, d).select(
+      concat(lit("CPX"), n.cast(StringType)).as("id"),
+      array(
+        struct(concat(lit("U"), n.cast(StringType)).as("id")),
+        struct(concat(lit("U"), (n + 100).cast(StringType)).as("id")))
+        .as("components"))
+    Decode
+      .studyIndexFromManifest(manifest, aptamers, complexes)
+      .select(
+        col("studyId"), col("projectId"), col("studyType"),
+        col("traitFromSource"), col("nSamples"), col("initialSampleSize"),
+        col("summarystatsLocation"), col("hasSumstats"),
+        col("molecularComplexId"),
+        array_join(col("cohorts"), "|").as("cohorts"),
+        serializeLdPopulations(col("ldPopulationStructure"))
+          .as("ldPopulationStructure"),
+        array_join(
+          array_sort(
+            transform(
+              col("targetsFromSource"),
+              x => concat_ws(":", x.getField("geneSymbol"), x.getField("proteinId")))),
+          "|").as("targets"))
+  }
+
+  /** FinnGen EFO curation annotation (sources/FinnGen.scala loadEfoMapping +
+    * annotateStudyIndexWithEfo; reference datasource/finngen/
+    * efo_mapping.py:14-127): release filter, EFO short-id extraction from
+    * the semantic-tag URI, per-study aggregation preserving unmapped
+    * studies.
+    */
+  def finngenEfo(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.FinnGen
+    val k = col("o_orderkey") % 400
+    val studies = orders(s, d).select(
+      concat(lit("FINNGEN_R12_AB"), k.cast(StringType)).as("studyId"),
+      concat(lit("T"), (k % 60).cast(StringType)).as("traitFromSource")
+    ).distinct()
+    val pk = col("p_partkey")
+    val efoRaw = part(s, d).select(
+      when(pk % 3 === 0, "FINNGEN_R12").when(pk % 3 === 1, "FinnGen_r12")
+        .otherwise(lit("UKB")).as("STUDY"),
+      concat(lit("T"), (pk % 80).cast(StringType)).as("PROPERTY_VALUE"),
+      concat(
+        lit("http://purl.obolibrary.org/obo/EFO_"), (pk % 90).cast(StringType))
+        .as("SEMANTIC_TAG")
+    ).distinct()
+    FinnGen
+      .annotateStudyIndexWithEfo(studies, FinnGen.loadEfoMapping(efoRaw), "R12")
+      .select(
+        col("studyId"), col("traitFromSource"),
+        array_join(array_sort(col("traitFromSourceMappedIds")), "|").as("efos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gcat_study_index" -> (gcatStudyIndex _),
     "q_gcat_split" -> (gcatSplit _),
     "q_gcat_curation" -> (gcatCuration _),
     "q_finngen_studies" -> (finngenStudies _),
-    "q_gcat_sumstats" -> (gcatSumstats _)
+    "q_gcat_sumstats" -> (gcatSumstats _),
+    "q_decode_studies" -> (decodeStudies _),
+    "q_finngen_efo" -> (finngenEfo _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_decode_studies" ->
+      """WITH b AS (SELECT DISTINCT
+        |    CASE WHEN (l_orderkey*8+l_linenumber) % 2 = 0 THEN 'SMP_PC0' ELSE 'PC0' END AS inr,
+        |    (l_orderkey*8+l_linenumber) % 500 AS a1,
+        |    (l_orderkey*8+l_linenumber) % 97 AS a2,
+        |    CASE WHEN (l_orderkey*8+l_linenumber) % 13 = 0 THEN 'NA'
+        |         ELSE 'G' || CAST((l_orderkey*8+l_linenumber) % 200 AS VARCHAR) END AS gene,
+        |    CASE WHEN (l_orderkey*8+l_linenumber) % 17 = 0 THEN 'Deprecated'
+        |         WHEN (l_orderkey*8+l_linenumber) % 17 = 1 THEN 'No_Protein'
+        |         ELSE 'P' || CAST((l_orderkey*8+l_linenumber) % 150 AS VARCHAR) END AS protein
+        |  FROM lineitem),
+        |m AS (SELECT
+        |    CASE WHEN inr = 'SMP_PC0' THEN 'deCODE-proteomics-smp'
+        |         ELSE 'deCODE-proteomics-raw' END AS pid,
+        |    'Proteomics_' || inr AS dstype,
+        |    '1000' || CAST(a1 AS VARCHAR) || '-' || CAST(a2 AS VARCHAR) AS aid,
+        |    '1000' || CAST(a1 AS VARCHAR) || '_' || CAST(a2 AS VARCHAR) AS aidu,
+        |    gene, protein
+        |  FROM b WHERE gene <> 'NA' AND protein NOT IN ('Deprecated', 'No_Protein')),
+        |apt AS (SELECT DISTINCT
+        |    '1000' || CAST(p_partkey % 500 AS VARCHAR) || '-'
+        |      || CAST(p_partkey % 97 AS VARCHAR) AS aid,
+        |    CASE WHEN p_partkey % 5 = 0 THEN
+        |      array_to_string(list_sort([
+        |        'GA' || CAST(p_partkey % 40 AS VARCHAR) || ':U' || CAST(p_partkey % 40 AS VARCHAR),
+        |        'GB' || CAST(p_partkey % 7 AS VARCHAR) || ':U' || CAST(p_partkey % 40 + 100 AS VARCHAR)]), '|')
+        |    ELSE 'GA' || CAST(p_partkey % 40 AS VARCHAR) || ':U' || CAST(p_partkey % 40 AS VARCHAR)
+        |    END AS tstr,
+        |    CASE WHEN p_partkey % 5 = 0 THEN
+        |      array_to_string(list_sort(list_distinct([
+        |        'U' || CAST(p_partkey % 40 AS VARCHAR),
+        |        'U' || CAST(p_partkey % 40 + 100 AS VARCHAR)])), ',')
+        |    ELSE 'U' || CAST(p_partkey % 40 AS VARCHAR) END AS pids
+        |  FROM part),
+        |cpx AS (SELECT 'CPX' || CAST(n_nationkey AS VARCHAR) AS cid,
+        |    array_to_string(list_sort(list_distinct([
+        |      'U' || CAST(n_nationkey AS VARCHAR),
+        |      'U' || CAST(n_nationkey + 100 AS VARCHAR)])), ',') AS pids
+        |  FROM nation)
+        |SELECT m.pid || '_' || m.dstype || '_' || m.aidu || '_' || m.gene || '_'
+        |    || m.protein || '_3' AS "studyId",
+        |  m.pid AS "projectId", 'pqtl' AS "studyType",
+        |  m.dstype || '_' || m.aid || '_' || m.gene || '_' || m.protein
+        |    AS "traitFromSource",
+        |  CASE WHEN m.pid = 'deCODE-proteomics-smp' THEN 35892 ELSE 36136 END
+        |    AS "nSamples",
+        |  CASE WHEN m.pid = 'deCODE-proteomics-smp'
+        |       THEN '35,892 Icelandic individuals'
+        |       ELSE '36,136 Icelandic individuals' END AS "initialSampleSize",
+        |  's3a://decode-bucket/data/' || m.dstype || '_' || m.aidu || '_' || m.gene
+        |    || '_' || m.protein || '_3.txt.gz' AS "summarystatsLocation",
+        |  true AS "hasSumstats",
+        |  cpx.cid AS "molecularComplexId",
+        |  'deCODE' AS cohorts,
+        |  'nfe:1.000000' AS "ldPopulationStructure",
+        |  apt.tstr AS targets
+        |FROM m
+        |JOIN apt ON m.aid = apt.aid
+        |LEFT JOIN cpx ON apt.pids = cpx.pids""".stripMargin,
+    "q_finngen_efo" ->
+      """WITH st AS (SELECT DISTINCT o_orderkey % 400 AS k FROM orders),
+        |ef AS (SELECT DISTINCT
+        |    CASE WHEN p_partkey % 3 = 0 THEN 'FINNGEN_R12'
+        |         WHEN p_partkey % 3 = 1 THEN 'FinnGen_r12' ELSE 'UKB' END AS study,
+        |    'T' || CAST(p_partkey % 80 AS VARCHAR) AS pv,
+        |    'EFO_' || CAST(p_partkey % 90 AS VARCHAR) AS efo
+        |  FROM part),
+        |fm AS (SELECT pv, efo FROM ef
+        |  WHERE upper(study) LIKE '%FINNGEN%' AND upper(study) LIKE '%R12%')
+        |SELECT 'FINNGEN_R12_AB' || CAST(k AS VARCHAR) AS "studyId",
+        |  'T' || CAST(k % 60 AS VARCHAR) AS "traitFromSource",
+        |  coalesce(array_to_string(list_sort(
+        |    list(fm.efo) FILTER (fm.efo IS NOT NULL)), '|'), '') AS efos
+        |FROM st LEFT JOIN fm ON 'T' || CAST(k % 60 AS VARCHAR) = fm.pv
+        |GROUP BY k""".stripMargin,
     "q_gcat_study_index" ->
       """WITH g AS (SELECT DISTINCT c_custkey % 400 AS g FROM customer),
         |st AS (SELECT g, 'GCST' || CAST(g AS VARCHAR) AS sid,

@@ -136,4 +136,49 @@ object FinnGen {
       spark.read.json(Seq(jsonBody).toDS()),
       releasePrefix, sumstatsUrlPrefix, sumstatsUrlSuffix, sampleSize)
   }
+
+  /** Validate and slim a curated EFO mapping table
+    * (datasource/finngen/efo_mapping.py:14-72 EFOMapping.from_path): the
+    * required STUDY / PROPERTY_VALUE / SEMANTIC_TAG columns, cast to string.
+    */
+  def loadEfoMapping(raw: DataFrame): DataFrame = {
+    val required = Seq("STUDY", "PROPERTY_VALUE", "SEMANTIC_TAG")
+    val missing = required.filterNot(raw.columns.contains)
+    require(
+      missing.isEmpty,
+      s"EFO curation file must contain the following columns: ${missing.mkString(", ")}")
+    raw.select(required.map(c => col(c).cast(StringType).as(c)): _*)
+  }
+
+  /** Join curated EFO mappings onto a FinnGen study index by trait name
+    * (efo_mapping.py:74-127 annotate_study_index): release-filtered
+    * mappings, EFO short ids from the semantic-tag URI, aggregated to a
+    * list per study. All studies survive (left join + group) so the study
+    * and credible-set tables stay consistent; unmapped studies carry an
+    * empty list for the downstream validation step to flag. The mapping
+    * table is curated (bounded) and broadcasts.
+    */
+  def annotateStudyIndexWithEfo(
+      studyIndex: DataFrame,
+      efoMapping: DataFrame,
+      finngenRelease: String = "R12"
+  ): DataFrame = {
+    val mappings = efoMapping
+      .withColumn("STUDY", upper(col("STUDY")))
+      .filter(col("STUDY").contains("FINNGEN"))
+      .filter(upper(col("STUDY")).contains(finngenRelease))
+      .select(
+        regexp_replace(col("SEMANTIC_TAG"), "^.*/", "")
+          .as("traitFromSourceMappedId"),
+        col("PROPERTY_VALUE").as("traitFromSource"))
+    val joined = studyIndex.join(
+      broadcast(mappings), Seq("traitFromSource"), "left_outer")
+    val commonCols =
+      joined.columns.filter(_ != "traitFromSourceMappedId").map(col)
+    joined
+      .groupBy(commonCols: _*)
+      .agg(
+        collect_list(col("traitFromSourceMappedId"))
+          .as("traitFromSourceMappedIds"))
+  }
 }

@@ -92,4 +92,83 @@ class EqtlDecodeSpec extends SparkSpec {
     // credible set 2 picks lbf_variable2
     assert(out(1)._1 === "1_300_A_G" && out(1)._5 === 1)
   }
+
+  test("deCODE manifest parse, study-id parts and aptamer-annotated index") {
+    import spark.implicits._
+    val listing = Seq(
+      ("2024-03-01", "12:00:00", "5", "KiB",
+        "proteomics/Proteomics_SMP_PC0_10000_28_CRP_P12345_9.txt.gz"),
+      ("2024-03-01", "12:00:00", "7", "KiB",
+        "proteomics/Proteomics_PC0_10055_3_NA_P1_2.txt.gz")
+    ).toDF("date", "time", "size", "unit", "relativePath")
+    val manifest = Decode.manifestFromBucketListing(listing, "bkt")
+    val mrows = manifest
+      .select("projectId", "studyId", "summarystatsLocation", "size")
+      .as[(String, String, String, String)].collect().sortBy(_._2)
+    assert(mrows(0) === ((
+      "deCODE-proteomics-raw",
+      "deCODE-proteomics-raw_Proteomics_PC0_10055_3_NA_P1_2",
+      "s3a://bkt/proteomics/Proteomics_PC0_10055_3_NA_P1_2.txt.gz", "7 KiB")))
+    assert(mrows(1)._1 === "deCODE-proteomics-smp")
+
+    // aptamer metadata: SeqId normalisation, multi-target split + complex flag
+    val aptRaw = Seq(
+      ("SeqId.10000-28", "CRP", "C-reactive protein", "CRP", "P12345"),
+      ("SeqId.10001-7", "IL6R complex", "Interleukin", "IL6R, IL6ST", "P08887,P40189")
+    ).toDF("seqid", "target_name", "target_full_name", "gene_name", "uniprot")
+    val apt = Decode.aptamerMetadata(aptRaw)
+    val arows = apt
+      .selectExpr("aptamerId", "isProteinComplex", "size(targetMetadata) AS n")
+      .as[(String, Boolean, Int)].collect().sortBy(_._1)
+    assert(arows.toSeq === Seq(("10000-28", false, 1), ("10001-7", true, 2)))
+
+    // study index: NA gene filtered out, aptamer inner join, Icelandic LD
+    val si = Decode.studyIndexFromManifest(
+      manifest, apt,
+      Seq(("CPX1", Seq("P08887", "P40189"))).toDF("id", "cids")
+        .selectExpr("id", "transform(cids, x -> struct(x AS id)) AS components"))
+    val srows = si
+      .selectExpr(
+        "studyId", "traitFromSource", "nSamples", "studyType",
+        "ldPopulationStructure[0].ldPopulation")
+      .as[(String, String, Int, String, String)].collect()
+    assert(srows.length === 1) // the NA-gene study is dropped
+    assert(srows.head._2 === "Proteomics_SMP_PC0_10000-28_CRP_P12345")
+    assert(srows.head._3 === 35892 && srows.head._4 === "pqtl")
+    assert(srows.head._5 === "nfe")
+
+    // update_study_id doctest semantics: curated targets re-key the id
+    val upd = manifest
+      .select(Decode.updateStudyId(
+        col("studyId"),
+        expr("array(struct('CRP' AS geneSymbol, 'P12345' AS proteinId), " +
+          "struct(CAST(NULL AS STRING) AS geneSymbol, 'P9' AS proteinId))")).as("u"))
+      .as[String].collect().sorted
+    assert(upd(1) ===
+      "deCODE-proteomics-smp_Proteomics_SMP_PC0_10000-28_CRP,_NA_P12345,P9")
+  }
+
+  test("FinnGen EFO mapping validates columns and aggregates per study") {
+    import spark.implicits._
+    val raw = Seq(
+      ("FINNGEN_R12", "Amoebiasis", "http://purl.obolibrary.org/obo/EFO_1"),
+      ("FinnGen_r12", "Amoebiasis", "http://purl.obolibrary.org/obo/EFO_2"),
+      ("FINNGEN_R11", "Amoebiasis", "http://purl.obolibrary.org/obo/EFO_3"),
+      ("UKB", "Amoebiasis", "http://purl.obolibrary.org/obo/EFO_4")
+    ).toDF("STUDY", "PROPERTY_VALUE", "SEMANTIC_TAG")
+    val studies = Seq(
+      ("FINNGEN_R12_AB1", "Amoebiasis"),
+      ("FINNGEN_R12_AB2", "Unmapped trait")
+    ).toDF("studyId", "traitFromSource")
+    val out = FinnGen
+      .annotateStudyIndexWithEfo(studies, FinnGen.loadEfoMapping(raw), "R12")
+      .selectExpr("studyId", "array_sort(traitFromSourceMappedIds) AS efos")
+      .as[(String, Seq[String])].collect().sortBy(_._1)
+    // R12 rows only (both spellings); R11/UKB filtered; unmapped kept with []
+    assert(out(0) === (("FINNGEN_R12_AB1", Seq("EFO_1", "EFO_2"))))
+    assert(out(1) === (("FINNGEN_R12_AB2", Seq.empty[String])))
+    intercept[IllegalArgumentException] {
+      FinnGen.loadEfoMapping(Seq(("x")).toDF("STUDY"))
+    }
+  }
 }
