@@ -367,6 +367,62 @@ object StudyQueries {
         array_join(array_sort(col("traitFromSourceMappedIds")), "|").as("efos"))
   }
 
+  /** Biosample ontology ingestion (sources/BiosampleOntology.scala
+    * fromObograph; reference datasource/biosample_ontologies/utils.py:13-174):
+    * OBO-graph JSON shape → nodes/edges explode, URI stripping, is_a/part_of
+    * hierarchy, relational transitive closure for ancestors/descendants.
+    * The obograph document is assembled from TPC-H rows (single-row nested
+    * frame — harness-side only; production input is spark.read.json).
+    */
+  def biosamples(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.BiosampleOntology
+    val k = col("o_orderkey") % 600 + 2
+    val base = orders(s, d).select(k.as("k")).distinct()
+    val nodeRows = base.select(
+      struct(
+        concat(lit("http://purl.obolibrary.org/obo/N"), col("k").cast(StringType)).as("id"),
+        concat(lit("node "), (col("k") % 37).cast(StringType)).as("lbl"),
+        struct(
+          struct(concat(lit("def "), (col("k") % 11).cast(StringType)).as("val"))
+            .as("definition"),
+          array(struct(concat(lit("X"), (col("k") % 5).cast(StringType)).as("val")))
+            .as("xrefs"),
+          array(struct(concat(lit("S"), (col("k") % 7).cast(StringType)).as("val")))
+            .as("synonyms")).as("meta")).as("node"))
+    def edge(childK: Column, parentK: Column, pred: String) = struct(
+      concat(lit("http://purl.obolibrary.org/obo/N"), childK.cast(StringType)).as("sub"),
+      lit(pred).as("pred"),
+      concat(lit("http://purl.obolibrary.org/obo/N"), parentK.cast(StringType)).as("obj"))
+    val isA = base.select(edge(col("k"), (col("k") / lit(2)).cast(LongType), "is_a").as("edge"))
+    val partOf = base
+      .filter(col("k") % 5 === 0)
+      .select(
+        edge(
+          col("k"), (col("k") / lit(3)).cast(LongType),
+          "http://purl.obolibrary.org/obo/BFO_0000050").as("edge"))
+    // a non-hierarchy predicate that must be ignored
+    val noise = base
+      .filter(col("k") % 11 === 0)
+      .select(edge(col("k"), col("k") + 1, "comment").as("edge"))
+    val nodesArr = nodeRows.agg(collect_list(col("node")).as("nodes"))
+    val edgesArr = isA.unionByName(partOf).unionByName(noise)
+      .agg(collect_list(col("edge")).as("edges"))
+    val raw = nodesArr
+      .crossJoin(edgesArr)
+      .select(
+        array(struct(lit("g1").as("id"), col("nodes"), col("edges"))).as("graphs"))
+    BiosampleOntology
+      .fromObograph(raw)
+      .select(
+        col("biosampleId"), col("biosampleName"), col("description"),
+        array_join(col("xrefs"), "|").as("xrefs"),
+        array_join(col("synonyms"), "|").as("synonyms"),
+        array_join(array_sort(col("parents")), "|").as("parents"),
+        array_join(array_sort(col("ancestors")), "|").as("ancestors"),
+        array_join(array_sort(col("children")), "|").as("children"),
+        array_join(array_sort(col("descendants")), "|").as("descendants"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gcat_study_index" -> (gcatStudyIndex _),
     "q_gcat_split" -> (gcatSplit _),
@@ -374,10 +430,43 @@ object StudyQueries {
     "q_finngen_studies" -> (finngenStudies _),
     "q_gcat_sumstats" -> (gcatSumstats _),
     "q_decode_studies" -> (decodeStudies _),
-    "q_finngen_efo" -> (finngenEfo _)
+    "q_finngen_efo" -> (finngenEfo _),
+    "q_biosamples" -> (biosamples _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_biosamples" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT o_orderkey % 600 + 2 AS k FROM orders),
+        |e AS (
+        |  SELECT 'N' || CAST(k AS VARCHAR) AS child,
+        |         'N' || CAST(k // 2 AS VARCHAR) AS parent FROM n
+        |  UNION
+        |  SELECT 'N' || CAST(k AS VARCHAR),
+        |         'N' || CAST(k // 3 AS VARCHAR) FROM n WHERE k % 5 = 0),
+        |closure AS (
+        |  SELECT child AS node, parent AS ancestor FROM e
+        |  UNION
+        |  SELECT c.node, e.parent FROM closure c JOIN e ON c.ancestor = e.child),
+        |par AS (SELECT child, string_agg(parent, '|' ORDER BY parent) AS v
+        |  FROM e GROUP BY child),
+        |chd AS (SELECT parent, string_agg(child, '|' ORDER BY child) AS v
+        |  FROM e GROUP BY parent),
+        |anc AS (SELECT node, string_agg(ancestor, '|' ORDER BY ancestor) AS v
+        |  FROM closure GROUP BY node),
+        |des AS (SELECT ancestor, string_agg(node, '|' ORDER BY node) AS v
+        |  FROM closure GROUP BY ancestor)
+        |SELECT 'N' || CAST(n.k AS VARCHAR) AS "biosampleId",
+        |  'node ' || CAST(n.k % 37 AS VARCHAR) AS "biosampleName",
+        |  'def ' || CAST(n.k % 11 AS VARCHAR) AS description,
+        |  'X' || CAST(n.k % 5 AS VARCHAR) AS xrefs,
+        |  'S' || CAST(n.k % 7 AS VARCHAR) AS synonyms,
+        |  par.v AS parents, anc.v AS ancestors,
+        |  chd.v AS children, des.v AS descendants
+        |FROM n
+        |LEFT JOIN par ON par.child = 'N' || CAST(n.k AS VARCHAR)
+        |LEFT JOIN anc ON anc.node = 'N' || CAST(n.k AS VARCHAR)
+        |LEFT JOIN chd ON chd.parent = 'N' || CAST(n.k AS VARCHAR)
+        |LEFT JOIN des ON des.ancestor = 'N' || CAST(n.k AS VARCHAR)""".stripMargin,
     "q_decode_studies" ->
       """WITH b AS (SELECT DISTINCT
         |    CASE WHEN (l_orderkey*8+l_linenumber) % 2 = 0 THEN 'SMP_PC0' ELSE 'PC0' END AS inr,

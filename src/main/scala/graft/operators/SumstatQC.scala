@@ -89,6 +89,21 @@ object SumstatQC {
       .agg(stddev(col("N_hat_ratio")).as("se_N"))
   }
 
+  /** Compose the four per-study checks into the SummaryStatisticsQC wide
+    * frame (dataset/summary_statistics_qc.py:76-139
+    * from_summary_statistics): mean beta, PZ test, GC lambda and variant
+    * counts, outer-joined on studyId. Each check is a single map-side-
+    * combined aggregation; the outer joins co-locate on the already-grouped
+    * studyId key, so the whole composition costs one shuffle per check.
+    */
+  def fromSummaryStatistics(gwas: DataFrame, pValueThreshold: Double = 1e-8): DataFrame =
+    Seq(
+      meanBeta(gwas),
+      pzTest(gwas),
+      gcLambda(gwas),
+      variantCounts(gwas, pValueThreshold))
+      .reduce((a, b) => a.join(b, Seq("studyId"), "outer"))
+
   /** Total and genome-wide-significant variant counts per study
     * (sumstat_quality_controls.py:367-414).
     */
