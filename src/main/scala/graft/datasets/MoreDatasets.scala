@@ -1,6 +1,7 @@
 package graft.datasets
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.core.GDataset
 
@@ -41,6 +42,15 @@ final case class AminoAcidVariants(df: DataFrame) extends GDataset[AminoAcidVari
 final case class ContigIndex(df: DataFrame) extends GDataset[ContigIndex] {
   override def schemaName: String = "contig_index"
   override protected def withDf(newDf: DataFrame): ContigIndex = copy(df = newDf)
+
+  /** Filter to the canonical chromosomes (dataset/contig_index.py:45-65). */
+  def canonical(): ContigIndex =
+    filter(col("id").isin(ContigIndex.CanonicalChromosomes: _*))
+}
+
+object ContigIndex {
+  val CanonicalChromosomes: Seq[String] =
+    (1 to 22).map(_.toString) ++ Seq("X", "Y", "MT")
 }
 
 final case class MolecularComplex(df: DataFrame) extends GDataset[MolecularComplex] {

@@ -80,7 +80,11 @@ object DrugEnrichment {
   }
 
   /** Indirect associations: propagate evidence up the ontology before
-    * aggregating (drug_enrichment_from_evid.py:145-199).
+    * aggregating (drug_enrichment_from_evid.py:145-199). The harmonic-sum
+    * variants of this and [[evidenceToDirectAssociations]] are also the
+    * exact kernels of the reference's LocusToGeneAssociationsStep
+    * (l2g.py:459-517): collect_set of resource scores per
+    * (target, disease[, ancestor]) → harmonic sum.
     */
   def evidenceToIndirectAssociations(
       evidence: DataFrame,
