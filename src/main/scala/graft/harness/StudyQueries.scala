@@ -278,7 +278,12 @@ object StudyQueries {
     */
   def decodeStudies(s: SparkSession, d: String): DataFrame = {
     import graft.sources.Decode
-    val k = col("l_orderkey") * 8 + col("l_linenumber")
+    // The real deCODE manifest is a bounded ~5k-line listing file, so the
+    // synthetic one is capped too and generated from the small `part` table
+    // (the gene/protein validity filters push down through the DISTINCT to
+    // the generator scan, so its row count — not the distinct 5k — is what
+    // pays the study-id regex).
+    val k = (col("p_partkey") * 3) % 5000
     val inner = when(k % 2 === 0, "SMP_PC0").otherwise(lit("PC0"))
     val apt = concat(lit("1000"), (k % 500).cast(StringType), lit("_"), (k % 97).cast(StringType))
     val gene = when(k % 13 === 0, "NA")
@@ -288,7 +293,7 @@ object StudyQueries {
       .otherwise(concat(lit("P"), (k % 150).cast(StringType)))
     // time/size derive from the same residues as the path, so DISTINCT
     // yields exactly one manifest row per study id.
-    val listing = lineitem(s, d).select(
+    val listing = part(s, d).select(
       lit("2024-03-01").as("date"),
       lit("12:00:00").as("time"),
       (k % 97).cast(StringType).as("size"),
@@ -468,16 +473,17 @@ object StudyQueries {
         |LEFT JOIN chd ON chd.parent = 'N' || CAST(n.k AS VARCHAR)
         |LEFT JOIN des ON des.ancestor = 'N' || CAST(n.k AS VARCHAR)""".stripMargin,
     "q_decode_studies" ->
-      """WITH b AS (SELECT DISTINCT
-        |    CASE WHEN (l_orderkey*8+l_linenumber) % 2 = 0 THEN 'SMP_PC0' ELSE 'PC0' END AS inr,
-        |    (l_orderkey*8+l_linenumber) % 500 AS a1,
-        |    (l_orderkey*8+l_linenumber) % 97 AS a2,
-        |    CASE WHEN (l_orderkey*8+l_linenumber) % 13 = 0 THEN 'NA'
-        |         ELSE 'G' || CAST((l_orderkey*8+l_linenumber) % 200 AS VARCHAR) END AS gene,
-        |    CASE WHEN (l_orderkey*8+l_linenumber) % 17 = 0 THEN 'Deprecated'
-        |         WHEN (l_orderkey*8+l_linenumber) % 17 = 1 THEN 'No_Protein'
-        |         ELSE 'P' || CAST((l_orderkey*8+l_linenumber) % 150 AS VARCHAR) END AS protein
-        |  FROM lineitem),
+      """WITH k0 AS (SELECT (p_partkey * 3) % 5000 AS kk FROM part),
+        |b AS (SELECT DISTINCT
+        |    CASE WHEN kk % 2 = 0 THEN 'SMP_PC0' ELSE 'PC0' END AS inr,
+        |    kk % 500 AS a1,
+        |    kk % 97 AS a2,
+        |    CASE WHEN kk % 13 = 0 THEN 'NA'
+        |         ELSE 'G' || CAST(kk % 200 AS VARCHAR) END AS gene,
+        |    CASE WHEN kk % 17 = 0 THEN 'Deprecated'
+        |         WHEN kk % 17 = 1 THEN 'No_Protein'
+        |         ELSE 'P' || CAST(kk % 150 AS VARCHAR) END AS protein
+        |  FROM k0),
         |m AS (SELECT
         |    CASE WHEN inr = 'SMP_PC0' THEN 'deCODE-proteomics-smp'
         |         ELSE 'deCODE-proteomics-raw' END AS pid,
