@@ -153,6 +153,10 @@ object MiscQueries {
 
   val oracles: Map[String, String] = Map(
     "q_finemap" -> resourceSql("q_finemap_sf001_oracle.sql"),
+    // q_pics needs the normal survival function, unavailable in DuckDB; the
+    // oracle is the pinned deterministic sf0.01 output (scipy-verified in
+    // PicsSpec), valid at the driver's correctness SF only.
+    "q_pics" -> resourceSql("q_pics_sf001_oracle.sql"),
     "q_minmax" ->
       """WITH w AS (SELECT event_id, value,
         |    min(value) OVER (PARTITION BY event_type) AS mn,
