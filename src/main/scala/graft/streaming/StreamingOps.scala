@@ -53,6 +53,23 @@ object StreamingOps {
         col("value_sum")
       )
 
+  /** Streaming exact deduplication for ingest pipelines: drop repeats of a
+    * content key within the watermark horizon (`dropDuplicatesWithinWatermark`
+    * keeps state bounded — the batch twin is the hash-groupBy exact dedup).
+    * `keyCols` is typically a content hash (md5 of the document text) so
+    * state per key is a few bytes; at 100 TB/day the horizon bounds state to
+    * the chosen window instead of the full corpus.
+    */
+  def dedupStream(
+      docs: DataFrame,
+      keyCols: Seq[String],
+      eventTimeCol: String = "ts",
+      watermark: String = "1 hour"
+  ): DataFrame =
+    docs
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class StudyEvent(studyId: String, beta: Double)
   final case class StudyState(n: Long, sumBeta: Double)
   final case class StudyStats(studyId: String, n: Long, meanBeta: Double)

@@ -133,4 +133,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "column dispatch must not shuffle")
     assert(p.contains("*(1)"), "p-value/effect kernels must stay in codegen")
   }
+
+  test("q_decode_studies broadcasts the bounded aptamer and complex tables") {
+    val p = plan(graft.harness.StudyQueries.decodeStudies(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "bounded lookup tables should broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), s"no join side here warrants a sort-merge:\n$p")
+  }
+
+  test("q_finngen_efo broadcasts the curated mapping, not the study side") {
+    val p = plan(graft.harness.StudyQueries.finngenEfo(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "curated EFO mapping should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

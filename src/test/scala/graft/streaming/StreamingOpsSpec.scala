@@ -77,4 +77,27 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
     assert(spark.sql("SELECT count(*) FROM ingest").head().getLong(0) === 2L)
   }
+
+  test("streaming dedup drops repeated content hashes within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:05:00")
+    val docs = input.toDF().toDF("content_hash", "ts")
+    val q = StreamingOps
+      .dedupStream(docs, Seq("content_hash"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    input.addData(("h1", t0), ("h2", t0), ("h1", t1))
+    q.processAllAvailable()
+    input.addData(("h1", t1), ("h3", t1))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT content_hash FROM dedup_out")
+      .as[String].collect().sorted
+    // h1's two repeats are dropped inside the watermark horizon
+    assert(out.toSeq === Seq("h1", "h2", "h3"))
+  }
 }
