@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+
+/** Property-based checks for the scalar kernels — invariants that hold for
+  * any input, complementing the golden-value doctests. Each property is
+  * evaluated in one batched Spark job over generated rows (no per-case
+  * session round trip).
+  */
+class KernelPropertiesSpec extends SparkSpec {
+
+  test("reverseComplement is an involution on ACTG strings") {
+    import spark.implicits._
+    val gen = Gen.listOfN(200, Gen.nonEmptyListOf(Gen.oneOf('A', 'C', 'T', 'G')).map(_.mkString))
+    val alleles = gen.sample.get
+    val out = alleles.toDF("a")
+      .select(
+        col("a"),
+        graft.sources.GwasCatalog.reverseComplement(
+          graft.sources.GwasCatalog.reverseComplement(col("a"))).as("rc2"))
+      .as[(String, String)].collect()
+    assert(out.forall { case (a, rc2) => rc2 == a })
+  }
+
+  test("reverseComplement output never shares a strand-resolvable SNP with its input") {
+    // For single bases, rc(x) != x always (A<->T, C<->G)
+    import spark.implicits._
+    val out = Seq("A", "C", "T", "G").toDF("a")
+      .select(graft.sources.GwasCatalog.reverseComplement(col("a")).as("rc"), col("a"))
+      .as[(String, String)].collect()
+    assert(out.forall { case (rc, a) => rc != a })
+  }
+
+  test("harmonic sum is monotone in set size and bounded by the theoretical max") {
+    import spark.implicits._
+    val gen = Gen.listOfN(100, Gen.nonEmptyListOf(Gen.choose(0.0, 1.0)))
+    val arrays = gen.sample.get
+    val out = arrays.map(a => (a, a :+ 0.5)).toDF("a", "b")
+      .select(
+        ArrayOps.calculateHarmonicSum(col("a")).as("ha"),
+        ArrayOps.calculateHarmonicSum(col("b")).as("hb"))
+      .as[(Double, Double)].collect()
+    // adding an element never decreases the harmonic sum; scores in [0,1]
+    // keep the normalised sum in [0,1]
+    assert(out.forall { case (ha, hb) => hb >= ha - 1e-12 })
+    assert(out.forall { case (ha, _) => ha >= 0.0 && ha <= 1.0 + 1e-9 })
+  }
+
+  test("splitPvalueColumn round-trips: mantissa * 10^exponent ~= p") {
+    import spark.implicits._
+    val gen = Gen.listOfN(200, Gen.choose(1e-30, 1.0))
+    val ps = gen.sample.get
+    val out = ps.map(p => f"$p%.3e").toDF("p")
+      .select(col("p"), {
+        val (m, e) = Stats.splitPvalueColumn(col("p"))
+        struct(m, e).as("s")
+      })
+      .selectExpr("CAST(p AS DOUBLE) AS p", "s.pValueMantissa AS m", "s.pValueExponent AS e")
+      .as[(Double, Float, Int)].collect()
+    assert(out.forall { case (p, m, e) =>
+      val rt = m * math.pow(10.0, e)
+      math.abs(rt - p) <= 5e-3 * p + 1e-300 // mantissa rounded to 3 decimals
+    })
+  }
+
+  test("pvalueFilterCondition agrees with the materialised double comparison") {
+    import spark.implicits._
+    val gen = Gen.listOfN(300, Gen.zip(Gen.choose(1.0, 9.999), Gen.choose(-300, 0)))
+    val cases = gen.sample.get
+    val threshold = 5e-8
+    val out = cases.toDF("m", "e")
+      .select(
+        col("m"), col("e"),
+        Stats.pvalueFilterCondition(
+          col("m").cast("float"), col("e"), threshold).as("cond"))
+      .as[(Double, Int, Boolean)].collect()
+    assert(out.forall { case (m, e, cond) =>
+      val p = m.toFloat * math.pow(10.0, e)
+      // two-term comparison must match p <= threshold except at exact
+      // boundary rounding of the driver-side split (half-even at 3 digits)
+      if (math.abs(p / threshold - 1.0) < 1e-3) true
+      else cond == (p <= threshold)
+    })
+  }
+
+  test("inferAlleleFrequency always returns impMaf or its complement") {
+    import spark.implicits._
+    val gen = Gen.listOfN(200, Gen.zip(Gen.choose(0.0, 0.5), Gen.option(Gen.choose(0.0, 1.0))))
+    val cases = gen.sample.get
+    val out = cases.map { case (maf, eur) => (maf, eur.map(Double.box).orNull) }
+      .toDF("maf", "eur")
+      .select(
+        col("maf"), col("eur"),
+        graft.sources.Decode.inferAlleleFrequency(col("maf"), col("eur")).as("af"))
+      .as[(Double, Option[Double], Double)].collect()
+    assert(out.forall { case (maf, eur, af) =>
+      math.abs(af - maf) < 1e-12 || math.abs(af - (1.0 - maf)) < 1e-12
+    })
+    // null EUR always falls back to impMaf
+    assert(out.filter(_._2.isEmpty).forall { case (maf, _, af) => af == maf })
+  }
+}
