@@ -428,6 +428,77 @@ object StudyQueries {
         array_join(array_sort(col("descendants")), "|").as("descendants"))
   }
 
+  /** Complex Portal ComplexTAB ingestion (sources/ComplexPortal.scala
+    * fromComplexTab; reference datasource/complex_portal/__init__.py:86-217):
+    * experimental + predicted union, human-taxonomy filter, PSI-MI source /
+    * ECO evidence / cross-reference / participant-list regex parsing. The
+    * oracle reconstructs the expected parse from the same generator
+    * arithmetic, so the regexes are checked against ground truth.
+    */
+  def complexPortal(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ComplexPortal
+    def tabShaped(k: Column, idPrefix: String, taxonomy: Column, source: Column) = Seq(
+      concat(lit(idPrefix), k.cast(StringType)).as("#Complex ac"),
+      concat(lit("complex "), (k % 29).cast(StringType)).as("Recommended name"),
+      lit("-").as("Aliases for complex"),
+      taxonomy.as("Taxonomy identifier"),
+      lit("-").as("Identifiers (and stoichiometry) of molecules in complex"),
+      concat(
+        lit("ECO:000035"), (k % 7).cast(StringType),
+        lit("|pubmed:"), k.cast(StringType), lit("(ECO:0005543)"))
+        .as("Evidence Code"),
+      lit("-").as("Experimental evidence"),
+      lit("-").as("Go Annotations"),
+      concat(
+        lit("reactome:R-HSA-"), k.cast(StringType), lit("(identity)|wwpdb:1U"),
+        (k % 9).cast(StringType), lit("V(subset)")).as("Cross references"),
+      when(k % 11 === 0, lit(null).cast(StringType))
+        .otherwise(concat(lit("desc "), (k % 13).cast(StringType)))
+        .as("Description"),
+      concat(lit("prop "), (k % 5).cast(StringType)).as("Complex properties"),
+      when(k % 3 === 0, "Homodimer").otherwise(lit("Heterodimer"))
+        .as("Complex assembly"),
+      lit("-").as("Ligand"),
+      lit("-").as("Disease"),
+      lit("-").as("Agonist"),
+      lit("-").as("Antagonist"),
+      lit("-").as("Comment"),
+      source.as("Source"),
+      concat(
+        lit("P"), (k % 150).cast(StringType), lit("(2)|Q"),
+        (k % 80).cast(StringType), lit("-1(1)"))
+        .as("Expanded participant list")
+    )
+    val ek = col("p_partkey") % 350
+    val experimental = part(s, d).select(
+      tabShaped(
+        ek, "CPX-",
+        when(ek % 10 === 0, lit(10090)).otherwise(lit(9606)),
+        lit("psi-mi:\"MI:0469\"(IntAct)")): _*).distinct()
+    val pk = col("n_nationkey")
+    val predicted = nation(s, d).select(
+      tabShaped(
+        pk, "CPXP-", lit(9606),
+        lit("psi-mi:\"MI:1197\"(complex portal predicted)")): _*).distinct()
+    ComplexPortal.fromComplexTab(experimental, predicted).df.select(
+      col("id"), col("description"), col("properties"), col("assembly"),
+      array_join(
+        transform(
+          col("components"),
+          x =>
+            concat_ws(
+              ":", x.getField("id"), x.getField("stoichiometry"),
+              x.getField("source"))),
+        "|").as("components"),
+      array_join(col("evidenceCodes"), "|").as("evidenceCodes"),
+      array_join(
+        transform(
+          col("crossReferences"),
+          x => concat_ws(":", x.getField("source"), x.getField("id"))),
+        "|").as("crossReferences"),
+      concat_ws("/", col("source.id"), col("source.source")).as("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gcat_study_index" -> (gcatStudyIndex _),
     "q_gcat_split" -> (gcatSplit _),
@@ -436,10 +507,33 @@ object StudyQueries {
     "q_gcat_sumstats" -> (gcatSumstats _),
     "q_decode_studies" -> (decodeStudies _),
     "q_finngen_efo" -> (finngenEfo _),
-    "q_biosamples" -> (biosamples _)
+    "q_biosamples" -> (biosamples _),
+    "q_complex_portal" -> (complexPortal _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_complex_portal" ->
+      """WITH e AS (SELECT DISTINCT p_partkey % 350 AS k FROM part
+        |  WHERE (p_partkey % 350) % 10 <> 0),
+        |p AS (SELECT DISTINCT n_nationkey AS k FROM nation),
+        |u AS (SELECT 'CPX-' || CAST(k AS VARCHAR) AS id, k,
+        |    'MI:0469/IntAct' AS src FROM e
+        |  UNION ALL
+        |  SELECT 'CPXP-' || CAST(k AS VARCHAR), k,
+        |    'MI:1197/complex portal predicted' FROM p)
+        |SELECT id,
+        |  CASE WHEN k % 11 = 0 THEN NULL
+        |       ELSE 'desc ' || CAST(k % 13 AS VARCHAR) END AS description,
+        |  'prop ' || CAST(k % 5 AS VARCHAR) AS properties,
+        |  CASE WHEN k % 3 = 0 THEN 'Homodimer' ELSE 'Heterodimer' END AS assembly,
+        |  'P' || CAST(k % 150 AS VARCHAR) || ':2:uniprot|Q'
+        |    || CAST(k % 80 AS VARCHAR) || '-1:1:uniprot' AS components,
+        |  'ECO:000035' || CAST(k % 7 AS VARCHAR) || '|ECO:0005543'
+        |    AS "evidenceCodes",
+        |  'reactome:R-HSA-' || CAST(k AS VARCHAR) || '|wwpdb:1U'
+        |    || CAST(k % 9 AS VARCHAR) || 'V' AS "crossReferences",
+        |  src AS source
+        |FROM u""".stripMargin,
     "q_biosamples" ->
       """WITH RECURSIVE n AS (SELECT DISTINCT o_orderkey % 600 + 2 AS k FROM orders),
         |e AS (
