@@ -133,6 +133,31 @@ object TextQueries {
         numTables = 2, numPlanes = 6),
       threshold = 0.2)
 
+  /** Gopher-style intra-document repetition gates: duplicate 2-/3-gram
+    * occurrence fractions + most-frequent-token share.
+    */
+  def repetitionStats(s: SparkSession, d: String): DataFrame =
+    withTokens(docsParallel(s, d)).select(
+      col("doc_id"),
+      round(TextOps.duplicateNgramFraction(col("toks"), 2), 6).as("dup_2gram_frac"),
+      round(TextOps.duplicateNgramFraction(col("toks"), 3), 6).as("dup_3gram_frac"),
+      round(TextOps.topTokenRatio(col("toks")), 6).as("top_token_ratio")
+    )
+
+  /** Benchmark decontamination: distinct 5-gram overlap of every document
+    * against the bounded eval set (doc_id % 97 == 0), broadcast as one
+    * gram-set row.
+    */
+  def contaminationQuery(s: SparkSession, d: String): DataFrame =
+    TextOps
+      .contaminationScores(
+        docsParallel(s, d).select(col("doc_id"), col("text")),
+        documents(s, d).filter(col("doc_id") % 97 === 0),
+        n = 5)
+      .select(
+        col("doc_id"), col("n_grams"), col("n_matched"),
+        round(col("contamination"), 6).as("contamination"))
+
   // -- oracles ---------------------------------------------------------------
 
   private val ShinglesSql =
@@ -177,10 +202,47 @@ object TextQueries {
     "q_ann_lsh" -> (annLsh _),
     "q_embed_dedup" -> (embedDedup _),
     "q_quality_filter" -> (qualityFilter _),
-    "q_ann_ivf" -> (annIvf _)
+    "q_ann_ivf" -> (annIvf _),
+    "q_repetition" -> (repetitionStats _),
+    "q_contamination" -> (contaminationQuery _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_repetition" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS g2,
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+        |  FROM tok)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(g2) = 0 THEN 0.0
+        |    ELSE 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE) END, 6)
+        |    AS dup_2gram_frac,
+        |  round(CASE WHEN len(g3) = 0 THEN 0.0
+        |    ELSE 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE) END, 6)
+        |    AS dup_3gram_frac,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE list_max(list_transform(list_distinct(toks),
+        |      u -> len(list_filter(toks, t -> t = u)))) / CAST(len(toks) AS DOUBLE)
+        |    END, 6) AS top_token_ratio
+        |FROM g""".stripMargin,
+    "q_contamination" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |      || toks[i+3] || ' ' || toks[i+4])) AS grams
+        |  FROM tok),
+        |bench AS (SELECT list_distinct(flatten(list(grams))) AS bg
+        |  FROM g WHERE doc_id % 97 = 0)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS INTEGER) AS n_grams,
+        |  CAST(len(list_filter(grams, x -> list_contains(bg, x)))
+        |    AS INTEGER) AS n_matched,
+        |  round(CASE WHEN len(grams) = 0 THEN 0.0
+        |    ELSE len(list_filter(grams, x -> list_contains(bg, x)))
+        |      / CAST(len(grams) AS DOUBLE) END, 6) AS contamination
+        |FROM g, bench""".stripMargin,
     "q_minhash" ->
       s"""WITH $SigSql
          |SELECT doc_id, array_to_string(sig, ',') AS sig FROM sig""".stripMargin,

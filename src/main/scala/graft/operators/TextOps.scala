@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column kernels for the large-scale training-data pipeline:
@@ -21,12 +21,18 @@ object TextOps {
   /** Whitespace tokenization. */
   def tokenize(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word n-gram shingles over a token array. */
+  /** Word n-gram shingles over a token array. Docs shorter than n tokens
+    * yield an empty array — without the guard, `sequence(1, size-n+1)` runs
+    * DESCENDING for size < n (Spark picks step −1 when start > stop) and
+    * `element_at` throws on index 0.
+    */
   def shingles(tokens: Column, n: Int = 3): Column =
-    transform(
-      sequence(lit(1), size(tokens) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + k)): _*)
-    )
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(tokens) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + k)): _*)
+        ))
 
   /** MinHash signature: for each of `numHashes` seeds, the minimum md5 of the
     * seeded shingle. One projection, no shuffle.
@@ -129,5 +135,69 @@ object TextOps {
       meanLen.between(minMeanTokenLen, maxMeanTokenLen) &&
       (stopRatio >= minStopwordRatio) &&
       (uniqRatio >= minUniqueRatio)
+  }
+
+  /** Gopher-style intra-document repetition signal: the fraction of n-gram
+    * occurrences that repeat an earlier n-gram of the same document
+    * (1 − distinct/total). Docs too short to form a single n-gram score 0.
+    * Pure per-row HOF work — shuffle-free at any corpus size.
+    */
+  def duplicateNgramFraction(tokens: Column, n: Int): Column = {
+    val grams = shingles(tokens, n)
+    when(size(grams) <= 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams)) / size(grams).cast("double"))
+  }
+
+  /** Share of the document taken by its single most frequent token (the
+    * other Gopher repetition gate). One sort + one linear aggregate pass
+    * per document — O(T log T), not the O(T·U) rescan of counting each
+    * distinct token separately.
+    */
+  def topTokenRatio(tokens: Column): Column = {
+    val best = aggregate(
+      array_sort(tokens),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run =
+          when(t === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(
+          t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best")
+    )
+    when(size(tokens) <= 0, lit(0.0))
+      .otherwise(best / size(tokens).cast("double"))
+  }
+
+  /** Benchmark decontamination: per document, how many of its distinct
+    * n-grams appear in a benchmark (eval-set) corpus. The benchmark is
+    * bounded by construction, so its distinct-gram set collapses to a single
+    * broadcast row and the document side stays a shuffle-free scan —
+    * `array_intersect` against the broadcast set, no explode, no groupBy.
+    * (For a benchmark too large to broadcast, the alternative plan is
+    * explode doc grams → equi-join the benchmark gram relation → re-group
+    * by doc id; that shuffles the full corpus and is only worth it past
+    * broadcast limits.)
+    *
+    * Returns the input's columns minus `text`, plus `n_grams`, `n_matched`
+    * and `contamination` (matched fraction, 0 for gram-less docs).
+    */
+  def contaminationScores(docs: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
+    val withGrams = docs
+      .withColumn("grams", array_distinct(shingles(tokenize(col("text")), n)))
+    val benchGrams = benchmark
+      .select(explode(array_distinct(shingles(tokenize(col("text")), n))).as("gram"))
+      .agg(collect_set(col("gram")).as("bench_grams"))
+    val matched = size(array_intersect(col("grams"), col("bench_grams")))
+    withGrams
+      .crossJoin(broadcast(benchGrams))
+      .withColumn("n_grams", size(col("grams")))
+      .withColumn("n_matched", matched)
+      .withColumn(
+        "contamination",
+        when(col("n_grams") <= 0, lit(0.0))
+          .otherwise(col("n_matched") / col("n_grams").cast("double")))
+      .drop("text", "grams", "bench_grams")
   }
 }

@@ -146,4 +146,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "curated EFO mapping should broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_contamination broadcasts the single-row benchmark gram set; docs side never shuffles") {
+    val p = plan(graft.harness.TextQueries.contaminationQuery(spark, sfDir))
+    assert(
+      p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"benchmark gram set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "document side must not shuffle for the probe")
+  }
+
+  test("q_repetition is a shuffle-free projection over the document scan") {
+    val p = plan(graft.harness.TextQueries.repetitionStats(spark, sfDir))
+    // the only exchange allowed is the deliberate round-robin spread of the
+    // single-file local corpus (a no-op decision at production scale)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"repetition kernels must not shuffle:\n$p")
+  }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RepetitionContaminationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def toks(text: String) =
+    Seq(text).toDF("text").select(TextOps.tokenize(col("text")).as("toks"))
+
+  test("duplicateNgramFraction: hand-computed fractions and the short-doc guard") {
+    // tokens: a b a b a → 2-grams: [a b, b a, a b, b a] → 2 distinct of 4
+    val dup2 = toks("a b a b a")
+      .select(TextOps.duplicateNgramFraction(col("toks"), 2))
+      .as[Double].head()
+    assert(dup2 === 0.5)
+    // all distinct 2-grams → 0
+    val none = toks("a b c d")
+      .select(TextOps.duplicateNgramFraction(col("toks"), 2))
+      .as[Double].head()
+    assert(none === 0.0)
+    // doc shorter than n → defined 0, not null/negative
+    val short = toks("a")
+      .select(TextOps.duplicateNgramFraction(col("toks"), 3))
+      .as[Double].head()
+    assert(short === 0.0)
+  }
+
+  test("topTokenRatio equals max token count over total") {
+    // 'x' appears 3 of 6 tokens
+    val r = toks("x y x z x w").select(TextOps.topTokenRatio(col("toks")))
+      .as[Double].head()
+    assert(r === 0.5)
+    // all unique → 1/n
+    val u = toks("p q r s").select(TextOps.topTokenRatio(col("toks")))
+      .as[Double].head()
+    assert(u === 0.25)
+  }
+
+  test("contaminationScores: planted benchmark overlap is found, clean doc scores 0") {
+    val docs = Seq(
+      // 8 tokens → 4 distinct 5-grams; first 5 tokens replicate the benchmark
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val got = TextOps.contaminationScores(docs, benchmark, n = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_matched", "contamination")
+      .as[(Long, Int, Int, Double)].collect().toSeq
+    assert(got === Seq((1L, 4, 1, 0.25), (2L, 3, 0, 0.0)))
+  }
+
+  test("contaminationScores keeps non-text columns and handles gram-less docs") {
+    val docs = Seq((7L, "tiny", "keep-me")).toDF("doc_id", "text", "tag")
+    val benchmark = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val row = TextOps.contaminationScores(docs, benchmark, n = 5)
+      .select("doc_id", "tag", "n_grams", "contamination")
+      .as[(Long, String, Int, Double)].head()
+    assert(row === ((7L, "keep-me", 0, 0.0)))
+  }
+}
