@@ -36,6 +36,17 @@ final case class StudyLocus(df: DataFrame) extends GDataset[StudyLocus] {
         functions.filter(col("ldSet"), tag => tag.getField("r2Overall") >= r2Threshold)
       )
     )
+
+  /** Replace studyType with the study index's type LUT — a bounded
+    * two-column broadcast left join (dataset/study_locus.py:233-249 +
+    * study_index.py:226-232 study_type_lut).
+    */
+  def annotateStudyType(studyIndex: DataFrame): StudyLocus =
+    withDf(
+      df.drop("studyType").join(
+        broadcast(studyIndex.select("studyId", "studyType")),
+        Seq("studyId"),
+        "left"))
 }
 
 object StudyLocus {

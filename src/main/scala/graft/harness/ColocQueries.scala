@@ -142,6 +142,52 @@ object ColocQueries {
   def variantCounts(s: SparkSession, d: String): DataFrame =
     SumstatQC.variantCounts(synthGwas(s, d))
 
+  /** Study-metadata append onto the coloc frame + study-type LUT annotation
+    * (operators/Colocalisation.appendStudyMetadata + datasets/StudyLocus
+    * .annotateStudyType; reference dataset/colocalisation.py:130-181,
+    * study_locus.py:233-249, study_index.py:226-232): the right side gets
+    * (studyType, projectId) through the studyLocus bridge with
+    * rightStudyType replaced; the left side gets its type from the LUT.
+    */
+  def colocMetadata(s: SparkSession, d: String): DataFrame = {
+    val o = col("o_orderkey")
+    val colocDf = orders(s, d).select(
+      concat(lit("L"), (o % 200).cast(StringType)).as("leftStudyLocusId"),
+      concat(lit("R"), (o % 300).cast(StringType)).as("rightStudyLocusId"),
+      (o % 5).cast(StringType).as("chromosome"),
+      lit("stale").as("rightStudyType"), // must be replaced by the append
+      round((o % 100) / lit(100.0), 6).as("h4")
+    ).distinct()
+    val p = col("p_partkey")
+    val bridge = part(s, d).select(
+      concat(lit("R"), (p % 300).cast(StringType)).as("studyLocusId"),
+      concat(lit("S"), ((p % 300) * 7 % 40).cast(StringType)).as("studyId")
+    ).unionByName(part(s, d).select(
+      concat(lit("L"), (p % 200).cast(StringType)).as("studyLocusId"),
+      concat(lit("S"), ((p % 200) * 3 % 40).cast(StringType)).as("studyId")
+    )).distinct()
+    val u = col("s_suppkey") % 40
+    val studyIndex = supplier(s, d).select(
+      concat(lit("S"), u.cast(StringType)).as("studyId"),
+      when(u % 3 === 0, "gwas").when(u % 3 === 1, "eqtl").otherwise(lit("pqtl"))
+        .as("studyType"),
+      concat(lit("P"), (u % 7).cast(StringType)).as("projectId")
+    ).distinct()
+    val appended = Colocalisation.appendStudyMetadata(
+      colocDf, bridge, studyIndex, Seq("studyType", "projectId"), "right")
+    val leftTyped = graft.datasets.StudyLocus(bridge)
+      .annotateStudyType(studyIndex).df
+      .select(
+        col("studyLocusId").as("leftStudyLocusId"),
+        col("studyType").as("leftStudyType"))
+      .distinct()
+    appended.join(leftTyped, Seq("leftStudyLocusId"), "left")
+      .select(
+        col("leftStudyLocusId"), col("rightStudyLocusId"), col("chromosome"),
+        col("h4"), col("rightStudyType"), col("rightProjectId"),
+        col("leftStudyType"))
+  }
+
   // -- oracles ---------------------------------------------------------------
 
   /** Shared credset + aligned-overlap SQL prefix. */
@@ -205,10 +251,36 @@ object ColocQueries {
     "q_gc_lambda" -> (gcLambda _),
     "q_pz_test" -> (pz _),
     "q_mean_beta" -> (meanBeta _),
-    "q_variant_counts" -> (variantCounts _)
+    "q_variant_counts" -> (variantCounts _),
+    "q_coloc_metadata" -> (colocMetadata _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_coloc_metadata" ->
+      """WITH c AS (SELECT DISTINCT 'L' || CAST(o_orderkey % 200 AS VARCHAR) AS l,
+        |    'R' || CAST(o_orderkey % 300 AS VARCHAR) AS r,
+        |    CAST(o_orderkey % 5 AS VARCHAR) AS chrom,
+        |    round((o_orderkey % 100) / 100.0, 6) AS h4
+        |  FROM orders),
+        |br AS (SELECT DISTINCT 'R' || CAST(p_partkey % 300 AS VARCHAR) AS slid,
+        |    'S' || CAST((p_partkey % 300) * 7 % 40 AS VARCHAR) AS sid FROM part
+        |  UNION
+        |  SELECT DISTINCT 'L' || CAST(p_partkey % 200 AS VARCHAR),
+        |    'S' || CAST((p_partkey % 200) * 3 % 40 AS VARCHAR) FROM part),
+        |si AS (SELECT DISTINCT 'S' || CAST(s_suppkey % 40 AS VARCHAR) AS sid,
+        |    CASE (s_suppkey % 40) % 3 WHEN 0 THEN 'gwas' WHEN 1 THEN 'eqtl'
+        |         ELSE 'pqtl' END AS stype,
+        |    'P' || CAST((s_suppkey % 40) % 7 AS VARCHAR) AS proj
+        |  FROM supplier),
+        |meta AS (SELECT br.slid, si.stype, si.proj
+        |  FROM br JOIN si ON br.sid = si.sid)
+        |SELECT c.l AS "leftStudyLocusId", c.r AS "rightStudyLocusId",
+        |  c.chrom AS chromosome, c.h4,
+        |  mr.stype AS "rightStudyType", mr.proj AS "rightProjectId",
+        |  ml.stype AS "leftStudyType"
+        |FROM c
+        |LEFT JOIN meta mr ON mr.slid = c.r
+        |LEFT JOIN meta ml ON ml.slid = c.l""".stripMargin,
     "q_overlaps" ->
       s"""WITH $PeaksSql
          |SELECT leftStudyLocusId, rightStudyLocusId, rightStudyType, chromosome FROM peaks""".stripMargin,

@@ -931,15 +931,19 @@ object SourceQueries {
       .distinct()
     val biosamples = nation(s, d)
       .select(concat(lit("BS"), col("n_nationkey").cast(StringType)).as("biosampleId"))
-    val validated = Intervals.validateScore(
-      Intervals.validateIntervalType(
-        Intervals.validateBiosample(
-          Intervals.validateTarget(
-            Intervals.validateIntervalRange(
-              Intervals.validateDatasourceId(iv), contigs),
-            genes),
-          biosamples)),
-      0.0, 1.0)
+    val validated = Intervals.validateIdHasUniqueScore(
+      Intervals.validateScore(
+        Intervals.validateIntervalType(
+          Intervals.validateBiosample(
+            Intervals.validateTarget(
+              Intervals.validateIntervalRange(
+                Intervals.validateDatasourceId(iv), contigs),
+              genes),
+            biosamples)),
+        0.0, 1.0),
+      keys = Seq(
+        "chromosome", "start", "end", "biosampleFromSourceId", "geneId",
+        "intervalType"))
     // qualityControls flattened to a '|'-joined string for the driver oracle.
     validated.select(
       col("intervalId"), col("chromosome"),
@@ -1091,9 +1095,12 @@ object SourceQueries {
         |amb AS (SELECT chrom, s, e, gene,
         |    count(DISTINCT itype) AS ntypes
         |  FROM iv GROUP BY 1, 2, 3, 4),
+        |ambs AS (SELECT chrom, s, e, bios, gene, itype,
+        |    count(DISTINCT score) AS nscores
+        |  FROM iv GROUP BY 1, 2, 3, 4, 5, 6),
         |genes AS (SELECT DISTINCT s_suppkey % 40 AS g FROM supplier)
         |SELECT iv.k AS "intervalId", iv.chrom AS chromosome,
-        |  array_to_string(list_sort(list_filter([
+        |  coalesce(array_to_string(list_sort(list_filter([
         |    CASE WHEN iv.src NOT IN ('E2G', 'epiraction')
         |         THEN 'Project id could not be resolved to any known dataset' END,
         |    CASE WHEN iv.chrom = 'chrZ'
@@ -1109,10 +1116,15 @@ object SourceQueries {
         |    CASE WHEN amb.ntypes > 1
         |         THEN 'Multiple interval types for the same (region, geneId) pair' END,
         |    CASE WHEN iv.score IS NULL OR NOT (iv.score BETWEEN 0 AND 1)
-        |         THEN 'Score was above or below specified thresholds' END],
-        |    x -> x IS NOT NULL)), '|') AS "qualityControls"
+        |         THEN 'Score was above or below specified thresholds' END,
+        |    CASE WHEN ambs.nscores > 1
+        |         THEN 'Interval has a duplicate with different score' END],
+        |    x -> x IS NOT NULL)), '|'), '') AS "qualityControls"
         |FROM iv JOIN amb ON iv.chrom = amb.chrom AND iv.s = amb.s
-        |  AND iv.e = amb.e AND iv.gene = amb.gene""".stripMargin,
+        |  AND iv.e = amb.e AND iv.gene = amb.gene
+        |JOIN ambs ON iv.chrom = ambs.chrom AND iv.s = ambs.s AND iv.e = ambs.e
+        |  AND iv.bios = ambs.bios AND iv.gene = ambs.gene
+        |  AND iv.itype = ambs.itype""".stripMargin,
     "q_ontology_closure" ->
       """WITH RECURSIVE e AS (SELECT DISTINCT
         |    'N' || CAST(o_orderkey % 1000 + 2 AS VARCHAR) AS child,

@@ -229,4 +229,37 @@ object Colocalisation {
         "left"
       )
   }
+
+  /** Append study metadata to one side of the colocalisation frame
+    * (dataset/colocalisation.py:130-181): bridge studyLocusId → studyId via
+    * the study locus, broadcast the bounded study index slice, prefix the
+    * appended columns with the side (`right` → `rightStudyType`, …).
+    * `studyType` on the right side replaces the existing `rightStudyType`.
+    */
+  def appendStudyMetadata(
+      coloc: DataFrame,
+      studyLocus: DataFrame,
+      studyIndex: DataFrame,
+      metadataCols: Seq[String],
+      colocalisationSide: String = "right"
+  ): DataFrame = {
+    require(
+      colocalisationSide == "right" || colocalisationSide == "left",
+      s"colocalisationSide must be 'right' or 'left', got $colocalisationSide")
+    val withStudy = studyLocus
+      .select("studyLocusId", "studyId")
+      .join(
+        broadcast(studyIndex.select("studyId", metadataCols: _*)),
+        Seq("studyId"))
+      .distinct()
+    val colocDf =
+      if (metadataCols.contains("studyType") && colocalisationSide == "right")
+        coloc.drop("rightStudyType")
+      else coloc
+    val keyed = withStudy.select(
+      col("studyLocusId").as(s"${colocalisationSide}StudyLocusId") +:
+        metadataCols.map(c =>
+          col(c).as(s"$colocalisationSide${c.head.toUpper}${c.tail}")): _*)
+    keyed.join(colocDf, Seq(s"${colocalisationSide}StudyLocusId"), "right")
+  }
 }

@@ -25,6 +25,7 @@ object Intervals {
   val InvalidRangeFlag = "Interval range exceeded chromosome bounds"
   val AmbiguousIntervalTypeFlag =
     "Multiple interval types for the same (region, geneId) pair"
+  val AmbiguousScoreFlag = "Interval has a duplicate with different score"
 
   val KnownDataSources: Seq[String] = Seq("E2G", "epiraction")
   val KnownIntervalTypes: Seq[String] =
@@ -116,6 +117,26 @@ object Intervals {
           col("qualityControls"),
           size(collect_set(col("intervalType")).over(w)) > 1,
           AmbiguousIntervalTypeFlag))
+  }
+
+  /** Flag intervals whose (chromosome, start, end, biosampleId, geneId,
+    * studyId, intervalType) group carries more than one distinct score
+    * (dataset/intervals.py:500-549; doctest: interval1/interval2 share a
+    * region with scores 0.5/0.7 → both flagged, interval3 clean).
+    */
+  def validateIdHasUniqueScore(
+      df: DataFrame,
+      keys: Seq[String] = Seq(
+        "chromosome", "start", "end", "biosampleId", "geneId", "studyId",
+        "intervalType")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn(
+      "qualityControls",
+      graft.core.GDataset.updateQualityFlag(
+        qcCol(df),
+        size(array_distinct(collect_list(col("score")).over(w))) > 1,
+        AmbiguousScoreFlag))
   }
 
   /** Flag scores outside [minScore, maxScore] or null
