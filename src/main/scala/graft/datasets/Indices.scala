@@ -57,11 +57,88 @@ final case class TargetIndex(df: DataFrame) extends GDataset[TargetIndex] {
       col("genomicLocation.end").as("end"),
       col("tss")
     )
+
+  /** Gene-symbol lookup table covering approved AND obsoleted symbols
+    * (dataset/target_index.py:63-79).
+    */
+  def symbolsLut: DataFrame =
+    df.select(
+      F.explode(
+        F.array_union(F.array(col("approvedSymbol")), col("obsoleteSymbols.label")))
+        .as("geneSymbol"),
+      col("id").as("geneId"),
+      col("genomicLocation.chromosome").as("chromosome"),
+      col("tss"))
+
+  /** geneId ↔ UniProt proteinId LUT with PAR (pseudo-autosomal region)
+    * dedup: a protein carried by both X and Y keeps only the
+    * `includeParChr` copy (dataset/target_index.py:81-133).
+    */
+  def proteinIdLut(includeParChr: String = "X"): DataFrame = {
+    require(
+      includeParChr == "X" || includeParChr == "Y",
+      s"include_par_chr must be either 'X' or 'Y', got $includeParChr")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(
+        col("id").as("geneId"),
+        F.explode(col("proteinIds")).as("p"),
+        col("canonicalTranscript.chromosome").as("chromosome"))
+      .select(col("geneId"), col("p.id").as("proteinId"), col("chromosome"))
+    val isPar = F.concat_ws(
+      ",",
+      F.sort_array(
+        F.collect_set(col("chromosome")).over(Window.partitionBy("proteinId")))
+    ) === "X,Y"
+    base
+      .withColumn("isPAR", isPar)
+      .filter(!(col("isPAR") && !col("chromosome").isin(includeParChr)))
+      .drop("isPAR", "chromosome")
+  }
 }
 
 object TargetIndex {
   def fromParquet(spark: SparkSession, path: String): TargetIndex =
     TargetIndex(GD.readParquet(spark, "target_index", path))
+}
+
+/** pQTL study index → StudyIndex conversion
+  * (dataset/study_index.py:885-936 ProteinQuantitativeTraitLocusStudyIndex
+  * .to_study): explode `targetsFromSource` to one study row per target,
+  * resolve the gene symbol through the (bounded, broadcast) symbol LUT
+  * preferring any curated geneId, and re-resolve symbols whose mapping is
+  * ambiguous (>1 distinct geneId) through the UniProt protein-id LUT.
+  */
+object PqtlStudyIndex {
+
+  def toStudy(pqtl: DataFrame, symbolLut: DataFrame, proteinLut: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val outCols = pqtl.columns.toSeq.filterNot(c => c == "targetsFromSource" || c == "geneId")
+    val exploded = pqtl
+      .withColumn("t", explode(col("targetsFromSource")))
+      .select(
+        outCols.map(col) ++ Seq(
+          col("t.geneId").as("geneIdFromSource"),
+          col("t.geneSymbol").as("geneSymbol"),
+          col("t.proteinId").as("proteinId")): _*)
+    val symAnnotated = exploded
+      .join(broadcast(symbolLut.select("geneSymbol", "geneId")), Seq("geneSymbol"), "left")
+      .withColumn("geneId", coalesce(col("geneIdFromSource"), col("geneId")))
+      .withColumn(
+        "ambiguousGeneIdMapping",
+        size(collect_set(col("geneId")).over(Window.partitionBy("geneSymbol"))) > 1)
+    val out = outCols :+ "geneId"
+    val nonAmbiguous = symAnnotated
+      .filter(!col("ambiguousGeneIdMapping"))
+      .select(out.map(col): _*)
+    val ambiguous = symAnnotated
+      .filter(col("ambiguousGeneIdMapping"))
+      .drop("geneId")
+      .join(broadcast(proteinLut.select("proteinId", "geneId")), Seq("proteinId"), "left")
+      .select(out.map(col): _*)
+    nonAmbiguous.unionByName(ambiguous)
+  }
 }
 
 final case class LdIndex(df: DataFrame) extends GDataset[LdIndex] {

@@ -499,6 +499,51 @@ object StudyQueries {
       concat_ws("/", col("source.id"), col("source.source")).as("source"))
   }
 
+  /** pQTL study index → StudyIndex conversion (datasets/Indices.scala
+    * PqtlStudyIndex.toStudy; reference dataset/study_index.py:885-936):
+    * target explode, symbol-LUT resolution preferring curated gene ids,
+    * ambiguity detection over the resolved ids, and the protein-id-LUT
+    * fallback for ambiguous symbols (including its join fan-out semantics).
+    */
+  def pqtlToStudy(s: SparkSession, d: String): DataFrame = {
+    import graft.datasets.PqtlStudyIndex
+    val k = col("o_orderkey") % 150
+    def target(gid: Column, sym: Column, prot: Column) =
+      struct(gid.as("geneId"), sym.as("geneSymbol"), prot.as("proteinId"))
+    val pqtl = orders(s, d).select(
+      concat(lit("ST"), k.cast(StringType)).as("studyId"),
+      concat(lit("T"), (k % 31).cast(StringType)).as("traitFromSource"),
+      lit(null).cast(StringType).as("geneId"),
+      array(
+        target(
+          when(k % 10 === 0, concat(lit("CUR"), (k % 60).cast(StringType)))
+            .otherwise(lit(null).cast(StringType)),
+          concat(lit("SYM"), (k % 60).cast(StringType)),
+          concat(lit("U"), (k % 45).cast(StringType))),
+        target(
+          lit(null).cast(StringType),
+          concat(lit("SYM"), ((k + 7) % 60).cast(StringType)),
+          concat(lit("U"), ((k + 13) % 45).cast(StringType)))
+      ).as("targetsFromSource")
+    ).distinct()
+    val u = col("s_suppkey") % 60
+    val symbolLut = supplier(s, d).select(
+      concat(lit("SYM"), u.cast(StringType)).as("geneSymbol"),
+      concat(lit("ENSG"), u.cast(StringType)).as("geneId")
+    ).unionByName(supplier(s, d).filter(u < 10).select(
+      concat(lit("SYM"), u.cast(StringType)).as("geneSymbol"),
+      concat(lit("ENSGA"), u.cast(StringType)).as("geneId")
+    )).distinct()
+    val p = col("p_partkey") % 45
+    val proteinLut = part(s, d)
+      .filter(p % 7 =!= 0)
+      .select(
+        concat(lit("U"), p.cast(StringType)).as("proteinId"),
+        concat(lit("ENSGP"), p.cast(StringType)).as("geneId"))
+      .distinct()
+    PqtlStudyIndex.toStudy(pqtl, symbolLut, proteinLut)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gcat_study_index" -> (gcatStudyIndex _),
     "q_gcat_split" -> (gcatSplit _),
@@ -508,10 +553,45 @@ object StudyQueries {
     "q_decode_studies" -> (decodeStudies _),
     "q_finngen_efo" -> (finngenEfo _),
     "q_biosamples" -> (biosamples _),
-    "q_complex_portal" -> (complexPortal _)
+    "q_complex_portal" -> (complexPortal _),
+    "q_pqtl_to_study" -> (pqtlToStudy _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pqtl_to_study" ->
+      """WITH o AS (SELECT DISTINCT o_orderkey % 150 AS k FROM orders),
+        |ex AS (SELECT 'ST' || CAST(k AS VARCHAR) AS sid,
+        |    'T' || CAST(k % 31 AS VARCHAR) AS trait,
+        |    CASE WHEN k % 10 = 0 THEN 'CUR' || CAST(k % 60 AS VARCHAR) END AS curated,
+        |    'SYM' || CAST(k % 60 AS VARCHAR) AS sym,
+        |    'U' || CAST(k % 45 AS VARCHAR) AS prot
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'ST' || CAST(k AS VARCHAR), 'T' || CAST(k % 31 AS VARCHAR), NULL,
+        |    'SYM' || CAST((k + 7) % 60 AS VARCHAR),
+        |    'U' || CAST((k + 13) % 45 AS VARCHAR)
+        |  FROM o),
+        |lut AS (SELECT DISTINCT 'SYM' || CAST(s_suppkey % 60 AS VARCHAR) AS sym,
+        |    'ENSG' || CAST(s_suppkey % 60 AS VARCHAR) AS lg FROM supplier
+        |  UNION
+        |  SELECT DISTINCT 'SYM' || CAST(s_suppkey % 60 AS VARCHAR),
+        |    'ENSGA' || CAST(s_suppkey % 60 AS VARCHAR) FROM supplier
+        |  WHERE s_suppkey % 60 < 10),
+        |plut AS (SELECT DISTINCT 'U' || CAST(p_partkey % 45 AS VARCHAR) AS prot,
+        |    'ENSGP' || CAST(p_partkey % 45 AS VARCHAR) AS pg FROM part
+        |  WHERE (p_partkey % 45) % 7 <> 0),
+        |j AS (SELECT ex.sid, ex.trait, ex.sym, ex.prot,
+        |    coalesce(ex.curated, lut.lg) AS gid
+        |  FROM ex LEFT JOIN lut ON ex.sym = lut.sym),
+        |amb AS (SELECT sym, count(DISTINCT gid) AS ng FROM j GROUP BY sym)
+        |SELECT j.sid AS "studyId", j.trait AS "traitFromSource",
+        |  j.gid AS "geneId"
+        |FROM j JOIN amb ON j.sym = amb.sym WHERE amb.ng <= 1
+        |UNION ALL
+        |SELECT j.sid, j.trait, plut.pg
+        |FROM j JOIN amb ON j.sym = amb.sym
+        |LEFT JOIN plut ON j.prot = plut.prot
+        |WHERE amb.ng > 1""".stripMargin,
     "q_complex_portal" ->
       """WITH e AS (SELECT DISTINCT p_partkey % 350 AS k FROM part
         |  WHERE (p_partkey % 350) % 10 <> 0),
