@@ -70,6 +70,22 @@ final case class TargetIndex(df: DataFrame) extends GDataset[TargetIndex] {
       col("genomicLocation.chromosome").as("chromosome"),
       col("tss"))
 
+  /** Gene TSS LUT with the reference's fallback priority: preferred tss →
+    * canonical-transcript start/end by strand → genomic-location start/end
+    * by strand (dataset/target_index.py:135-158).
+    */
+  def tssLut: DataFrame = {
+    val ctTss = F
+      .when(col("canonicalTranscript.strand") === "+", col("canonicalTranscript.start"))
+      .when(col("canonicalTranscript.strand") === "-", col("canonicalTranscript.end"))
+    val glTss = F
+      .when(col("genomicLocation.strand") === 1, col("genomicLocation.start"))
+      .when(col("genomicLocation.strand") === -1, col("genomicLocation.end"))
+    df.select(
+      col("id").as("geneId"),
+      F.coalesce(col("tss"), ctTss, glTss).cast("long").as("tss"))
+  }
+
   /** geneId ↔ UniProt proteinId LUT with PAR (pseudo-autosomal region)
     * dedup: a protein carried by both X and Y keeps only the
     * `includeParChr` copy (dataset/target_index.py:81-133).

@@ -47,6 +47,27 @@ class PqtlStudyIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException](TargetIndex(targets).proteinIdLut("Z"))
   }
 
+  test("tssLut falls back preferred tss → canonical transcript → genomic location (target_index.py:135-158)") {
+    val df = Seq(
+      // preferred tss wins
+      ("g1", Some(11L), "+", 100L, 200L, 1, 300L, 400L),
+      // canonical transcript by strand
+      ("g2", None, "+", 100L, 200L, 1, 300L, 400L),
+      ("g3", None, "-", 100L, 200L, 1, 300L, 400L),
+      // genomic location by strand (unknown transcript strand)
+      ("g4", None, "?", 100L, 200L, -1, 300L, 400L)
+    ).toDF("id", "tss", "cstrand", "cstart", "cend", "gstrand", "gstart", "gend")
+      .select(
+        col("id"), col("tss"),
+        expr("named_struct('strand', cstrand, 'start', cstart, 'end', cend)")
+          .as("canonicalTranscript"),
+        expr("named_struct('strand', gstrand, 'start', gstart, 'end', gend)")
+          .as("genomicLocation"))
+    val got = TargetIndex(df).tssLut
+      .select("geneId", "tss").as[(String, Long)].collect().toMap
+    assert(got === Map("g1" -> 11L, "g2" -> 100L, "g3" -> 200L, "g4" -> 400L))
+  }
+
   test("toStudy resolves symbols, prefers curated ids and falls back to the protein LUT on ambiguity (study_index.py:885-936)") {
     val pqtl = Seq(
       // clean symbol → LUT id
