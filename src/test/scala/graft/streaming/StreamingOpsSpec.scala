@@ -100,4 +100,29 @@ class StreamingOpsSpec extends SparkSpec {
     // h1's two repeats are dropped inside the watermark horizon
     assert(out.toSeq === Seq("h1", "h2", "h3"))
   }
+
+  test("contamination scoring runs unchanged on a document stream (stream-static broadcast probe)") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // static benchmark: its distinct-gram set is a one-row static frame, so
+    // the per-batch plan is a broadcast probe with no streaming state at all
+    val benchmark = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val q = TextOps.contaminationScores(docs, benchmark, n = 5)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    input.addData(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven"))
+    q.processAllAvailable()
+    input.addData((3L, "alpha beta gamma delta epsilon"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT doc_id, n_matched, contamination FROM contam_out")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 1, 0.25), (2L, 0, 0.0), (3L, 1, 1.0)))
+  }
 }
