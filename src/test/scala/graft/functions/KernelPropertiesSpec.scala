@@ -102,4 +102,31 @@ class KernelPropertiesSpec extends SparkSpec {
     // null EUR always falls back to impMaf
     assert(out.filter(_._2.isEmpty).forall { case (maf, _, af) => af == maf })
   }
+
+  test("repetition kernels stay in their bounds for arbitrary token lists") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val gen = Gen.listOfN(
+      150,
+      Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "e f")).map(_.mkString(" ")))
+    val texts = gen.sample.get
+    val out = texts.toDF("text")
+      .select(TextOps.tokenize(col("text")).as("toks"))
+      .select(
+        TextOps.duplicateNgramFraction(col("toks"), 2).as("d2"),
+        TextOps.topTokenRatio(col("toks")).as("tr"),
+        size(col("toks")).as("n"))
+      .as[(Double, Double, Int)].collect()
+    // dup fraction in [0,1); top-token ratio in (0,1] for non-empty docs
+    assert(out.forall { case (d2, _, _) => d2 >= 0.0 && d2 < 1.0 })
+    assert(out.filter(_._3 > 0).forall { case (_, tr, n) => tr >= 1.0 / n - 1e-12 && tr <= 1.0 })
+    // a fully repeated doc maxes both signals
+    val rep = Seq("x x x x x x").toDF("text")
+      .select(TextOps.tokenize(col("text")).as("toks"))
+      .select(
+        TextOps.duplicateNgramFraction(col("toks"), 2).as("d2"),
+        TextOps.topTokenRatio(col("toks")).as("tr"))
+      .as[(Double, Double)].head()
+    assert(rep === ((0.8, 1.0))) // 5 bigrams, 1 distinct → 1 - 1/5
+  }
 }
