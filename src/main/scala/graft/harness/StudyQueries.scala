@@ -802,9 +802,16 @@ object StudyQueries {
         |      AS sdesc,
         |    o_orderkey % 11 AS tag
         |  FROM orders),
-        |r AS (SELECT *, dense_rank() OVER (PARTITION BY sid ORDER BY sdesc) AS dr
-        |  FROM a),
-        |res AS (SELECT sid, vid, sdesc, tag,
+        |-- resolution only exists for studies present in the study table
+        |-- (the splitter composites associations with an INNER study join);
+        |-- unresolved associations keep their original study id and get no
+        |-- study-side trait annotation
+        |st AS (SELECT DISTINCT 'GCST' || CAST(p_partkey % 300 AS VARCHAR) AS sid
+        |  FROM part),
+        |res0 AS (SELECT DISTINCT a.sid, a.sdesc FROM a JOIN st ON a.sid = st.sid),
+        |r AS (SELECT sid, sdesc,
+        |    dense_rank() OVER (PARTITION BY sid ORDER BY sdesc) AS dr FROM res0),
+        |map AS (SELECT sid, sdesc,
         |    CASE WHEN dr = 1 THEN sid
         |         ELSE sid || '_' || CAST(dr AS VARCHAR) END AS usid,
         |    CASE WHEN string_split(sdesc, '|')[2] <> 'no_pvalue_text'
@@ -813,17 +820,20 @@ object StudyQueries {
         |         ELSE string_split(sdesc, '|')[1] END AS rtrait,
         |    replace(string_split(sdesc, '|')[3], '/', '|') AS refo
         |  FROM r),
-        |upd AS (SELECT usid, vid, rtrait, refo, tag,
+        |upd0 AS (SELECT a.vid, a.tag, coalesce(map.usid, a.sid) AS usid
+        |  FROM a LEFT JOIN map ON a.sid = map.sid AND a.sdesc = map.sdesc),
+        |upd AS (SELECT usid, vid, tag,
         |    count(*) OVER (PARTITION BY usid, vid) AS cnt
-        |  FROM res)
-        |SELECT usid AS "studyId", vid AS "variantId",
-        |  md5(usid || vid) AS "studyLocusId", tag,
+        |  FROM upd0),
+        |us AS (SELECT DISTINCT usid, rtrait, refo FROM map)
+        |SELECT upd.usid AS "studyId", upd.vid AS "variantId",
+        |  md5(upd.usid || upd.vid) AS "studyLocusId", upd.tag,
         |  CASE WHEN cnt > 1
         |       THEN 'Association with ambiguous study|Study locus from curated top hit'
         |       ELSE 'Study locus from curated top hit' END AS "qualityControls",
-        |  rtrait AS "traitFromSource",
-        |  refo AS efos
-        |FROM upd""".stripMargin,
+        |  us.rtrait AS "traitFromSource",
+        |  us.refo AS efos
+        |FROM upd LEFT JOIN us ON upd.usid = us.usid""".stripMargin,
     "q_gcat_curation" ->
       """WITH st AS (SELECT DISTINCT
         |    'GCST' || CAST(s_suppkey % 120 AS VARCHAR) AS sid FROM supplier),
