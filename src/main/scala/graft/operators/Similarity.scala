@@ -139,6 +139,30 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("centroid_id").as("bucket"))
   }
 
+  /** One relational Lloyd (k-means) iteration over an assignment produced by
+    * [[ivfAssign]]: per-bucket dimension-wise means become the refined
+    * centroid table. Fully distributed — the reduce is a map-side-combinable
+    * groupBy over (bucket, dim) sums, never a driver-side collect, so it
+    * scales to any corpus; the centroid table it emits stays C rows
+    * (broadcastable back into the next [[ivfAssign]] pass).
+    *
+    * A couple of iterations tighten IVF cells markedly over a deterministic
+    * seed subset (higher mean intra-cell cosine → better probe recall at the
+    * same C); run `assign → refine → assign` as many times as the build
+    * budget allows.
+    */
+  def kmeansIteration(assigned: DataFrame, dims: Int = 64): DataFrame = {
+    val summed = assigned
+      .select(col("bucket").as("centroid_id"), asDouble(col("embedding")).as("v"))
+      .groupBy("centroid_id")
+      .agg(
+        count(lit(1)).as("n"),
+        array((0 until dims).map(i => sum(element_at(col("v"), i + 1))): _*).as("sums"))
+    summed.select(
+      col("centroid_id"),
+      transform(col("sums"), s => s / col("n")).as("embedding"))
+  }
+
   /** Embedding-level near-duplicate pairs: candidates co-bucketed by the LSH
     * sign pattern, verified by exact cosine above `threshold`. The dedup
     * variant of [[annTopK]] — same bucketed candidate generation, symmetric

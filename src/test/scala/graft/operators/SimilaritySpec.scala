@@ -96,4 +96,35 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.length === pairs.distinct.length, "pair appears twice")
     assert(pairs.forall { case (l, r) => l < r })
   }
+
+  test("kmeansIteration computes exact per-bucket means") {
+    import spark.implicits._
+    val assigned = Seq(
+      (1L, Seq(1.0f, 3.0f), 10L),
+      (2L, Seq(3.0f, 5.0f), 10L),
+      (3L, Seq(0.0f, 8.0f), 20L)
+    ).toDF("vec_id", "embedding", "bucket")
+    val got = Similarity.kmeansIteration(assigned, dims = 2)
+      .select("centroid_id", "embedding")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(10L) === Seq(2.0, 4.0))
+    assert(got(20L) === Seq(0.0, 8.0))
+  }
+
+  test("a Lloyd refinement pass does not loosen IVF cells (mean intra-cell cosine)") {
+    import spark.implicits._
+    def meanIntraCos(assigned: org.apache.spark.sql.DataFrame, cents: org.apache.spark.sql.DataFrame): Double =
+      assigned.join(cents.select(col("centroid_id").as("bucket"),
+          Similarity.asDouble(col("embedding")).as("c_emb")), Seq("bucket"))
+        .select(Similarity.cosine(Similarity.asDouble(col("embedding")), col("c_emb")).as("c"))
+        .agg(avg(col("c"))).as[Double].head()
+    val seed = emb.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val a0 = Similarity.ivfAssign(emb, seed)
+    val before = meanIntraCos(a0, seed)
+    val refined = Similarity.kmeansIteration(a0)
+    val a1 = Similarity.ivfAssign(emb, refined)
+    val after = meanIntraCos(a1, refined)
+    assert(after >= before - 1e-9, s"refinement loosened cells: $before -> $after")
+  }
 }
