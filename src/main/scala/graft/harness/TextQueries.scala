@@ -158,6 +158,15 @@ object TextQueries {
         col("doc_id"), col("n_grams"), col("n_matched"),
         round(col("contamination"), 6).as("contamination"))
 
+  /** One-call corpus cleaning (operators/TextPipeline.cleanCorpus): the
+    * C4/Gopher gate sequence + exact and near dedup, with keep flag and
+    * first-failing-gate reason.
+    */
+  def cleanCorpus(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextPipeline
+      .cleanCorpus(docsParallel(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("keep"), col("reason"))
+
   // -- oracles ---------------------------------------------------------------
 
   private val ShinglesSql =
@@ -204,10 +213,70 @@ object TextQueries {
     "q_quality_filter" -> (qualityFilter _),
     "q_ann_ivf" -> (annIvf _),
     "q_repetition" -> (repetitionStats _),
-    "q_contamination" -> (contaminationQuery _)
+    "q_contamination" -> (contaminationQuery _),
+    "q_clean_corpus" -> (cleanCorpus _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_clean_corpus" ->
+      """WITH tok AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id, text, toks,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    list_sum(list_transform(toks, t -> length(t))) / CAST(len(toks) AS DOUBLE) AS meanlen,
+        |    len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) / CAST(len(toks) AS DOUBLE) AS stopr,
+        |    len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS uniqr,
+        |    len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','y','que'], t))) AS s_es,
+        |    len(list_filter(toks, t -> list_contains(['le','les','des','et','une'], t))) AS s_fr,
+        |    len(list_filter(toks, t -> list_contains(['的','是','了','在','我'], t))) AS s_zh,
+        |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS g2
+        |  FROM tok),
+        |g AS (SELECT doc_id, text, toks,
+        |    (n BETWEEN 20 AND 100000) AND (meanlen BETWEEN 2.0 AND 12.0)
+        |      AND stopr >= 0.02 AND uniqr >= 0.1 AS q_ok,
+        |    s_en >= greatest(s_de, s_es, s_fr, s_zh) AS l_ok,
+        |    (CASE WHEN len(g2) = 0 THEN 0.0
+        |       ELSE 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE) END) <= 0.4
+        |    AND (CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE list_max(list_transform(list_distinct(toks),
+        |         u -> len(list_filter(toks, t -> t = u)))) / CAST(len(toks) AS DOUBLE)
+        |       END) <= 0.3 AS r_ok
+        |  FROM m),
+        |ranked AS (SELECT doc_id, toks,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM g WHERE q_ok AND l_ok AND r_ok),
+        |sh AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+        |  FROM ranked WHERE rn = 1),
+        |sig AS (SELECT doc_id, list_transform(range(0, 16),
+        |    j -> list_aggregate(list_transform(shingles,
+        |      sh2 -> md5('s' || CAST(j AS VARCHAR) || ':' || sh2)), 'min')) AS sig
+        |  FROM sh),
+        |bands AS (SELECT doc_id, b, md5(sig[b*2+1] || sig[b*2+2]) AS bh
+        |  FROM sig, range(0, 8) t(b)),
+        |pairs AS (SELECT a.doc_id AS l_doc, b.doc_id AS r_doc FROM bands a
+        |  JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+        |near AS (SELECT DISTINCT p.r_doc AS doc_id
+        |  FROM pairs p JOIN dsh x ON p.l_doc = x.doc_id
+        |    JOIN dsh y ON p.r_doc = y.doc_id
+        |  WHERE round(len(list_filter(x.s, v -> list_contains(y.s, v)))
+        |      / CAST(len(x.s) + len(y.s)
+        |        - len(list_filter(x.s, v -> list_contains(y.s, v))) AS DOUBLE),
+        |      6) >= 0.5),
+        |reasons AS (SELECT g.doc_id,
+        |    CASE WHEN NOT q_ok THEN 'quality'
+        |         WHEN NOT l_ok THEN 'language'
+        |         WHEN NOT r_ok THEN 'repetition'
+        |         WHEN ed.doc_id IS NOT NULL THEN 'exact_duplicate'
+        |         WHEN near.doc_id IS NOT NULL THEN 'near_duplicate' END AS reason
+        |  FROM g
+        |  LEFT JOIN (SELECT doc_id FROM ranked WHERE rn > 1) ed ON g.doc_id = ed.doc_id
+        |  LEFT JOIN near ON g.doc_id = near.doc_id)
+        |SELECT doc_id, reason IS NULL AS keep, reason FROM reasons""".stripMargin,
     "q_repetition" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |g AS (SELECT doc_id, toks,
