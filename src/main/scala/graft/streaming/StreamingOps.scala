@@ -70,6 +70,56 @@ object StreamingOps {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  final case class BandedDoc(band: Int, bandHash: String, docId: Long)
+  final case class BucketState(docIds: List[Long])
+  final case class CandidatePair(lDoc: Long, rDoc: Long)
+
+  /** Incremental near-duplicate candidate detection: the streaming twin of
+    * [[graft.operators.Dedup.candidatePairs]]. Documents arrive banded
+    * (MinHash → LSH band hashes, a stateless per-row projection via
+    * [[graft.operators.TextOps.minhashSignature]]/`lshBands` + explode);
+    * state is kept PER BUCKET (band, bandHash), and each arriving document
+    * emits a candidate pair against every doc already in its bucket, exactly
+    * once, as it arrives.
+    *
+    * State growth: duplicate-heavy buckets are the only ones that grow, and
+    * `maxBucketSize` caps each (oldest ids retained, matching the batch
+    * keep-lowest-id convention; beyond the cap new arrivals still pair
+    * against the retained representatives, so recall degrades only for
+    * clusters larger than the cap). At 100 TB/day the bucket key space is
+    * ~(bands × 2^sig-bits) — state is proportional to observed near-dup
+    * mass, not corpus size.
+    */
+  def nearDupCandidatesStream(
+      banded: Dataset[BandedDoc],
+      maxBucketSize: Int = 64
+  ): Dataset[CandidatePair] = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(d => (d.band, d.bandHash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          val seen = state.getOption.map(_.docIds).getOrElse(Nil)
+          val (pairs, finalSeen) =
+            rows.foldLeft((List.empty[CandidatePair], seen)) {
+              case ((acc, cur), doc) if !cur.contains(doc.docId) =>
+                val newPairs = cur.map(other =>
+                  CandidatePair(math.min(other, doc.docId), math.max(other, doc.docId)))
+                val kept =
+                  if (cur.size < maxBucketSize) doc.docId :: cur else cur
+                (newPairs reverse_::: acc, kept)
+              case ((acc, cur), _) => (acc, cur)
+            }
+          state.update(BucketState(finalSeen))
+          pairs.distinct.iterator
+      }
+    // NOTE: a pair sharing k bands surfaces up to k times (once per bucket).
+    // The batch twin collapses these with a global distinct; streaming
+    // callers should instead dedup within their downstream watermark
+    // (dropDuplicatesWithinWatermark on (lDoc, rDoc)) — an unbounded global
+    // distinct would grow state with every pair ever emitted.
+  }
+
   final case class StudyEvent(studyId: String, beta: Double)
   final case class StudyState(n: Long, sumBeta: Double)
   final case class StudyStats(studyId: String, n: Long, meanBeta: Double)

@@ -125,4 +125,26 @@ class StreamingOpsSpec extends SparkSpec {
       .as[(Long, Int, Double)].collect().sortBy(_._1)
     assert(out.toSeq === Seq((1L, 1, 0.25), (2L, 0, 0.0), (3L, 1, 1.0)))
   }
+
+  test("streaming near-dup candidates pair each arrival against its bucket exactly once") {
+    import graft.streaming.StreamingOps.{BandedDoc, CandidatePair}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[BandedDoc]
+    val q = StreamingOps.nearDupCandidatesStream(input.toDS())
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    // batch 1: docs 1 and 2 share bucket (0,"a"); doc 3 alone in (1,"b")
+    input.addData(BandedDoc(0, "a", 1L), BandedDoc(0, "a", 2L), BandedDoc(1, "b", 3L))
+    q.processAllAvailable()
+    // batch 2: doc 4 joins bucket (0,"a") → pairs with 1 and 2 (state carried);
+    // doc 1 re-arrives (second band of the same doc) → no self-pair
+    input.addData(BandedDoc(0, "a", 4L), BandedDoc(0, "a", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT * FROM neardup_out")
+      .as[CandidatePair].collect().map(p => (p.lDoc, p.rDoc)).sorted
+    assert(out.toSeq === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
 }
