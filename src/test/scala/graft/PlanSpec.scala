@@ -155,6 +155,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "document side must not shuffle for the probe")
   }
 
+  test("q_clean_corpus composes without a cartesian: candidate join stays equi-keyed") {
+    val p = plan(graft.harness.TextQueries.cleanCorpus(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), "near-dup candidates must come from the band join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no all-pairs fallback anywhere in the pipeline")
+  }
+
   test("q_repetition is a shuffle-free projection over the document scan") {
     val p = plan(graft.harness.TextQueries.repetitionStats(spark, sfDir))
     // the only exchange allowed is the deliberate round-robin spread of the
