@@ -89,6 +89,43 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize decoded media to a target (width, height) — per-partition
+    * batched like [[decode]]. The STUB resamples the byte stream to exactly
+    * `width*height*channels` bytes by periodic tiling/truncation; a real
+    * implementation would do the pixel-space interpolation here with the
+    * same contract (payload in → fixed-size payload out, dims columns
+    * updated). Downstream batch shape — fixed row payload size — is what
+    * training-data writers rely on, and that part is real.
+    */
+  def resize(decoded: DataFrame, width: Int, height: Int, channels: Int = 3): DataFrame = {
+    val outSchema = StructType(decodedSchema.fields.map {
+      case f @ StructField("width" | "height" | "channels", _, _, _) => f
+      case f => f
+    })
+    val enc = Encoders.row(outSchema)
+    val target = width * height * channels
+    // positional access: upstream mapPartitions rows carry no field schema
+    val contentIdx = decodedSchema.fieldIndex("content")
+    decoded.mapPartitions { rows =>
+      rows.map { r =>
+        val content = r.getAs[Array[Byte]](contentIdx)
+        val out = new Array[Byte](target)
+        if (content.nonEmpty) {
+          var i = 0
+          while (i < target) { out(i) = content(i % content.length); i += 1 }
+        }
+        Row.fromSeq(r.toSeq.zipWithIndex.map {
+          case (_, idx) if decodedSchema.fieldNames(idx) == "content" => out
+          case (_, idx) if decodedSchema.fieldNames(idx) == "width" => width
+          case (_, idx) if decodedSchema.fieldNames(idx) == "height" => height
+          case (_, idx) if decodedSchema.fieldNames(idx) == "channels" => channels
+          case (_, idx) if decodedSchema.fieldNames(idx) == "n_bytes" => target
+          case (v, _) => v
+        })
+      }
+    }(enc)
+  }
+
   /** Frame sampling for video payloads: every `stride`-th fixed-size chunk
     * of the stream, exploded to one row per frame. Pure column expressions —
     * chunking is a slice over the byte array, no UDF.

@@ -44,4 +44,18 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_._3.length <= 32))
     assert(frames.forall(_._2 % 2 == 0))
   }
+
+  test("resize emits fixed-size payloads with updated dimension columns") {
+    import spark.implicits._
+    val resized = Multimodal.resize(Multimodal.decode(media), width = 8, height = 4)
+    val rows = resized
+      .select("media_id", "width", "height", "channels", "n_bytes", "content")
+      .as[(Long, Int, Int, Int, Int, Array[Byte])].collect()
+    assert(rows.nonEmpty)
+    // every payload is exactly w*h*c bytes — the batch-shape contract
+    assert(rows.forall { case (_, w, h, c, n, b) =>
+      w == 8 && h == 4 && c == 3 && n == 96 && b.length == 96
+    })
+    assert(resized.schema === Multimodal.decodedSchema)
+  }
 }
