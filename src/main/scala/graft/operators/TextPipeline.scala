@@ -33,18 +33,66 @@ object TextPipeline {
       maxTopTokenRatio: Double = 0.3,
       nearDupJaccard: Double = 0.5
   ): DataFrame = {
+    // The gates are computed RELATIONALLY (posexplode → codegen aggregates),
+    // not with the per-column HOF kernels: a filter predicate built from
+    // interpreted array-HOF lambdas gets its tokenize child re-inlined by
+    // CollapseProject and re-evaluated per lambda element — measured 20×
+    // slower than this formulation at sf0.1 (17 s vs <1 s for the same
+    // boolean outcomes). Same trade as Dedup.signatures, and the aggregates
+    // are map-side combinable, so this is also the shape that scales.
+    val tokens = docs.select(
+      col("doc_id"), posexplode(TextOps.tokenize(col("text"))).as(Seq("pos", "token")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val gramStats = tokens
+      .withColumn("nxt", lead(col("token"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("token"), col("nxt")).as("g2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_g2"), countDistinct(col("g2")).as("d_g2"))
+    def hits(words: Seq[String]) =
+      sum(when(col("token").isInCollection(words), col("cnt")).otherwise(0L))
+    val langScores = TextOps.StopwordsByLang.map { case (lang, sw) =>
+      hits(sw).as(s"s_$lang")
+    }
+    val statAggs = Seq(
+      sum(col("cnt")).cast("double").as("n"),
+      count(lit(1)).cast("double").as("n_distinct"),
+      max(col("cnt")).cast("double").as("max_cnt"),
+      sum(length(col("token")) * col("cnt")).cast("double").as("sum_len")
+    ) ++ langScores
+    val docStats = tokens
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(statAggs.head, statAggs.tail: _*)
+    // priority argmax matching TextOps.langId (en > de > es > fr > zh)
+    val langNames = TextOps.StopwordsByLang.map(_._1)
+    val lang = langNames.zipWithIndex.foldRight(lit(langNames.last)) {
+      case ((l, idx), elseCol) =>
+        val later = langNames.drop(idx + 1).map(n => col(s"s_$n"))
+        if (later.isEmpty) elseCol
+        else {
+          val best = if (later.size == 1) later.head else greatest(later: _*)
+          when(col(s"s_$l") >= best, lit(l)).otherwise(elseCol)
+        }
+    }
     val gated = docs
-      .withColumn("toks", TextOps.tokenize(col("text")))
+      .join(docStats, Seq("doc_id"), "left")
+      .join(gramStats, Seq("doc_id"), "left")
       .withColumn(
         "q_ok",
-        TextOps.qualityPredicate(
-          col("toks"), minTokens = minTokens, minStopwordRatio = minStopwordRatio))
-      .withColumn("l_ok", TextOps.langId(col("toks")).isInCollection(allowedLangs))
+        col("n").between(minTokens, 100000) &&
+          (col("sum_len") / col("n")).between(2.0, 12.0) &&
+          (col("s_en") / col("n")) >= minStopwordRatio &&
+          (col("n_distinct") / col("n")) >= 0.1)
+      .withColumn("l_ok", lang.isInCollection(allowedLangs))
       .withColumn(
         "r_ok",
-        TextOps.duplicateNgramFraction(col("toks"), 2) <= maxDup2gramFrac &&
-          TextOps.topTokenRatio(col("toks")) <= maxTopTokenRatio)
-      .drop("toks")
+        coalesce(lit(1.0) - col("d_g2") / col("n_g2").cast("double"), lit(0.0)) <= maxDup2gramFrac &&
+          (col("max_cnt") / col("n")) <= maxTopTokenRatio)
+      .drop(
+        Seq("n", "n_distinct", "max_cnt", "sum_len", "n_g2", "d_g2") ++
+          langNames.map(l => s"s_$l"): _*)
 
     // Exact dedup over gate survivors only (dedup after filtering): first
     // occurrence by doc id survives, the rest are exact duplicates.
