@@ -544,6 +544,56 @@ object StudyQueries {
     PqtlStudyIndex.toStudy(pqtl, symbolLut, proteinLut)
   }
 
+  /** Target-index LUT family (datasets/Indices.scala TargetIndex
+    * symbolsLut/proteinIdLut/tssLut; reference dataset/target_index.py:
+    * 63-158): obsolete-symbol explode, PAR dedup keeping the X copy, and the
+    * three-way TSS fallback — unioned into one long frame per (geneId, kind).
+    */
+  def targetLuts(s: SparkSession, d: String): DataFrame = {
+    import graft.datasets.TargetIndex
+    val k = col("p_partkey") % 500
+    // '?' rows exercise the genomic-location TSS fallback
+    val strandC = when(k % 11 === 0, "?").when(k % 2 === 0, "+").otherwise(lit("-"))
+    val strandG = when(k % 3 === 0, 1).otherwise(lit(-1))
+    // PAR pair: proteins UPAR<j> live on gene pairs GX<j> (X) and GY<j> (Y)
+    val isParY = k % 41 === 0
+    val isParX = k % 41 === 1
+    val chrom = when(isParY, "Y").when(isParX, "X")
+      .otherwise((k % 22 + 1).cast(StringType))
+    val parJ = (k / 41).cast("long").cast(StringType)
+    val parJx = ((k - 1) / 41).cast("long").cast(StringType)
+    val gid = when(isParY, concat(lit("GY"), parJ))
+      .when(isParX, concat(lit("GX"), parJx))
+      .otherwise(concat(lit("ENSG"), k.cast(StringType)))
+    val protein = when(isParY, concat(lit("UPAR"), parJ))
+      .when(isParX, concat(lit("UPAR"), parJx))
+      .otherwise(concat(lit("U"), k.cast(StringType)))
+    val targets = part(s, d).select(
+      gid.as("id"),
+      concat(lit("SYM"), k.cast(StringType)).as("approvedSymbol"),
+      when(k % 7 === 0, array(struct(concat(lit("OLD"), k.cast(StringType)).as("label"))))
+        .otherwise(array().cast("array<struct<label:string>>")).as("obsoleteSymbols"),
+      struct(
+        chrom.as("chromosome"), strandG.as("strand"),
+        (k * 100).cast("long").as("start"), (k * 100 + 50).cast("long").as("end"))
+        .as("genomicLocation"),
+      when(k % 5 === 0, (k * 1000).cast("long")).otherwise(lit(null).cast("long")).as("tss"),
+      array(struct(protein.as("id"), lit("uniprot_swissprot").as("source"))).as("proteinIds"),
+      struct(
+        chrom.as("chromosome"), strandC.as("strand"),
+        (k * 10).cast("long").as("start"), (k * 10 + 5).cast("long").as("end"))
+        .as("canonicalTranscript")
+    ).distinct()
+    val ti = TargetIndex(targets)
+    ti.symbolsLut
+      .select(
+        col("geneId"), lit("symbol").as("kind"), col("geneSymbol").as("value"))
+      .unionByName(ti.proteinIdLut().select(
+        col("geneId"), lit("protein").as("kind"), col("proteinId").as("value")))
+      .unionByName(ti.tssLut.select(
+        col("geneId"), lit("tss").as("kind"), col("tss").cast(StringType).as("value")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gcat_study_index" -> (gcatStudyIndex _),
     "q_gcat_split" -> (gcatSplit _),
@@ -554,10 +604,41 @@ object StudyQueries {
     "q_finngen_efo" -> (finngenEfo _),
     "q_biosamples" -> (biosamples _),
     "q_complex_portal" -> (complexPortal _),
-    "q_pqtl_to_study" -> (pqtlToStudy _)
+    "q_pqtl_to_study" -> (pqtlToStudy _),
+    "q_target_luts" -> (targetLuts _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_target_luts" ->
+      """WITH k0 AS (SELECT DISTINCT p_partkey % 500 AS k FROM part),
+        |t AS (SELECT k,
+        |    CASE WHEN k % 41 = 0 THEN 'GY' || CAST(k // 41 AS VARCHAR)
+        |         WHEN k % 41 = 1 THEN 'GX' || CAST((k - 1) // 41 AS VARCHAR)
+        |         ELSE 'ENSG' || CAST(k AS VARCHAR) END AS gid,
+        |    CASE WHEN k % 41 = 0 THEN 'UPAR' || CAST(k // 41 AS VARCHAR)
+        |         WHEN k % 41 = 1 THEN 'UPAR' || CAST((k - 1) // 41 AS VARCHAR)
+        |         ELSE 'U' || CAST(k AS VARCHAR) END AS prot,
+        |    CASE WHEN k % 11 = 0 THEN '?' WHEN k % 2 = 0 THEN '+' ELSE '-' END AS cstrand,
+        |    CASE WHEN k % 3 = 0 THEN 1 ELSE -1 END AS gstrand,
+        |    CASE WHEN k % 5 = 0 THEN k * 1000 END AS tss
+        |  FROM k0)
+        |SELECT gid AS "geneId", 'symbol' AS kind,
+        |  'SYM' || CAST(k AS VARCHAR) AS value FROM t
+        |UNION ALL
+        |SELECT gid, 'symbol', 'OLD' || CAST(k AS VARCHAR) FROM t WHERE k % 7 = 0
+        |UNION ALL
+        |SELECT gid, 'protein', prot FROM t WHERE k % 41 <> 0
+        |UNION ALL
+        |-- a Y-chromosome PAR copy survives only when its X twin is absent
+        |SELECT gid, 'protein', prot FROM t y
+        |WHERE k % 41 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM t x WHERE x.k = y.k + 1)
+        |UNION ALL
+        |SELECT gid, 'tss', CAST(coalesce(tss,
+        |    CASE WHEN cstrand = '+' THEN k * 10
+        |         WHEN cstrand = '-' THEN k * 10 + 5 END,
+        |    CASE WHEN gstrand = 1 THEN k * 100 ELSE k * 100 + 50 END)
+        |  AS VARCHAR) FROM t""".stripMargin,
     "q_pqtl_to_study" ->
       """WITH o AS (SELECT DISTINCT o_orderkey % 150 AS k FROM orders),
         |ex AS (SELECT 'ST' || CAST(k AS VARCHAR) AS sid,
