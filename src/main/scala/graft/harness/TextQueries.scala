@@ -167,6 +167,30 @@ object TextQueries {
       .cleanCorpus(docsParallel(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("keep"), col("reason"))
 
+  /** Deterministic stratified source mixing (operators/TextPipeline
+    * .stratifiedSample): md5-hash keep decision per doc against per-source
+    * fractions; src0/src1/src2 at 1.0/0.5/0.25, everything else dropped.
+    */
+  def sampleMix(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextPipeline
+      .stratifiedSample(
+        documents(s, d).select(col("doc_id"), col("source")),
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))
+      .select(col("doc_id"), col("source"))
+
+  /** Sequence packing (operators/TextPipeline.packSequences): 256-token
+    * budget, packed per source stratum, membership serialized for the
+    * driver's row sort.
+    */
+  def seqPack(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextPipeline
+      .packSequences(docsParallel(s, d), tokenBudget = 256)
+      .select(
+        col("source"), col("seq_no"),
+        array_join(transform(col("doc_ids"), x => x.cast("string")), "|")
+          .as("doc_ids"),
+        col("token_total"), col("n_docs"))
+
   // -- oracles ---------------------------------------------------------------
 
   private val ShinglesSql =
@@ -214,10 +238,34 @@ object TextQueries {
     "q_ann_ivf" -> (annIvf _),
     "q_repetition" -> (repetitionStats _),
     "q_contamination" -> (contaminationQuery _),
-    "q_clean_corpus" -> (cleanCorpus _)
+    "q_clean_corpus" -> (cleanCorpus _),
+    "q_sample_mix" -> (sampleMix _),
+    "q_seq_pack" -> (seqPack _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sample_mix" ->
+      """WITH f AS (SELECT * FROM (VALUES ('src0', 1.0), ('src1', 0.5),
+        |    ('src2', 0.25)) t(source, frac))
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN f ON d.source = f.source
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) / 4294967296.0 < f.frac""".stripMargin,
+    "q_seq_pack" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    sum(least(n_tokens, 256)) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tok)
+        |SELECT source, seq_no,
+        |  string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS doc_ids,
+        |  sum(n_tokens) AS token_total,
+        |  count(*) AS n_docs
+        |FROM (SELECT doc_id, source, n_tokens,
+        |    CAST(ceil(cum / 256.0) AS BIGINT) AS seq_no FROM c) s
+        |GROUP BY source, seq_no""".stripMargin,
     "q_clean_corpus" ->
       """WITH tok AS (SELECT doc_id, text,
         |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

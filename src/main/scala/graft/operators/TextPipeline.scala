@@ -122,4 +122,59 @@ object TextPipeline {
       .withColumn("keep", col("reason").isNull)
       .drop("q_ok", "l_ok", "r_ok", "is_exact_dup", "is_near_dup")
   }
+
+  /** Deterministic stratified source mixing: keep each document with its
+    * stratum's fraction, decided by a hash of the document id rather than a
+    * RNG — reproducible run-to-run, engine-independent (md5), shuffle-free
+    * (one projection + broadcast of the bounded fraction table). Strata
+    * absent from `fractions` are dropped, matching Spark's `sampleBy`
+    * semantics. This is the training-mix rebalancing step: fractions come
+    * from the desired corpus weights per source/domain.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      fractions: Map[String, Double],
+      keyCol: String = "source",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fracs = broadcast(fractions.toSeq.toDF(keyCol, "_fraction"))
+    // first 8 hex chars of md5(id) → uniform u in [0, 1) with 2^32 grain
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    docs
+      .join(fracs, Seq(keyCol), "inner")
+      .filter(u < col("_fraction"))
+      .drop("_fraction")
+  }
+
+  /** Pack documents into fixed-token-budget training sequences: documents
+    * are binned by the running token-count within each stratum (greedy
+    * first-fit in id order), emitting one row per (stratum, sequence) with
+    * the member ids and token total. Packing is windowed WITHIN a stratum
+    * (source by default) — a deliberate scale choice: a single global
+    * running sum would serialise the corpus through one partition, while
+    * per-stratum windows parallelise across strata exactly like the
+    * production sharding (pack per shard, never globally).
+    */
+  def packSequences(
+      docs: DataFrame,
+      tokenBudget: Int,
+      strataCol: String = "source",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy(idCol)
+    docs
+      .withColumn("n_tokens", size(TextOps.tokenize(col("text"))))
+      // documents larger than the budget occupy a sequence alone
+      .withColumn("n_clamped", least(col("n_tokens"), lit(tokenBudget)))
+      .withColumn("cum", sum(col("n_clamped")).over(w))
+      .withColumn("seq_no", ceil(col("cum") / tokenBudget.toDouble).cast("long"))
+      .groupBy(col(strataCol), col("seq_no"))
+      .agg(
+        sort_array(collect_list(col(idCol))).as("doc_ids"),
+        sum(col("n_tokens")).as("token_total"),
+        count(lit(1)).as("n_docs"))
+  }
 }

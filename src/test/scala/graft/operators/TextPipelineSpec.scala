@@ -39,6 +39,40 @@ class TextPipelineSpec extends SparkSpec {
     assert(out(6L) === ((false, Some("near_duplicate"))))
   }
 
+  test("stratifiedSample keeps full strata, drops unlisted ones, and is deterministic") {
+    val docs = (1L to 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val out = TextPipeline.stratifiedSample(
+      docs, Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0))
+    val bySrc = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc.getOrElse("src0", 0L) === 100L, "fraction 1.0 keeps everything")
+    assert(!bySrc.contains("src2"), "fraction 0.0 drops the stratum")
+    assert(!bySrc.contains("src3"), "unlisted strata are dropped")
+    val kept = bySrc.getOrElse("src1", 0L)
+    assert(kept > 20 && kept < 80, s"src1 should keep about half, got $kept")
+    // hash-based: identical on re-evaluation
+    val again = TextPipeline.stratifiedSample(
+      docs, Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(again === bySrc)
+  }
+
+  test("packSequences: budget boundaries chunk the running count; oversized docs sit alone") {
+    val docs = Seq(
+      (1L, "a b c d", "s"),     // 4 tokens, cum 4  → seq 1
+      (2L, "e f g", "s"),       // 3 tokens, cum 7  → seq 1
+      (3L, "h i j k l m", "s"), // 6 tokens, cum 13 → seq 2
+      (4L, Seq.fill(30)("x").mkString(" "), "s") // clamped to 10 → cum 23 → seq 3
+    ).toDF("doc_id", "text", "source")
+    val out = TextPipeline.packSequences(docs, tokenBudget = 10)
+      .select("seq_no", "doc_ids", "token_total")
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+    assert(out.map(r => r._1 -> r._2).toSeq ===
+      Seq(1L -> Seq(1L, 2L), 2L -> Seq(3L), 3L -> Seq(4L)))
+    // token_total reports the TRUE count even for clamped oversized docs
+    assert(out.find(_._1 == 3L).get._3 === 30L)
+  }
+
   test("cleanCorpus reason precedence: a failing early gate hides later ones") {
     // doc 8 is an exact duplicate of 7 but ALSO too short → quality wins,
     // and 7 survives because dedup only runs over gate survivors
