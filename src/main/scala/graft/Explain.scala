@@ -18,7 +18,9 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names =
       if (args.nonEmpty) args.toSeq
-      else Seq("q_pvalue_filter", "q_clump", "q_locus_annotate", "q_overlaps", "q_lsh_pairs")
+      else Seq(
+        "q_pvalue_filter", "q_clump", "q_locus_annotate", "q_overlaps",
+        "q_lsh_pairs", "q_clean_corpus", "q_contamination", "q_seq_pack")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n===== $name =====")

@@ -161,6 +161,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "no all-pairs fallback anywhere in the pipeline")
   }
 
+  test("q_sample_mix is a broadcast-probe filter — no shuffle of the corpus side") {
+    val p = plan(graft.harness.TextQueries.sampleMix(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "fraction table must broadcast")
+    assert(!p.contains("SortMergeJoin"), "sampling must not shuffle the corpus")
+  }
+
+  test("q_seq_pack shuffles once per stratum window, never globally") {
+    val p = plan(graft.harness.TextQueries.seqPack(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    // the window must be partitioned (no single-partition global sort)
+    assert(
+      !p.contains("WindowExec: No Partition Defined") &&
+        p.contains("Window"),
+      s"expected a partitioned window:\n$p")
+  }
+
   test("q_repetition is a shuffle-free projection over the document scan") {
     val p = plan(graft.harness.TextQueries.repetitionStats(spark, sfDir))
     // the only exchange allowed is the deliberate round-robin spread of the
