@@ -191,6 +191,16 @@ object TextQueries {
           .as("doc_ids"),
         col("token_total"), col("n_docs"))
 
+  /** Perplexity-proxy scoring (operators/TextOps.unigramNegLogProb): mean
+    * −ln p(token) under the corpus unigram LM.
+    */
+  def unigramPpl(s: SparkSession, d: String): DataFrame =
+    TextOps
+      .unigramNegLogProb(documents(s, d).select(col("doc_id"), col("text")))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("avg_neglogp"), 6).as("avg_neglogp"))
+
   // -- oracles ---------------------------------------------------------------
 
   private val ShinglesSql =
@@ -240,10 +250,21 @@ object TextQueries {
     "q_contamination" -> (contaminationQuery _),
     "q_clean_corpus" -> (cleanCorpus _),
     "q_sample_mix" -> (sampleMix _),
-    "q_seq_pack" -> (seqPack _)
+    "q_seq_pack" -> (seqPack _),
+    "q_unigram_ppl" -> (unigramPpl _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_unigram_ppl" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |lm AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT sum(cnt) AS total FROM lm)
+        |SELECT t.doc_id,
+        |  count(*) AS n_tokens,
+        |  round(avg(-ln(lm.cnt / tot.total)), 6) AS avg_neglogp
+        |FROM tok t JOIN lm ON t.token = lm.token, tot
+        |GROUP BY t.doc_id""".stripMargin,
     "q_sample_mix" ->
       """WITH f AS (SELECT * FROM (VALUES ('src0', 1.0), ('src1', 0.5),
         |    ('src2', 0.25)) t(source, frac))

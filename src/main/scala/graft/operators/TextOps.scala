@@ -170,6 +170,29 @@ object TextOps {
       .otherwise(best / size(tokens).cast("double"))
   }
 
+  /** Perplexity-proxy quality scoring: mean negative log-probability per
+    * token under the corpus's own unigram LM (the cheap stand-in for the
+    * CCNet/KenLM perplexity gate — unusually improbable token mixes score
+    * high). Fully relational: one token-level aggregate builds the LM, one
+    * equi join + per-doc aggregate scores — both map-side combinable, no
+    * HOFs on the join path, no driver round trip for the total (a broadcast
+    * single-row cross join carries it).
+    *
+    * Returns (idCol, n_tokens, avg_neglogp); lower = more typical text.
+    */
+  def unigramNegLogProb(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val tokens = docs.select(col(idCol), explode(tokenize(col("text"))).as("token"))
+    val lm = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = broadcast(lm.agg(sum(col("cnt")).as("total")))
+    tokens
+      .join(lm, Seq("token"))
+      .crossJoin(total)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(-log(col("cnt") / col("total"))).as("avg_neglogp"))
+  }
+
   /** Benchmark decontamination: per document, how many of its distinct
     * n-grams appear in a benchmark (eval-set) corpus. The benchmark is
     * bounded by construction, so its distinct-gram set collapses to a single

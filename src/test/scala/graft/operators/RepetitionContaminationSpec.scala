@@ -54,6 +54,19 @@ class RepetitionContaminationSpec extends SparkSpec {
     assert(got === Seq((1L, 4, 1, 0.25), (2L, 3, 0, 0.0)))
   }
 
+  test("unigramNegLogProb matches hand-computed corpus probabilities") {
+    // corpus: 4 tokens total — 'a' twice (p=1/2), 'b' and 'c' once (p=1/4)
+    val docs = Seq((1L, "a a"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextOps.unigramNegLogProb(docs)
+      .select("doc_id", "n_tokens", "avg_neglogp")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 === 2L)
+    assert(math.abs(got(1L)._2 - math.log(2.0)) < 1e-12) // -ln(1/2)
+    assert(math.abs(got(2L)._2 - math.log(4.0)) < 1e-12) // -ln(1/4)
+    // the rarer-token doc scores strictly higher (less typical)
+    assert(got(2L)._2 > got(1L)._2)
+  }
+
   test("contaminationScores keeps non-text columns and handles gram-less docs") {
     val docs = Seq((7L, "tiny", "keep-me")).toDF("doc_id", "text", "tag")
     val benchmark = Seq("alpha beta gamma delta epsilon").toDF("text")
