@@ -201,6 +201,27 @@ object TextQueries {
         col("doc_id"), col("n_tokens"),
         round(col("avg_neglogp"), 6).as("avg_neglogp"))
 
+  /** PII scrubbing (operators/TextOps.scrubPii): emails/IPs/phones planted
+    * from customer rows, redacted with typed placeholders.
+    */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val c = col("c_custkey")
+    val phone = concat(
+      (c % 90 + 10).cast("string"), lit("-"),
+      (c % 900 + 100).cast("string"), lit("-"),
+      ((c * 3) % 900 + 100).cast("string"), lit("-"),
+      ((c * 7) % 9000 + 1000).cast("string"))
+    val planted = customer(s, d).select(
+      c.as("doc_id"),
+      concat(
+        col("c_name"), lit(" contact user"), c.cast("string"),
+        lit("@example.com or "), phone,
+        lit(" from 10.0."), (c % 256).cast("string"),
+        lit("."), ((c * 7) % 256).cast("string")).as("text"))
+    planted.select(
+      col("doc_id"), TextOps.scrubPii(col("text")).as("scrubbed"))
+  }
+
   // -- oracles ---------------------------------------------------------------
 
   private val ShinglesSql =
@@ -251,10 +272,28 @@ object TextQueries {
     "q_clean_corpus" -> (cleanCorpus _),
     "q_sample_mix" -> (sampleMix _),
     "q_seq_pack" -> (seqPack _),
-    "q_unigram_ppl" -> (unigramPpl _)
+    "q_unigram_ppl" -> (unigramPpl _),
+    "q_pii_scrub" -> (piiScrub _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pii_scrub" ->
+      """SELECT c_custkey AS doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        c_name || ' contact user' || CAST(c_custkey AS VARCHAR)
+        |          || '@example.com or '
+        |          || CAST(c_custkey % 90 + 10 AS VARCHAR) || '-'
+        |          || CAST(c_custkey % 900 + 100 AS VARCHAR) || '-'
+        |          || CAST((c_custkey * 3) % 900 + 100 AS VARCHAR) || '-'
+        |          || CAST((c_custkey * 7) % 9000 + 1000 AS VARCHAR)
+        |          || ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+        |          || '.' || CAST((c_custkey * 7) % 256 AS VARCHAR),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{2,3}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+        |FROM customer""".stripMargin,
     "q_unigram_ppl" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         |  FROM documents),

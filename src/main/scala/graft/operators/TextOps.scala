@@ -170,6 +170,24 @@ object TextOps {
       .otherwise(best / size(tokens).cast("double"))
   }
 
+  /** PII scrubbing for training corpora: redact emails, IPv4 addresses and
+    * TPC-H-style phone numbers with typed placeholders. Patterns are kept to
+    * the RE2-compatible subset so Java (Spark) and RE2 (DuckDB/production
+    * scrubbers) agree byte-for-byte; replace order is email → ip → phone so
+    * the narrower patterns never eat a prior placeholder. Pure codegen
+    * `regexp_replace` chain — shuffle-free at any corpus size.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{2,3}-\\d{3}-\\d{3}-\\d{4}\\b"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Perplexity-proxy quality scoring: mean negative log-probability per
     * token under the corpus's own unigram LM (the cheap stand-in for the
     * CCNet/KenLM perplexity gate — unusually improbable token mixes score

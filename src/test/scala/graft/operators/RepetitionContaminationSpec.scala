@@ -67,6 +67,22 @@ class RepetitionContaminationSpec extends SparkSpec {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("scrubPii redacts emails, IPs and phones and leaves clean text alone") {
+    val got = Seq(
+      "write to jane.doe+spam@mail.example.org today",
+      "server at 192.168.0.1 responded",
+      "call 25-989-741-2988 now",
+      "version 1.2 beats 3.4 and no pii here",
+      "multi: a@b.co and c@d.io"
+    ).toDF("text").select(TextOps.scrubPii(col("text"))).as[String].collect().toSeq
+    assert(got === Seq(
+      "write to <EMAIL> today",
+      "server at <IP> responded",
+      "call <PHONE> now",
+      "version 1.2 beats 3.4 and no pii here",
+      "multi: <EMAIL> and <EMAIL>"))
+  }
+
   test("contaminationScores keeps non-text columns and handles gram-less docs") {
     val docs = Seq((7L, "tiny", "keep-me")).toDF("doc_id", "text", "tag")
     val benchmark = Seq("alpha beta gamma delta epsilon").toDF("text")
