@@ -177,6 +177,19 @@ class PlanSpec extends SparkSpec {
       s"expected a partitioned window:\n$p")
   }
 
+  test("q_pii_scrub is a shuffle-free codegen projection") {
+    val p = plan(graft.harness.TextQueries.piiScrub(spark, sfDir))
+    assert(!p.contains("Exchange"), "redaction must not shuffle")
+    assert(p.contains("*(1)"), "regexp_replace chain must stay in codegen")
+  }
+
+  test("q_unigram_ppl joins the LM without broadcasting the token side") {
+    val p = plan(graft.harness.TextQueries.unigramPpl(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    // the single-row total IS broadcast; the token-level LM join is equi
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
   test("q_repetition is a shuffle-free projection over the document scan") {
     val p = plan(graft.harness.TextQueries.repetitionStats(spark, sfDir))
     // the only exchange allowed is the deliberate round-robin spread of the
