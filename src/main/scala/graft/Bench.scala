@@ -30,16 +30,28 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Optional best-of-N (SPARK_GRAFT_BENCH_RUNS): min over N attempts.
+    val runsPerQuery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
     // name order: deterministic timings run-to-run (and cache-hit attribution)
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
       else SparkEntry.queries
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       System.err.println(s"[bench] running $name")
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        val times = (1 to runsPerQuery).map { _ =>
+          // Fresh-state isolation: drop every cached plan left by the
+          // previous query and collect garbage, so one query's persisted
+          // frames / heap pressure can't inflate the next one's timing
+          // (full-suite numbers then track isolated runs).
+          spark.catalog.clearCache()
+          System.gc()
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        timings(name) = times.min
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

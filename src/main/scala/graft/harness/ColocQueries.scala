@@ -184,8 +184,8 @@ object ColocQueries {
     appended.join(leftTyped, Seq("leftStudyLocusId"), "left")
       .select(
         col("leftStudyLocusId"), col("rightStudyLocusId"), col("chromosome"),
-        col("h4"), col("rightStudyType"), col("rightProjectId"),
-        col("leftStudyType"))
+        col("h4"), col("rightStudyId"), col("rightStudyType"),
+        col("rightProjectId"), col("leftStudyType"))
   }
 
   // -- oracles ---------------------------------------------------------------
@@ -272,12 +272,12 @@ object ColocQueries {
         |         ELSE 'pqtl' END AS stype,
         |    'P' || CAST((s_suppkey % 40) % 7 AS VARCHAR) AS proj
         |  FROM supplier),
-        |meta AS (SELECT br.slid, si.stype, si.proj
+        |meta AS (SELECT br.slid, br.sid, si.stype, si.proj
         |  FROM br JOIN si ON br.sid = si.sid)
         |SELECT c.l AS "leftStudyLocusId", c.r AS "rightStudyLocusId",
         |  c.chrom AS chromosome, c.h4,
-        |  mr.stype AS "rightStudyType", mr.proj AS "rightProjectId",
-        |  ml.stype AS "leftStudyType"
+        |  mr.sid AS "rightStudyId", mr.stype AS "rightStudyType",
+        |  mr.proj AS "rightProjectId", ml.stype AS "leftStudyType"
         |FROM c
         |LEFT JOIN meta mr ON mr.slid = c.r
         |LEFT JOIN meta ml ON ml.slid = c.l""".stripMargin,

@@ -372,6 +372,79 @@ object StudyQueries {
         array_join(array_sort(col("traitFromSourceMappedIds")), "|").as("efos"))
   }
 
+  /** FinnGen SuSiE fine-mapping ingestion (sources/FinnGenFinemapping.scala;
+    * reference datasource/finngen/finemapping.py:208-532): position/cs
+    * filters, index-selected posterior/logBF/beta from the alpha/lbf/mean
+    * column families, LBF-thresholded credible-set summaries (first set in
+    * a region always kept), lead-variant window, locus assembly with 95/99%
+    * credible-set flags and md5 studyLocusId. The locus array is flattened
+    * to (n_tags, n_in95, n_in99) counts at the query boundary.
+    */
+  def finngenFinemap(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.FinnGenFinemapping
+    val k = col("p_partkey")
+    val g = k % 60
+    val csix = (k % 3 + 1).cast(IntegerType)
+    val region = concat(
+      lit("chr"), (g % 4 + 1).cast(StringType), lit(":"),
+      (g * 1000).cast(StringType), lit("-"), (g * 1000 + 999).cast(StringType))
+    val posStr = when(k % 29 === 0, lit("NA")).otherwise((k + 100000).cast(StringType))
+    val csStr = when(k % 7 === 0, lit("-1")).otherwise(csix.cast(StringType))
+    // p-value strings exercise both split branches: scientific and plain
+    // (plain digits 2-9 only, keeping floor(log10) far from the power-of-ten
+    // boundary where C and JVM libm could legitimately differ by 1 ulp)
+    val pStr = when(
+      k % 2 === 0,
+      concat((k % 9 + 1).cast(StringType), lit("."), (k % 10).cast(StringType),
+        lit("E-"), (k % 30 + 4).cast(StringType)))
+      .otherwise(concat(lit("0.00"), (k % 8 + 2).cast(StringType)))
+    val alphaCols = (1 to 10).map(i =>
+      (((k * 37 + i) % 7919) / lit(7919.0)).as(s"alpha$i"))
+    val lbfCols = (1 to 10).map(i =>
+      (((k * 11 + i * 3) % 50) / lit(10.0) - 1.0).as(s"lbf_variable$i"))
+    val meanCols = (1 to 10).map(i =>
+      concat(lit("0."), lpad(((k * 7 + i * 13) % 90 + 10).cast(StringType), 2, "0"))
+        .as(s"mean$i"))
+    val snps = part(s, d).select(Seq(
+      concat(lit("T"), (g % 13).cast(StringType)).as("trait"),
+      region.as("region"),
+      concat((g % 4 + 1).cast(StringType), lit(":"), posStr, lit(":A:G")).as("v"),
+      concat(lit("chr"), (g % 4 + 1).cast(StringType)).as("chromosome"),
+      posStr.as("position"),
+      lit("A").as("allele1"), lit("G").as("allele2"),
+      concat(lit("0."), lpad((k % 50).cast(StringType), 2, "0")).as("maf"),
+      concat(lit("0.0"), (k % 9 + 1).cast(StringType)).as("se"),
+      pStr.as("p"),
+      csStr.as("cs")) ++ alphaCols ++ lbfCols ++ meanCols: _*)
+    val gg = col("g")
+    val summaries = part(s, d).select((k % 60).as("g")).distinct()
+      .select(gg, explode(array(lit(1), lit(2), lit(3))).as("cs_i"))
+      .select(
+        concat(lit("T"), (gg % 13).cast(StringType)).as("trait"),
+        concat(
+          lit("chr"), (gg % 4 + 1).cast(StringType), lit(":"),
+          (gg * 1000).cast(StringType), lit("-"),
+          (gg * 1000 + 999).cast(StringType)).as("region"),
+        col("cs_i").cast(StringType).as("cs"),
+        (((gg * 3 + col("cs_i") * 7) % 40) / lit(10.0) - 0.5).as("cs_log10bf"),
+        (((gg + col("cs_i")) % 100) / lit(100.0)).as("cs_avg_r2"),
+        (((gg * col("cs_i")) % 100) / lit(100.0)).as("cs_min_r2"))
+    FinnGenFinemapping.credibleSets(snps, summaries, "FINNGEN_R11").df
+      .select(
+        col("studyId"), col("region"), col("credibleSetIndex"),
+        col("variantId"), col("chromosome"), col("position"),
+        col("beta"), col("pValueMantissa"), col("pValueExponent"),
+        col("effectAlleleFrequencyFromSource"), col("standardError"),
+        col("finemappingMethod"), col("credibleSetlog10BF"),
+        col("purityMeanR2"), col("purityMinR2"),
+        col("locusStart"), col("locusEnd"), col("studyLocusId"),
+        size(col("locus")).as("n_tags"),
+        size(filter(col("locus"), t => t.getField("is95CredibleSet")))
+          .as("n_in95"),
+        size(filter(col("locus"), t => t.getField("is99CredibleSet")))
+          .as("n_in99"))
+  }
+
   /** Biosample ontology ingestion (sources/BiosampleOntology.scala
     * fromObograph; reference datasource/biosample_ontologies/utils.py:13-174):
     * OBO-graph JSON shape → nodes/edges explode, URI stripping, is_a/part_of
@@ -602,6 +675,7 @@ object StudyQueries {
     "q_gcat_sumstats" -> (gcatSumstats _),
     "q_decode_studies" -> (decodeStudies _),
     "q_finngen_efo" -> (finngenEfo _),
+    "q_finngen_finemap" -> (finngenFinemap _),
     "q_biosamples" -> (biosamples _),
     "q_complex_portal" -> (complexPortal _),
     "q_pqtl_to_study" -> (pqtlToStudy _),
@@ -609,6 +683,69 @@ object StudyQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_finngen_finemap" ->
+      """WITH raw AS (
+        |  SELECT p_partkey AS k, p_partkey % 60 AS g, p_partkey % 3 + 1 AS csix
+        |  FROM part WHERE p_partkey % 29 <> 0 AND p_partkey % 7 <> 0),
+        |snp AS (
+        |  SELECT k, g, csix,
+        |    'FINNGEN_R11_T' || CAST(g % 13 AS VARCHAR) AS sid,
+        |    'chr' || CAST(g % 4 + 1 AS VARCHAR) || ':' || CAST(g*1000 AS VARCHAR)
+        |      || '-' || CAST(g*1000+999 AS VARCHAR) AS region,
+        |    CAST(g % 4 + 1 AS VARCHAR) || '_' || CAST(k + 100000 AS VARCHAR)
+        |      || '_A_G' AS vid,
+        |    CAST(g % 4 + 1 AS VARCHAR) AS chromosome,
+        |    CAST(k + 100000 AS INTEGER) AS position,
+        |    ((k*37 + csix) % 7919) / 7919.0 AS pp,
+        |    ((k*11 + csix*3) % 50) / 10.0 - 1.0 AS logbf,
+        |    ((k*7 + csix*13) % 90 + 10) / 100.0 AS beta,
+        |    CASE WHEN k % 2 = 0
+        |      THEN CAST(round(CAST(CAST(k%9+1 AS VARCHAR) || '.'
+        |        || CAST(k%10 AS VARCHAR) AS DOUBLE), 3) AS REAL)
+        |      ELSE CAST(round(CAST('0.00' || CAST(k%8+2 AS VARCHAR) AS DOUBLE)
+        |        / power(10.0, floor(log10(CAST('0.00' || CAST(k%8+2 AS VARCHAR)
+        |          AS DOUBLE)))), 3) AS REAL) END AS mant,
+        |    CASE WHEN k % 2 = 0 THEN CAST(-(k % 30 + 4) AS INTEGER)
+        |      ELSE CAST(floor(log10(CAST('0.00' || CAST(k%8+2 AS VARCHAR)
+        |        AS DOUBLE))) AS INTEGER) END AS expo,
+        |    CAST('0.0' || CAST(k%9+1 AS VARCHAR) AS DOUBLE) AS se,
+        |    CAST('0.' || lpad(CAST(k%50 AS VARCHAR), 2, '0') AS REAL) AS eaf
+        |  FROM raw),
+        |summ AS (
+        |  SELECT g, cs_i,
+        |    ((g*3 + cs_i*7) % 40) / 10.0 - 0.5 AS lbf10,
+        |    ((g + cs_i) % 100) / 100.0 AS avg_r2,
+        |    ((g * cs_i) % 100) / 100.0 AS min_r2
+        |  FROM (SELECT DISTINCT p_partkey % 60 AS g FROM part) grp,
+        |       (VALUES (1), (2), (3)) c(cs_i)
+        |  WHERE ((g*3 + cs_i*7) % 40) / 10.0 - 0.5 > 0.8685889638065036
+        |     OR cs_i = 1),
+        |j AS (SELECT snp.*, summ.lbf10, summ.avg_r2, summ.min_r2
+        |  FROM snp JOIN summ ON snp.g = summ.g AND snp.csix = summ.cs_i),
+        |ranked AS (SELECT *,
+        |    row_number() OVER (PARTITION BY g, csix ORDER BY pp DESC) AS rn,
+        |    coalesce(sum(pp) OVER (PARTITION BY g, csix ORDER BY pp DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cumprev
+        |  FROM j),
+        |agg AS (SELECT g, csix, CAST(count(*) AS INTEGER) AS n_tags,
+        |    CAST(sum(CASE WHEN cumprev < 0.95 THEN 1 ELSE 0 END) AS INTEGER)
+        |      AS n_in95,
+        |    CAST(sum(CASE WHEN cumprev < 0.99 THEN 1 ELSE 0 END) AS INTEGER)
+        |      AS n_in99
+        |  FROM ranked GROUP BY g, csix)
+        |SELECT t.sid AS "studyId", t.region, t.csix AS "credibleSetIndex",
+        |  t.vid AS "variantId", t.chromosome, t.position,
+        |  t.beta, t.mant AS "pValueMantissa", t.expo AS "pValueExponent",
+        |  t.eaf AS "effectAlleleFrequencyFromSource",
+        |  t.se AS "standardError",
+        |  'SuSiE' AS "finemappingMethod", t.lbf10 AS "credibleSetlog10BF",
+        |  t.avg_r2 AS "purityMeanR2", t.min_r2 AS "purityMinR2",
+        |  CAST(t.g*1000 AS INTEGER) AS "locusStart",
+        |  CAST(t.g*1000+999 AS INTEGER) AS "locusEnd",
+        |  md5(t.sid || t.vid || 'SuSiE') AS "studyLocusId",
+        |  a.n_tags, a.n_in95, a.n_in99
+        |FROM ranked t JOIN agg a ON t.g = a.g AND t.csix = a.csix
+        |WHERE t.rn = 1""".stripMargin,
     "q_target_luts" ->
       """WITH k0 AS (SELECT DISTINCT p_partkey % 500 AS k FROM part),
         |t AS (SELECT k,

@@ -321,7 +321,7 @@ object TextQueries {
         |  FROM tok)
         |SELECT source, seq_no,
         |  string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS doc_ids,
-        |  sum(n_tokens) AS token_total,
+        |  CAST(sum(n_tokens) AS BIGINT) AS token_total,
         |  count(*) AS n_docs
         |FROM (SELECT doc_id, source, n_tokens,
         |    CAST(ceil(cum / 256.0) AS BIGINT) AS seq_no FROM c) s

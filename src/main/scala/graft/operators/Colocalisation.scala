@@ -235,21 +235,25 @@ object Colocalisation {
     * the study locus, broadcast the bounded study index slice, prefix the
     * appended columns with the side (`right` → `rightStudyType`, …).
     * `studyType` on the right side replaces the existing `rightStudyType`.
+    * As in the reference, `studyId` is always prepended to the metadata
+    * columns, so the output carries e.g. `rightStudyId` unconditionally.
     */
   def appendStudyMetadata(
       coloc: DataFrame,
       studyLocus: DataFrame,
       studyIndex: DataFrame,
-      metadataCols: Seq[String],
+      metadataColumns: Seq[String],
       colocalisationSide: String = "right"
   ): DataFrame = {
     require(
       colocalisationSide == "right" || colocalisationSide == "left",
       s"colocalisationSide must be 'right' or 'left', got $colocalisationSide")
+    val metadataCols = "studyId" +: metadataColumns.filterNot(_ == "studyId")
     val withStudy = studyLocus
       .select("studyLocusId", "studyId")
       .join(
-        broadcast(studyIndex.select("studyId", metadataCols: _*)),
+        broadcast(
+          studyIndex.select("studyId", metadataColumns.filterNot(_ == "studyId"): _*)),
         Seq("studyId"))
       .distinct()
     val colocDf =

@@ -98,11 +98,11 @@ object Multimodal {
     * training-data writers rely on, and that part is real.
     */
   def resize(decoded: DataFrame, width: Int, height: Int, channels: Int = 3): DataFrame = {
-    val outSchema = StructType(decodedSchema.fields.map {
-      case f @ StructField("width" | "height" | "channels", _, _, _) => f
-      case f => f
-    })
-    val enc = Encoders.row(outSchema)
+    require(
+      width > 0 && height > 0 && channels > 0 &&
+        width.toLong * height * channels <= Int.MaxValue,
+      s"target payload ${width}x${height}x$channels overflows the Int n_bytes column")
+    val enc = Encoders.row(decodedSchema)
     val target = width * height * channels
     // positional access: upstream mapPartitions rows carry no field schema
     val contentIdx = decodedSchema.fieldIndex("content")

@@ -164,7 +164,10 @@ object TextPipeline {
       strataCol: String = "source",
       idCol: String = "doc_id"
   ): DataFrame = {
+    // Explicit ROWS frame: the default RANGE frame makes orderBy-peers share
+    // one cumulative value, diverging from the per-row running sum if ids tie.
     val w = Window.partitionBy(strataCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("n_tokens", size(TextOps.tokenize(col("text"))))
       // documents larger than the budget occupy a sequence alone

@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StringType}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.GenomicOps
 
@@ -69,6 +69,125 @@ object FinnGenMeta {
       lit(0.0),
       (acc, x) => acc + coalesce(element_at(nMap, x.getField("cohort")).cast("double"), lit(0.0)))
     when(den > 0, num / den)
+  }
+
+  /** The raw FinnGen+UKBB+MVP meta file column superset, in file order
+    * (summary_statistics.py:64-147): variant core, per-cohort effect blocks,
+    * the combined meta block, leave-one-out blocks, rsid. Generated from the
+    * same per-cohort pattern the files follow.
+    */
+  val metaRawSchema: StructType = {
+    val core = Seq(
+      StructField("#CHR", StringType), StructField("POS", LongType),
+      StructField("REF", StringType), StructField("ALT", StringType),
+      StructField("SNP", StringType))
+    def block(prefix: String, withR2: Boolean) = {
+      val base = Seq("beta", "sebeta", "pval", "af_alt")
+        .map(s => StructField(s"${prefix}_$s", DoubleType))
+      if (withR2) base :+ StructField(s"${prefix}_r2", DoubleType) else base
+    }
+    val cohortBlocks =
+      block("fg", withR2 = false) ++
+        Seq(StructField("fg_af_alt_cases", DoubleType),
+          StructField("fg_af_alt_controls", DoubleType)) ++
+        block("MVP_EUR", withR2 = true) ++
+        block("MVP_AFR", withR2 = true) ++
+        block("MVP_HIS", withR2 = true) ++
+        block("ukbb", withR2 = false)
+    def metaBlock(prefix: String, hetName: String) =
+      StructField(s"${prefix}_N", IntegerType) +:
+        Seq("beta", "sebeta", "p", "mlogp")
+          .map(s => StructField(s"${prefix}_inv_var_meta_$s", DoubleType)) :+
+        StructField(s"${prefix}_$hetName", DoubleType)
+    val meta = metaBlock("all", "inv_var_het_p")
+    val leaveOneOut = Seq("fg", "MVP_EUR", "MVP_AFR", "MVP_HIS", "ukbb")
+      .flatMap(c => metaBlock(s"leave_$c", "inv_var_meta_het_p"))
+    StructType(core ++ cohortBlocks ++ meta ++ leaveOneOut :+
+      StructField("rsid", StringType))
+  }
+
+  /** Align one per-file frame onto the declared column superset
+    * (summary_statistics.py:249-264): columns absent from the file are added
+    * as typed nulls; literal "NA" cells become nulls before the cast (left
+    * as strings they would force the whole column to StringType and the
+    * per-file schemas would stay divergent).
+    */
+  def alignToSchemaSuperset(df: DataFrame, schema: StructType = metaRawSchema): DataFrame = {
+    val withAll = schema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    schema.fields.foldLeft(withAll) { (d, f) =>
+      // Only string-inferred columns can carry "NA" (and, like the
+      // reference's non-ANSI casts, malformed cells null out via try_cast);
+      // comparing a numeric-inferred column to 'NA' would itself be an
+      // invalid ANSI literal cast.
+      val cleaned = d.schema(f.name).dataType match {
+        case StringType =>
+          when(col(f.name) === "NA", lit(null))
+            .otherwise(col(f.name)).try_cast(f.dataType)
+        case _ => col(f.name).cast(f.dataType)
+      }
+      d.withColumn(f.name, cleaned)
+    }
+      // declared order: every per-file frame leaves with identical layout
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Per-file conversion loop: each raw meta TSV (gzip, or block-gzip via
+    * [[BgzfCodec]] — the reference requires its enhanced bgzip codec here,
+    * summary_statistics.py:195-211) is schema-inferred independently,
+    * aligned onto the superset, stamped with the path-derived studyId, and
+    * appended to one studyId-partitioned parquet dataset
+    * (summary_statistics.py:149-299 `bgzip_to_parquet`/`process_one`).
+    *
+    * Files are processed as `parallelism` concurrent Spark jobs (the
+    * reference's ThreadPoolExecutor, capped at 32 like its N_THREAD_MAX) —
+    * per-file inference is unavoidable because bulk `inferSchema` samples
+    * files and drops columns, and `enforceSchema` aligns positionally
+    * (summary_statistics.py:178-193). Each file's write is clustered by
+    * (#CHR, POS) so downstream readers get chromosome-contiguous row groups.
+    */
+  def schemaSupersetToParquet(
+      spark: SparkSession,
+      summaryStatisticsFiles: Seq[String],
+      datasource: String,
+      outputPath: String,
+      parallelism: Int = 10,
+      outputPartitions: Int = 60
+  ): Unit = {
+    if (summaryStatisticsFiles.isEmpty) return
+    val threads = math.min(math.max(parallelism, 1), 32)
+    import java.util.concurrent.Executors
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val jobs = summaryStatisticsFiles.map { path =>
+        Future {
+          val raw = spark.read
+            .option("header", "true")
+            .option("inferSchema", "true")
+            .option("delimiter", "\t")
+            .csv(path)
+          alignToSchemaSuperset(raw)
+            .withColumn(
+              "studyId",
+              concat_ws(
+                "_",
+                lit(datasource),
+                extractStudyPhenotypeFromPath(input_file_name())))
+            .repartitionByRange(outputPartitions, col("#CHR"), col("POS"))
+            .sortWithinPartitions("#CHR", "POS")
+            .write
+            .mode("append")
+            .partitionBy("studyId")
+            .parquet(outputPath)
+        }
+      }
+      Await.result(Future.sequence(jobs), Duration.Inf)
+    } finally pool.shutdown()
   }
 
   /** Core column harmonisation of the raw meta-analysis frame

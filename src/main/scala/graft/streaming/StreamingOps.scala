@@ -88,31 +88,62 @@ object StreamingOps {
     * against the retained representatives, so recall degrades only for
     * clusters larger than the cap). At 100 TB/day the bucket key space is
     * ~(bands × 2^sig-bits) — state is proportional to observed near-dup
-    * mass, not corpus size.
+    * mass, not corpus size. For long-running streams pass `stateTtl` (e.g.
+    * "24 hours") to expire idle buckets via processing-time timeout: recall
+    * then degrades only for near-dup pairs separated by more than the TTL,
+    * which is the standard freshness/state trade at this scale.
+    *
+    * Delivery note: "exactly once per pair per bucket" holds for RETAINED
+    * docs (the `cur.contains` guard). A doc arriving at an already-full
+    * bucket is never added to state, so an at-least-once redelivery of that
+    * doc re-emits its candidate pairs; downstream
+    * `dropDuplicatesWithinWatermark` on (lDoc, rDoc) — already required for
+    * the cross-band collapse below — absorbs these too.
     */
+  /** The per-bucket state transition driven by [[nearDupCandidatesStream]] —
+    * named (not an inline lambda) so timeout semantics are unit-testable
+    * with `TestGroupState` (a live `processAllAvailable` never quiesces
+    * under ProcessingTimeTimeout: the engine keeps scheduling batches while
+    * any timeout is configured).
+    */
+  def bucketUpdate(maxBucketSize: Int, stateTtl: Option[String])(
+      key: (Int, String),
+      rows: Iterator[BandedDoc],
+      state: GroupState[BucketState]
+  ): Iterator[CandidatePair] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val seen = state.getOption.map(_.docIds).getOrElse(Nil)
+      val (pairs, finalSeen) =
+        rows.foldLeft((List.empty[CandidatePair], seen)) {
+          case ((acc, cur), doc) if !cur.contains(doc.docId) =>
+            val newPairs = cur.map(other =>
+              CandidatePair(math.min(other, doc.docId), math.max(other, doc.docId)))
+            val kept =
+              if (cur.size < maxBucketSize) doc.docId :: cur else cur
+            (newPairs reverse_::: acc, kept)
+          case ((acc, cur), _) => (acc, cur)
+        }
+      state.update(BucketState(finalSeen))
+      stateTtl.foreach(state.setTimeoutDuration)
+      pairs.distinct.iterator
+    }
+
   def nearDupCandidatesStream(
       banded: Dataset[BandedDoc],
-      maxBucketSize: Int = 64
+      maxBucketSize: Int = 64,
+      stateTtl: Option[String] = None
   ): Dataset[CandidatePair] = {
     import banded.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(d => (d.band, d.bandHash))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: (Int, String), rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
-          val seen = state.getOption.map(_.docIds).getOrElse(Nil)
-          val (pairs, finalSeen) =
-            rows.foldLeft((List.empty[CandidatePair], seen)) {
-              case ((acc, cur), doc) if !cur.contains(doc.docId) =>
-                val newPairs = cur.map(other =>
-                  CandidatePair(math.min(other, doc.docId), math.max(other, doc.docId)))
-                val kept =
-                  if (cur.size < maxBucketSize) doc.docId :: cur else cur
-                (newPairs reverse_::: acc, kept)
-              case ((acc, cur), _) => (acc, cur)
-            }
-          state.update(BucketState(finalSeen))
-          pairs.distinct.iterator
-      }
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        bucketUpdate(maxBucketSize, stateTtl))
     // NOTE: a pair sharing k bands surfaces up to k times (once per bucket).
     // The batch twin collapses these with a global distinct; streaming
     // callers should instead dedup within their downstream watermark

@@ -45,13 +45,19 @@ class StudyMetadataSpec extends SparkSpec {
     val right = Colocalisation
       .appendStudyMetadata(coloc, sl, si, Seq("studyType", "projectId"), "right")
     assert(right.columns.toSet ===
-      Set("rightStudyLocusId", "leftStudyLocusId", "h4", "rightStudyType", "rightProjectId"))
+      Set("rightStudyLocusId", "leftStudyLocusId", "h4", "rightStudyId",
+        "rightStudyType", "rightProjectId"))
     val byId = right.select("rightStudyLocusId", "rightStudyType", "rightProjectId")
       .as[(String, String, String)].collect().toMap2
     assert(byId("r1") === (("eqtl", "p1")))
     assert(byId("r2") === (("pqtl", "p2")))
+    val sid = right.select("rightStudyLocusId", "rightStudyId")
+      .as[(String, String)].collect().toMap
+    assert(sid === Map("r1" -> "s1", "r2" -> "s2"),
+      "studyId is always prepended to the appended metadata (colocalisation.py:150)")
     val left = Colocalisation
       .appendStudyMetadata(coloc, sl, si, Seq("projectId"), "left")
+    assert(left.columns.contains("leftStudyId"))
     assert(left.columns.contains("leftProjectId"))
     assert(left.columns.contains("rightStudyType"), "left append must keep rightStudyType")
     intercept[IllegalArgumentException] {

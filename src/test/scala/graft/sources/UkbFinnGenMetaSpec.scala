@@ -204,4 +204,63 @@ class UkbFinnGenMetaSpec extends SparkSpec {
     assert(out(("S3", 40L))._1 === Seq(StudyIndexOps.UnknownStudyTypeFlag))
     assert(out(("S4", 50L)) === ((Seq(StudyIndexOps.UnresolvedDiseaseFlag), Seq.empty)))
   }
+
+  test("metaRawSchema reproduces the published column superset in file order (summary_statistics.py:64-147)") {
+    val names = FinnGenMeta.metaRawSchema.fieldNames
+    assert(names.length === 67)
+    assert(names.take(5).toSeq === Seq("#CHR", "POS", "REF", "ALT", "SNP"))
+    assert(names.last === "rsid")
+    // spot-pin the block boundaries
+    assert(names.contains("fg_af_alt_controls"))
+    assert(names.contains("MVP_HIS_r2"))
+    assert(names.contains("all_inv_var_het_p"))
+    assert(names.contains("leave_ukbb_inv_var_meta_het_p"))
+    assert(!names.contains("leave_all_N"))
+  }
+
+  test("alignToSchemaSuperset adds typed-null columns and turns NA into nulls (summary_statistics.py:249-264)") {
+    val raw = Seq(
+      ("1", "100", "A", "T", "rs1", "0.5", "NA"),
+      ("2", "NA", "C", "G", "rs2", "NA", "0.1")
+    ).toDF("#CHR", "POS", "REF", "ALT", "SNP", "fg_beta", "ukbb_beta")
+    val aligned = FinnGenMeta.alignToSchemaSuperset(raw)
+    assert(aligned.columns.toSeq === FinnGenMeta.metaRawSchema.fieldNames.toSeq)
+    assert(aligned.schema("POS").dataType.typeName === "long")
+    assert(aligned.schema("fg_beta").dataType.typeName === "double")
+    val rows = aligned
+      .select("#CHR", "POS", "fg_beta", "ukbb_beta", "MVP_EUR_r2")
+      .collect().sortBy(_.getString(0))
+    assert(rows(0).getLong(1) === 100L && rows(0).getDouble(2) === 0.5 && rows(0).isNullAt(3))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2) && rows(1).getDouble(3) === 0.1)
+    assert(rows.forall(_.isNullAt(4))) // missing column added as typed null
+  }
+
+  test("schemaSupersetToParquet converts divergent per-file TSVs into one partitioned dataset (summary_statistics.py:149-299)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fgmeta")
+    // two files with DIFFERENT column subsets — the bulk-read failure mode
+    java.nio.file.Files.writeString(
+      dir.resolve("AB1_meta_out.tsv"),
+      "#CHR\tPOS\tREF\tALT\tfg_beta\n1\t100\tA\tT\t0.5\n")
+    java.nio.file.Files.writeString(
+      dir.resolve("CD2_meta_out.tsv"),
+      "#CHR\tPOS\tREF\tALT\tukbb_beta\n2\t200\tC\tG\tNA\n")
+    val out = dir.resolve("out").toString
+    FinnGenMeta.schemaSupersetToParquet(
+      spark,
+      Seq(dir.resolve("AB1_meta_out.tsv").toString, dir.resolve("CD2_meta_out.tsv").toString),
+      "FINNGEN_UKBB_MVP",
+      out,
+      parallelism = 2)
+    val got = spark.read.parquet(out)
+    // both files landed in one dataset, partitioned by path-derived studyId
+    val byStudy = got.select("studyId", "#CHR")
+      .as[(String, String)].collect().toMap
+    assert(byStudy.keySet ===
+      Set("FINNGEN_UKBB_MVP_AB1_meta_out.tsv", "FINNGEN_UKBB_MVP_CD2_meta_out.tsv"))
+    // superset alignment held for both files despite divergent columns
+    assert(got.columns.toSet ===
+      (FinnGenMeta.metaRawSchema.fieldNames.toSet + "studyId"))
+    assert(got.filter($"fg_beta" === 0.5).count() === 1)
+    assert(got.filter($"ukbb_beta".isNotNull).count() === 0) // NA → null
+  }
 }

@@ -147,4 +147,38 @@ class StreamingOpsSpec extends SparkSpec {
       .as[CandidatePair].collect().map(p => (p.lDoc, p.rDoc)).sorted
     assert(out.toSeq === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
   }
+
+  test("near-dup state TTL: timed-out buckets are evicted and set no new timer") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.StreamingOps.{BandedDoc, BucketState}
+    val update = StreamingOps.bucketUpdate(64, Some("1 second")) _
+
+    // expiry callback: state removed, nothing emitted
+    val expired = TestGroupState.create[BucketState](
+      Optional.of(BucketState(List(1L, 2L))),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    assert(update((0, "a"), Iterator.empty, expired).isEmpty)
+    assert(expired.isRemoved)
+
+    // live path: arrivals pair against retained docs and re-arm the timer
+    val live = TestGroupState.create[BucketState](
+      Optional.of(BucketState(List(1L))),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    val pairs = update((0, "a"), Iterator(BandedDoc(0, "a", 4L)), live).toSeq
+    assert(pairs.map(p => (p.lDoc, p.rDoc)) === Seq((1L, 4L)))
+    assert(live.get.docIds.toSet === Set(1L, 4L))
+    assert(live.getTimeoutTimestampMs.isPresent,
+      "processing a live bucket must re-arm the TTL timer")
+
+    // a post-expiry arrival sees an EMPTY bucket: no pairs, state restarts
+    val fresh = TestGroupState.create[BucketState](
+      Optional.empty[BucketState](),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      2000L, Optional.empty[Long], hasTimedOut = false)
+    assert(update((0, "a"), Iterator(BandedDoc(0, "a", 3L)), fresh).isEmpty)
+    assert(fresh.get.docIds === List(3L))
+  }
 }
