@@ -135,11 +135,55 @@ object DatasetQueries {
         (col("chrom_rank") + col("offset")).cast("int").as("global_rank"))
   }
 
+  /** Partitioned-sink + generic-reader round trip (GSession
+    * .writePartitionedParquet + .loadData; reference common/
+    * processing.py:469-476, session.py:599-689): nation written to a
+    * Hive-partitioned parquet dataset and read back through the generic
+    * reader. The oracle reads the source table directly, so the compare
+    * proves the round trip is content-identical (partition-column value
+    * recovery included).
+    */
+  def sinkRoundtripQ(s: SparkSession, d: String): DataFrame = {
+    val gs = graft.core.GSession(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    gs.writePartitionedParquet(
+      nation(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+      s"$dir/part",
+      "n_regionkey")
+    gs.loadData(Seq(s"$dir/part"))
+      .select(
+        col("n_nationkey"), col("n_name"),
+        // partition-directory values re-infer as int; restore source type
+        col("n_regionkey").cast("long"))
+  }
+
+  /** Declared-schema TSV reader round trip (GSession.loadData "tsv" path):
+    * region dumped as a headered TSV and read back through the generic
+    * reader with a declared schema (no inference). Oracle reads the source.
+    */
+  def readerTsvQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val gs = graft.core.GSession(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-reader").toString
+    region(s, d).select(col("r_regionkey"), col("r_name"))
+      .coalesce(1)
+      .write.option("header", "true").option("sep", "\t")
+      .csv(s"$dir/tsv")
+    gs.loadData(
+      Seq(s"$dir/tsv"),
+      "tsv",
+      Some(StructType(Seq(
+        StructField("r_regionkey", LongType),
+        StructField("r_name", StringType)))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sanity_filter" -> (sanityFilterQ _),
     "q_credset_filter" -> (credsetFilterQ _),
     "q_boundaries" -> (boundariesQ _),
-    "q_global_sort" -> (globalSortQ _)
+    "q_global_sort" -> (globalSortQ _),
+    "q_sink_roundtrip" -> (sinkRoundtripQ _),
+    "q_reader_tsv" -> (readerTsvQ _)
   )
 
   private val FullSynthSql =
@@ -153,6 +197,10 @@ object DatasetQueries {
       |FROM lineitem""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_sink_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_reader_tsv" ->
+      "SELECT r_regionkey, r_name FROM region",
     "q_sanity_filter" ->
       """WITH raw AS (SELECT o_orderkey AS row_id,
         |    CASE WHEN o_orderkey % 11 = 0 THEN 0.0

@@ -115,6 +115,23 @@ object TextQueries {
     Similarity.annTopK(Similarity.ivfAssign(emb, centroids), col("vec_id") < 30, k = 3)
   }
 
+  /** One relational Lloyd iteration exposed end-to-end: the q_ann_ivf
+    * assignment refined to per-cell means (operators/Similarity.scala
+    * kmeansIteration). The refined centroid table is exploded per dimension
+    * for the oracle — the driver cannot hash-compare array cells.
+    */
+  def ivfRefine(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+    val centroids = emb.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    Similarity.kmeansIteration(Similarity.ivfAssign(emb, centroids))
+      .select(col("centroid_id"), posexplode(col("embedding")))
+      .select(
+        col("centroid_id"),
+        (col("pos") + 1).as("dim"),
+        round(col("col"), 6).as("mean_val"))
+  }
+
   /** C4-style composite quality gate per document. */
   def qualityFilter(s: SparkSession, d: String): DataFrame =
     withTokens(docsParallel(s, d)).select(
@@ -267,6 +284,7 @@ object TextQueries {
     "q_embed_dedup" -> (embedDedup _),
     "q_quality_filter" -> (qualityFilter _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ivf_refine" -> (ivfRefine _),
     "q_repetition" -> (repetitionStats _),
     "q_contamination" -> (contaminationQuery _),
     "q_clean_corpus" -> (cleanCorpus _),
@@ -501,6 +519,22 @@ object TextQueries {
         |SELECT q_id, neighbor_id, round(cos_raw, 6) AS cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
         |  FROM cand) WHERE rn <= 3""".stripMargin,
+    "q_ivf_refine" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 23 = 0),
+        |assign AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    list_inner_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |       sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS c_cos
+        |  FROM embeddings e, cent c),
+        |buck AS (SELECT vec_id, embedding, centroid_id AS bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id ASC) AS rn
+        |    FROM assign) WHERE rn = 1),
+        |expl AS (SELECT bucket AS centroid_id,
+        |    CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+        |    unnest(embedding::DOUBLE[]) AS val
+        |  FROM buck)
+        |SELECT centroid_id, dim, round(sum(val) / count(*), 6) AS mean_val
+        |FROM expl GROUP BY centroid_id, dim""".stripMargin,
     "q_quality_filter" ->
       """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n,

@@ -33,15 +33,60 @@ object Multimodal {
     StructField("n_bytes", IntegerType, nullable = false)
   ))
 
-  /** STUB decoder: deterministic pseudo-dimensions from the payload length.
-    * A real implementation would parse the container format here; the
-    * signature (bytes in → dimensions + planes out) is the real contract.
+  /** Decoder: REAL header parsing for the two trivial uncompressed
+    * containers (BMP and binary PPM "P6"), deterministic pseudo-dimensions
+    * for everything else. Compressed formats (JPEG/PNG/video) would slot in
+    * at the same seam with a codec library; the signature (bytes in →
+    * dimensions + planes out) and the per-partition batched execution are
+    * the real contract either way.
     */
   object StubDecoder {
-    def dimensions(content: Array[Byte]): (Int, Int, Int) = {
-      val n = content.length
-      (16 + n % 64, 16 + (n * 7) % 64, 3)
-    }
+
+    private def leInt(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    /** BMP: 'BM' magic, little-endian width/height at offsets 18/22 of the
+      * BITMAPINFOHEADER, bits-per-pixel at 28 (negative height = top-down).
+      */
+    def parseBmp(b: Array[Byte]): Option[(Int, Int, Int)] =
+      if (b.length >= 30 && b(0) == 'B' && b(1) == 'M') {
+        val w = leInt(b, 18)
+        val h = math.abs(leInt(b, 22))
+        val bits = (b(28) & 0xff) | ((b(29) & 0xff) << 8)
+        if (w > 0 && h > 0 && bits >= 8 && bits % 8 == 0) Some((w, h, bits / 8))
+        else None
+      } else None
+
+    /** Binary PPM: "P6" magic, then ASCII width/height/maxval separated by
+      * whitespace, '#' comments running to end-of-line.
+      */
+    def parsePpm(b: Array[Byte]): Option[(Int, Int, Int)] =
+      if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
+        var i = 2
+        def nextInt(): Option[Int] = {
+          while (i < b.length &&
+            (Character.isWhitespace(b(i)) || b(i) == '#')) {
+            if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+            else i += 1
+          }
+          val start = i
+          while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+          if (i > start && i - start <= 9)
+            Some(new String(b, start, i - start, "US-ASCII").toInt)
+          else None
+        }
+        for {
+          w <- nextInt(); h <- nextInt(); maxval <- nextInt()
+          if w > 0 && h > 0 && maxval > 0 && maxval < 65536
+        } yield (w, h, 3)
+      } else None
+
+    def dimensions(content: Array[Byte]): (Int, Int, Int) =
+      parseBmp(content).orElse(parsePpm(content)).getOrElse {
+        val n = content.length
+        (16 + n % 64, 16 + (n * 7) % 64, 3)
+      }
 
     /** Deterministic fake embedding: a rolling byte checksum folded into
       * `dims` buckets — stands in for a vision encoder's output shape.

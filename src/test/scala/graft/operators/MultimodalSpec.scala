@@ -23,6 +23,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decode parses real BMP and PPM headers; stub only as fallback") {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    // minimal 24-bit BMP: 'BM' magic, LE width=2 at 18, height=-3 at 22
+    // (top-down), bpp=24 at 28
+    val bmp = new Array[Byte](54)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    def putLe(off: Int, v: Int): Unit = (0 to 3).foreach { i =>
+      bmp(off + i) = ((v >> (8 * i)) & 0xff).toByte
+    }
+    putLe(18, 2); putLe(22, -3)
+    bmp(28) = 24
+    val ppm = "P6\n# a comment\n640 480\n255\n".getBytes("US-ASCII")
+    val opaque = Array[Byte](1, 2, 3, 4, 5)
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "image", bmp, null),
+        Row(2L, "image", ppm, null),
+        Row(3L, "blob", opaque, null)),
+      Multimodal.mediaSchema)
+    val got = Multimodal.decode(df)
+      .select("media_id", "width", "height", "channels")
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    assert(got(1L) === ((2, 3, 3))) // BMP header, abs(height)
+    assert(got(2L) === ((640, 480, 3))) // PPM header, comment skipped
+    assert(got(3L) === ((16 + 5 % 64, 16 + 35 % 64, 3))) // stub fallback
+  }
+
   test("featurize yields fixed-dim deterministic embeddings") {
     import spark.implicits._
     val e1 = Multimodal.featurize(media, dims = 16)
