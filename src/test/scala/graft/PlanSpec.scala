@@ -197,4 +197,33 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 1, s"repetition kernels must not shuffle:\n$p")
   }
+
+  test("q_finngen_finemap: summary join, lead window and locus collect reuse one composite-key partitioning") {
+    val p = plan(graft.harness.StudyQueries.finngenFinemap(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    // every exchange in the chain hashes on the same (studyId, region,
+    // credibleSetIndex) composite — no partitioning on a narrower key that
+    // would re-shuffle between the window, the groupBy and the joins
+    val parts = p.linesIterator
+      .filter(_.contains("hashpartitioning"))
+      .map(_.replaceAll(".*hashpartitioning\\(", "").takeWhile(_ != ')'))
+      // harness-side synthetic-frame exchanges (distinct over the group
+      // key) are not part of the operator chain under audit
+      .filter(spec => Seq("studyId", "region", "credibleSetIndex")
+        .exists(spec.contains))
+      .toList
+    assert(parts.nonEmpty)
+    parts.foreach { spec =>
+      assert(spec.contains("studyId") && spec.contains("region") &&
+        spec.contains("credibleSetIndex"),
+        s"exchange on a narrower key than the composite: $spec\n$p")
+    }
+  }
+
+  test("q_ivf_refine: centroid assignment broadcasts centroids; refinement is one aggregation exchange") {
+    val p = plan(graft.harness.TextQueries.ivfRefine(spark, sfDir))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "centroid table must broadcast into the assignment")
+    assert(!p.contains("SortMergeJoin"), "refinement must not shuffle-join")
+  }
 }
