@@ -92,6 +92,25 @@ object TextQueries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
   }
 
+  /** Near-dup components from candidate pairs (operators/Dedup.scala
+    * connectedComponents): distributed min-label propagation over a
+    * synthetic pair graph with multi-hop chains (k ↔ k-1 inside 5-blocks)
+    * and cross-chain merges (k ↔ k-7 at k % 35 == 0), so convergence takes
+    * genuinely iterative rounds. Oracle = recursive-CTE reachability
+    * closure. Component = min id, the canonical-doc convention.
+    */
+  def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val k = col("p_partkey") % 500
+    val nodes = part(s, d).select(k.as("k")).distinct()
+    val chain = nodes
+      .filter(col("k") % 5 =!= 0)
+      .select(col("k").as("l_id"), (col("k") - 1).as("r_id"))
+    val merges = nodes
+      .filter(col("k") % 35 === 0 && col("k") > 0)
+      .select(col("k").as("l_id"), (col("k") - 7).as("r_id"))
+    Dedup.connectedComponents(chain.unionByName(merges).distinct())
+  }
+
   /** LSH-bucketed ANN top-3 for query vectors (vec_id < 50): 2 hash tables
     * (OR-amplification) x 6 planes = 64 buckets/table, sized by the
     * numPlanes ~ log2(N / bucketSize) rule for this corpus (N = 500–2,000;
@@ -274,6 +293,7 @@ object TextQueries {
     "q_minhash" -> (minhash _),
     "q_lsh_pairs" -> (lshPairs _),
     "q_near_dup" -> (nearDup _),
+    "q_dedup_components" -> (dedupComponents _),
     "q_simhash" -> (simhash _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langIdQuery _),
@@ -519,6 +539,19 @@ object TextQueries {
         |SELECT q_id, neighbor_id, round(cos_raw, 6) AS cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
         |  FROM cand) WHERE rn <= 3""".stripMargin,
+    "q_dedup_components" ->
+      """WITH RECURSIVE nodes AS (SELECT DISTINCT p_partkey % 500 AS k FROM part),
+        |chain AS (SELECT k AS l_id, k - 1 AS r_id FROM nodes WHERE k % 5 <> 0),
+        |mg AS (SELECT k AS l_id, k - 7 AS r_id FROM nodes WHERE k % 35 = 0 AND k > 0),
+        |edges AS (SELECT l_id, r_id FROM chain UNION SELECT l_id, r_id FROM mg),
+        |sym AS (SELECT l_id AS a, r_id AS b FROM edges
+        |        UNION SELECT r_id, l_id FROM edges),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+        |SELECT a AS id, CAST(least(a, min(b)) AS BIGINT) AS component
+        |FROM reach GROUP BY a""".stripMargin,
     "q_ivf_refine" ->
       """WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 23 = 0),
         |assign AS (SELECT e.vec_id, e.embedding, c.centroid_id,

@@ -106,6 +106,68 @@ object Dedup {
     inter / (size(da) + size(db) - inter).cast("double")
   }
 
+  /** Connected components over near-duplicate pairs: pair lists under-count
+    * duplication (a cluster of k near-identical docs is k·(k-1)/2 pairs);
+    * training-data dedup keeps ONE canonical doc per component.
+    *
+    * Distributed min-label propagation: labels start as the node id; each
+    * round every node takes the min label over itself and its neighbours
+    * (one equi join + one map-side-combinable min per round), stopping when
+    * a round changes nothing. Rounds = component diameter — near-dup
+    * components from LSH banding are shallow (transitive near-identity), so
+    * convergence is a handful of rounds; the `maxIterations` cap plus
+    * per-round localCheckpoint (lineage truncation, same discipline as
+    * [[OntologyClosure]]) bound the pathological-chain case. No driver-side
+    * graph ever exists, so component count and corpus size are unbounded.
+    *
+    * @param pairs (l_id, r_id) undirected candidate/verified pairs
+    * @return (id, component) — component is the minimum id in the component
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("l_id").as("src"), col("r_id").as("dst"))
+      .union(pairs.select(col("r_id").as("src"), col("l_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var comp = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIterations) {
+      val msgs = edges
+        .join(comp.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("component"))
+      val next = comp
+        .union(msgs)
+        .groupBy("id")
+        .agg(min("component").as("component"))
+        .localCheckpoint(true)
+      converged = next
+        .join(comp.withColumnRenamed("component", "prev"), Seq("id"))
+        .filter(col("component") =!= col("prev"))
+        .isEmpty
+      comp = next
+      round += 1
+    }
+    comp
+  }
+
+  /** Component-level dedup decision: every doc in a near-dup component keeps
+    * the component's minimum id as canonical; docs not in any pair are their
+    * own canonical. `keep` = "is the canonical copy".
+    */
+  def dedupByComponent(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component"))
+    docs
+      .join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("keep", col(idCol) === col("component"))
+  }
+
   /** Verify candidates with exact n-gram Jaccard; keeps all candidates with
     * their similarity so callers can threshold.
     */

@@ -128,6 +128,48 @@ object L2gModel {
     cv.fit(assembled).bestModel.asInstanceOf[GBTClassificationModel]
   }
 
+  /** Leakage-aware hierarchical train/test split
+    * (method/l2g/trainer.py:507-630 `hierarchical_split`): gold-standard
+    * rows must not leak a studyLocusId (or, transitively, a gene's loci)
+    * across the split, or evaluation scores are inflated.
+    *
+    *   1. POSITIVE rows' genes are split train/test. The reference shuffles
+    *      with sklearn's RNG; here the assignment is a deterministic
+    *      md5-hash fraction of the geneId — the same split on every run and
+    *      engine, with no driver-side gene list.
+    *   2. A studyLocusId reachable from both sides is assigned to TRAIN and
+    *      removed from test (the reference's overlap rule).
+    *   3. Negatives follow their studyLocusId.
+    *
+    * All set logic is semi-join shaped (distinct loci per side + left-semi
+    * membership), so the split runs at any corpus size.
+    *
+    * @return (train, test)
+    */
+  def hierarchicalSplit(
+      goldStandard: DataFrame,
+      testSize: Double = 0.15,
+      labelCol: String = "goldStandardSet"
+  ): (DataFrame, DataFrame) = {
+    val u = conv(substring(md5(col("geneId").cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val positives = goldStandard.filter(col(labelCol) === 1)
+    val geneSide = positives
+      .select("geneId").distinct()
+      .withColumn("inTest", u < lit(testSize))
+    val trainLoci = positives
+      .join(geneSide.filter(!col("inTest")), Seq("geneId"), "left_semi")
+      .select("studyLocusId").distinct()
+    val testLoci = positives
+      .join(geneSide.filter(col("inTest")), Seq("geneId"), "left_semi")
+      .select("studyLocusId").distinct()
+      // overlap rule: loci seen from both sides stay in train
+      .except(trainLoci)
+    (
+      goldStandard.join(trainLoci, Seq("studyLocusId"), "left_semi"),
+      goldStandard.join(testLoci, Seq("studyLocusId"), "left_semi"))
+  }
+
   /** Persist a trained model together with its feature-name contract
     * (method/l2g/model.py:230-250 save; the reference's skops artefact is
     * replaced by Spark ML native persistence, which distributes the tree

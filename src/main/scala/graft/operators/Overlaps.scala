@@ -121,4 +121,16 @@ object Overlaps {
       .withColumn("betaRatioSign", signum(col("left_beta") / col("right_beta")))
       .groupBy("leftStudyLocusId", "rightStudyLocusId", "chromosome")
       .agg(avg("betaRatioSign").as("betaRatioSignAverage"))
+
+  /** Which side a tag variant came from in an aligned overlap row
+    * (method/colocalisation.py:26-57 get_tag_variant_source): "both" when
+    * both posteriors are present, else "left"/"right".
+    */
+  def tagVariantSource(statistics: Column): Column =
+    when(
+      statistics.getField("left_posteriorProbability").isNotNull &&
+        statistics.getField("right_posteriorProbability").isNotNull,
+      lit("both"))
+      .when(statistics.getField("left_posteriorProbability").isNotNull, lit("left"))
+      .when(statistics.getField("right_posteriorProbability").isNotNull, lit("right"))
 }

@@ -28,6 +28,7 @@ object StudyLocusQc {
   val AbnormalPipsFlag =
     "Study locus with a sum of PIPs that not in the expected range [0.95,1]"
   val InvalidChromosomeFlag = "Chromosome not in 1:22, X, Y, XY or MT"
+  val NoPopulationFlag = "Study does not have population annotation to resolve LD"
 
   // CredibleSetConfidenceClasses (study_locus.py:40-60)
   val ConfidenceInSampleLd = "SuSiE fine-mapped credible set with in-sample LD"
@@ -150,6 +151,20 @@ object StudyLocusQc {
           RedundantPicsTopHitFlag))
       .drop("studiesWithPicsSumstats")
   }
+
+  /** Flag associations whose study has no LD population annotation
+    * (study_locus.py:1322-1340); a no-op when the frame does not carry
+    * `ldPopulationStructure`, exactly like the reference.
+    */
+  def qcNoPopulation(df: DataFrame): DataFrame =
+    if (!df.columns.contains("ldPopulationStructure")) df
+    else
+      df.withColumn(
+        "qualityControls",
+        GDataset.updateQualityFlag(
+          qcCol(df),
+          col("ldPopulationStructure").isNull,
+          NoPopulationFlag))
 
   /** Assign the credible-set confidence class from fine-mapping method and
     * QC flags (study_locus.py:1423-1494).

@@ -478,6 +478,24 @@ object VepParser {
       .filter(col("position").isNotNull)
   }
 
+  /** LOFTEE variant→gene assignments (dataset/variant_index.py:343-366):
+    * only LOFTEE-annotated transcripts survive; HC → high-quality pLoF true,
+    * LC → false. Shuffle-free explode + filter projection.
+    */
+  def getLoftee(variantIndex: DataFrame): DataFrame =
+    variantIndex
+      .select(col("variantId"), explode(col("transcriptConsequences")).as("tc"))
+      .filter(col("tc.lofteePrediction").isNotNull)
+      .withColumn(
+        "isHighQualityPlof",
+        when(col("tc.lofteePrediction") === "HC", lit(true))
+          .when(col("tc.lofteePrediction") === "LC", lit(false)))
+      .select(
+        col("variantId"),
+        col("tc.targetId").as("targetId"),
+        col("tc.lofteePrediction").as("lofteePrediction"),
+        col("isHighQualityPlof"))
+
   /** One row per (variant, gene): consequence terms per affected gene. */
   def geneConsequences(variants: DataFrame): DataFrame =
     variants

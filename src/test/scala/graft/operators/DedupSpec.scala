@@ -43,4 +43,32 @@ class DedupSpec extends SparkSpec {
     val j = df.select(Dedup.jaccard(col("x"), col("y")).as("j")).as[Double].head()
     assert(j === 1.0)
   }
+
+  test("connectedComponents resolves multi-hop chains, merges and cycles to min-id labels") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12 (cycle),
+    // two components bridged late: {20,21} + {22,23} via (21,22)
+    val pairs = Seq(
+      (2L, 1L), (3L, 2L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (22L, 23L), (21L, 22L)
+    ).toDF("l_id", "r_id")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("dedupByComponent keeps exactly one canonical doc per component, unpaired docs keep themselves") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id") // 9 is in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("l_id", "r_id")
+    val got = Dedup.dedupByComponent(docs, pairs)
+      .select("doc_id", "component", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 9L, true)))
+  }
 }

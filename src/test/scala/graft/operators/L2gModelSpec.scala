@@ -90,4 +90,27 @@ class L2gModelSpec extends SparkSpec {
       L2gModel.load(spark, dir, Seq("f2", "f1"))
     }
   }
+
+  test("hierarchicalSplit never leaks a studyLocusId across the split and routes negatives with their locus (trainer.py:507-630)") {
+    import spark.implicits._
+    // 40 genes × 2 loci each; positives on both loci, one negative per locus
+    val rows = for {
+      g <- 1 to 40
+      l <- 0 to 1
+      lbl <- Seq(1, 0)
+    } yield (s"G$g", s"SL${g}_$l", lbl.toDouble, g * 10.0 + l)
+    val df = rows.toDF("geneId", "studyLocusId", "goldStandardSet", "f1")
+    val (train, test) = L2gModel.hierarchicalSplit(df, testSize = 0.3)
+    val trainLoci = train.select("studyLocusId").as[String].collect().toSet
+    val testLoci = test.select("studyLocusId").as[String].collect().toSet
+    assert(trainLoci.intersect(testLoci).isEmpty, "studyLocusId leaked across the split")
+    assert(testLoci.nonEmpty && trainLoci.nonEmpty)
+    // negatives ride with their locus: per-locus row count is preserved
+    val perLocus = df.groupBy("studyLocusId").count().as[(String, Long)].collect().toMap
+    val trainCounts = train.groupBy("studyLocusId").count().as[(String, Long)].collect().toMap
+    assert(trainCounts.forall { case (l, n) => perLocus(l) == n })
+    // determinism: the same call reproduces the same split
+    val (train2, _) = L2gModel.hierarchicalSplit(df, testSize = 0.3)
+    assert(train2.select("studyLocusId").as[String].collect().toSet === trainLoci)
+  }
 }

@@ -108,6 +108,36 @@ class StudyLocusQcSpec extends SparkSpec {
     assert(got === Set(("1_100_A_C", "1"), ("2_5_G_T", "2")))
   }
 
+  test("qcNoPopulation flags null LD population structure; no-op without the column (study_locus.py:1322-1340)") {
+    val df = Seq(
+      ("L1", Some("fin")),
+      ("L2", None)
+    ).toDF("studyLocusId", "ldPopulationStructure")
+    val got = StudyLocusQc.qcNoPopulation(df)
+      .select("studyLocusId", "qualityControls")
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("L1") === Seq.empty)
+    assert(got("L2") === Seq(StudyLocusQc.NoPopulationFlag))
+    // frame without the column passes through untouched
+    val plain = Seq("L3").toDF("studyLocusId")
+    assert(StudyLocusQc.qcNoPopulation(plain).columns.toSeq === Seq("studyLocusId"))
+  }
+
+  test("tagVariantSource matches the reference doctest (colocalisation.py:26-57)") {
+    val df = Seq(
+      (Some("a"), Some("b")),
+      (None: Option[String], Some("b")),
+      (Some("a"), None: Option[String])
+    ).toDF("a", "b")
+      .select(
+        struct(
+          col("a").as("left_posteriorProbability"),
+          col("b").as("right_posteriorProbability")).as("statistics"))
+    val got = df.select(Overlaps.tagVariantSource(col("statistics")).as("source"))
+      .as[String].collect().toSeq
+    assert(got === Seq("both", "right", "left"))
+  }
+
   private implicit class MapOps(rows: Array[(String, Seq[String], String)]) {
     def toMap2: Map[String, (Seq[String], String)] =
       rows.map(r => r._1 -> ((r._2, r._3))).toMap

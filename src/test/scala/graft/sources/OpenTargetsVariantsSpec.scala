@@ -102,4 +102,20 @@ class OpenTargetsVariantsSpec extends SparkSpec {
       ("1", 100, "rs1", "A", "C"),
       ("1", 107, "rs1", "A", "C")))
   }
+
+  test("getLoftee keeps only LOFTEE-annotated transcripts; HC is high-quality pLoF (variant_index.py:343-366)") {
+    val vi = Seq(
+      ("v1", Seq(("G1", Some("HC")), ("G2", Some("LC")), ("G3", None: Option[String]))),
+      ("v2", Seq(("G4", None: Option[String])))
+    ).toDF("variantId", "raw")
+      .select(
+        col("variantId"),
+        expr("transform(raw, x -> named_struct('targetId', x._1, 'lofteePrediction', x._2))")
+          .as("transcriptConsequences"))
+    val got = VepParser.getLoftee(vi)
+      .as[(String, String, String, Boolean)].collect().toSet
+    assert(got === Set(
+      ("v1", "G1", "HC", true),
+      ("v1", "G2", "LC", false)))
+  }
 }
