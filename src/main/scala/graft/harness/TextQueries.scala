@@ -3,7 +3,7 @@ package graft.harness
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Similarity, TextOps, TextPipeline}
 
 /** Oracle-checked queries for the LLM-training-data-pipeline operators:
   * near-dedup (MinHash/LSH, SimHash, Jaccard), similarity search (exact and
@@ -91,6 +91,40 @@ object TextQueries {
     val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
   }
+
+  /** Paragraph-level exact dedup (operators/TextPipeline.paragraphDedup):
+    * documents are augmented with two synthetic paragraphs — one shared
+    * across every doc_id % 20 class (heavily duplicated) and one shared per
+    * doc_id % 7 class — so the corpus-wide keep-first rule does real work.
+    * Output is hashed (md5 + length) to keep the compare frame small.
+    */
+  def paraDedup(s: SparkSession, d: String): DataFrame = {
+    val mp = docsParallel(s, d).select(
+      col("doc_id"),
+      concat_ws(
+        "\n\n",
+        col("text"),
+        concat(lit("shared fragment "), (col("doc_id") % 20).cast("string")),
+        concat(lit("tail "), (col("doc_id") % 7).cast("string"))).as("text"))
+    TextPipeline.paragraphDedup(mp)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("text_md5"),
+        length(col("text")).as("text_len"))
+  }
+
+  /** Token-budget source mixing (operators/TextPipeline.sampleToTokenBudget):
+    * per-source keep fractions min(1, budget/available) computed
+    * relationally, then the deterministic md5 keep rule. src0's budget
+    * exceeds its corpus (fraction 1), src1 keeps a slice, src2 almost
+    * nothing.
+    */
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    TextPipeline
+      .sampleToTokenBudget(
+        docsParallel(s, d),
+        Map("src0" -> 100000L, "src1" -> 2000L, "src2" -> 50L))
+      .select(col("doc_id"), col("source"))
 
   /** Near-dup components from candidate pairs (operators/Dedup.scala
     * connectedComponents): distributed min-label propagation over a
@@ -294,6 +328,8 @@ object TextQueries {
     "q_lsh_pairs" -> (lshPairs _),
     "q_near_dup" -> (nearDup _),
     "q_dedup_components" -> (dedupComponents _),
+    "q_para_dedup" -> (paraDedup _),
+    "q_token_budget" -> (tokenBudget _),
     "q_simhash" -> (simhash _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langIdQuery _),
@@ -539,6 +575,37 @@ object TextQueries {
         |SELECT q_id, neighbor_id, round(cos_raw, 6) AS cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
         |  FROM cand) WHERE rn <= 3""".stripMargin,
+    "q_para_dedup" ->
+      """WITH mp AS (SELECT doc_id,
+        |    text || chr(10) || chr(10) || 'shared fragment ' || CAST(doc_id % 20 AS VARCHAR)
+        |      || chr(10) || chr(10) || 'tail ' || CAST(doc_id % 7 AS VARCHAR) AS text
+        |  FROM documents),
+        |sp AS (SELECT doc_id, str_split(text, chr(10) || chr(10)) AS parts FROM mp),
+        |paras AS (SELECT doc_id,
+        |    CAST(generate_subscripts(parts, 1) AS INTEGER) AS pos,
+        |    unnest(parts) AS para
+        |  FROM sp),
+        |keep AS (SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM paras WHERE length(trim(para)) > 0),
+        |agg AS (SELECT doc_id,
+        |    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+        |  FROM keep WHERE rn = 1 GROUP BY doc_id)
+        |SELECT m.doc_id,
+        |  md5(coalesce(a.text, '')) AS text_md5,
+        |  CAST(length(coalesce(a.text, '')) AS INTEGER) AS text_len
+        |FROM mp m LEFT JOIN agg a ON m.doc_id = a.doc_id""".stripMargin,
+    "q_token_budget" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n FROM documents),
+        |avail AS (SELECT source, CAST(sum(n) AS DOUBLE) AS avail
+        |  FROM toks GROUP BY source),
+        |f AS (SELECT a.source, least(1.0, b.budget / a.avail) AS frac
+        |  FROM avail a JOIN (VALUES ('src0', 100000.0), ('src1', 2000.0),
+        |    ('src2', 50.0)) b(source, budget) ON a.source = b.source)
+        |SELECT t.doc_id, t.source FROM toks t JOIN f ON t.source = f.source
+        |WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) / 4294967296.0 < f.frac""".stripMargin,
     "q_dedup_components" ->
       """WITH RECURSIVE nodes AS (SELECT DISTINCT p_partkey % 500 AS k FROM part),
         |chain AS (SELECT k AS l_id, k - 1 AS r_id FROM nodes WHERE k % 5 <> 0),

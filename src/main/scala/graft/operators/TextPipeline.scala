@@ -123,6 +123,78 @@ object TextPipeline {
       .drop("q_ok", "l_ok", "r_ok", "is_exact_dup", "is_near_dup")
   }
 
+  /** Paragraph-level exact dedup, the sub-document granularity C4 applies
+    * (C4 dedups three-sentence spans; the unit here is a paragraph =
+    * blank-line-separated block): explode paragraphs with their in-document
+    * position, keep the corpus-wide FIRST occurrence of each distinct
+    * paragraph (ordered by (docId, position) — deterministic), and
+    * reassemble each document from its surviving paragraphs in order.
+    * Documents whose every paragraph was seen earlier come back with empty
+    * text (callers typically drop them with a length gate).
+    *
+    * Scale shape: one shuffle on the paragraph hash (the window), one on
+    * docId (the reassembly groupBy); paragraphs are the exploded unit so
+    * skew follows paragraph duplication, which is exactly what the
+    * keep-first window absorbs.
+    */
+  def paragraphDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n\n")).as(Seq("pos", "para")))
+      .filter(length(trim(col("para"))) > 0)
+    val w = Window.partitionBy(md5(col("para"))).orderBy(col(idCol), col("pos"))
+    val kept = paras
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("para")))).as("ps"))
+      .select(
+        col(idCol),
+        concat_ws("\n\n", expr("transform(ps, x -> x.para)")).as(textCol))
+    docs
+      .select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+  }
+
+  /** Token-budget source mixing: given a per-source token budget, derive
+    * each source's keep fraction `min(1, budget / available)` RELATIONALLY
+    * (one aggregation over the corpus — no driver-side math) and apply the
+    * same deterministic md5-hash keep rule as [[stratifiedSample]]. This is
+    * the "hit the target mixture" step of a training-data pipeline: budgets
+    * come from the desired token counts per domain. Sources without a
+    * budget row are dropped, matching `sampleBy` semantics. Expected kept
+    * tokens per source ≈ min(budget, available); exactness is bounded by
+    * document granularity, which is inherent to whole-document sampling.
+    */
+  def sampleToTokenBudget(
+      docs: DataFrame,
+      budgets: Map[String, Long],
+      keyCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.withColumn("_n_tokens", size(TextOps.tokenize(col(textCol))))
+    val fracs = toks
+      .groupBy(col(keyCol))
+      .agg(sum(col("_n_tokens")).as("_available"))
+      .join(broadcast(budgets.toSeq.toDF(keyCol, "_budget")), Seq(keyCol))
+      .select(
+        col(keyCol),
+        least(lit(1.0), col("_budget") / col("_available")).as("_fraction"))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    toks
+      .join(broadcast(fracs), Seq(keyCol), "inner")
+      .filter(u < col("_fraction"))
+      .drop("_fraction", "_n_tokens")
+  }
+
   /** Deterministic stratified source mixing: keep each document with its
     * stratum's fraction, decided by a hash of the document id rather than a
     * RNG — reproducible run-to-run, engine-independent (md5), shuffle-free

@@ -82,4 +82,37 @@ class TextPipelineSpec extends SparkSpec {
     assert(out(7L) === Some("quality"))
     assert(out(8L) === Some("quality"))
   }
+
+  test("paragraphDedup keeps the corpus-wide first occurrence and reassembles in order") {
+    val docs = Seq(
+      (1L, "alpha\n\nshared\n\nomega"),
+      (2L, "shared\n\nbeta"), // "shared" already seen in doc 1
+      (3L, "shared") // every paragraph duplicated → empty text
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.paragraphDedup(docs)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "alpha\n\nshared\n\nomega")
+    assert(got(2L) === "beta")
+    assert(got(3L) === "")
+  }
+
+  test("sampleToTokenBudget computes min(1, budget/available) fractions relationally") {
+    val docs = (1 to 100).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      (i.toLong, src, "tok " * 10 + "end") // 11 tokens each
+    }.toDF("doc_id", "source", "text")
+    // a: 550 tokens available, budget 10000 → fraction 1 (all 50 docs kept)
+    // b: 550 available, budget 110 → fraction 0.2 (≈10 docs expected)
+    // c: no budget row → dropped entirely
+    val got = TextPipeline.sampleToTokenBudget(docs, Map("a" -> 10000L, "b" -> 110L))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(got("a") === 50L)
+    assert(got.getOrElse("c", 0L) === 0L)
+    val bKept = got.getOrElse("b", 0L)
+    assert(bKept > 0 && bKept < 50, s"expected a strict subset of b, got $bKept")
+    // determinism
+    val again = TextPipeline.sampleToTokenBudget(docs, Map("a" -> 10000L, "b" -> 110L))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(again === got)
+  }
 }
