@@ -110,15 +110,16 @@ object Dedup {
     * duplication (a cluster of k near-identical docs is k·(k-1)/2 pairs);
     * training-data dedup keeps ONE canonical doc per component.
     *
-    * Distributed min-label propagation: labels start as the node id; each
-    * round every node takes the min label over itself and its neighbours
-    * (one equi join + one map-side-combinable min per round), stopping when
-    * a round changes nothing. Rounds = component diameter — near-dup
-    * components from LSH banding are shallow (transitive near-identity), so
-    * convergence is a handful of rounds; the `maxIterations` cap plus
-    * per-round localCheckpoint (lineage truncation, same discipline as
-    * [[OntologyClosure]]) bound the pathological-chain case. No driver-side
-    * graph ever exists, so component count and corpus size are unbounded.
+    * Distributed min-label propagation with pointer jumping: labels start
+    * as the node id; each round every node takes the min label over itself
+    * and its neighbours, then follows its label one hop (label-of-label —
+    * path compression), so label information travels a DOUBLING horizon and
+    * convergence is O(log diameter) rounds instead of O(diameter). Each
+    * round is two equi joins + one map-side-combinable min; iteration stops
+    * when a round changes nothing. The `maxIterations` cap plus per-round
+    * localCheckpoint (lineage truncation, same discipline as
+    * [[OntologyClosure]]) bound the pathological case. No driver-side graph
+    * ever exists, so component count and corpus size are unbounded.
     *
     * @param pairs (l_id, r_id) undirected candidate/verified pairs
     * @return (id, component) — component is the minimum id in the component
@@ -134,21 +135,38 @@ object Dedup {
       .distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // Labels are monotone non-increasing per node, so the label sum strictly
+    // decreases on any change: an unchanged sum IS the fixpoint. One cheap
+    // aggregate per round instead of a change-detection join.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(comp)
     var converged = false
     var round = 0
     while (!converged && round < maxIterations) {
       val msgs = edges
         .join(comp.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("component"))
-      val next = comp
+      val propagated = comp
         .union(msgs)
         .groupBy("id")
         .agg(min("component").as("component"))
+      // pointer jumping: adopt the label's own label when it is smaller
+      // (labels are always node ids, so the self-join hits)
+      val next = propagated
+        .join(
+          propagated.select(
+            col("id").as("component"), col("component").as("_cc")),
+          Seq("component"),
+          "left")
+        .select(
+          col("id"),
+          least(col("component"), coalesce(col("_cc"), col("component")))
+            .as("component"))
         .localCheckpoint(true)
-      converged = next
-        .join(comp.withColumnRenamed("component", "prev"), Seq("id"))
-        .filter(col("component") =!= col("prev"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       comp = next
       round += 1
     }
