@@ -32,6 +32,19 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Cosine from a pairwise dot and PRE-COMPUTED per-side norms. The
+    * interpreted HOF dot product is the unit of cost in every pairwise
+    * kernel; [[cosine]] evaluates three of them per pair (a·b, a·a, b·b),
+    * while norms are per-VECTOR quantities — computing them once in the
+    * projection before the join cuts pairwise HOF work 3×. Bit-identical to
+    * [[cosine]]: same expressions, same evaluation order, just hoisted.
+    */
+  def cosineWithNorms(dotAb: Column, normA: Column, normB: Column): Column =
+    dotAb / (normA * normB)
+
+  /** sqrt(v·v) — hoist this per side before any pairwise join. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
   /** Exact top-k neighbours for each query vector (excluding self), ranked
     * by cosine desc with id tiebreak.
     */
@@ -42,12 +55,16 @@ object Similarity {
   ): DataFrame = {
     val q = queries.select(
       col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
     val c = corpus.select(
       col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("c_emb"))
+      .withColumn("c_norm", norm(col("c_emb")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("cos_raw", cosine(col("q_emb"), col("c_emb")))
+      .withColumn(
+        "cos_raw",
+        cosineWithNorms(dot(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("neighbor_id"), round(col("cos_raw"), 6).as("cos"))
@@ -127,13 +144,18 @@ object Similarity {
     * degenerates to quadratic within-cell joins at scale.
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val c = broadcast(centroids.select(
-      col("centroid_id"), asDouble(col("embedding")).as("c_emb")))
-    val v = vectors.select(
-      col("vec_id"), col("embedding"), asDouble(col("embedding")).as("v_emb"))
+    val c = broadcast(
+      centroids
+        .select(col("centroid_id"), asDouble(col("embedding")).as("c_emb"))
+        .withColumn("c_norm", norm(col("c_emb"))))
+    val v = vectors
+      .select(col("vec_id"), col("embedding"), asDouble(col("embedding")).as("v_emb"))
+      .withColumn("v_norm", norm(col("v_emb")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("centroid_id").asc)
     v.crossJoin(c)
-      .withColumn("c_cos", cosine(col("v_emb"), col("c_emb")))
+      .withColumn(
+        "c_cos",
+        cosineWithNorms(dot(col("v_emb"), col("c_emb")), col("v_norm"), col("c_norm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("centroid_id").as("bucket"))
@@ -171,11 +193,15 @@ object Similarity {
   def embeddingNearDupPairs(bucketed: DataFrame, threshold: Double): DataFrame = {
     val a = bucketed.select(
       col("vec_id").as("l_id"), asDouble(col("embedding")).as("l_emb"), col("bucket"))
+      .withColumn("l_norm", norm(col("l_emb")))
     val b = bucketed.select(
       col("vec_id").as("r_id"), asDouble(col("embedding")).as("r_emb"), col("bucket"))
+      .withColumn("r_norm", norm(col("r_emb")))
     a.join(b, Seq("bucket"))
       .filter(col("l_id") < col("r_id"))
-      .withColumn("cos_raw", cosine(col("l_emb"), col("r_emb")))
+      .withColumn(
+        "cos_raw",
+        cosineWithNorms(dot(col("l_emb"), col("r_emb")), col("l_norm"), col("r_norm")))
       .filter(col("cos_raw") >= threshold)
       .select(col("l_id"), col("r_id"), round(col("cos_raw"), 6).as("cos"))
   }
@@ -192,10 +218,19 @@ object Similarity {
       .filter(col("l_id") < col("r_id"))
       .select(col("l_id"), col("r_id"))
       .distinct()
+    val sided = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
     cand
-      .join(emb.select(col("vec_id").as("l_id"), asDouble(col("embedding")).as("l_emb")), Seq("l_id"))
-      .join(emb.select(col("vec_id").as("r_id"), asDouble(col("embedding")).as("r_emb")), Seq("r_id"))
-      .withColumn("cos_raw", cosine(col("l_emb"), col("r_emb")))
+      .join(
+        sided.select(col("vec_id").as("l_id"), col("emb").as("l_emb"), col("nrm").as("l_norm")),
+        Seq("l_id"))
+      .join(
+        sided.select(col("vec_id").as("r_id"), col("emb").as("r_emb"), col("nrm").as("r_norm")),
+        Seq("r_id"))
+      .withColumn(
+        "cos_raw",
+        cosineWithNorms(dot(col("l_emb"), col("r_emb")), col("l_norm"), col("r_norm")))
       .filter(col("cos_raw") >= threshold)
       .select(col("l_id"), col("r_id"), round(col("cos_raw"), 6).as("cos"))
   }
@@ -219,12 +254,20 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"))
       .distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    val sided = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
     cand
-      .join(emb.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb")), Seq("q_id"))
       .join(
-        emb.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("c_emb")),
+        sided.select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_norm")),
+        Seq("q_id"))
+      .join(
+        sided.select(
+          col("vec_id").as("neighbor_id"), col("emb").as("c_emb"), col("nrm").as("c_norm")),
         Seq("neighbor_id"))
-      .withColumn("cos_raw", cosine(col("q_emb"), col("c_emb")))
+      .withColumn(
+        "cos_raw",
+        cosineWithNorms(dot(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("neighbor_id"), round(col("cos_raw"), 6).as("cos"))
@@ -240,12 +283,16 @@ object Similarity {
   ): DataFrame = {
     val q = bucketed.filter(queryPredicate).select(
       col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"), col("bucket"))
+      .withColumn("q_norm", norm(col("q_emb")))
     val c = bucketed.select(
       col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("c_emb"), col("bucket"))
+      .withColumn("c_norm", norm(col("c_emb")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("neighbor_id").asc)
     c.join(q, Seq("bucket"))
       .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("cos_raw", cosine(col("q_emb"), col("c_emb")))
+      .withColumn(
+        "cos_raw",
+        cosineWithNorms(dot(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("neighbor_id"), round(col("cos_raw"), 6).as("cos"))

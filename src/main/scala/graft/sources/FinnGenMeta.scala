@@ -141,12 +141,18 @@ object FinnGenMeta {
     * appended to one studyId-partitioned parquet dataset
     * (summary_statistics.py:149-299 `bgzip_to_parquet`/`process_one`).
     *
-    * Files are processed as `parallelism` concurrent Spark jobs (the
-    * reference's ThreadPoolExecutor, capped at 32 like its N_THREAD_MAX) —
-    * per-file inference is unavoidable because bulk `inferSchema` samples
-    * files and drops columns, and `enforceSchema` aligns positionally
-    * (summary_statistics.py:178-193). Each file's write is clustered by
-    * (#CHR, POS) so downstream readers get chromosome-contiguous row groups.
+    * Per-file schema INFERENCE (an eager scan, the expensive driver-blocking
+    * step) runs as `parallelism` concurrent jobs — the reference's
+    * ThreadPoolExecutor, capped at 32 like its N_THREAD_MAX; per-file
+    * inference is unavoidable because bulk `inferSchema` samples files and
+    * drops columns, and `enforceSchema` aligns positionally
+    * (summary_statistics.py:178-193). The COMMITS are serialised: the
+    * reference appends to one path from all threads at once, which races
+    * the Hadoop committer's shared `_temporary/0` staging dir (one job's
+    * commit deletes the dir another is still writing) — each write here is
+    * still a fully parallel cluster job, only the job-level commit is
+    * sequential. Each file's output is clustered by (#CHR, POS) so
+    * downstream readers get chromosome-contiguous row groups.
     */
   def schemaSupersetToParquet(
       spark: SparkSession,
@@ -164,7 +170,7 @@ object FinnGenMeta {
     val pool = Executors.newFixedThreadPool(threads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val jobs = summaryStatisticsFiles.map { path =>
+      val aligned = summaryStatisticsFiles.map { path =>
         Future {
           val raw = spark.read
             .option("header", "true")
@@ -180,13 +186,15 @@ object FinnGenMeta {
                 extractStudyPhenotypeFromPath(input_file_name())))
             .repartitionByRange(outputPartitions, col("#CHR"), col("POS"))
             .sortWithinPartitions("#CHR", "POS")
-            .write
-            .mode("append")
-            .partitionBy("studyId")
-            .parquet(outputPath)
         }
       }
-      Await.result(Future.sequence(jobs), Duration.Inf)
+      Await
+        .result(Future.sequence(aligned), Duration.Inf)
+        .foreach(
+          _.write
+            .mode("append")
+            .partitionBy("studyId")
+            .parquet(outputPath))
     } finally pool.shutdown()
   }
 
