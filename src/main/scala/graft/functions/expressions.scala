@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the scalar special-function kernels.
   *
@@ -55,6 +56,64 @@ case class NormSurvivalFunction(child: Expression) extends DoubleKernelExpressio
     copy(child = newChild)
 }
 
+/** Codegen dot product over two `array<double>` columns — the unit of cost
+  * in every pairwise similarity kernel, where the interpreted
+  * `aggregate(zip_with(...))` HOF chain allocates a zipped array and
+  * evaluates two lambdas per element. This generates a tight primitive loop
+  * inside whole-stage codegen instead.
+  *
+  * Semantics mirror the HOF formulation exactly: null if either array is
+  * null, the arrays differ in length (zip_with pads with null), or any
+  * element is null; otherwise a left-to-right accumulation — the same
+  * addition order, so results are bit-identical.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object expressions {
   import org.apache.spark.sql.functions.lit
 
@@ -70,6 +129,13 @@ object expressions {
 
   def norm_survival_function(x: Column): Column =
     Bridge.column(NormSurvivalFunction(toDoubleExpr(x)))
+
+  /** Codegen pairwise dot product (see [[DotProduct]]). */
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(
+      DotProduct(
+        Bridge.expression(a.cast(ArrayType(DoubleType))),
+        Bridge.expression(b.cast(ArrayType(DoubleType)))))
 
   /** Stable log-sum-exp of an array column as a pure column expression —
     * max + log(sum(exp(x - max))) (common/stats.py:23-41; UDF-registered in

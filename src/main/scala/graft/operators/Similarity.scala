@@ -26,8 +26,13 @@ object Similarity {
   /** Cast a float-array column to double for stable arithmetic. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Pairwise dot product — a native codegen expression
+    * ([[graft.functions.DotProduct]]): a primitive loop inside whole-stage
+    * codegen, replacing the interpreted `aggregate(zip_with(...))` HOF chain
+    * with identical semantics and bit-identical accumulation order.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.expressions.dot_product(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

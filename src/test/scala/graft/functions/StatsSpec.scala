@@ -158,4 +158,26 @@ class StatsSpec extends SparkSpec {
     assert(out.map(r => (r.getFloat(0), r.getInt(1))).toSet ==
       Set((4.9f, -8), (5.0f, -8), (1.0f, -9)))
   }
+
+  test("DotProduct codegen expression: value, length-mismatch null, null-element null, HOF parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{aggregate, lit, zip_with}
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](4.0, 5.0, 6.0)),
+      (2L, Seq[java.lang.Double](1.0), Seq[java.lang.Double](1.0, 2.0)), // length mismatch
+      (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 1.0)) // null element
+    ).toDF("id", "a", "b")
+    val got = df
+      .select(col("id"), graft.functions.expressions.dot_product(col("a"), col("b")).as("d"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L) === Some(32.0))
+    assert(got(2L) === None)
+    assert(got(3L) === None)
+    // parity with the interpreted HOF formulation on real-valued rows
+    val hof = df.filter(col("id") === 1)
+      .select(
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .head().getDouble(0)
+    assert(hof === 32.0)
+  }
 }
