@@ -114,6 +114,82 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Codegen stable log-sum-exp over an `array<double>` column — the kernel
+  * inside every coloc posterior (evaluated once per overlap pair). Mirrors
+  * the HOF formulation bit-for-bit: max over non-null elements, then
+  * `max + log(Σ exp(x - max))` accumulated left-to-right; all-(-Inf) arrays
+  * return -Inf; null array, empty array, or any null element → null (the
+  * HOF's `aggregate` propagates element nulls, `array_max` of empty is
+  * null).
+  */
+case class LogSumExp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) null
+    else {
+      var i = 0
+      var mx = Double.NegativeInfinity
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        val v = arr.getDouble(i)
+        if (v > mx) mx = v
+        i += 1
+      }
+      if (mx == Double.NegativeInfinity) Double.NegativeInfinity
+      else {
+        var acc = 0.0
+        i = 0
+        while (i < n) {
+          acc += math.exp(arr.getDouble(i) - mx)
+          i += 1
+        }
+        mx + math.log(acc)
+      }
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val mx = ctx.freshName("mx")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $mx = Double.NEGATIVE_INFINITY;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $v = $a.getDouble($i);
+         |    if ($v > $mx) { $mx = $v; }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    if ($mx == Double.NEGATIVE_INFINITY) {
+         |      ${ev.value} = Double.NEGATIVE_INFINITY;
+         |    } else {
+         |      double $acc = 0.0;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        $acc += java.lang.Math.exp($a.getDouble($i) - $mx);
+         |      }
+         |      ${ev.value} = $mx + java.lang.Math.log($acc);
+         |    }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object expressions {
   import org.apache.spark.sql.functions.lit
 
@@ -137,18 +213,12 @@ object expressions {
         Bridge.expression(a.cast(ArrayType(DoubleType))),
         Bridge.expression(b.cast(ArrayType(DoubleType)))))
 
-  /** Stable log-sum-exp of an array column as a pure column expression —
-    * max + log(sum(exp(x - max))) (common/stats.py:23-41; UDF-registered in
-    * the reference at method/colocalisation.py:278, here codegen-native).
+  /** Stable log-sum-exp of an array column — max + log(sum(exp(x - max)))
+    * (common/stats.py:23-41; UDF-registered in the reference at
+    * method/colocalisation.py:278). A native codegen expression
+    * ([[LogSumExp]]); the earlier interpreted HOF formulation evaluated two
+    * lambdas per element per row on the coloc hot path.
     */
-  def logsumexp(arr: Column): Column = {
-    import org.apache.spark.sql.functions._
-    val mx = array_max(arr)
-    // All-(-Inf) arrays would otherwise yield exp(-Inf - -Inf) = NaN; match
-    // the scalar kernel (SpecialMath.logsum) and return -Inf.
-    when(mx === lit(Double.NegativeInfinity), lit(Double.NegativeInfinity))
-      .otherwise(
-        mx + log(aggregate(transform(arr, x => exp(x - mx)), lit(0.0), (acc, x) => acc + x))
-      )
-  }
+  def logsumexp(arr: Column): Column =
+    Bridge.column(LogSumExp(Bridge.expression(arr.cast(ArrayType(DoubleType)))))
 }
