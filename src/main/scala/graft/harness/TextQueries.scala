@@ -126,6 +126,29 @@ object TextQueries {
         Map("src0" -> 100000L, "src1" -> 2000L, "src2" -> 50L))
       .select(col("doc_id"), col("source"))
 
+  /** Token-level blocklist gate (operators/TextOps.blocklistFlags):
+    * arrays_overlap-style membership against a literal term array,
+    * shuffle-free; matched terms surfaced sorted for audit.
+    */
+  def blocklist(s: SparkSession, d: String): DataFrame =
+    TextOps
+      .blocklistFlags(docsParallel(s, d), Seq("the", "quantum", "xylophone"))
+      .select(
+        col("doc_id"),
+        col("blocked"),
+        array_join(col("matched_terms"), "|").as("matched"))
+
+  /** Context-window chunking (operators/TextOps.chunkTokens): 64-token
+    * windows advancing by 48 (16-token overlap), final partial window kept.
+    * Chunk text is md5'd for the compare frame.
+    */
+  def chunk(s: SparkSession, d: String): DataFrame =
+    TextOps
+      .chunkTokens(docsParallel(s, d), window = 64, stride = 48)
+      .select(
+        col("doc_id"), col("chunk_no"), col("n_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+
   /** Near-dup components from candidate pairs (operators/Dedup.scala
     * connectedComponents): distributed min-label propagation over a
     * synthetic pair graph with multi-hop chains (k ↔ k-1 inside 5-blocks)
@@ -330,6 +353,8 @@ object TextQueries {
     "q_dedup_components" -> (dedupComponents _),
     "q_para_dedup" -> (paraDedup _),
     "q_token_budget" -> (tokenBudget _),
+    "q_blocklist" -> (blocklist _),
+    "q_chunk" -> (chunk _),
     "q_simhash" -> (simhash _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langIdQuery _),
@@ -575,6 +600,28 @@ object TextQueries {
         |SELECT q_id, neighbor_id, round(cos_raw, 6) AS cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
         |  FROM cand) WHERE rn <= 3""".stripMargin,
+    "q_blocklist" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> lower(t)) AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    list_sort(list_distinct(list_filter(toks,
+        |      t -> list_contains(['the', 'quantum', 'xylophone'], t)))) AS mt
+        |  FROM tok)
+        |SELECT doc_id, len(mt) > 0 AS blocked,
+        |  coalesce(array_to_string(mt, '|'), '') AS matched
+        |FROM m""".stripMargin,
+    "q_chunk" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |nz AS (SELECT * FROM tok WHERE len(toks) > 0),
+        |st AS (SELECT doc_id, toks,
+        |    unnest(range(0, len(toks), 48)) AS strt FROM nz)
+        |SELECT doc_id, CAST(strt / 48 AS INTEGER) AS chunk_no,
+        |  CAST(len(toks[strt+1 : strt+64]) AS INTEGER) AS n_tokens,
+        |  md5(array_to_string(toks[strt+1 : strt+64], ' ')) AS chunk_md5
+        |FROM st""".stripMargin,
     "q_para_dedup" ->
       """WITH mp AS (SELECT doc_id,
         |    text || chr(10) || chr(10) || 'shared fragment ' || CAST(doc_id % 20 AS VARCHAR)

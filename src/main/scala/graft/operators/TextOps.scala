@@ -224,6 +224,52 @@ object TextOps {
     * Returns the input's columns minus `text`, plus `n_grams`, `n_matched`
     * and `contamination` (matched fraction, 0 for gram-less docs).
     */
+  /** Token-level blocklist gate (the C4 "bad words" filter): a document is
+    * flagged when any token (lowercased) is in the blocklist. Token-set
+    * membership via `arrays_overlap` against a literal array — shuffle-free
+    * codegen projection, no regex scan over the raw text, no join (the
+    * blocklist is a bounded curated list that fits in the plan itself).
+    * Returns `blocked` plus the matched terms for audit.
+    */
+  def blocklistFlags(docs: DataFrame, blocklist: Seq[String], textCol: String = "text"): DataFrame = {
+    val terms = array(blocklist.map(t => lit(t.toLowerCase)): _*)
+    val toks = transform(tokenize(col(textCol)), t => lower(t))
+    docs
+      .withColumn("matched_terms", array_sort(array_distinct(array_intersect(toks, terms))))
+      .withColumn("blocked", size(col("matched_terms")) > 0)
+  }
+
+  /** Context-window chunking: split each document's token stream into
+    * training windows of `window` tokens advancing by `stride` (overlap =
+    * window - stride), one output row per chunk with its token count and
+    * re-joined text. The final partial window is kept (training pipelines
+    * pad it); empty documents yield no rows. Pure explode-of-slices
+    * projection — shuffle-free, the chunk fan-out is the only row growth.
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      window: Int,
+      stride: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive: $window/$stride")
+    val toks = tokenize(col(textCol))
+    docs
+      .withColumn("_toks", toks)
+      .filter(size(col("_toks")) > 0)
+      .withColumn(
+        "_start",
+        explode(sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0)), lit(stride))))
+      .withColumn("chunk_no", (col("_start") / stride).cast("int"))
+      .withColumn("chunk_toks", slice(col("_toks"), col("_start") + 1, lit(window)))
+      .select(
+        col(idCol),
+        col("chunk_no"),
+        size(col("chunk_toks")).as("n_tokens"),
+        concat_ws(" ", col("chunk_toks")).as("chunk_text"))
+  }
+
   def contaminationScores(docs: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
     val withGrams = docs
       .withColumn("grams", array_distinct(shingles(tokenize(col("text")), n)))

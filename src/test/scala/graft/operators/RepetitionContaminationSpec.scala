@@ -91,4 +91,33 @@ class RepetitionContaminationSpec extends SparkSpec {
       .as[(Long, String, Int, Double)].head()
     assert(row === ((7L, "keep-me", 0, 0.0)))
   }
+
+  test("blocklistFlags matches case-insensitively and reports sorted distinct terms") {
+    val docs = Seq(
+      (1L, "The QUANTUM leap and the quantum fox"),
+      (2L, "perfectly clean prose")
+    ).toDF("doc_id", "text")
+    val got = TextOps.blocklistFlags(docs, Seq("Quantum", "THE"))
+      .select("doc_id", "blocked", "matched_terms")
+      .as[(Long, Boolean, Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((true, Seq("quantum", "the"))))
+    assert(got(2L) === ((false, Seq.empty)))
+  }
+
+  test("chunkTokens windows overlap by window-stride and keep the final partial chunk") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(docs, window = 4, stride = 3)
+      .select("doc_id", "chunk_no", "n_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+    // starts 0,3,6,9 → windows [1..4],[4..7],[7..10],[10]; the "" doc
+    // tokenizes to a single empty token (split semantics shared with every
+    // oracle) → one 1-token chunk
+    assert(got.toSeq === Seq(
+      (1L, 0, 4, "t1 t2 t3 t4"),
+      (1L, 1, 4, "t4 t5 t6 t7"),
+      (1L, 2, 4, "t7 t8 t9 t10"),
+      (1L, 3, 1, "t10"),
+      (2L, 0, 1, "")))
+  }
 }
