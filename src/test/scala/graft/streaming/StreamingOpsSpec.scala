@@ -148,6 +148,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("blocklist and chunking run unchanged on a document stream (stateless projections)") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = TextOps.chunkTokens(TextOps.blocklistFlags(docs, Seq("bad")).filter(!col("blocked")),
+      window = 3, stride = 3)
+      .writeStream.format("memory").queryName("chunk_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    input.addData((1L, "one two three four"), (2L, "very bad words here"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT doc_id, chunk_no, n_tokens FROM chunk_out")
+      .as[(Long, Int, Int)].collect().sorted
+    // doc 2 blocked upstream; doc 1 → two chunks (3 + 1 tokens)
+    assert(out.toSeq === Seq((1L, 0, 3), (1L, 1, 1)))
+  }
+
   test("near-dup state TTL: timed-out buckets are evicted and set no new timer") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
