@@ -129,4 +129,44 @@ class KernelPropertiesSpec extends SparkSpec {
       .as[(Double, Double)].head()
     assert(rep === ((0.8, 1.0))) // 5 bigrams, 1 distinct → 1 - 1/5
   }
+
+  test("codegen DotProduct is bit-identical to the interpreted HOF formulation on random vectors") {
+    import spark.implicits._
+    val gen = Gen.listOfN(
+      300,
+      Gen.zip(
+        Gen.listOfN(16, Gen.choose(-1e3, 1e3)),
+        Gen.listOfN(16, Gen.choose(-1e3, 1e3))))
+    val rows = gen.sample.get.map { case (a, b) => (a, b) }
+    val out = rows.toDF("a", "b")
+      .select(
+        expressions.dot_product(col("a"), col("b")).as("cg"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          .as("hof"))
+      .as[(Double, Double)].collect()
+    assert(out.nonEmpty)
+    // bit-identical, not approximately equal: same accumulation order
+    assert(out.forall { case (cg, hof) =>
+      java.lang.Double.doubleToLongBits(cg) == java.lang.Double.doubleToLongBits(hof)
+    })
+  }
+
+  test("codegen LogSumExp is bit-identical to the interpreted HOF formulation on random arrays") {
+    import spark.implicits._
+    val gen = Gen.listOfN(300, Gen.listOfN(12, Gen.choose(-50.0, 50.0)))
+    val rows = gen.sample.get :+ List.fill(3)(Double.NegativeInfinity)
+    val hofLse = {
+      val arr = col("a")
+      val mx = array_max(arr)
+      when(mx === lit(Double.NegativeInfinity), lit(Double.NegativeInfinity))
+        .otherwise(
+          mx + log(aggregate(transform(arr, x => exp(x - mx)), lit(0.0), (acc, x) => acc + x)))
+    }
+    val out = rows.toDF("a")
+      .select(expressions.logsumexp(col("a")).as("cg"), hofLse.as("hof"))
+      .as[(Double, Double)].collect()
+    assert(out.forall { case (cg, hof) =>
+      java.lang.Double.doubleToLongBits(cg) == java.lang.Double.doubleToLongBits(hof)
+    })
+  }
 }
