@@ -157,6 +157,7 @@ object GSession {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

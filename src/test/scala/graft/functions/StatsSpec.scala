@@ -159,6 +159,19 @@ class StatsSpec extends SparkSpec {
       Set((4.9f, -8), (5.0f, -8), (1.0f, -9)))
   }
 
+  test("GraftExtensions registers the codegen kernels as SQL functions") {
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  round(logsumexp(array(0.0D, 0.0D)), 9) AS lse,
+        |  round(chi2_survival(3.841458820694124D), 6) AS p,
+        |  round(norm_survival(0.0D), 6) AS ns
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === math.rint(math.log(2.0) * 1e9) / 1e9)
+    assert(r.getDouble(2) === 0.05)
+    assert(r.getDouble(3) === 0.5)
+  }
+
   test("DotProduct codegen expression: value, length-mismatch null, null-element null, HOF parity") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{aggregate, lit, zip_with}
