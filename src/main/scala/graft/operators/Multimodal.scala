@@ -88,6 +88,41 @@ object Multimodal {
         (16 + n % 64, 16 + (n * 7) % 64, 3)
       }
 
+    /** WAV (RIFF/WAVE, PCM): walk the chunk list for `fmt ` (channels at
+      * +2, sample rate at +4, bits-per-sample at +14) and `data` (payload
+      * size → frame count). Returns (sampleRate, channels, nFrames).
+      */
+    def parseWav(b: Array[Byte]): Option[(Int, Int, Long)] =
+      if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+        var i = 12
+        var rate = 0
+        var channels = 0
+        var bitsPerSample = 0
+        var dataBytes = -1L
+        while (i + 8 <= b.length && (rate == 0 || dataBytes < 0)) {
+          val id = new String(b, i, 4, "US-ASCII")
+          val size = leInt(b, i + 4).toLong & 0xffffffffL
+          if (id == "fmt " && i + 24 <= b.length) {
+            channels = (b(i + 10) & 0xff) | ((b(i + 11) & 0xff) << 8)
+            rate = leInt(b, i + 12)
+            bitsPerSample = (b(i + 22) & 0xff) | ((b(i + 23) & 0xff) << 8)
+          } else if (id == "data") {
+            dataBytes = size
+          }
+          i += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
+        }
+        if (rate > 0 && channels > 0 && bitsPerSample >= 8 && dataBytes >= 0)
+          Some((rate, channels, dataBytes / (channels * (bitsPerSample / 8))))
+        else None
+      } else None
+
+    /** Audio metadata: real for WAV payloads, deterministic pseudo-values
+      * otherwise (16 kHz mono, 16-bit → nFrames = bytes/2).
+      */
+    def audioInfo(content: Array[Byte]): (Int, Int, Long) =
+      parseWav(content).getOrElse((16000, 1, content.length.toLong / 2))
+
     /** Deterministic fake embedding: a rolling byte checksum folded into
       * `dims` buckets — stands in for a vision encoder's output shape.
       */
@@ -115,6 +150,30 @@ object Multimodal {
         val content = r.getAs[Array[Byte]]("content")
         val (w, h, c) = StubDecoder.dimensions(content)
         Row.fromSeq(r.toSeq ++ Seq(w, h, c, content.length))
+      }
+    }(enc)
+  }
+
+  /** Audio-decoded metadata appended by [[decodeAudio]]. */
+  val audioDecodedSchema: StructType = StructType(mediaSchema.fields ++ Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false)
+  ))
+
+  /** Decode audio payloads per partition — same batched-iterator shape as
+    * [[decode]]; WAV headers are parsed for real, other containers get the
+    * deterministic stub metadata.
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(audioDecodedSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val content = r.getAs[Array[Byte]]("content")
+        val (rate, ch, frames) = StubDecoder.audioInfo(content)
+        // Seq[Any]: a bare mixed Int/Long Seq would widen the Ints to Long
+        Row.fromSeq(r.toSeq ++ Seq[Any](rate, ch, frames, content.length))
       }
     }(enc)
   }

@@ -52,6 +52,37 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) === ((16 + 5 % 64, 16 + 35 % 64, 3))) // stub fallback
   }
 
+  test("decodeAudio parses real WAV headers; stub for other payloads") {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    // minimal PCM WAV: RIFF/WAVE + fmt (stereo, 44100 Hz, 16-bit) + data
+    val nDataBytes = 400 // 100 stereo 16-bit frames
+    val buf = java.nio.ByteBuffer
+      .allocate(44 + nDataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + nDataBytes)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(2) // stereo
+    buf.putInt(44100)
+    buf.putInt(44100 * 2 * 2) // byte rate
+    buf.putShort(4) // block align
+    buf.putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(nDataBytes)
+    val wav = buf.array()
+    val opaque = Array[Byte](1, 2, 3, 4, 5, 6)
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(1L, "audio", wav, null), Row(2L, "blob", opaque, null)),
+      Multimodal.mediaSchema)
+    val got = Multimodal.decodeAudio(df)
+      .select("media_id", "sample_rate", "channels", "n_frames")
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    assert(got(1L) === ((44100, 2, 100L))) // 400 bytes / (2 ch × 2 bytes)
+    assert(got(2L) === ((16000, 1, 3L))) // stub fallback: len/2 frames
+  }
+
   test("featurize yields fixed-dim deterministic embeddings") {
     import spark.implicits._
     val e1 = Multimodal.featurize(media, dims = 16)
