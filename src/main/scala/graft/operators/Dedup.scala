@@ -138,8 +138,12 @@ object Dedup {
     // Labels are monotone non-increasing per node, so the label sum strictly
     // decreases on any change: an unchanged sum IS the fixpoint. One cheap
     // aggregate per round instead of a change-detection join.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum of an empty frame is NULL → normalise to zero (empty pair sets
+      // must converge immediately, not NPE on the comparison)
+      val s = df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(comp)
     var converged = false
     var round = 0

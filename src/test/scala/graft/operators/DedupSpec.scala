@@ -61,6 +61,17 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("connectedComponents of an empty pair set is empty (no NPE on the fixpoint check)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("l_id", "r_id")
+    assert(Dedup.connectedComponents(empty).count() === 0L)
+    // dedupByComponent then keeps every doc as its own canonical
+    val docs = Seq(5L, 6L).toDF("doc_id")
+    val got = Dedup.dedupByComponent(docs, empty)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(5L -> true, 6L -> true))
+  }
+
   test("dedupByComponent keeps exactly one canonical doc per component, unpaired docs keep themselves") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id") // 9 is in no pair
