@@ -30,9 +30,13 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // Optional best-of-N (SPARK_GRAFT_BENCH_RUNS): min over N attempts.
+    // Best-of-N (SPARK_GRAFT_BENCH_RUNS, default 2): min over N attempts.
+    // Even with per-query clearCache+GC isolation, a single pass inflates
+    // individual queries up to ~1.9× from JVM/code-cache residue (round-6
+    // measurement: q_l2g_e2g 3.39 s full-suite vs 1.78 s isolated); the
+    // second attempt restores the per-query regression signal.
     val runsPerQuery =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     // name order: deterministic timings run-to-run (and cache-hit attribution)
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))

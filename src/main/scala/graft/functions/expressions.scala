@@ -116,11 +116,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
 /** Codegen stable log-sum-exp over an `array<double>` column — the kernel
   * inside every coloc posterior (evaluated once per overlap pair). Mirrors
-  * the HOF formulation bit-for-bit: max over non-null elements, then
-  * `max + log(Σ exp(x - max))` accumulated left-to-right; all-(-Inf) arrays
-  * return -Inf; null array, empty array, or any null element → null (the
-  * HOF's `aggregate` propagates element nulls, `array_max` of empty is
-  * null).
+  * the HOF formulation bit-for-bit, INCLUDING its null ordering: the max is
+  * taken over non-null elements (`array_max` ignores nulls), and the -Inf
+  * branch short-circuits BEFORE the null-propagating aggregate — so
+  * `[null, -Inf]` is -Inf, not null. Otherwise any null element → null,
+  * null/empty/all-null array → null, and the finite branch is
+  * `max + log(Σ exp(x - max))` accumulated left-to-right (same addition
+  * order, bit-identical results).
   */
 case class LogSumExp(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -134,13 +136,20 @@ case class LogSumExp(child: Expression) extends UnaryExpression {
     else {
       var i = 0
       var mx = Double.NegativeInfinity
+      var anyNull = false
+      var anyValue = false
       while (i < n) {
-        if (arr.isNullAt(i)) return null
-        val v = arr.getDouble(i)
-        if (v > mx) mx = v
+        if (arr.isNullAt(i)) anyNull = true
+        else {
+          anyValue = true
+          val v = arr.getDouble(i)
+          if (v > mx) mx = v
+        }
         i += 1
       }
-      if (mx == Double.NegativeInfinity) Double.NegativeInfinity
+      if (!anyValue) null // array_max of an all-null array is null
+      else if (mx == Double.NegativeInfinity) Double.NegativeInfinity
+      else if (anyNull) null // aggregate propagates element nulls
       else {
         var acc = 0.0
         i = 0
@@ -160,31 +169,168 @@ case class LogSumExp(child: Expression) extends UnaryExpression {
       val mx = ctx.freshName("mx")
       val acc = ctx.freshName("acc")
       val v = ctx.freshName("v")
+      val anyNull = ctx.freshName("anyNull")
+      val anyValue = ctx.freshName("anyValue")
       s"""
          |final int $n = $a.numElements();
          |if ($n == 0) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $mx = Double.NEGATIVE_INFINITY;
+         |  boolean $anyNull = false;
+         |  boolean $anyValue = false;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    final double $v = $a.getDouble($i);
-         |    if ($v > $mx) { $mx = $v; }
-         |  }
-         |  if (!${ev.isNull}) {
-         |    if ($mx == Double.NEGATIVE_INFINITY) {
-         |      ${ev.value} = Double.NEGATIVE_INFINITY;
-         |    } else {
-         |      double $acc = 0.0;
-         |      for (int $i = 0; $i < $n; $i++) {
-         |        $acc += java.lang.Math.exp($a.getDouble($i) - $mx);
-         |      }
-         |      ${ev.value} = $mx + java.lang.Math.log($acc);
+         |    if ($a.isNullAt($i)) { $anyNull = true; } else {
+         |      $anyValue = true;
+         |      final double $v = $a.getDouble($i);
+         |      if ($v > $mx) { $mx = $v; }
          |    }
+         |  }
+         |  if (!$anyValue) {
+         |    ${ev.isNull} = true;
+         |  } else if ($mx == Double.NEGATIVE_INFINITY) {
+         |    ${ev.value} = Double.NEGATIVE_INFINITY;
+         |  } else if ($anyNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += java.lang.Math.exp($a.getDouble($i) - $mx);
+         |    }
+         |    ${ev.value} = $mx + java.lang.Math.log($acc);
          |  }
          |}
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen nearest-centroid assignment: the id of the centroid maximising
+  * cosine similarity with the input `array<double>` vector (ties and
+  * all-NaN rows resolve to the SMALLEST id, matching a
+  * `row_number over (order by cos desc, id asc)` ranking — Spark's desc
+  * ordering treats NaN as the largest double, so a NaN cosine outranks any
+  * finite one here too).
+  *
+  * The centroid matrix is a plan constant (a few thousand rows by the IVF
+  * C ≈ √N sizing rule — the same bound that made the old formulation's
+  * broadcast side broadcastable), so the argmax runs entirely inside the
+  * projection: the IVF assignment path has ZERO exchanges, where the
+  * crossJoin(broadcast) + window top-1 formulation paid an N·C → N shuffle
+  * on every assign pass. Arithmetic is ordered exactly like the Column
+  * formulation it replaces (dot products accumulated left-to-right,
+  * `dot / (vNorm * cNorm)`), so assignments are bit-identical.
+  *
+  * Null vector or any null element → null (the windowed form instead
+  * assigned such rows to the min-id centroid via its all-null tiebreak —
+  * null is the saner contract and test corpora carry no null embeddings);
+  * centroids whose dimension differs from the input are skipped.
+  */
+case class NearestCentroid(
+    child: Expression,
+    ids: IndexedSeq[Long],
+    embs: IndexedSeq[IndexedSeq[Double]])
+  extends UnaryExpression {
+  require(ids.length == embs.length, "ids/embs must be parallel")
+  require(ids == ids.sorted, "centroid ids must be ascending (tiebreak order)")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+  @transient private lazy val embArr: Array[Array[Double]] = embs.map(_.toArray).toArray
+  @transient private lazy val normArr: Array[Double] = embArr.map { e =>
+    var s = 0.0
+    var i = 0
+    while (i < e.length) { s += e(i) * e(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Better-than: replicates (cos desc NULLS-irrelevant, NaN largest,
+    * id asc) ranking with an ascending-id scan and strict improvement.
+    */
+  private def beats(cos: Double, best: Double): Boolean =
+    (cos.isNaN && !best.isNaN) || cos > best
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      i += 1
+    }
+    val va = v.toDoubleArray()
+    var vv = 0.0
+    i = 0
+    while (i < n) { vv += va(i) * va(i); i += 1 }
+    val vn = math.sqrt(vv)
+    var best = 0L
+    var bestCos = 0.0
+    var has = false
+    var c = 0
+    while (c < idArr.length) {
+      val ce = embArr(c)
+      if (ce.length == n) {
+        var d = 0.0
+        i = 0
+        while (i < n) { d += va(i) * ce(i); i += 1 }
+        val cos = d / (vn * normArr(c))
+        if (!has || beats(cos, bestCos)) {
+          has = true; bestCos = cos; best = idArr(c)
+        }
+      }
+      c += 1
+    }
+    if (has) best else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", idArr, "long[]")
+    val embsRef = ctx.addReferenceObj("centEmbs", embArr, "double[][]")
+    val normsRef = ctx.addReferenceObj("centNorms", normArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val va = ctx.freshName("va")
+      val vv = ctx.freshName("vv")
+      val vn = ctx.freshName("vn")
+      val c = ctx.freshName("c")
+      val ce = ctx.freshName("ce")
+      val d = ctx.freshName("d")
+      val cos = ctx.freshName("cos")
+      val best = ctx.freshName("best")
+      val bestCos = ctx.freshName("bestCos")
+      val has = ctx.freshName("has")
+      s"""
+         |final int $n = $v.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) {
+         |  final double[] $va = $v.toDoubleArray();
+         |  double $vv = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $vv += $va[$i] * $va[$i]; }
+         |  final double $vn = java.lang.Math.sqrt($vv);
+         |  long $best = 0L; double $bestCos = 0.0; boolean $has = false;
+         |  for (int $c = 0; $c < $idsRef.length; $c++) {
+         |    final double[] $ce = $embsRef[$c];
+         |    if ($ce.length != $n) continue;
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) { $d += $va[$i] * $ce[$i]; }
+         |    final double $cos = $d / ($vn * $normsRef[$c]);
+         |    if (!$has || (Double.isNaN($cos) && !Double.isNaN($bestCos)) || $cos > $bestCos) {
+         |      $has = true; $bestCos = $cos; $best = $idsRef[$c];
+         |    }
+         |  }
+         |  if ($has) { ${ev.value} = $best; } else { ${ev.isNull} = true; }
+         |}
+       """.stripMargin
+    })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -221,4 +367,14 @@ object expressions {
     */
   def logsumexp(arr: Column): Column =
     Bridge.column(LogSumExp(Bridge.expression(arr.cast(ArrayType(DoubleType)))))
+
+  /** Projection-side nearest-centroid argmax (see [[NearestCentroid]]):
+    * centroid ids must be given ascending (the tiebreak order).
+    */
+  def nearest_centroid(
+      v: Column,
+      ids: IndexedSeq[Long],
+      embs: IndexedSeq[IndexedSeq[Double]]): Column =
+    Bridge.column(
+      NearestCentroid(Bridge.expression(v.cast(ArrayType(DoubleType))), ids, embs))
 }

@@ -76,10 +76,62 @@ object Dedup {
       )
   }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Default [[candidatePairs]] bucket cap: any LSH bucket past ~10³ docs is
+    * near-certain mass duplication (empty docs, shared boilerplate) and is
+    * cheaper handled through representatives than through its full
+    * quadratic pair set.
+    */
+  val DefaultMaxBucketSize: Int = 1024
+
+  /** Docs beyond the per-bucket cap for a banded signature frame:
+    * (oversized buckets, doc slots past the cap). The "never silent" half of
+    * the [[candidatePairs]] degenerate-bucket guard — callers monitoring a
+    * corpus can alert on it directly.
+    */
+  def bucketOverflow(
+      sigs: DataFrame,
+      idCol: String = "doc_id",
+      maxBucketSize: Int = DefaultMaxBucketSize
+  ): (Long, Long) = {
+    val r = sigs
+      .select(col(idCol), posexplode(col("bands")).as(Seq("band", "band_hash")))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxBucketSize)
+      .agg(
+        count(lit(1)).as("buckets"),
+        coalesce(sum(col("_n") - maxBucketSize), lit(0L)).as("dropped"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Candidate near-duplicate pairs: documents sharing at least one LSH band
     * bucket. Join key is (band index, band hash) — never all-pairs.
+    *
+    * Degenerate-bucket guard: a boilerplate-heavy corpus (empty docs, shared
+    * templates) can put b docs into ONE bucket, and an uncapped self-join
+    * then emits b·(b−1)/2 pairs — one hot bucket dominating the whole job at
+    * corpus scale. Buckets past `maxBucketSize` are capped the same way as
+    * the streaming twin ([[graft.streaming.StreamingOps.nearDupCandidatesStream]]
+    * `maxBucketSize`): the lowest-id docs are retained as representatives,
+    * and every other doc in the bucket pairs against the representatives
+    * only — per-bucket output drops from quadratic to
+    * cap·(b−cap) + cap·(cap−1)/2 (linear in b), while every doc stays
+    * connected to the bucket's component for downstream
+    * [[connectedComponents]]/[[dedupByComponent]]. Only
+    * dropped-doc × dropped-doc pairs are lost, and those are reachable
+    * through the representatives. The truncation is never silent: it is
+    * logged with bucket/doc counts ([[bucketOverflow]] exposes the same
+    * numbers programmatically). Non-degenerate buckets (≤ cap) are emitted
+    * exactly as before.
     */
-  def candidatePairs(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def candidatePairs(
+      sigs: DataFrame,
+      idCol: String = "doc_id",
+      maxBucketSize: Int = DefaultMaxBucketSize
+  ): DataFrame = {
     // both sides of the self-join read this — persist so signatures are
     // computed once (a few band hashes per document, tiny). Lifecycle is
     // caller-owned: a long-lived service should unpersist via
@@ -87,7 +139,33 @@ object Dedup {
     val exploded = persistOnce(
       sigs.select(
         col(idCol), posexplode(col("bands")).as(Seq("band", "band_hash"))))
-    exploded.as("a")
+    val (oversized, dropped) = {
+      val r = exploded
+        .groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > maxBucketSize)
+        .agg(
+          count(lit(1)).as("buckets"),
+          coalesce(sum(col("_n") - maxBucketSize), lit(0L)).as("dropped"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    if (oversized > 0)
+      log.warn(
+        s"candidatePairs: $oversized LSH bucket(s) exceed maxBucketSize=$maxBucketSize; " +
+          s"$dropped doc slot(s) beyond the cap pair only against the " +
+          "lowest-id representatives (dropped×dropped pairs are not emitted)")
+    // representatives: the maxBucketSize lowest ids per bucket; same shuffle
+    // key as the candidate join itself, so the window adds no new exchange
+    // on the a-side
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+      .orderBy(col(idCol))
+    val reps = exploded
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxBucketSize)
+      .drop("_rk")
+    reps.as("a")
       .join(
         exploded.as("b"),
         col("a.band") === col("b.band") &&
@@ -124,7 +202,17 @@ object Dedup {
     * @param pairs (l_id, r_id) undirected candidate/verified pairs
     * @return (id, component) — component is the minimum id in the component
     */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIterations)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds executed
+    * (including the final no-change round that proves the fixpoint) — the
+    * observable for skew shadow tests pinning the O(log diameter)
+    * convergence claim.
+    */
+  def connectedComponentsWithRounds(
+      pairs: DataFrame,
+      maxIterations: Int = 25): (DataFrame, Int) = {
     val edges = pairs
       .select(col("l_id").as("src"), col("r_id").as("dst"))
       .union(pairs.select(col("r_id").as("src"), col("l_id").as("dst")))
@@ -135,16 +223,13 @@ object Dedup {
       .distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
-    // Labels are monotone non-increasing per node, so the label sum strictly
-    // decreases on any change: an unchanged sum IS the fixpoint. One cheap
-    // aggregate per round instead of a change-detection join.
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      // sum of an empty frame is NULL → normalise to zero (empty pair sets
-      // must converge immediately, not NPE on the comparison)
-      val s = df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
-    }
-    var prevSum = labelSum(comp)
+    // Labels are monotone non-increasing per node (`min`/`least` only), so
+    // the fixpoint test is "did any node's label change this round" — an
+    // equi join on id between consecutive label frames (both already
+    // checkpointed) with an isEmpty probe (limit-1, early exit). Unlike a
+    // label-sum trick this works for ANY orderable id type — string doc
+    // hashes (md5 ids, a common dedup key) included, where a numeric cast
+    // would throw under ANSI.
     var converged = false
     var round = 0
     while (!converged && round < maxIterations) {
@@ -168,13 +253,14 @@ object Dedup {
           least(col("component"), coalesce(col("_cc"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      converged = next
+        .join(comp.select(col("id"), col("component").as("_prev")), Seq("id"))
+        .where(col("component") =!= col("_prev"))
+        .isEmpty
       comp = next
       round += 1
     }
-    comp
+    (comp, round)
   }
 
   /** Component-level dedup decision: every doc in a near-dup component keeps

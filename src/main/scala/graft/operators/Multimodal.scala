@@ -110,7 +110,12 @@ object Multimodal {
           } else if (id == "data") {
             dataBytes = size
           }
-          i += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
+          // Bounded advance (chunks are 2-byte aligned): a corrupt chunk
+          // size ≥ 2^31 would turn `size.toInt` negative and drive `i`
+          // backwards/negative — end the walk instead of throwing, so the
+          // Option contract (None → stub fallback) holds on garbage input.
+          val next = i.toLong + 8L + size + (size & 1L)
+          i = if (next > b.length) b.length else next.toInt
         }
         if (rate > 0 && channels > 0 && bitsPerSample >= 8 && dataBytes >= 0)
           Some((rate, channels, dataBytes / (channels * (bitsPerSample / 8))))

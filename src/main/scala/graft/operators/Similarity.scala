@@ -138,32 +138,57 @@ object Similarity {
   }
 
   /** IVF-style partitioning: assign every vector to its nearest centroid
-    * (cosine, centroid-id tiebreak). Centroids are any small broadcastable
-    * table of (centroid_id, embedding); production would use k-means means,
-    * here any deterministic subset works — the partition/probe mechanics are
+    * (cosine, centroid-id tiebreak). Centroids are any small bounded table
+    * of (centroid_id, embedding); production would use k-means means, here
+    * any deterministic subset works — the partition/probe mechanics are
     * identical.
     *
     * Sizing rule: with C centroids the probe join does O(N²/C) within-cell
     * work while assignment costs O(N·C), so C ≈ √N balances the two (the
     * classic IVF heuristic). C must grow with the corpus — a fixed small C
     * degenerates to quadratic within-cell joins at scale.
+    *
+    * Shuffle-free: the centroid table is collected (bounded by the same
+    * C ≈ √N rule that previously made it the broadcast side) and the argmax
+    * runs inside the projection as a codegen kernel
+    * ([[graft.functions.NearestCentroid]]) — ZERO exchanges on the
+    * assignment path. The earlier crossJoin(broadcast) + window top-1
+    * formulation paid an N·C → N shuffle on every assign pass, which at
+    * N = 10⁹ dominates each assign→refine round. Assignments are
+    * bit-identical (same dot/norm arithmetic and ordering, same min-id
+    * tiebreak).
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val c = broadcast(
-      centroids
-        .select(col("centroid_id"), asDouble(col("embedding")).as("c_emb"))
-        .withColumn("c_norm", norm(col("c_emb"))))
-    val v = vectors
-      .select(col("vec_id"), col("embedding"), asDouble(col("embedding")).as("v_emb"))
-      .withColumn("v_norm", norm(col("v_emb")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("centroid_id").asc)
-    v.crossJoin(c)
-      .withColumn(
-        "c_cos",
-        cosineWithNorms(dot(col("v_emb"), col("c_emb")), col("v_norm"), col("c_norm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("bucket"))
+    val idType = centroids.schema("centroid_id").dataType
+    val collected = centroids
+      .select(col("centroid_id").cast("long"), asDouble(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1)
+    if (collected.isEmpty)
+      // empty centroid table: the old crossJoin formulation emitted no rows
+      // at all — preserve that contract
+      vectors
+        .select(
+          col("vec_id"), col("embedding"),
+          lit(null).cast("long").cast(idType).as("bucket"))
+        .filter(lit(false))
+    else
+      // no post-filter on the computed bucket: a deterministic predicate on
+      // the alias would be pushed below the projection and evaluate the
+      // O(C·dims) kernel twice per row. Null buckets occur only for
+      // null/null-element embeddings (the kernel's null contract) — rows
+      // the windowed formulation mis-assigned to the min-id centroid.
+      vectors.select(
+        col("vec_id"),
+        col("embedding"),
+        graft.functions.expressions
+          .nearest_centroid(
+            col("embedding"),
+            collected.map(_._1).toIndexedSeq,
+            collected.map(_._2).toIndexedSeq)
+          .cast(idType)
+          .as("bucket"))
   }
 
   /** One relational Lloyd (k-means) iteration over an assignment produced by

@@ -243,8 +243,11 @@ object TextOps {
     * training windows of `window` tokens advancing by `stride` (overlap =
     * window - stride), one output row per chunk with its token count and
     * re-joined text. The final partial window is kept (training pipelines
-    * pad it); empty documents yield no rows. Pure explode-of-slices
-    * projection — shuffle-free, the chunk fan-out is the only row growth.
+    * pad it). Whitespace tokenization of an empty/blank document yields one
+    * empty token, so such documents produce a single 1-token chunk with
+    * empty text (pinned in RepetitionContaminationSpec); only a null-text
+    * token array would be filtered. Pure explode-of-slices projection —
+    * shuffle-free, the chunk fan-out is the only row growth.
     */
   def chunkTokens(
       docs: DataFrame,

@@ -72,7 +72,14 @@ object FinnGenFinemapping {
     * logBF and posterior beta.
     */
   def processSnps(snps: DataFrame, releasePrefix: String): DataFrame = {
-    val (mantissa, exponent) = Stats.splitPvalueColumn(col("p"))
+    // Published files carry 'NA'/malformed cells in the numeric columns; the
+    // reference's non-ANSI casts null them out (finemapping.py:297-410).
+    // Under Spark 4 ANSI a plain cast would instead fail the whole ingestion
+    // on the first bad cell, so every data-column parse goes through
+    // try_cast (the position/cs FILTERS above already do).
+    val (mantissa, exponent) =
+      Stats.splitPvalueColumn(
+        when(expr("try_cast(p AS DOUBLE)").isNotNull, col("p")))
     snps
       .filter(expr("try_cast(position AS INT)").isNotNull)
       .filter(expr("try_cast(cs AS INT)") > 0)
@@ -88,8 +95,8 @@ object FinnGenFinemapping {
         col("allele2").cast(StringType).as("alt"),
         mantissa,
         exponent,
-        col("se").cast(DoubleType).as("standardError"),
-        col("maf").cast(FloatType).as("effectAlleleFrequencyFromSource"),
+        expr("try_cast(se AS DOUBLE)").as("standardError"),
+        expr("try_cast(maf AS FLOAT)").as("effectAlleleFrequencyFromSource"),
         lit("SuSiE").as("finemappingMethod"),
         array((1 to 10).map(i => col(s"alpha$i").cast(DoubleType)): _*)
           .as("_alphas"),

@@ -71,6 +71,11 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(keyCols)
 
   final case class BandedDoc(band: Int, bandHash: String, docId: Long)
+
+  /** [[BandedDoc]] plus the document's event time — the input shape for the
+    * event-time-TTL variant ([[nearDupCandidatesStreamEventTime]]).
+    */
+  final case class BandedDocTs(band: Int, bandHash: String, docId: Long, ts: Timestamp)
   final case class BucketState(docIds: List[Long])
   final case class CandidatePair(lDoc: Long, rDoc: Long)
 
@@ -111,23 +116,48 @@ object StreamingOps {
       rows: Iterator[BandedDoc],
       state: GroupState[BucketState]
   ): Iterator[CandidatePair] =
+    bucketUpdateCore(maxBucketSize, rows.map(_.docId), state,
+      s => stateTtl.foreach(s.setTimeoutDuration))
+
+  /** Event-time twin of [[bucketUpdate]] (driven by
+    * [[nearDupCandidatesStreamEventTime]]): the bucket expires when the
+    * WATERMARK — not the wall clock — passes last-activity + ttl, so state
+    * expiry is data-driven. This is the contract replay/backfill needs: a
+    * reprocessing run chews through days of event time in minutes of
+    * processing time, and a processing-time TTL would either never fire or
+    * evict buckets that are still within their event-time horizon.
+    */
+  def bucketUpdateEventTime(maxBucketSize: Int, ttlMillis: Long)(
+      key: (Int, String),
+      rows: Iterator[BandedDocTs],
+      state: GroupState[BucketState]
+  ): Iterator[CandidatePair] =
+    bucketUpdateCore(maxBucketSize, rows.map(_.docId), state,
+      s => s.setTimeoutTimestamp(s.getCurrentWatermarkMs() + ttlMillis))
+
+  private def bucketUpdateCore(
+      maxBucketSize: Int,
+      docIds: Iterator[Long],
+      state: GroupState[BucketState],
+      setTimeout: GroupState[BucketState] => Unit
+  ): Iterator[CandidatePair] =
     if (state.hasTimedOut) {
       state.remove()
       Iterator.empty
     } else {
       val seen = state.getOption.map(_.docIds).getOrElse(Nil)
       val (pairs, finalSeen) =
-        rows.foldLeft((List.empty[CandidatePair], seen)) {
-          case ((acc, cur), doc) if !cur.contains(doc.docId) =>
+        docIds.foldLeft((List.empty[CandidatePair], seen)) {
+          case ((acc, cur), docId) if !cur.contains(docId) =>
             val newPairs = cur.map(other =>
-              CandidatePair(math.min(other, doc.docId), math.max(other, doc.docId)))
+              CandidatePair(math.min(other, docId), math.max(other, docId)))
             val kept =
-              if (cur.size < maxBucketSize) doc.docId :: cur else cur
+              if (cur.size < maxBucketSize) docId :: cur else cur
             (newPairs reverse_::: acc, kept)
           case ((acc, cur), _) => (acc, cur)
         }
       state.update(BucketState(finalSeen))
-      stateTtl.foreach(state.setTimeoutDuration)
+      setTimeout(state)
       pairs.distinct.iterator
     }
 
@@ -149,6 +179,29 @@ object StreamingOps {
     // callers should instead dedup within their downstream watermark
     // (dropDuplicatesWithinWatermark on (lDoc, rDoc)) — an unbounded global
     // distinct would grow state with every pair ever emitted.
+  }
+
+  /** Event-time-TTL variant of [[nearDupCandidatesStream]] for
+    * replay/backfill: bucket state expires when the WATERMARK passes
+    * last-activity + `stateTtl`, so a reprocessing run that chews through
+    * days of event time in minutes of wall clock evicts state at the same
+    * event-time horizon the live run would (recall degrades only for
+    * near-dup pairs separated by more than the TTL in EVENT time). The
+    * live-stream twin keeps ProcessingTimeTimeout; this one requires the
+    * input to carry event time (`ts`) and declares the watermark itself.
+    */
+  def nearDupCandidatesStreamEventTime(
+      banded: Dataset[BandedDocTs],
+      maxBucketSize: Int = 64,
+      stateTtl: java.time.Duration = java.time.Duration.ofHours(24),
+      watermark: String = "1 hour"
+  ): Dataset[CandidatePair] = {
+    import banded.sparkSession.implicits._
+    banded
+      .withWatermark("ts", watermark)
+      .groupByKey(d => (d.band, d.bandHash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        bucketUpdateEventTime(maxBucketSize, stateTtl.toMillis))
   }
 
   final case class StudyEvent(studyId: String, beta: Double)

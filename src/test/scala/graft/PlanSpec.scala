@@ -220,10 +220,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_ivf_refine: centroid assignment broadcasts centroids; refinement is one aggregation exchange") {
+  test("q_ivf_refine: centroid assignment is a shuffle-free projection; refinement is one aggregation exchange") {
     val p = plan(graft.harness.TextQueries.ivfRefine(spark, sfDir))
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
-      "centroid table must broadcast into the assignment")
-    assert(!p.contains("SortMergeJoin"), "refinement must not shuffle-join")
+    // the NearestCentroid kernel folds the argmax into the projection: no
+    // join and no exchange anywhere on the assignment path — the only
+    // exchanges left are the deliberate round-robin spread of the local
+    // single-file corpus and the kmeans groupBy aggregation
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    val aggExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(aggExchanges <= 1, s"only the refinement aggregation may hash-shuffle:\n$p")
+  }
+
+  test("ivfAssign alone plans zero exchanges and zero joins (assignment path at scale)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = emb
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 23 === 0)
+      .select(
+        org.apache.spark.sql.functions.col("vec_id").as("centroid_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val p = plan(graft.operators.Similarity.ivfAssign(emb, centroids))
+    assert(!p.contains("Exchange"), s"assignment must be shuffle-free:\n$p")
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    assert(p.contains("*(1)"), "assignment kernel must stay in whole-stage codegen")
   }
 }

@@ -169,4 +169,37 @@ class KernelPropertiesSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(cg) == java.lang.Double.doubleToLongBits(hof)
     })
   }
+
+  test("codegen LogSumExp matches the HOF's null ordering on null-bearing arrays") {
+    import spark.implicits._
+    // the HOF's array_max ignores nulls and its -Inf branch short-circuits
+    // BEFORE the null-propagating aggregate: [null, -Inf] → -Inf, while any
+    // null alongside a finite max → null, and all-null/empty → null
+    val rows: Seq[Seq[Option[Double]]] = Seq(
+      Seq(None, Some(Double.NegativeInfinity)),
+      Seq(Some(Double.NegativeInfinity), None, Some(Double.NegativeInfinity)),
+      Seq(None, Some(1.5), Some(0.25)),
+      Seq(Some(2.0), None),
+      Seq(None, None),
+      Seq.empty
+    )
+    val hofLse = {
+      val arr = col("a")
+      val mx = array_max(arr)
+      when(mx === lit(Double.NegativeInfinity), lit(Double.NegativeInfinity))
+        .otherwise(
+          mx + log(aggregate(transform(arr, x => exp(x - mx)), lit(0.0), (acc, x) => acc + x)))
+    }
+    val out = rows.toDF("a")
+      .select(expressions.logsumexp(col("a")).as("cg"), hofLse.as("hof"))
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch: $r")
+      if (!r.isNullAt(0)) assert(
+        java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), s"value mismatch: $r")
+    }
+    assert(out(0).getDouble(0) == Double.NegativeInfinity)
+    assert(out(2).isNullAt(0) && out(4).isNullAt(0) && out(5).isNullAt(0))
+  }
 }

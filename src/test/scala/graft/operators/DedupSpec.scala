@@ -28,8 +28,11 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Int)]
       .collect()
       .toMap
+    // deterministic pick: the strongest near-dup pair (head() on an
+    // unsorted frame floats with plan changes)
     val pair = Dedup.verifiedPairs(docs)
       .filter(col("jaccard") >= 0.9)
+      .orderBy(col("jaccard").desc, col("l_doc").asc, col("r_doc").asc)
       .select("l_doc", "r_doc")
       .as[(Long, Long)]
       .head()
@@ -70,6 +73,65 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.dedupByComponent(docs, empty)
       .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
     assert(got === Map(5L -> true, 6L -> true))
+  }
+
+  test("degenerate LSH bucket: pair output is linear in bucket size, reported, and keeps the component connected") {
+    import spark.implicits._
+    // 10^3 docs whose signatures all land in ONE hot bucket (plus a unique
+    // per-doc bucket each, which contributes no pairs) — the boilerplate-
+    // heavy-corpus shape that kills an uncapped self-join quadratically
+    val cap = 64
+    val n = 1000L
+    val sigs = (0L until n).toDF("doc_id")
+      .withColumn("bands", array(lit("hot"), concat(lit("u"), col("doc_id"))))
+    // truncation is never silent: the overflow stats report the hot bucket
+    assert(Dedup.bucketOverflow(sigs, maxBucketSize = cap) === ((1L, n - cap)))
+    val pairs = Dedup.candidatePairs(sigs, maxBucketSize = cap)
+    // representatives (the `cap` lowest ids) pair with every later doc:
+    // cap·(n−cap) + cap·(cap−1)/2 — linear in n, NOT n·(n−1)/2
+    val expected = cap * (n - cap) + cap.toLong * (cap - 1) / 2
+    assert(pairs.count() === expected)
+    // every dropped doc still reaches the component through representatives
+    val (comp, rounds) = Dedup.connectedComponentsWithRounds(
+      pairs.select(col("l_doc").as("l_id"), col("r_doc").as("r_id")))
+    val labels = comp.select("component").distinct().as[Long].collect()
+    assert(labels.toSeq === Seq(0L))
+    assert(comp.count() === n)
+    // star-ish topology (diameter ≤ 2 through doc 0): a handful of rounds
+    assert(rounds <= 4, s"expected fast convergence, took $rounds rounds")
+    // a bucket at the cap is untouched: full pair set for non-degenerate input
+    val small = (0L until 10L).toDF("doc_id")
+      .withColumn("bands", array(lit("b")))
+    assert(Dedup.candidatePairs(small, maxBucketSize = cap).count() === 45L)
+    assert(Dedup.bucketOverflow(small, maxBucketSize = cap) === ((0L, 0L)))
+  }
+
+  test("skew shadow: a 1024-node path component converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // worst-case topology for label propagation: a path with the minimum id
+    // at one end (diameter 1023). Pointer jumping must close it in
+    // ~log2(1023) rounds, not ~1023.
+    val nNodes = 1024L
+    val pairs = (0L until nNodes - 1).map(i => (i, i + 1)).toDF("l_id", "r_id")
+    val (comp, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    assert(comp.select("component").distinct().as[Long].collect().toSeq === Seq(0L))
+    assert(comp.count() === nNodes)
+    val bound = math.ceil(math.log(nNodes - 1) / math.log(2)).toInt + 2
+    assert(rounds <= bound, s"$rounds rounds for diameter ${nNodes - 1} (bound $bound)")
+  }
+
+  test("connectedComponents works for string ids (md5 doc hashes) — fixpoint needs no numeric cast") {
+    import spark.implicits._
+    // md5-style hex ids; component label is the lexicographic minimum
+    val pairs = Seq(
+      ("bbb", "aaa"), ("ccc", "bbb"),
+      ("fff", "eee")
+    ).toDF("l_id", "r_id")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(comp === Map(
+      "aaa" -> "aaa", "bbb" -> "aaa", "ccc" -> "aaa",
+      "eee" -> "eee", "fff" -> "eee"))
   }
 
   test("dedupByComponent keeps exactly one canonical doc per component, unpaired docs keep themselves") {

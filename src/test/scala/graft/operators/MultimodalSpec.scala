@@ -83,6 +83,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) === ((16000, 1, 3L))) // stub fallback: len/2 frames
   }
 
+  test("parseWav survives corrupt/adversarial chunk sizes (falls back, never throws)") {
+    // RIFF/WAVE container whose first chunk claims a size ≥ 2^31: a naive
+    // `size.toInt` advance would go negative and throw
+    // StringIndexOutOfBoundsException instead of honouring the Option
+    // (None → stub metadata) contract
+    def riffWith(chunkId: String, claimedSize: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer
+        .allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put(chunkId.getBytes("US-ASCII")).putInt(claimedSize)
+      buf.array()
+    }
+    // chunk size with the sign bit set (unsigned 0x80000010)
+    assert(Multimodal.StubDecoder.parseWav(riffWith("junk", 0x80000010)) === None)
+    // chunk size far past the buffer end (truncated file)
+    assert(Multimodal.StubDecoder.parseWav(riffWith("junk", 1000000)) === None)
+    // audioInfo falls back to the deterministic stub on both
+    assert(
+      Multimodal.StubDecoder.audioInfo(riffWith("junk", 0x80000010)) ===
+        ((16000, 1, 32L)))
+  }
+
   test("featurize yields fixed-dim deterministic embeddings") {
     import spark.implicits._
     val e1 = Multimodal.featurize(media, dims = 16)

@@ -97,6 +97,38 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall { case (l, r) => l < r })
   }
 
+  test("shuffle-free ivfAssign matches the windowed crossJoin formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val centroids = emb.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    // the retired formulation, inlined as the oracle
+    val c = broadcast(
+      centroids
+        .select(col("centroid_id"), Similarity.asDouble(col("embedding")).as("c_emb"))
+        .withColumn("c_norm", Similarity.norm(col("c_emb"))))
+    val v = emb
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v_emb"))
+      .withColumn("v_norm", Similarity.norm(col("v_emb")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("centroid_id").asc)
+    val windowed = v.crossJoin(c)
+      .withColumn(
+        "c_cos",
+        Similarity.cosineWithNorms(
+          Similarity.dot(col("v_emb"), col("c_emb")), col("v_norm"), col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id").as("bucket"))
+      .as[(Long, Long)].collect().toMap
+    val kernel = Similarity.ivfAssign(emb, centroids)
+      .select(col("vec_id"), col("bucket"))
+      .as[(Long, Long)].collect().toMap
+    assert(kernel.nonEmpty)
+    assert(kernel === windowed)
+    // empty centroid table still yields no assignments (old contract)
+    assert(Similarity.ivfAssign(emb, centroids.filter(lit(false))).count() === 0L)
+  }
+
   test("kmeansIteration computes exact per-bucket means") {
     import spark.implicits._
     val assigned = Seq(

@@ -88,6 +88,25 @@ class FinnGenFinemappingSpec extends SparkSpec {
     assert(row.getAs[String]("finemappingMethod") === "SuSiE")
   }
 
+  test("'NA'/malformed maf, se and p null out instead of failing the ingestion (ANSI try_cast)") {
+    // the reference's non-ANSI casts null malformed cells (finemapping.py:
+    // 297-410); under Spark 4 ANSI a plain cast would throw on the first
+    // 'NA' in a row that PASSES the position/cs filters
+    val snps = snpDf(
+      snpRow(v = "1:1500:A:G", position = "1500", maf = "NA", se = "NA", p = "NA"),
+      snpRow(v = "1:1501:A:G", position = "1501", maf = "0.1", se = "0.2", p = "1E-10"))
+    val got = FinnGenFinemapping.processSnps(snps, "FINNGEN_R11")
+      .orderBy("position").collect()
+    assert(got.length === 2)
+    assert(got(0).isNullAt(got(0).fieldIndex("effectAlleleFrequencyFromSource")))
+    assert(got(0).isNullAt(got(0).fieldIndex("standardError")))
+    assert(got(0).isNullAt(got(0).fieldIndex("pValueMantissa")))
+    assert(got(0).isNullAt(got(0).fieldIndex("pValueExponent")))
+    assert(got(1).getAs[Float]("effectAlleleFrequencyFromSource") === 0.1f)
+    assert(got(1).getAs[Double]("standardError") === 0.2)
+    assert(got(1).getAs[Int]("pValueExponent") === -10)
+  }
+
   test("LBF threshold keeps sets above log10(e^2) and always the first set (finemapping.py:433-453)") {
     val got = FinnGenFinemapping
       .processSummaries(

@@ -201,4 +201,45 @@ class StreamingOpsSpec extends SparkSpec {
     assert(update((0, "a"), Iterator(BandedDoc(0, "a", 3L)), fresh).isEmpty)
     assert(fresh.get.docIds === List(3L))
   }
+
+  test("event-time TTL: bucket timer follows the watermark, expiry evicts via watermark advance") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.StreamingOps.{BandedDocTs, BucketState}
+    val ttlMs = 5000L
+    val update = StreamingOps.bucketUpdateEventTime(64, ttlMs) _
+    def doc(id: Long, tsMs: Long) =
+      BandedDocTs(0, "a", id, new java.sql.Timestamp(tsMs))
+
+    // live path: the timeout timestamp is WATERMARK + ttl — event time, not
+    // the processing clock (batchProcessingTimeMs is deliberately huge)
+    val live = TestGroupState.create[BucketState](
+      Optional.of(BucketState(List(1L))),
+      GroupStateTimeout.EventTimeTimeout,
+      /* batchProcessingTimeMs = */ 999999999L,
+      /* eventTimeWatermarkMs = */ Optional.of(1000L),
+      hasTimedOut = false)
+    val pairs = update((0, "a"), Iterator(doc(4L, 1500L)), live).toSeq
+    assert(pairs.map(p => (p.lDoc, p.rDoc)) === Seq((1L, 4L)))
+    assert(live.getTimeoutTimestampMs.get() === 1000L + ttlMs,
+      "timer must be watermark + ttl (data-driven expiry)")
+
+    // watermark advance past the timer → engine fires the timeout path:
+    // state evicted, nothing emitted, no new timer armed
+    val expired = TestGroupState.create[BucketState](
+      Optional.of(BucketState(List(1L, 4L))),
+      GroupStateTimeout.EventTimeTimeout,
+      999999999L, Optional.of(1000L + ttlMs + 1), hasTimedOut = true)
+    assert(update((0, "a"), Iterator.empty, expired).isEmpty)
+    assert(expired.isRemoved)
+
+    // post-expiry replay arrival: empty bucket, no stale pairs
+    val fresh = TestGroupState.create[BucketState](
+      Optional.empty[BucketState](),
+      GroupStateTimeout.EventTimeTimeout,
+      999999999L, Optional.of(7000L), hasTimedOut = false)
+    assert(update((0, "a"), Iterator(doc(9L, 7500L)), fresh).isEmpty)
+    assert(fresh.get.docIds === List(9L))
+    assert(fresh.getTimeoutTimestampMs.get() === 7000L + ttlMs)
+  }
 }
