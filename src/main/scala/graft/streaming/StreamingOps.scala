@@ -146,13 +146,18 @@ object StreamingOps {
       Iterator.empty
     } else {
       val seen = state.getOption.map(_.docIds).getOrElse(Nil)
+      // membership probes go through a local hash set (state keeps the List
+      // for encoder stability/ordering): the fold is O(arrivals) instead of
+      // O(arrivals × cap), which matters the day the cap is raised
+      val seenSet = scala.collection.mutable.HashSet.from(seen)
       val (pairs, finalSeen) =
         docIds.foldLeft((List.empty[CandidatePair], seen)) {
-          case ((acc, cur), docId) if !cur.contains(docId) =>
+          case ((acc, cur), docId) if !seenSet.contains(docId) =>
             val newPairs = cur.map(other =>
               CandidatePair(math.min(other, docId), math.max(other, docId)))
             val kept =
-              if (cur.size < maxBucketSize) docId :: cur else cur
+              if (seenSet.size < maxBucketSize) { seenSet += docId; docId :: cur }
+              else cur
             (newPairs reverse_::: acc, kept)
           case ((acc, cur), _) => (acc, cur)
         }

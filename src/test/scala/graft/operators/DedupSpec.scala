@@ -117,6 +117,7 @@ class DedupSpec extends SparkSpec {
     assert(comp.select("component").distinct().as[Long].collect().toSeq === Seq(0L))
     assert(comp.count() === nNodes)
     val bound = math.ceil(math.log(nNodes - 1) / math.log(2)).toInt + 2
+    info(s"connectedComponents: $rounds rounds for a ${nNodes - 1}-hop path (bound $bound)")
     assert(rounds <= bound, s"$rounds rounds for diameter ${nNodes - 1} (bound $bound)")
   }
 

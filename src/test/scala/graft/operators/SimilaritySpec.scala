@@ -88,6 +88,33 @@ class SimilaritySpec extends SparkSpec {
     assert(annMulti.nonEmpty)
   }
 
+  test("ANN recall@10 vs brute force: measured floors for 1/2/4-table LSH at the sizing-rule point") {
+    import spark.implicits._
+    // recall-vs-cost instrumentation: the OR-amplification claim as a
+    // NUMBER, not just a mechanism test. Ground truth = exact top-10.
+    // operating point per the sizing rule: numPlanes ≈ log2(N / bucketSize)
+    // → 4 planes for this N=500 corpus (target bucket ≈ 32)
+    val queries = col("vec_id") < 50
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(queries), k = 10)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(tables: Int): Double = {
+      val a = Similarity.annTopKMulti(
+        Similarity.lshBucketsMulti(emb, numTables = tables, numPlanes = 4), queries, k = 10)
+        .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (a intersect brute).size.toDouble / brute.size
+    }
+    val (r1, r2, r4) = (recallAt(1), recallAt(2), recallAt(4))
+    info(f"recall@10 at 4 planes: 1-table=$r1%.3f 2-table=$r2%.3f 4-table=$r4%.3f (n=${brute.size})")
+    assert(r1 <= r2 && r2 <= r4, s"OR-amplification must not lose recall: $r1 / $r2 / $r4")
+    // floors pinned from measurement on the synthetic random corpus at
+    // sf0.001 (measured 0.124 / 0.218 / 0.422 — ~1-(1-p)^T per the
+    // independent-tables model; see BASELINE.md): a change to
+    // bucketing/hashing that quietly craters recall fails here
+    assert(r1 >= 0.08, f"1-table recall@10 $r1%.3f below floor")
+    assert(r2 >= 0.15, f"2-table recall@10 $r2%.3f below floor")
+    assert(r4 >= 0.30, f"4-table recall@10 $r4%.3f below floor")
+  }
+
   test("multi-table near-dup pairs are deduped across tables") {
     import spark.implicits._
     val multi = Similarity.lshBucketsMulti(emb, numTables = 2, numPlanes = 6)
