@@ -336,6 +336,142 @@ case class NearestCentroid(
     copy(child = newChild)
 }
 
+/** Top-`nprobe` nearest centroids (cosine desc, NaN largest, id tiebreak) —
+  * the multi-probe IVF kernel: queries search their `nprobe` best cells
+  * instead of one, trading candidate volume for recall (the standard IVF
+  * recall knob). Same projection-side, zero-exchange design and the same
+  * arithmetic/ordering as [[NearestCentroid]] (whose result is always
+  * element 0 here); returns up to `nprobe` centroid ids, fewer if fewer
+  * centroids are dimension-compatible. Null contract matches
+  * [[NearestCentroid]] (null/null-element input → null).
+  */
+case class TopNCentroids(
+    child: Expression,
+    ids: IndexedSeq[Long],
+    embs: IndexedSeq[IndexedSeq[Double]],
+    nprobe: Int)
+  extends UnaryExpression {
+  require(ids.length == embs.length, "ids/embs must be parallel")
+  require(ids == ids.sorted, "centroid ids must be ascending (tiebreak order)")
+  require(nprobe > 0, s"nprobe must be positive: $nprobe")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+  @transient private lazy val embArr: Array[Array[Double]] = embs.map(_.toArray).toArray
+  @transient private lazy val normArr: Array[Double] = embArr.map { e =>
+    var s = 0.0
+    var i = 0
+    while (i < e.length) { s += e(i) * e(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      i += 1
+    }
+    val va = v.toDoubleArray()
+    var vv = 0.0
+    i = 0
+    while (i < n) { vv += va(i) * va(i); i += 1 }
+    val vn = math.sqrt(vv)
+    val bq = new Array[Double](nprobe)
+    val bi = new Array[Long](nprobe)
+    var m = 0
+    var c = 0
+    while (c < idArr.length) {
+      val ce = embArr(c)
+      if (ce.length == n) {
+        var d = 0.0
+        i = 0
+        while (i < n) { d += va(i) * ce(i); i += 1 }
+        val cos = d / (vn * normArr(c))
+        // insertion position: after every kept entry that beats-or-ties the
+        // candidate (ascending-id iteration keeps ties ordered by id)
+        var p = m
+        while (p > 0 && ((cos.isNaN && !bq(p - 1).isNaN) || cos > bq(p - 1))) p -= 1
+        if (p < nprobe) {
+          val last = math.min(m, nprobe - 1)
+          var j = last
+          while (j > p) { bq(j) = bq(j - 1); bi(j) = bi(j - 1); j -= 1 }
+          bq(p) = cos
+          bi(p) = idArr(c)
+          if (m < nprobe) m += 1
+        }
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bi, m))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", idArr, "long[]")
+    val embsRef = ctx.addReferenceObj("centEmbs", embArr, "double[][]")
+    val normsRef = ctx.addReferenceObj("centNorms", normArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val va = ctx.freshName("va")
+      val vv = ctx.freshName("vv")
+      val vn = ctx.freshName("vn")
+      val c = ctx.freshName("c")
+      val ce = ctx.freshName("ce")
+      val d = ctx.freshName("d")
+      val cos = ctx.freshName("cos")
+      val bq = ctx.freshName("bq")
+      val bi = ctx.freshName("bi")
+      val m = ctx.freshName("m")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val last = ctx.freshName("last")
+      s"""
+         |final int $n = $v.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) {
+         |  final double[] $va = $v.toDoubleArray();
+         |  double $vv = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $vv += $va[$i] * $va[$i]; }
+         |  final double $vn = java.lang.Math.sqrt($vv);
+         |  final double[] $bq = new double[$nprobe];
+         |  final long[] $bi = new long[$nprobe];
+         |  int $m = 0;
+         |  for (int $c = 0; $c < $idsRef.length; $c++) {
+         |    final double[] $ce = $embsRef[$c];
+         |    if ($ce.length != $n) continue;
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) { $d += $va[$i] * $ce[$i]; }
+         |    final double $cos = $d / ($vn * $normsRef[$c]);
+         |    int $p = $m;
+         |    while ($p > 0 && ((Double.isNaN($cos) && !Double.isNaN($bq[$p - 1])) || $cos > $bq[$p - 1])) $p--;
+         |    if ($p < $nprobe) {
+         |      final int $last = java.lang.Math.min($m, $nprobe - 1);
+         |      for (int $j = $last; $j > $p; $j--) { $bq[$j] = $bq[$j - 1]; $bi[$j] = $bi[$j - 1]; }
+         |      $bq[$p] = $cos;
+         |      $bi[$p] = $idsRef[$c];
+         |      if ($m < $nprobe) $m++;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    java.util.Arrays.copyOf($bi, $m));
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object expressions {
   import org.apache.spark.sql.functions.lit
 
@@ -377,4 +513,13 @@ object expressions {
       embs: IndexedSeq[IndexedSeq[Double]]): Column =
     Bridge.column(
       NearestCentroid(Bridge.expression(v.cast(ArrayType(DoubleType))), ids, embs))
+
+  /** Top-`nprobe` centroid ids for multi-probe IVF (see [[TopNCentroids]]). */
+  def nearest_centroids(
+      v: Column,
+      ids: IndexedSeq[Long],
+      embs: IndexedSeq[IndexedSeq[Double]],
+      nprobe: Int): Column =
+    Bridge.column(
+      TopNCentroids(Bridge.expression(v.cast(ArrayType(DoubleType))), ids, embs, nprobe))
 }

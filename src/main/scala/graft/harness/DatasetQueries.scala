@@ -177,13 +177,65 @@ object DatasetQueries {
         StructField("r_name", StringType)))))
   }
 
+  /** Driver-side URL fetch round trip (GSession.loadFromUrl, the
+    * `_load_from_url` counterpart): region dumped as a headered TSV, then
+    * read back through a file:// URL (same code path as http/https — any
+    * scheme java.net resolves). Oracle reads the source table.
+    */
+  def readerUrlQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val gs = graft.core.GSession(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-url")
+    region(s, d).select(col("r_regionkey"), col("r_name"))
+      .coalesce(1)
+      .write.option("header", "true").option("sep", "\t")
+      .csv(s"$dir/tsv")
+    val partFile = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tsv"))
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .findFirst().get()
+    gs.loadFromUrl(
+      partFile.toUri.toURL.toString,
+      "tsv",
+      Some(StructType(Seq(
+        StructField("r_regionkey", LongType),
+        StructField("r_name", StringType)))))
+  }
+
+  /** Splittable block-gzip round trip ([[graft.sources.BgzfCodec]] — the
+    * engine's replacement for the reference's Hail fallback on `.bgz`
+    * inputs): nation dumped as a BGZF-compressed TSV (driver-side, bounded
+    * 25 rows), read back through the codec-enabled declared-schema TSV
+    * path. Oracle reads the source table.
+    */
+  def readerBgzfQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val gs = graft.core.GSession(s)
+    val rows = nation(s, d).select(col("n_nationkey"), col("n_name"))
+      .orderBy(col("n_nationkey")).collect()
+    val tsv = "n_nationkey\tn_name\n" +
+      rows.map(r => s"${r.get(0)}\t${r.getString(1)}").mkString("\n")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bgzf-q")
+    val p = dir.resolve("nation.tsv.bgz")
+    java.nio.file.Files.write(
+      p, graft.sources.BgzfCodec.compress(tsv.getBytes("UTF-8"), 256))
+    gs.enableSplittableGzip()
+    gs.loadData(
+      Seq(p.toString),
+      "tsv",
+      Some(StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType)))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sanity_filter" -> (sanityFilterQ _),
     "q_credset_filter" -> (credsetFilterQ _),
     "q_boundaries" -> (boundariesQ _),
     "q_global_sort" -> (globalSortQ _),
     "q_sink_roundtrip" -> (sinkRoundtripQ _),
-    "q_reader_tsv" -> (readerTsvQ _)
+    "q_reader_tsv" -> (readerTsvQ _),
+    "q_reader_url" -> (readerUrlQ _),
+    "q_reader_bgzf" -> (readerBgzfQ _)
   )
 
   private val FullSynthSql =
@@ -201,6 +253,10 @@ object DatasetQueries {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_reader_tsv" ->
       "SELECT r_regionkey, r_name FROM region",
+    "q_reader_url" ->
+      "SELECT r_regionkey, r_name FROM region",
+    "q_reader_bgzf" ->
+      "SELECT n_nationkey, n_name FROM nation",
     "q_sanity_filter" ->
       """WITH raw AS (SELECT o_orderkey AS row_id,
         |    CASE WHEN o_orderkey % 11 = 0 THEN 0.0

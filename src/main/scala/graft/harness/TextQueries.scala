@@ -208,6 +208,20 @@ object TextQueries {
         round(col("col"), 6).as("mean_val"))
   }
 
+  /** Multi-probe IVF ANN: corpus bucketed by nearest cell, queries probe
+    * their top-2 cells (operators/Similarity.scala ivfProbes — the standard
+    * IVF recall knob), top-3 by cosine over the union of probed cells.
+    */
+  def annIvfProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+    val centroids = emb.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    Similarity.annTopKProbed(
+      Similarity.ivfAssign(emb, centroids),
+      Similarity.ivfProbes(emb.filter(col("vec_id") < 30), centroids, nprobe = 2),
+      k = 3)
+  }
+
   /** C4-style composite quality gate per document. */
   def qualityFilter(s: SparkSession, d: String): DataFrame =
     withTokens(docsParallel(s, d)).select(
@@ -365,6 +379,7 @@ object TextQueries {
     "q_embed_dedup" -> (embedDedup _),
     "q_quality_filter" -> (qualityFilter _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_ivf_probe" -> (annIvfProbe _),
     "q_ivf_refine" -> (ivfRefine _),
     "q_repetition" -> (repetitionStats _),
     "q_contamination" -> (contaminationQuery _),
@@ -597,6 +612,27 @@ object TextQueries {
         |       sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos_raw
         |  FROM buck q JOIN buck b ON q.bucket = b.bucket
         |  WHERE q.vec_id < 30 AND q.vec_id <> b.vec_id)
+        |SELECT q_id, neighbor_id, round(cos_raw, 6) AS cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+        |  FROM cand) WHERE rn <= 3""".stripMargin,
+    "q_ann_ivf_probe" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 23 = 0),
+        |assign AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    list_inner_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |       sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS c_cos
+        |  FROM embeddings e, cent c),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id ASC) AS rn
+        |  FROM assign),
+        |buck AS (SELECT vec_id, embedding, centroid_id AS bucket FROM ranked WHERE rn = 1),
+        |probe AS (SELECT vec_id, embedding, centroid_id AS bucket FROM ranked
+        |  WHERE rn <= 2 AND vec_id < 30),
+        |cand AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+        |    list_inner_product(q.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos_raw
+        |  FROM probe q JOIN buck b ON q.bucket = b.bucket
+        |  WHERE q.vec_id <> b.vec_id)
         |SELECT q_id, neighbor_id, round(cos_raw, 6) AS cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
         |  FROM cand) WHERE rn <= 3""".stripMargin,

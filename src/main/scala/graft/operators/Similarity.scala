@@ -191,6 +191,68 @@ object Similarity {
           .as("bucket"))
   }
 
+  /** Multi-probe IVF: each vector with its top-`nprobe` cells, one row per
+    * (vector, probed cell) — the standard IVF recall knob: querying nprobe
+    * cells multiplies candidate volume by ~nprobe while recall approaches
+    * exhaustive as nprobe → C. Same zero-exchange projection design as
+    * [[ivfAssign]] ([[graft.functions.TopNCentroids]] kernel + one
+    * explode); probe cell 0 is exactly the [[ivfAssign]] cell. Apply to the
+    * QUERY side and join against an [[ivfAssign]]-bucketed corpus
+    * ([[annTopKProbed]]).
+    */
+  def ivfProbes(vectors: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val idType = centroids.schema("centroid_id").dataType
+    val collected = centroids
+      .select(col("centroid_id").cast("long"), asDouble(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1)
+    if (collected.isEmpty)
+      vectors
+        .select(
+          col("vec_id"), col("embedding"),
+          lit(null).cast("long").cast(idType).as("bucket"))
+        .filter(lit(false))
+    else
+      vectors
+        .select(
+          col("vec_id"),
+          col("embedding"),
+          explode(
+            graft.functions.expressions.nearest_centroids(
+              col("embedding"),
+              collected.map(_._1).toIndexedSeq,
+              collected.map(_._2).toIndexedSeq,
+              nprobe)).as("_bucket"))
+        .select(
+          col("vec_id"), col("embedding"),
+          col("_bucket").cast(idType).as("bucket"))
+  }
+
+  /** Approximate top-k with a multi-probe query side: corpus rows carry one
+    * [[ivfAssign]] cell, query rows one row per probed cell
+    * ([[ivfProbes]]). The bucket join stays an equi-shuffle; each
+    * (query, neighbour) pair arises at most once because a corpus vector
+    * lives in exactly one cell.
+    */
+  def annTopKProbed(assigned: DataFrame, probed: DataFrame, k: Int): DataFrame = {
+    val q = probed.select(
+      col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"), col("bucket"))
+      .withColumn("q_norm", norm(col("q_emb")))
+    val c = assigned.select(
+      col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("c_emb"), col("bucket"))
+      .withColumn("c_norm", norm(col("c_emb")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    c.join(q, Seq("bucket"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn(
+        "cos_raw",
+        cosineWithNorms(dot(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("neighbor_id"), round(col("cos_raw"), 6).as("cos"))
+  }
+
   /** One relational Lloyd (k-means) iteration over an assignment produced by
     * [[ivfAssign]]: per-bucket dimension-wise means become the refined
     * centroid table. Fully distributed — the reduce is a map-side-combinable

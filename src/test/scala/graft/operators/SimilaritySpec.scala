@@ -156,6 +156,37 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfAssign(emb, centroids.filter(lit(false))).count() === 0L)
   }
 
+  test("multi-probe IVF: probe 0 equals the assignment; nprobe=2 recall dominates nprobe=1") {
+    import spark.implicits._
+    val centroids = emb.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val assigned = Similarity.ivfAssign(emb, centroids)
+    // probe list is ranked: the first probed cell IS the assignment cell
+    val probe1 = Similarity.ivfProbes(emb, centroids, nprobe = 1)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val assign = assigned.select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(probe1 === assign)
+    // nprobe=2 yields two distinct cells per vector (C > 1 here)
+    val probe2 = Similarity.ivfProbes(emb, centroids, nprobe = 2)
+    val perVec = probe2.groupBy("vec_id").agg(countDistinct("bucket").as("n"))
+      .select("n").distinct().as[Long].collect().toSeq
+    assert(perVec === Seq(2L))
+    // recall@3 vs brute force can only improve with more probed cells
+    val queries = col("vec_id") < 30
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(queries), k = 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int): Double = {
+      val a = Similarity.annTopKProbed(
+        assigned, Similarity.ivfProbes(emb.filter(queries), centroids, nprobe), k = 3)
+        .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (a intersect brute).size.toDouble / brute.size
+    }
+    val (r1, r2) = (recall(1), recall(2))
+    info(f"IVF recall@3: nprobe=1 $r1%.3f nprobe=2 $r2%.3f")
+    assert(r2 >= r1, s"more probes must not lose recall: $r2 < $r1")
+    assert(r2 > 0.0)
+  }
+
   test("kmeansIteration computes exact per-bucket means") {
     import spark.implicits._
     val assigned = Seq(
