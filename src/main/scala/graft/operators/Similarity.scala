@@ -277,6 +277,30 @@ object Similarity {
       transform(col("sums"), s => s / col("n")).as("embedding"))
   }
 
+  /** `rounds` Lloyd iterations over a seed centroid table: each round is a
+    * shuffle-free [[ivfAssign]] (codegen argmax projection) plus one
+    * map-side-combinable [[kmeansIteration]] aggregation — the only
+    * exchange per round is the C-row centroid reduce. Returns the refined
+    * centroid table (C rows, ready for the final [[ivfAssign]] +
+    * [[annTopKProbed]] probe). Cells can only tighten (mean intra-cell
+    * cosine is non-decreasing; SimilaritySpec pins this across rounds).
+    */
+  def lloydRefine(
+      vectors: DataFrame,
+      seeds: DataFrame,
+      rounds: Int,
+      dims: Int = 64
+  ): DataFrame = {
+    require(rounds >= 0, s"rounds must be non-negative: $rounds")
+    var cents = seeds
+    var r = 0
+    while (r < rounds) {
+      cents = kmeansIteration(ivfAssign(vectors, cents), dims)
+      r += 1
+    }
+    cents
+  }
+
   /** Embedding-level near-duplicate pairs: candidates co-bucketed by the LSH
     * sign pattern, verified by exact cosine above `threshold`. The dedup
     * variant of [[annTopK]] — same bucketed candidate generation, symmetric

@@ -216,5 +216,14 @@ class SimilaritySpec extends SparkSpec {
     val a1 = Similarity.ivfAssign(emb, refined)
     val after = meanIntraCos(a1, refined)
     assert(after >= before - 1e-9, s"refinement loosened cells: $before -> $after")
+    // multi-round build: lloydRefine(1) == one manual round; 2 rounds never
+    // loosen vs 1 (monotone build quality as the budget grows)
+    val l1 = Similarity.lloydRefine(emb, seed, rounds = 1)
+    assert(
+      l1.select("centroid_id", "embedding").as[(Long, Seq[Double])].collect().toMap ===
+        refined.select("centroid_id", "embedding").as[(Long, Seq[Double])].collect().toMap)
+    val l2 = Similarity.lloydRefine(emb, seed, rounds = 2)
+    val after2 = meanIntraCos(Similarity.ivfAssign(emb, l2), l2)
+    assert(after2 >= after - 1e-9, s"round 2 loosened cells: $after -> $after2")
   }
 }
