@@ -50,6 +50,13 @@ object TextQueries {
     withTokens(docsParallel(s, d))
       .select(col("doc_id"), TextOps.simhash16(col("toks")).as("simhash"))
 
+  /** SimHash-banded near-dup pairs: 60-bit relational fingerprint, 4×15-bit
+    * band candidate join, exact Hamming ≤ 3 verification
+    * (operators/Dedup.scala simhashCandidatePairs).
+    */
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashCandidatePairs(docsParallel(s, d))
+
   /** Per-document quality statistics. */
   def textStats(s: SparkSession, d: String): DataFrame = {
     val en = TextOps.StopwordsByLang.toMap.apply("en")
@@ -370,6 +377,7 @@ object TextQueries {
     "q_blocklist" -> (blocklist _),
     "q_chunk" -> (chunk _),
     "q_simhash" -> (simhash _),
+    "q_simhash_pairs" -> (simhashPairs _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langIdQuery _),
     "q_fingerprint" -> (fingerprintQuery _),
@@ -556,6 +564,24 @@ object TextQueries {
         |    THEN 1 << b ELSE 0 END AS bit
         |  FROM tok, range(0, 16) tb(b))
         |SELECT doc_id, CAST(sum(bit) AS INTEGER) AS simhash FROM bits GROUP BY doc_id""".stripMargin,
+    "q_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
+        |hx AS (SELECT doc_id, md5(t) AS h FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |    CASE WHEN sum((((strpos('0123456789abcdef', substr(h, (b // 4) + 1, 1)) - 1) >> (b % 4)) & 1) * 2 - 1) >= 0
+        |      THEN 1::BIGINT << b ELSE 0::BIGINT END AS bit
+        |  FROM hx, range(0, 60) tb(b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, b AS band, (simhash >> (b * 15)) & 32767 AS band_val
+        |  FROM sh, range(0, 4) tb(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS l_doc, b.doc_id AS r_doc
+        |  FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+        |SELECT l_doc, r_doc,
+        |  CAST(bit_count(xor(ls.simhash, rs.simhash)) AS INTEGER) AS hamming
+        |FROM cand JOIN sh ls ON cand.l_doc = ls.doc_id
+        |  JOIN sh rs ON cand.r_doc = rs.doc_id
+        |WHERE bit_count(xor(ls.simhash, rs.simhash)) <= 3""".stripMargin,
     "q_text_stats" ->
       """WITH tok AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
         |SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars_calc,

@@ -139,9 +139,110 @@ object Dedup {
     val exploded = persistOnce(
       sigs.select(
         col(idCol), posexplode(col("bands")).as(Seq("band", "band_hash"))))
+    cappedBandPairs(
+      exploded, idCol, Seq("band", "band_hash"), maxBucketSize, "candidatePairs")
+  }
+
+  /** 60-bit SimHash per document, computed RELATIONALLY (posexplode →
+    * one md5 per token → 60 codegen bit sums with map-side combine), the
+    * [[signatures]] discipline — never 60 interpreted per-token HOF
+    * aggregates. Bit b comes from bit (b mod 4) of md5 hex digit
+    * (b div 4)+1, so one md5 per token feeds all 60 bits. 60 (not 64)
+    * keeps `1L << b` clear of the sign bit on both engines.
+    *
+    * Wide variant of [[TextOps.simhash16]]: 16 bits is fine as a
+    * fingerprint column but has only 2^16 values — at corpus scale its
+    * band buckets collapse. 60 bits in 4 bands of 15 bits gives 32k
+    * buckets per band for [[simhashCandidatePairs]].
+    */
+  def simhashSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bits: Int = 60
+  ): DataFrame = {
+    require(bits > 0 && bits <= 60, s"bits must be in (0, 60]: $bits")
+    val toks = docs
+      .select(col(idCol), explode(TextOps.tokenize(col(textCol))).as("token"))
+      .withColumn("_h", md5(col("token")))
+    val bitSums = (0 until bits).map { b =>
+      val dig = b / 4 + 1
+      val shift = b % 4
+      sum(
+        shiftright(conv(substring(col("_h"), dig, 1), 16, 10).cast("int"), shift)
+          .bitwiseAND(lit(1)) * 2 - 1).as(s"_b$b")
+    }
+    toks
+      .groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col(idCol),
+        (0 until bits)
+          .map(b => when(col(s"_b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+          .as("simhash"))
+  }
+
+  /** SimHash-banded near-duplicate pairs: candidates share at least one of
+    * `bands` equal-width bit bands of the 60-bit [[simhashSignatures]]
+    * fingerprint, verified by exact Hamming distance ≤ `maxHamming`.
+    * By pigeonhole, every pair within Hamming `bands − 1` shares a band —
+    * the default (4 bands, maxHamming 3) is exact-recall for its
+    * threshold. The band join is an equi-shuffle (never all-pairs) with
+    * the same oversized-bucket guard as [[candidatePairs]] (identical
+    * documents collapse to one simhash → one hot bucket).
+    *
+    * Complementary to MinHash/LSH: SimHash Hamming tracks token-frequency
+    * similarity (cheap, one fingerprint per doc), MinHash Jaccard tracks
+    * shingle-set overlap (costlier, order-sensitive via shingles).
+    */
+  def simhashCandidatePairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxBucketSize: Int = DefaultMaxBucketSize
+  ): DataFrame = {
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands: $maxHamming / $bands")
+    require(60 % bands == 0, s"bands must divide 60: $bands")
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    val sh = persistOnce(simhashSignatures(docs, idCol, textCol))
+    val banded = sh.select(
+      col(idCol),
+      posexplode(
+        array((0 until bands).map(b =>
+          shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "band_val")))
+    val pairs = cappedBandPairs(
+      banded, idCol, Seq("band", "band_val"), maxBucketSize, "simhashCandidatePairs")
+    pairs
+      .join(sh.select(col(idCol).as("l_doc"), col("simhash").as("_ls")), Seq("l_doc"))
+      .join(sh.select(col(idCol).as("r_doc"), col("simhash").as("_rs")), Seq("r_doc"))
+      .withColumn("hamming", bit_count(col("_ls").bitwiseXOR(col("_rs"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("l_doc"), col("r_doc"), col("hamming"))
+  }
+
+  /** Shared guarded banded self-join: distinct (l_doc, r_doc) pairs of ids
+    * co-bucketed on `keys`, with oversized buckets capped to their
+    * lowest-id representatives (dropped docs still pair AGAINST the
+    * representatives; see [[candidatePairs]] for the full rationale) and
+    * the truncation logged, never silent.
+    */
+  private def cappedBandPairs(
+      exploded: DataFrame,
+      idCol: String,
+      keys: Seq[String],
+      maxBucketSize: Int,
+      what: String
+  ): DataFrame = {
+    val cached = persistOnce(exploded)
     val (oversized, dropped) = {
-      val r = exploded
-        .groupBy(col("band"), col("band_hash"))
+      val r = cached
+        .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("_n"))
         .filter(col("_n") > maxBucketSize)
         .agg(
@@ -152,26 +253,21 @@ object Dedup {
     }
     if (oversized > 0)
       log.warn(
-        s"candidatePairs: $oversized LSH bucket(s) exceed maxBucketSize=$maxBucketSize; " +
+        s"$what: $oversized bucket(s) exceed maxBucketSize=$maxBucketSize; " +
           s"$dropped doc slot(s) beyond the cap pair only against the " +
           "lowest-id representatives (dropped×dropped pairs are not emitted)")
-    // representatives: the maxBucketSize lowest ids per bucket; same shuffle
-    // key as the candidate join itself, so the window adds no new exchange
-    // on the a-side
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("band_hash"))
+      .partitionBy(keys.map(col): _*)
       .orderBy(col(idCol))
-    val reps = exploded
+    val reps = cached
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= maxBucketSize)
       .drop("_rk")
     reps.as("a")
       .join(
-        exploded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col(s"a.$idCol") < col(s"b.$idCol")
-      )
+        cached.as("b"),
+        keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("l_doc"), col(s"b.$idCol").as("r_doc"))
       .distinct()
   }

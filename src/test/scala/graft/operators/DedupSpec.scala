@@ -47,6 +47,32 @@ class DedupSpec extends SparkSpec {
     assert(j === 1.0)
   }
 
+  test("simhash candidate pairs: exact dups at hamming 0, all pairs verified ≤ threshold, never all-pairs") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "alpha beta gamma delta zeta"), // near dup: one token differs
+      (4L, "totally different words here now indeed")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashCandidatePairs(synth)
+      .select("l_doc", "r_doc", "hamming")
+      .as[(Long, Long, Int)].collect()
+    val asMap = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(asMap((1L, 2L)) === 0, s"exact dup must be hamming 0: $got")
+    assert(got.forall(_._3 <= 3))
+    // corpus-level: bounded candidates, all within the hamming threshold
+    val n = docs.count()
+    val corpus = Dedup.simhashCandidatePairs(docs).collect()
+    assert(corpus.length < n * (n - 1) / 4, "must not approach all-pairs")
+    assert(corpus.forall(_.getAs[Int]("hamming") <= 3))
+    // identical docs collapse to one simhash → the hot-bucket cap applies
+    val clones = (0L until 200L).map(i => (i, "same text every time")).toDF("doc_id", "text")
+    val capped = Dedup.simhashCandidatePairs(clones, maxBucketSize = 16)
+    // 16 reps pair with every later doc + rep-rep pairs: 16·184 + 120
+    assert(capped.count() === 16L * 184 + 16 * 15 / 2)
+  }
+
   test("connectedComponents resolves multi-hop chains, merges and cycles to min-id labels") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), triangle 10-11-12 (cycle),
