@@ -126,14 +126,32 @@ object StreamingOps {
     * reprocessing run chews through days of event time in minutes of
     * processing time, and a processing-time TTL would either never fire or
     * evict buckets that are still within their event-time horizon.
+    *
+    * The timer anchors on the bucket's LAST ACTIVITY in event time (the
+    * max row ts of this invocation), not on the current watermark: a
+    * watermark that lags the data (always true for a fresh stream, where
+    * it starts at epoch) would otherwise expire state ttl-after-watermark
+    * — long before ttl has elapsed in data time. The watermark is only a
+    * floor (Spark requires the timer to sit above it).
     */
   def bucketUpdateEventTime(maxBucketSize: Int, ttlMillis: Long)(
       key: (Int, String),
       rows: Iterator[BandedDocTs],
       state: GroupState[BucketState]
-  ): Iterator[CandidatePair] =
-    bucketUpdateCore(maxBucketSize, rows.map(_.docId), state,
-      s => s.setTimeoutTimestamp(s.getCurrentWatermarkMs() + ttlMillis))
+  ): Iterator[CandidatePair] = {
+    // maxTs is only read AFTER the core has drained the iterator (the
+    // timeout callback runs post-fold), so the lazy map is safe
+    var maxTs = Long.MinValue
+    bucketUpdateCore(
+      maxBucketSize,
+      rows.map { d =>
+        if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
+        d.docId
+      },
+      state,
+      s => s.setTimeoutTimestamp(
+        math.max(maxTs, s.getCurrentWatermarkMs()) + ttlMillis))
+  }
 
   private def bucketUpdateCore(
       maxBucketSize: Int,

@@ -202,6 +202,45 @@ class StreamingOpsSpec extends SparkSpec {
     assert(fresh.get.docIds === List(3L))
   }
 
+  test("event-time TTL live: a replayed bucket is evicted once the watermark passes its horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.BandedDocTs
+    val input = MemoryStream[BandedDocTs]
+    val q = StreamingOps
+      .nearDupCandidatesStreamEventTime(
+        input.toDS(),
+        stateTtl = java.time.Duration.ofMinutes(30),
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ettl_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    // event times start well above epoch: a row whose ts ≤ the initial
+    // watermark (0) is dropped as late before the operator ever sees it
+    def doc(id: Long, min: Int) = BandedDocTs(0, "bucket", id, ts(min))
+    // batch 1: two docs co-bucketed at t=60min → one pair,
+    // timer = last activity (60min) + ttl (30min) = 90min
+    input.addData(doc(1L, 60), doc(2L, 60))
+    q.processAllAvailable()
+    // batch 2: a FOREIGN bucket far in event time advances the watermark
+    // past the hot bucket's 90-minute horizon
+    input.addData(BandedDocTs(7, "elsewhere", 99L, ts(200)))
+    q.processAllAvailable()
+    // batch 3: (no data for the hot bucket) — the engine fires its timeout:
+    // state evicted. A later replayed arrival sees an EMPTY bucket.
+    input.addData(BandedDocTs(7, "elsewhere", 98L, ts(201)))
+    q.processAllAvailable()
+    // batch 4: doc 3 lands in the (now evicted) hot bucket → NO pair vs 1/2
+    input.addData(doc(3L, 205))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.sql("SELECT lDoc, rDoc FROM ettl_out")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"pre-expiry pair missing: $pairs")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+      s"doc 3 must see an evicted (empty) bucket: $pairs")
+  }
+
   test("event-time TTL: bucket timer follows the watermark, expiry evicts via watermark advance") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
@@ -211,8 +250,9 @@ class StreamingOpsSpec extends SparkSpec {
     def doc(id: Long, tsMs: Long) =
       BandedDocTs(0, "a", id, new java.sql.Timestamp(tsMs))
 
-    // live path: the timeout timestamp is WATERMARK + ttl — event time, not
-    // the processing clock (batchProcessingTimeMs is deliberately huge)
+    // live path: the timeout timestamp is LAST ACTIVITY (max event time,
+    // floored at the watermark) + ttl — event time, not the processing
+    // clock (batchProcessingTimeMs is deliberately huge)
     val live = TestGroupState.create[BucketState](
       Optional.of(BucketState(List(1L))),
       GroupStateTimeout.EventTimeTimeout,
@@ -221,8 +261,16 @@ class StreamingOpsSpec extends SparkSpec {
       hasTimedOut = false)
     val pairs = update((0, "a"), Iterator(doc(4L, 1500L)), live).toSeq
     assert(pairs.map(p => (p.lDoc, p.rDoc)) === Seq((1L, 4L)))
-    assert(live.getTimeoutTimestampMs.get() === 1000L + ttlMs,
-      "timer must be watermark + ttl (data-driven expiry)")
+    assert(live.getTimeoutTimestampMs.get() === 1500L + ttlMs,
+      "timer must be last event-time activity + ttl (data-driven expiry)")
+    // a lagging row (ts below the watermark) floors the timer at the
+    // watermark, which Spark requires the timer to sit above
+    val lagging = TestGroupState.create[BucketState](
+      Optional.of(BucketState(List(1L))),
+      GroupStateTimeout.EventTimeTimeout,
+      999999999L, Optional.of(2000L), hasTimedOut = false)
+    update((0, "a"), Iterator(doc(5L, 1200L)), lagging).toSeq
+    assert(lagging.getTimeoutTimestampMs.get() === 2000L + ttlMs)
 
     // watermark advance past the timer → engine fires the timeout path:
     // state evicted, nothing emitted, no new timer armed
@@ -240,6 +288,6 @@ class StreamingOpsSpec extends SparkSpec {
       999999999L, Optional.of(7000L), hasTimedOut = false)
     assert(update((0, "a"), Iterator(doc(9L, 7500L)), fresh).isEmpty)
     assert(fresh.get.docIds === List(9L))
-    assert(fresh.getTimeoutTimestampMs.get() === 7000L + ttlMs)
+    assert(fresh.getTimeoutTimestampMs.get() === 7500L + ttlMs)
   }
 }
