@@ -229,6 +229,22 @@ object TextQueries {
       k = 3)
   }
 
+  /** Int8 scalar quantization of the embedding column (operators/
+    * Similarity.scala quantizeEmbedding), exploded per dimension for the
+    * oracle: per-vector offset/scale floats + the tinyint level of every
+    * element.
+    */
+  def embedQuant(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("qe", Similarity.quantizeEmbedding(col("embedding")))
+      .select(
+        col("vec_id"), col("qe.offset").as("offset"), col("qe.scale").as("scale"),
+        posexplode(col("qe.q")).as(Seq("pos", "qval")))
+      .select(
+        col("vec_id"), col("offset"), col("scale"),
+        (col("pos") + 1).cast("int").as("dim"),
+        col("qval").cast("int").as("qval"))
+
   /** C4-style composite quality gate per document. */
   def qualityFilter(s: SparkSession, d: String): DataFrame =
     withTokens(docsParallel(s, d)).select(
@@ -385,6 +401,7 @@ object TextQueries {
     "q_cosine_topk" -> (cosineTopK _),
     "q_ann_lsh" -> (annLsh _),
     "q_embed_dedup" -> (embedDedup _),
+    "q_embed_quant" -> (embedQuant _),
     "q_quality_filter" -> (qualityFilter _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_probe" -> (annIvfProbe _),
@@ -564,6 +581,15 @@ object TextQueries {
         |    THEN 1 << b ELSE 0 END AS bit
         |  FROM tok, range(0, 16) tb(b))
         |SELECT doc_id, CAST(sum(bit) AS INTEGER) AS simhash FROM bits GROUP BY doc_id""".stripMargin,
+    "q_embed_quant" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mm AS (SELECT vec_id, v, list_min(v) AS mn,
+        |    (list_max(v) - list_min(v)) / 255.0 AS sc FROM base)
+        |SELECT vec_id, CAST(mn AS REAL) AS "offset", CAST(sc AS REAL) AS scale,
+        |  CAST(generate_subscripts(v, 1) AS INTEGER) AS dim,
+        |  CAST(CASE WHEN sc = 0 THEN 0.0
+        |       ELSE floor((unnest(v) - mn) / sc + 0.5) END - 128.0 AS INTEGER) AS qval
+        |FROM mm""".stripMargin,
     "q_simhash_pairs" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
         |hx AS (SELECT doc_id, md5(t) AS h FROM tok),

@@ -187,6 +187,36 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 > 0.0)
   }
 
+  test("int8 quantization: elementwise error ≤ scale/2; brute-force top-3 survives dequantization") {
+    import spark.implicits._
+    val rows = emb.limit(50)
+      .withColumn("qe", Similarity.quantizeEmbedding(col("embedding")))
+      .select(
+        Similarity.asDouble(col("embedding")).as("v"),
+        Similarity.dequantizeEmbedding(col("qe")).as("dq"),
+        col("qe.scale").cast("double").as("s"))
+      .as[(Seq[Double], Seq[Double], Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, dq, s) =>
+      v.zip(dq).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= s / 2 + 1e-9, s"error ${math.abs(a - b)} > scale/2 $s")
+      }
+    }
+    // recall preservation: exact top-3 on dequantized vectors overlaps the
+    // full-precision top-3 heavily (int8 is the cheap first compression)
+    val deq = emb.select(
+      col("vec_id"),
+      Similarity.dequantizeEmbedding(Similarity.quantizeEmbedding(col("embedding")))
+        .as("embedding"))
+    val orig = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.bruteForceTopK(deq, deq.filter(col("vec_id") < 20), k = 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val overlap = (orig intersect quant).size.toDouble / orig.size
+    info(f"top-3 overlap after int8 round trip: $overlap%.3f")
+    assert(overlap >= 0.8, f"quantization destroyed ranking: overlap $overlap%.3f")
+  }
+
   test("kmeansIteration computes exact per-bucket means") {
     import spark.implicits._
     val assigned = Seq(
