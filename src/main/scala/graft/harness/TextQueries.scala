@@ -245,6 +245,17 @@ object TextQueries {
         (col("pos") + 1).cast("int").as("dim"),
         col("qval").cast("int").as("qval"))
 
+  /** Product-quantization encode (operators/Similarity.scala pqEncode):
+    * 4 subspaces × 16 dims, per-subspace nearest-centroid codes over the
+    * vec_id % 29 seed codebook — one (vec_id, subspace, code) row each.
+    */
+  def pqEncodeQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+    val cent = emb.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    Similarity.pqEncode(emb, cent)
+  }
+
   /** C4-style composite quality gate per document. */
   def qualityFilter(s: SparkSession, d: String): DataFrame =
     withTokens(docsParallel(s, d)).select(
@@ -402,6 +413,7 @@ object TextQueries {
     "q_ann_lsh" -> (annLsh _),
     "q_embed_dedup" -> (embedDedup _),
     "q_embed_quant" -> (embedQuant _),
+    "q_pq_encode" -> (pqEncodeQuery _),
     "q_quality_filter" -> (qualityFilter _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_probe" -> (annIvfProbe _),
@@ -581,6 +593,19 @@ object TextQueries {
         |    THEN 1 << b ELSE 0 END AS bit
         |  FROM tok, range(0, 16) tb(b))
         |SELECT doc_id, CAST(sum(bit) AS INTEGER) AS simhash FROM bits GROUP BY doc_id""".stripMargin,
+    "q_pq_encode" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 29 = 0),
+        |assign AS (SELECT rs.s AS subspace, e.vec_id, c.cid,
+        |    list_inner_product(list_slice(e.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16),
+        |                       list_slice(c.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16)) /
+        |      (sqrt(list_inner_product(list_slice(e.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16),
+        |                               list_slice(e.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16))) *
+        |       sqrt(list_inner_product(list_slice(c.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16),
+        |                               list_slice(c.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16)))) AS c_cos
+        |  FROM embeddings e, cent c, range(0, 4) rs(s))
+        |SELECT vec_id, CAST(subspace AS INTEGER) AS subspace, CAST(cid AS BIGINT) AS code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY c_cos DESC, cid ASC) AS rn
+        |  FROM assign) WHERE rn = 1""".stripMargin,
     "q_embed_quant" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |mm AS (SELECT vec_id, v, list_min(v) AS mn,

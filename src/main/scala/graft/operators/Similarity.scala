@@ -336,6 +336,48 @@ object Similarity {
         (x.cast("double") + 128.0) * q.getField("scale").cast("double") +
           q.getField("offset").cast("double"))
 
+  /** Product-quantization encode: the embedding is split into `m` contiguous
+    * subvectors and each is assigned to its nearest per-subspace centroid
+    * (cosine, id tiebreak) — one row per (vector, subspace) with the
+    * centroid id as the code. A vector compresses to m codes (m bytes at
+    * codebook size ≤ 256): with C_s centroids per subspace the effective
+    * cell count is Π C_s, so PQ reaches resolutions (256⁸ ≈ 10¹⁹) no flat
+    * IVF can, at log₂(C_s)·m bits per vector.
+    *
+    * Same zero-exchange design as [[ivfAssign]]: each subspace's argmax is
+    * a [[graft.functions.NearestCentroid]] kernel over that subspace's
+    * SLICE of the collected codebook — the whole encode is one projection,
+    * no join, no shuffle. Search composes as ADC: broadcast the per-query
+    * (subspace, centroid) dot LUT and sum m lookups per candidate.
+    *
+    * @param centroids (centroid_id, embedding) — full-width codebook rows;
+    *                  each subspace uses its own slice of them
+    */
+  def pqEncode(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      m: Int = 4,
+      dims: Int = 64
+  ): DataFrame = {
+    require(m > 0 && dims % m == 0, s"m must divide dims: $m / $dims")
+    val width = dims / m
+    val collected = centroids
+      .select(col("centroid_id").cast("long"), asDouble(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1)
+    require(collected.nonEmpty, "pqEncode needs a non-empty codebook")
+    val ids = collected.map(_._1).toIndexedSeq
+    val codes = (0 until m).map { s =>
+      val subEmbs = collected.map(_._2.slice(s * width, (s + 1) * width)).toIndexedSeq
+      graft.functions.expressions.nearest_centroid(
+        slice(col("embedding"), s * width + 1, width), ids, subEmbs)
+    }
+    vectors
+      .select(col("vec_id"), posexplode(array(codes: _*)).as(Seq("subspace", "code")))
+      .select(col("vec_id"), col("subspace").cast("int").as("subspace"), col("code"))
+  }
+
   /** Embedding-level near-duplicate pairs: candidates co-bucketed by the LSH
     * sign pattern, verified by exact cosine above `threshold`. The dedup
     * variant of [[annTopK]] — same bucketed candidate generation, symmetric

@@ -217,6 +217,26 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.8, f"quantization destroyed ranking: overlap $overlap%.3f")
   }
 
+  test("pqEncode: per-subspace codes equal ivfAssign on the sliced frames") {
+    import spark.implicits._
+    val cent = emb.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val bySub = Similarity.pqEncode(emb, cent)
+      .select("vec_id", "subspace", "code").as[(Long, Int, Long)].collect()
+      .groupBy(_._2)
+    assert(bySub.keySet === Set(0, 1, 2, 3))
+    for (s <- 0 until 4) {
+      val sliced = emb.select(
+        col("vec_id"), slice(col("embedding"), s * 16 + 1, 16).as("embedding"))
+      val centS = cent.select(
+        col("centroid_id"), slice(col("embedding"), s * 16 + 1, 16).as("embedding"))
+      val expect = Similarity.ivfAssign(sliced, centS)
+        .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+      val got = bySub(s).map(r => r._1 -> r._3).toMap
+      assert(got === expect, s"subspace $s diverged from sliced ivfAssign")
+    }
+  }
+
   test("kmeansIteration computes exact per-bucket means") {
     import spark.implicits._
     val assigned = Seq(
