@@ -256,6 +256,22 @@ object TextQueries {
     Similarity.pqEncode(emb, cent)
   }
 
+  /** PQ asymmetric-distance top-5: full-precision queries (vec_id < 20)
+    * scored against the corpus THROUGH ITS CODES only (operators/
+    * Similarity.scala pqAdcTopK) — broadcast per-query LUT, m lookups per
+    * candidate.
+    */
+  def pqAdc(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+    val cent = emb.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    Similarity.pqAdcTopK(
+      Similarity.pqEncode(emb, cent),
+      emb.filter(col("vec_id") < 20),
+      cent,
+      k = 5)
+  }
+
   /** C4-style composite quality gate per document. */
   def qualityFilter(s: SparkSession, d: String): DataFrame =
     withTokens(docsParallel(s, d)).select(
@@ -414,6 +430,7 @@ object TextQueries {
     "q_embed_dedup" -> (embedDedup _),
     "q_embed_quant" -> (embedQuant _),
     "q_pq_encode" -> (pqEncodeQuery _),
+    "q_pq_adc" -> (pqAdc _),
     "q_quality_filter" -> (qualityFilter _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_probe" -> (annIvfProbe _),
@@ -606,6 +623,29 @@ object TextQueries {
         |SELECT vec_id, CAST(subspace AS INTEGER) AS subspace, CAST(cid AS BIGINT) AS code FROM (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY c_cos DESC, cid ASC) AS rn
         |  FROM assign) WHERE rn = 1""".stripMargin,
+    "q_pq_adc" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 29 = 0),
+        |assign AS (SELECT rs.s AS subspace, e.vec_id, c.cid,
+        |    list_inner_product(list_slice(e.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16),
+        |                       list_slice(c.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16)) /
+        |      (sqrt(list_inner_product(list_slice(e.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16),
+        |                               list_slice(e.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16))) *
+        |       sqrt(list_inner_product(list_slice(c.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16),
+        |                               list_slice(c.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16)))) AS c_cos
+        |  FROM embeddings e, cent c, range(0, 4) rs(s)),
+        |codes AS (SELECT vec_id, subspace, cid AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY c_cos DESC, cid ASC) AS rn
+        |    FROM assign) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS q_id, rs.s AS subspace, c.cid AS code,
+        |    list_inner_product(list_slice(q.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16),
+        |                       list_slice(c.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16)) AS partial
+        |  FROM embeddings q, cent c, range(0, 4) rs(s) WHERE q.vec_id < 20),
+        |scored AS (SELECT l.q_id, k.vec_id AS neighbor_id, sum(l.partial) AS score_raw
+        |  FROM codes k JOIN lut l ON k.subspace = l.subspace AND k.code = l.code
+        |  WHERE l.q_id <> k.vec_id GROUP BY l.q_id, k.vec_id)
+        |SELECT q_id, neighbor_id, round(score_raw, 6) AS score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_raw DESC, neighbor_id ASC) AS rn
+        |  FROM scored) WHERE rn <= 5""".stripMargin,
     "q_embed_quant" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |mm AS (SELECT vec_id, v, list_min(v) AS mn,

@@ -378,6 +378,55 @@ object Similarity {
       .select(col("vec_id"), col("subspace").cast("int").as("subspace"), col("code"))
   }
 
+  /** ADC (asymmetric-distance) top-k over PQ codes: queries stay
+    * full-precision, candidates are scored from their m codes only —
+    * `score(q, v) = Σ_s  q_s · centroid(code_s)_s`, the inner product of q
+    * with v's PQ reconstruction, WITHOUT touching v's vector. The
+    * per-query lookup table (q × subspace × centroid partial dots,
+    * |Q|·m·C rows) is tiny and broadcast; the scan side touches only the
+    * m-byte codes — this is how PQ search reads 8 bytes/vector instead of
+    * 256 at 100 TB. Ranking is approximate (reconstruction error), so
+    * production re-ranks the top candidates against the full vectors;
+    * here the ADC ordering itself is the contract.
+    */
+  def pqAdcTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      m: Int = 4,
+      dims: Int = 64
+  ): DataFrame = {
+    require(m > 0 && dims % m == 0, s"m must divide dims: $m / $dims")
+    val width = dims / m
+    def bySubspace(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(
+        col("_id").as(idAs),
+        posexplode(
+          array((0 until m).map(s => slice(col("_v"), s * width + 1, width)): _*))
+          .as(Seq("subspace", vecAs)))
+    val q = bySubspace(
+      queries.select(col("vec_id").as("_id"), asDouble(col("embedding")).as("_v")),
+      "q_id", "q_sub")
+    val c = bySubspace(
+      centroids.select(col("centroid_id").as("_id"), asDouble(col("embedding")).as("_v")),
+      "code", "c_sub")
+    val lut = q.join(c, Seq("subspace"))
+      .select(
+        col("q_id"), col("subspace"), col("code"),
+        dot(col("q_sub"), col("c_sub")).as("partial"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score_raw").desc, col("neighbor_id").asc)
+    codes
+      .join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("partial")).as("score_raw"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("neighbor_id"), round(col("score_raw"), 6).as("score"))
+  }
+
   /** Embedding-level near-duplicate pairs: candidates co-bucketed by the LSH
     * sign pattern, verified by exact cosine above `threshold`. The dedup
     * variant of [[annTopK]] — same bucketed candidate generation, symmetric

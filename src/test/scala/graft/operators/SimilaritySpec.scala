@@ -237,6 +237,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ ADC scores equal the dot with the code reconstruction") {
+    import spark.implicits._
+    val cent = emb.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val codes = Similarity.pqEncode(emb, cent)
+    val adc = Similarity.pqAdcTopK(codes, emb.filter(col("vec_id") < 10), cent, k = 5)
+      .select("q_id", "neighbor_id", "score").as[(Long, Long, Double)].collect()
+    assert(adc.nonEmpty)
+    val centMap = cent
+      .select(col("centroid_id"), Similarity.asDouble(col("embedding")))
+      .as[(Long, Seq[Double])].collect().toMap
+    val codeMap = codes.select("vec_id", "subspace", "code")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val qMap = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")))
+      .as[(Long, Seq[Double])].collect().toMap
+    adc.foreach { case (q, n, score) =>
+      // reconstruction: concatenate the coded centroid slices
+      val rec = (0 until 4).flatMap(s => centMap(codeMap(n)(s)).slice(s * 16, (s + 1) * 16))
+      val expect = qMap(q).zip(rec).map { case (a, b) => a * b }.sum
+      assert(math.abs(expect - score) < 1e-5,
+        s"ADC score $score for ($q, $n) != reconstruction dot $expect")
+    }
+  }
+
   test("kmeansIteration computes exact per-bucket means") {
     import spark.implicits._
     val assigned = Seq(
