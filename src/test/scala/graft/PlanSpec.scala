@@ -232,6 +232,20 @@ class PlanSpec extends SparkSpec {
     assert(aggExchanges <= 1, s"only the refinement aggregation may hash-shuffle:\n$p")
   }
 
+  test("ivfProbes and pqEncode stay shuffle-free: explode + kernel projection, no join") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = emb.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val probes = plan(graft.operators.Similarity.ivfProbes(emb, centroids, nprobe = 2))
+    assert(!probes.contains("Exchange"), s"multi-probe must be shuffle-free:\n$probes")
+    assert(!probes.contains("Join"), s"multi-probe must not join:\n$probes")
+    assert(probes.contains("Generate"), "probe fan-out should be an explode")
+    val pq = plan(graft.operators.Similarity.pqEncode(emb, centroids))
+    assert(!pq.contains("Exchange"), s"PQ encode must be shuffle-free:\n$pq")
+    assert(!pq.contains("Join"), s"PQ encode must not join:\n$pq")
+  }
+
   test("ivfAssign alone plans zero exchanges and zero joins (assignment path at scale)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val centroids = emb
