@@ -256,13 +256,21 @@ object Dedup {
         s"$what: $oversized bucket(s) exceed maxBucketSize=$maxBucketSize; " +
           s"$dropped doc slot(s) beyond the cap pair only against the " +
           "lowest-id representatives (dropped×dropped pairs are not emitted)")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col(idCol))
-    val reps = cached
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= maxBucketSize)
-      .drop("_rk")
+    // The overflow count above already paid one pass over `cached`; use it to
+    // pick the plan. The row_number cap costs a full sort-shuffle of the
+    // exploded frame, so only pay it when some bucket actually overflows —
+    // the common (no-overflow) case joins the cached frame directly.
+    val reps =
+      if (oversized == 0) cached
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col(idCol))
+        cached
+          .withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") <= maxBucketSize)
+          .drop("_rk")
+      }
     reps.as("a")
       .join(
         cached.as("b"),
