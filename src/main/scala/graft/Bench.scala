@@ -68,9 +68,24 @@ object Bench {
         .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString("{", ",", "}")
     val total = timings.values.sum
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":${jstr(sfDir)}}"""
-    )
+    println(json)
+    // Durable machine-readable artifact: stdout passes through sbt + the
+    // driver's tail buffer, which has truncated the head of the line on
+    // full-suite runs (BENCH_r07 kept only the last ~70 of 126 timings) —
+    // every per-query number also lands in a file regression tooling can
+    // read whole.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outFile),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] wrote $outFile")
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -149,6 +149,23 @@ object ColocQueries {
   def variantCounts(s: SparkSession, d: String): DataFrame =
     SumstatQC.variantCounts(synthGwas(s, d))
 
+  /** The SummaryStatisticsQC wide-frame composition (operators/SumstatQC
+    * .fromSummaryStatistics; reference dataset/summary_statistics_qc.py:
+    * 76-139): the four per-study checks outer-joined on studyId. The PZ
+    * columns are computed in the composition but projected away for the
+    * compare — their chi²-sf kernel has no DuckDB counterpart (q_pz_test
+    * covers them with a scipy-pinned golden); the oracle checks the
+    * outer-join structure plus the three SQL-expressible checks.
+    */
+  def sumstatComposite(s: SparkSession, d: String): DataFrame =
+    SumstatQC.fromSummaryStatistics(synthGwas(s, d))
+      .select(
+        col("studyId"),
+        round(col("mean_beta"), 8).as("mean_beta"),
+        round(col("gc_lambda"), 6).as("gc_lambda"),
+        col("n_variants"),
+        col("n_variants_sig"))
+
   /** Study-metadata append onto the coloc frame + study-type LUT annotation
     * (operators/Colocalisation.appendStudyMetadata + datasets/StudyLocus
     * .annotateStudyType; reference dataset/colocalisation.py:130-181,
@@ -259,6 +276,7 @@ object ColocQueries {
     "q_pz_test" -> (pz _),
     "q_mean_beta" -> (meanBeta _),
     "q_variant_counts" -> (variantCounts _),
+    "q_sumstat_qc" -> (sumstatComposite _),
     "q_coloc_metadata" -> (colocMetadata _)
   )
 
@@ -392,7 +410,20 @@ object ColocQueries {
          |SELECT studyId, count(*) AS n_variants,
          |  CAST(sum(CASE WHEN pValueExponent < -8 OR (pValueExponent = -8 AND pValueMantissa <= 5.0)
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_variants_sig
-         |FROM gw GROUP BY studyId""".stripMargin
+         |FROM gw GROUP BY studyId""".stripMargin,
+    // fromSummaryStatistics passes pValueThreshold=1e-8 (not variantCounts'
+    // standalone 5e-8 default) → mantissa bound 1.0 at exponent -8.
+    "q_sumstat_qc" ->
+      s"""WITH $GwasSql,
+         |mb AS (SELECT studyId, round(avg(beta), 8) AS mean_beta FROM gw GROUP BY studyId),
+         |gl AS (SELECT studyId, round(quantile_disc((beta / se) * (beta / se), 0.5) / ${SumstatQC.Chi2MedianNull}, 6) AS gc_lambda
+         |  FROM gw GROUP BY studyId),
+         |vc AS (SELECT studyId, count(*) AS n_variants,
+         |  CAST(sum(CASE WHEN pValueExponent < -8 OR (pValueExponent = -8 AND pValueMantissa <= 1.0)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_variants_sig
+         |  FROM gw GROUP BY studyId)
+         |SELECT studyId, mb.mean_beta, gl.gc_lambda, vc.n_variants, vc.n_variants_sig
+         |FROM mb FULL JOIN gl USING (studyId) FULL JOIN vc USING (studyId)""".stripMargin
     ,
     // q_pz_test needs the chi² survival function, unavailable in DuckDB, so
     // its oracle is a pinned golden: the 10-row sf0.01 output (deterministic

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.Stats
 import graft.operators.L2gFeatures
-import graft.sources.{GwasCatalog, UkbPpp, VepParser}
+import graft.sources.{FinnGenMeta, GwasCatalog, UkbPpp, VepParser}
 
 /** Oracle-checked queries for the source harmonisers: GWAS-Catalog strand /
   * palindromic-allele handling, effect-direction flipping and QC flagging
@@ -983,7 +983,49 @@ object SourceQueries {
         col("isStrandAmbiguous"))
   }
 
+  /** Schema-superset alignment of divergent per-file FinnGen-meta frames
+    * (sources/FinnGenMeta.alignToSchemaSuperset; reference
+    * datasource/finngen_meta/summary_statistics.py:249-264): two synthetic
+    * "files" with different column subsets — one carrying literal "NA"
+    * cells in string-inferred numeric columns — are aligned onto the
+    * declared superset (missing columns → typed nulls, "NA" → null via
+    * try_cast, declared order) and unioned: the per-file ingest loop's
+    * core semantics minus the parquet sink (the threaded sink itself is
+    * covered by UkbFinnGenMetaSpec).
+    */
+  def finngenMetaAlign(s: SparkSession, d: String): DataFrame = {
+    val o = col("o_orderkey")
+    val fileA = orders(s, d).select(
+      (o % 4).cast(StringType).as("#CHR"),
+      (o % 1000).cast("long").as("POS"),
+      lit("A").as("REF"),
+      lit("G").as("ALT"),
+      concat(lit("rs"), o.cast(StringType)).as("SNP"),
+      when(o % 7 === 0, lit("NA"))
+        .otherwise((o % 100).cast(StringType)).as("fg_beta"),
+      ((o % 50) / 100.0).as("all_inv_var_meta_beta"))
+    val fileB = orders(s, d).filter(o % 3 === 0).select(
+      (o % 4).cast(StringType).as("#CHR"),
+      (o % 1000 + 7).cast("long").as("POS"),
+      lit("C").as("REF"),
+      lit("T").as("ALT"),
+      ((o % 30) / 100.0).as("ukbb_beta"),
+      when(o % 5 === 0, lit("NA"))
+        .otherwise((o % 90).cast(StringType)).as("ukbb_af_alt"))
+    FinnGenMeta.alignToSchemaSuperset(fileA)
+      .withColumn("studyId", lit("finngen_meta_F1"))
+      .unionByName(
+        FinnGenMeta.alignToSchemaSuperset(fileB)
+          .withColumn("studyId", lit("finngen_meta_F2")))
+      .select(
+        col("studyId"), col("#CHR").as("chrom"), col("POS").as("pos"),
+        col("REF").as("ref"), col("ALT").as("alt"), col("SNP").as("snp"),
+        col("fg_beta"), col("ukbb_beta"), col("ukbb_af_alt"),
+        col("all_inv_var_meta_beta"), col("all_N"), col("rsid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_finngen_meta_align" -> (finngenMetaAlign _),
     "q_variant_direction" -> (variantDirection _),
     "q_interval_qc" -> (intervalQc _),
     "q_ontology_closure" -> (ontologyClosure _),
@@ -1045,6 +1087,34 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_finngen_meta_align" ->
+      """WITH fa AS (SELECT 'finngen_meta_F1' AS studyId,
+        |    CAST(o_orderkey % 4 AS VARCHAR) AS chrom,
+        |    CAST(o_orderkey % 1000 AS BIGINT) AS pos,
+        |    'A' AS ref, 'G' AS alt,
+        |    'rs' || CAST(o_orderkey AS VARCHAR) AS snp,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE CAST(o_orderkey % 100 AS DOUBLE) END AS fg_beta,
+        |    CAST(NULL AS DOUBLE) AS ukbb_beta,
+        |    CAST(NULL AS DOUBLE) AS ukbb_af_alt,
+        |    (o_orderkey % 50) / 100.0 AS all_inv_var_meta_beta,
+        |    CAST(NULL AS INTEGER) AS all_N,
+        |    CAST(NULL AS VARCHAR) AS rsid
+        |  FROM orders),
+        |fb AS (SELECT 'finngen_meta_F2' AS studyId,
+        |    CAST(o_orderkey % 4 AS VARCHAR) AS chrom,
+        |    CAST(o_orderkey % 1000 + 7 AS BIGINT) AS pos,
+        |    'C' AS ref, 'T' AS alt,
+        |    CAST(NULL AS VARCHAR) AS snp,
+        |    CAST(NULL AS DOUBLE) AS fg_beta,
+        |    (o_orderkey % 30) / 100.0 AS ukbb_beta,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |         ELSE CAST(o_orderkey % 90 AS DOUBLE) END AS ukbb_af_alt,
+        |    CAST(NULL AS DOUBLE) AS all_inv_var_meta_beta,
+        |    CAST(NULL AS INTEGER) AS all_N,
+        |    CAST(NULL AS VARCHAR) AS rsid
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT * FROM fa UNION ALL SELECT * FROM fb""".stripMargin,
     "q_variant_direction" ->
       """WITH v AS (SELECT DISTINCT
         |    CAST(p_partkey % 4 + 1 AS VARCHAR) AS chrom,

@@ -272,6 +272,46 @@ object TextQueries {
       k = 5)
   }
 
+  /** Residual IVF+PQ ADC top-5 (operators/Similarity.scala ivfPqEncode +
+    * ivfPqAdcTopK): coarse cells from the vec_id % 23 seed, residual
+    * codebook from the residuals of non-coarse vec_id % 29 == 1 vectors
+    * (coarse members have an identically-zero residual — a degenerate,
+    * NaN-norm codeword), queries probe their top-2 cells. Candidates are
+    * scored through bucket + m codes only: q·c_bucket + Σ q_s·r̂_s.
+    */
+  def ivfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+    val coarse = emb.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val pqCents = Similarity.ivfResiduals(emb, coarse)
+      .filter(col("vec_id") % 29 === 1 && col("vec_id") % 23 =!= 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    Similarity.ivfPqAdcTopK(
+      Similarity.ivfPqEncode(emb, coarse, pqCents),
+      emb.filter(col("vec_id") < 20),
+      coarse,
+      pqCents,
+      k = 5,
+      nprobe = 2)
+  }
+
+  /** Exact re-rank of the PQ ADC shortlist (operators/Similarity.scala
+    * rerankTopK): the q_pq_adc search widened to a 10-candidate shortlist,
+    * then re-scored against the FULL-precision vectors and cut to top-5 by
+    * exact cosine — the standard last stage of a compressed-index search.
+    */
+  def rerank(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+    val cent = emb.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val shortlist = Similarity.pqAdcTopK(
+      Similarity.pqEncode(emb, cent),
+      emb.filter(col("vec_id") < 20),
+      cent,
+      k = 10)
+    Similarity.rerankTopK(shortlist, emb, k = 5)
+  }
+
   /** C4-style composite quality gate per document. */
   def qualityFilter(s: SparkSession, d: String): DataFrame =
     withTokens(docsParallel(s, d)).select(
@@ -431,6 +471,8 @@ object TextQueries {
     "q_embed_quant" -> (embedQuant _),
     "q_pq_encode" -> (pqEncodeQuery _),
     "q_pq_adc" -> (pqAdc _),
+    "q_ivfpq" -> (ivfPq _),
+    "q_rerank" -> (rerank _),
     "q_quality_filter" -> (qualityFilter _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_probe" -> (annIvfProbe _),
@@ -646,6 +688,77 @@ object TextQueries {
         |SELECT q_id, neighbor_id, round(score_raw, 6) AS score FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_raw DESC, neighbor_id ASC) AS rn
         |  FROM scored) WHERE rn <= 5""".stripMargin,
+    "q_ivfpq" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 23 = 0),
+        |assign AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    list_inner_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |       sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS c_cos
+        |  FROM embeddings e, cent c),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id ASC) AS rn
+        |  FROM assign),
+        |buck AS (SELECT vec_id, embedding, centroid_id AS bucket FROM ranked WHERE rn = 1),
+        |res AS (SELECT b.vec_id, b.bucket,
+        |    list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) AS r
+        |  FROM buck b JOIN cent c ON b.bucket = c.centroid_id),
+        |pqc AS (SELECT vec_id AS cid, r FROM res WHERE vec_id % 29 = 1 AND vec_id % 23 <> 0),
+        |passign AS (SELECT rs.s AS subspace, e.vec_id, e.bucket, c.cid,
+        |    list_inner_product(list_slice(e.r, rs.s*16+1, rs.s*16+16), list_slice(c.r, rs.s*16+1, rs.s*16+16)) /
+        |      (sqrt(list_inner_product(list_slice(e.r, rs.s*16+1, rs.s*16+16), list_slice(e.r, rs.s*16+1, rs.s*16+16))) *
+        |       sqrt(list_inner_product(list_slice(c.r, rs.s*16+1, rs.s*16+16), list_slice(c.r, rs.s*16+1, rs.s*16+16)))) AS c_cos
+        |  FROM res e, pqc c, range(0, 4) rs(s)),
+        |codes AS (SELECT vec_id, bucket, subspace, cid AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY c_cos DESC, cid ASC) AS rn
+        |    FROM passign) WHERE rn = 1),
+        |probe AS (SELECT r.vec_id AS q_id, r.centroid_id AS bucket,
+        |    list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cell_term
+        |  FROM ranked r JOIN embeddings q ON r.vec_id = q.vec_id
+        |    JOIN cent c ON r.centroid_id = c.centroid_id
+        |  WHERE r.rn <= 2 AND r.vec_id < 20),
+        |lut AS (SELECT q.vec_id AS q_id, rs.s AS subspace, c.cid AS code,
+        |    list_inner_product(list_slice(q.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16),
+        |                       list_slice(c.r, rs.s*16+1, rs.s*16+16)) AS partial
+        |  FROM embeddings q, pqc c, range(0, 4) rs(s) WHERE q.vec_id < 20),
+        |scored AS (SELECT p.q_id, k.vec_id AS neighbor_id, p.cell_term + sum(l.partial) AS score_raw
+        |  FROM codes k JOIN probe p ON k.bucket = p.bucket
+        |    JOIN lut l ON l.q_id = p.q_id AND l.subspace = k.subspace AND l.code = k.code
+        |  WHERE p.q_id <> k.vec_id
+        |  GROUP BY p.q_id, k.vec_id, p.cell_term)
+        |SELECT q_id, neighbor_id, round(score_raw, 6) AS score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_raw DESC, neighbor_id ASC) AS rn
+        |  FROM scored) WHERE rn <= 5""".stripMargin,
+    "q_rerank" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 29 = 0),
+        |assign AS (SELECT rs.s AS subspace, e.vec_id, c.cid,
+        |    list_inner_product(list_slice(e.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16),
+        |                       list_slice(c.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16)) /
+        |      (sqrt(list_inner_product(list_slice(e.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16),
+        |                               list_slice(e.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16))) *
+        |       sqrt(list_inner_product(list_slice(c.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16),
+        |                               list_slice(c.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16)))) AS c_cos
+        |  FROM embeddings e, cent c, range(0, 4) rs(s)),
+        |codes AS (SELECT vec_id, subspace, cid AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace ORDER BY c_cos DESC, cid ASC) AS rn
+        |    FROM assign) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS q_id, rs.s AS subspace, c.cid AS code,
+        |    list_inner_product(list_slice(q.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16),
+        |                       list_slice(c.embedding::DOUBLE[], rs.s*16+1, rs.s*16+16)) AS partial
+        |  FROM embeddings q, cent c, range(0, 4) rs(s) WHERE q.vec_id < 20),
+        |scored AS (SELECT l.q_id, k.vec_id AS neighbor_id, sum(l.partial) AS score_raw
+        |  FROM codes k JOIN lut l ON k.subspace = l.subspace AND k.code = l.code
+        |  WHERE l.q_id <> k.vec_id GROUP BY l.q_id, k.vec_id),
+        |short AS (SELECT q_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_raw DESC, neighbor_id ASC) AS rn
+        |  FROM scored) WHERE rn <= 10),
+        |ex AS (SELECT s.q_id, s.neighbor_id,
+        |    list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |       sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos_raw
+        |  FROM short s JOIN embeddings a ON s.q_id = a.vec_id
+        |    JOIN embeddings b ON s.neighbor_id = b.vec_id)
+        |SELECT q_id, neighbor_id, round(cos_raw, 6) AS cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+        |  FROM ex) WHERE rn <= 5""".stripMargin,
     "q_embed_quant" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |mm AS (SELECT vec_id, v, list_min(v) AS mn,

@@ -158,13 +158,32 @@ object Similarity {
     * bit-identical (same dot/norm arithmetic and ordering, same min-id
     * tiebreak).
     */
-  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  /** Collect a bounded codebook (C ≈ √N rows by the IVF sizing rule) for
+    * the zero-exchange assignment kernels. Validates up front that
+    * `centroid_id` is a non-null integral column — the old broadcast-join
+    * formulation silently accepted strings/nulls, but the collected form
+    * would throw an opaque ANSI-cast error or NPE mid-job instead.
+    */
+  private def collectCodebook(
+      centroids: DataFrame,
+      what: String
+  ): Array[(Long, IndexedSeq[Double])] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val idType = centroids.schema("centroid_id").dataType
-    val collected = centroids
+    require(
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"$what: centroid_id must be an integral type (got $idType)")
+    val rows = centroids
       .select(col("centroid_id").cast("long"), asDouble(col("embedding")))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
-      .sortBy(_._1)
+    rows.foreach(r =>
+      require(!r.isNullAt(0), s"$what: codebook contains a null centroid_id"))
+    rows.map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).sortBy(_._1)
+  }
+
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val idType = centroids.schema("centroid_id").dataType
+    val collected = collectCodebook(centroids, "ivfAssign")
     if (collected.isEmpty)
       // empty centroid table: the old crossJoin formulation emitted no rows
       // at all — preserve that contract
@@ -202,11 +221,7 @@ object Similarity {
     */
   def ivfProbes(vectors: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val idType = centroids.schema("centroid_id").dataType
-    val collected = centroids
-      .select(col("centroid_id").cast("long"), asDouble(col("embedding")))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
-      .sortBy(_._1)
+    val collected = collectCodebook(centroids, "ivfProbes")
     if (collected.isEmpty)
       vectors
         .select(
@@ -313,7 +328,7 @@ object Similarity {
     val v = asDouble(vec)
     val mn = array_min(v)
     val scale = (array_max(v) - mn) / 255.0
-    struct(
+    val quantized = struct(
       mn.cast("float").as("offset"),
       scale.cast("float").as("scale"),
       transform(
@@ -322,6 +337,12 @@ object Similarity {
           (when(scale === 0.0, lit(0.0))
             .otherwise(floor((x - mn) / scale + 0.5)) - 128.0)
             .cast("tinyint")).as("q"))
+    // a NaN/Inf element makes scale non-finite and the tinyint cast of
+    // floor(NaN) would fail the whole job under ANSI — degrade the single
+    // bad vector to null instead
+    when(isnan(scale) || scale === Double.PositiveInfinity, lit(null).cast(
+      "struct<offset:float,scale:float,q:array<tinyint>>"))
+      .otherwise(quantized)
   }
 
   /** Inverse of [[quantizeEmbedding]] (as `array<double>`): element error is
@@ -361,11 +382,7 @@ object Similarity {
   ): DataFrame = {
     require(m > 0 && dims % m == 0, s"m must divide dims: $m / $dims")
     val width = dims / m
-    val collected = centroids
-      .select(col("centroid_id").cast("long"), asDouble(col("embedding")))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
-      .sortBy(_._1)
+    val collected = collectCodebook(centroids, "pqEncode")
     require(collected.nonEmpty, "pqEncode needs a non-empty codebook")
     val ids = collected.map(_._1).toIndexedSeq
     val codes = (0 until m).map { s =>
@@ -419,12 +436,245 @@ object Similarity {
     codes
       .join(broadcast(lut), Seq("subspace", "code"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("partial")).as("score_raw"))
+      .agg(sum(col("partial")).as("score_raw"), count(lit(1)).as("_np"))
+      // a candidate with a null code in some subspace loses that subspace's
+      // LUT row to the inner join; ranking it on a partial reconstruction
+      // would be silently wrong — require all m partials
+      .filter(col("_np") === m)
+      .drop("_np")
       .withColumnRenamed("vec_id", "neighbor_id")
       .filter(col("q_id") =!= col("neighbor_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("neighbor_id"), round(col("score_raw"), 6).as("score"))
+  }
+
+  /** Residuals of an IVF assignment: each vector minus its nearest coarse
+    * centroid — the quantity residual PQ encodes. One row per vector with
+    * the coarse `bucket` kept and `embedding` replaced by the residual
+    * (`array<double>`). The centroid lookup is a broadcast join on the
+    * bounded C-row coarse table (the scan side never shuffles); vectors
+    * whose assignment is null (null/null-element embeddings, the
+    * [[ivfAssign]] null contract) drop out — they carry no usable residual.
+    */
+  def ivfResiduals(vectors: DataFrame, coarse: DataFrame): DataFrame = {
+    val cents = coarse.select(
+      col("centroid_id").as("bucket"), asDouble(col("embedding")).as("_cent"))
+    ivfAssign(vectors, coarse)
+      .join(broadcast(cents), Seq("bucket"))
+      .select(
+        col("vec_id"), col("bucket"),
+        zip_with(asDouble(col("embedding")), col("_cent"), (x, c) => x - c)
+          .as("embedding"))
+  }
+
+  /** Residual IVF+PQ encode — the standard two-level 100 TB ANN layout:
+    * coarse-assign each vector ([[ivfAssign]]), then PQ-encode the RESIDUAL
+    * (vector − coarse centroid) per subspace. Residuals concentrate near
+    * zero, so the same per-subspace code budget resolves much finer
+    * structure than PQ over raw vectors — SimilaritySpec pins the recall
+    * win at equal budget. Output: one (vec_id, bucket, subspace, code) row
+    * per subspace; search composes as [[ivfPqAdcTopK]].
+    *
+    * Same zero-exchange projection design as [[pqEncode]] (per-subspace
+    * codegen argmax over the collected residual codebook); the only join is
+    * the broadcast centroid lookup inside [[ivfResiduals]].
+    *
+    * @param pqCents residual codebook (centroid_id, embedding) — typically
+    *                the [[ivfResiduals]] of a deterministic vector subset
+    */
+  def ivfPqEncode(
+      vectors: DataFrame,
+      coarse: DataFrame,
+      pqCents: DataFrame,
+      m: Int = 4,
+      dims: Int = 64
+  ): DataFrame = {
+    require(m > 0 && dims % m == 0, s"m must divide dims: $m / $dims")
+    val width = dims / m
+    val collected = collectCodebook(pqCents, "ivfPqEncode")
+    require(collected.nonEmpty, "ivfPqEncode needs a non-empty codebook")
+    val ids = collected.map(_._1).toIndexedSeq
+    val codes = (0 until m).map { s =>
+      val subEmbs = collected.map(_._2.slice(s * width, (s + 1) * width)).toIndexedSeq
+      graft.functions.expressions.nearest_centroid(
+        slice(col("embedding"), s * width + 1, width), ids, subEmbs)
+    }
+    ivfResiduals(vectors, coarse)
+      .select(
+        col("vec_id"), col("bucket"),
+        posexplode(array(codes: _*)).as(Seq("subspace", "code")))
+      .select(
+        col("vec_id"), col("bucket"),
+        col("subspace").cast("int").as("subspace"), col("code"))
+  }
+
+  /** ADC top-k over a residual IVF+PQ index: queries probe their top-nprobe
+    * coarse cells ([[ivfProbes]]) and candidates are scored through their m
+    * residual codes only —
+    * `score(q, v) = q·c_b + Σ_s q_s · residual_centroid(code_s)_s`, the
+    * inner product of q with v's two-level reconstruction
+    * (c_b + residual codewords), WITHOUT touching v's vector. The probe
+    * restriction is what [[pqAdcTopK]] lacks: a candidate is scored only if
+    * it lives in a probed cell, so the scan side is the probed fraction of
+    * the code table, not the corpus.
+    *
+    * Shuffle shape: the (query × probed-cell) frame and the per-query LUT
+    * are both bounded and broadcast; the code table joins them map-side and
+    * the only exchange is the final (q_id, vec_id) partial-sum aggregation.
+    */
+  def ivfPqAdcTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      coarse: DataFrame,
+      pqCents: DataFrame,
+      k: Int,
+      m: Int = 4,
+      dims: Int = 64,
+      nprobe: Int = 2
+  ): DataFrame = {
+    require(m > 0 && dims % m == 0, s"m must divide dims: $m / $dims")
+    val width = dims / m
+    val cents = coarse.select(
+      col("centroid_id").as("bucket"), asDouble(col("embedding")).as("_cent"))
+    val probes = ivfProbes(queries, coarse, nprobe)
+      .join(broadcast(cents), Seq("bucket"))
+      .select(
+        col("vec_id").as("q_id"), col("bucket"),
+        dot(asDouble(col("embedding")), col("_cent")).as("cell_term"))
+    def bySubspace(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(
+        col("_id").as(idAs),
+        posexplode(
+          array((0 until m).map(s => slice(col("_v"), s * width + 1, width)): _*))
+          .as(Seq("subspace", vecAs)))
+    val q = bySubspace(
+      queries.select(col("vec_id").as("_id"), asDouble(col("embedding")).as("_v")),
+      "q_id", "q_sub")
+    val c = bySubspace(
+      pqCents.select(col("centroid_id").as("_id"), asDouble(col("embedding")).as("_v")),
+      "code", "c_sub")
+    val lut = q.join(c, Seq("subspace"))
+      .select(
+        col("q_id"), col("subspace"), col("code"),
+        dot(col("q_sub"), col("c_sub")).as("partial"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score_raw").desc, col("neighbor_id").asc)
+    codes
+      .join(broadcast(probes), Seq("bucket"))
+      .join(broadcast(lut), Seq("q_id", "subspace", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(
+        (first(col("cell_term")) + sum(col("partial"))).as("score_raw"),
+        count(lit(1)).as("_np"))
+      // same complete-code-set rule as pqAdcTopK: never rank a candidate on
+      // a partial reconstruction
+      .filter(col("_np") === m)
+      .drop("_np")
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("neighbor_id"), round(col("score_raw"), 6).as("score"))
+  }
+
+  /** Exact re-rank of an ANN shortlist: join (q_id, neighbor_id) candidate
+    * pairs (from [[pqAdcTopK]] / [[ivfPqAdcTopK]] / [[annTopK]] with a
+    * widened k) back to the FULL-precision vectors and keep the top-k by
+    * exact cosine — the standard final stage of a compressed-index search:
+    * ADC ranks from lossy reconstructions, so production re-reads the full
+    * embedding for the shortlist only (|Q|·k' rows, not the corpus) and
+    * re-scores exactly. Recall@k is monotonically ≥ the ADC-only ordering
+    * truncated at k (SimilaritySpec pins it).
+    *
+    * Both vector joins are equi-shuffles keyed on the id — at 100 TB the
+    * shortlist side is tiny and broadcastable, the corpus side is touched
+    * only for the ids in the shortlist (row-group pruning on a sorted/
+    * bucketed corpus).
+    */
+  def rerankTopK(candidates: DataFrame, vectors: DataFrame, k: Int): DataFrame = {
+    val sided = vectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("q_id"), col("neighbor_id"))
+      .join(
+        sided.select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_norm")),
+        Seq("q_id"))
+      .join(
+        sided.select(
+          col("vec_id").as("neighbor_id"), col("emb").as("c_emb"), col("nrm").as("c_norm")),
+        Seq("neighbor_id"))
+      .withColumn(
+        "cos_raw",
+        cosineWithNorms(dot(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("neighbor_id"), round(col("cos_raw"), 6).as("cos"))
+  }
+
+  /** Deterministic k-means|| seeding for the IVF codebook (Bahmani et al.,
+    * VLDB'12, made rng-free): start from the min-id vector, then for
+    * `rounds` rounds OVERSAMPLE — assign every vector to its nearest
+    * current seed (zero-exchange [[ivfAssign]] kernel), score each vector
+    * by its assignment cost (1 − cosine to its seed), and adopt the
+    * `oversample` worst-covered vectors as new seeds (cost-weighted
+    * sampling becomes a deterministic top-cost take; ties break on min id).
+    * Finally REDUCE the ~rounds·oversample candidates to `c` by keeping the
+    * heaviest — the candidates covering the most vectors in a final
+    * assignment pass.
+    *
+    * Scale shape: each round is one O(N·C_cur) codegen projection plus a
+    * TakeOrdered(oversample) — no full sort shuffle, no driver-side data
+    * beyond the bounded seed table. Poor seeds are what inflate within-cell
+    * variance (and thus probe cost) at scale; SimilaritySpec pins that this
+    * seeding beats the deterministic-subset baseline on mean assignment
+    * cosine at equal C, before and after Lloyd refinement.
+    */
+  def kmeansParallelSeed(
+      vectors: DataFrame,
+      c: Int,
+      rounds: Int = 3,
+      oversample: Int = 0,
+      dims: Int = 64
+  ): DataFrame = {
+    require(c > 0, s"c must be positive: $c")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val l = if (oversample > 0) oversample else math.max(1, (2 * c) / rounds)
+    val base = vectors.select(col("vec_id"), col("embedding"))
+    var seeds = base
+      .orderBy(col("vec_id"))
+      .limit(1)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    var r = 0
+    while (r < rounds) {
+      val cents = seeds.select(
+        col("centroid_id").as("bucket"), asDouble(col("embedding")).as("_cent"))
+      val worst = ivfAssign(base, seeds)
+        .join(broadcast(cents), Seq("bucket"))
+        .withColumn("_v", asDouble(col("embedding")))
+        .withColumn(
+          "_cost",
+          lit(1.0) - cosineWithNorms(
+            dot(col("_v"), col("_cent")), norm(col("_v")), norm(col("_cent"))))
+        .orderBy(col("_cost").desc, col("vec_id").asc)
+        .limit(l)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      seeds = seeds.unionByName(worst)
+        .groupBy("centroid_id").agg(first(col("embedding")).as("embedding"))
+      // bounded lineage: each round's seed table is ≤ 1 + r·l rows; cache it
+      // so the next round's collectCodebook doesn't replay every prior round
+      seeds = seeds.localCheckpoint(true)
+      r += 1
+    }
+    val weights = ivfAssign(base, seeds)
+      .groupBy(col("bucket").as("centroid_id"))
+      .agg(count(lit(1)).as("_w"))
+    seeds
+      .join(weights, Seq("centroid_id"), "left")
+      .orderBy(coalesce(col("_w"), lit(0L)).desc, col("centroid_id").asc)
+      .limit(c)
+      .select(col("centroid_id"), col("embedding"))
   }
 
   /** Embedding-level near-duplicate pairs: candidates co-bucketed by the LSH

@@ -246,6 +246,35 @@ class PlanSpec extends SparkSpec {
     assert(!pq.contains("Join"), s"PQ encode must not join:\n$pq")
   }
 
+  test("residual IVF+PQ: encode never hash-shuffles the corpus; ADC search shuffles only the partial-sum reduce") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val coarse = emb.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val pqCents = graft.operators.Similarity.ivfResiduals(emb, coarse)
+      .filter(col("vec_id") % 29 === 1 && col("vec_id") % 23 =!= 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    // encode: the only join is the broadcast coarse-centroid lookup inside
+    // ivfResiduals; the per-subspace argmax folds into the projection
+    val enc = plan(graft.operators.Similarity.ivfPqEncode(emb, coarse, pqCents))
+    assert(
+      !enc.contains("Exchange hashpartitioning"),
+      s"encode must not hash-shuffle the corpus:\n$enc")
+    assert(!enc.contains("SortMergeJoin"), s"centroid lookup must broadcast:\n$enc")
+    assert(enc.contains("BroadcastHashJoin"), s"expected broadcast lookup:\n$enc")
+    // search: probes + LUT broadcast onto the code scan; the only hash
+    // exchanges are the (q_id, vec_id) partial-sum reduce and the top-k
+    // window on q_id — both on the bounded candidate frame, never the corpus
+    val adc = plan(graft.operators.Similarity.ivfPqAdcTopK(
+      graft.operators.Similarity.ivfPqEncode(emb, coarse, pqCents),
+      emb.filter(col("vec_id") < 20), coarse, pqCents, k = 5))
+    assert(!adc.contains("SortMergeJoin"), s"ADC joins must broadcast:\n$adc")
+    val hashExchanges = adc.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(
+      hashExchanges <= 2,
+      s"only the partial-sum reduce and top-k window may hash-shuffle ($hashExchanges):\n$adc")
+  }
+
   test("ivfAssign alone plans zero exchanges and zero joins (assignment path at scale)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val centroids = emb
