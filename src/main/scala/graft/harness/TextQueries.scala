@@ -57,6 +57,26 @@ object TextQueries {
   def simhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simhashCandidatePairs(docsParallel(s, d))
 
+  /** SemDeDup semantic dedup (operators/Similarity.scala semanticDedup):
+    * deterministic vec_id % 23 IVF codebook, within-cell cosine ≥ 0.2
+    * duplicate pairs, pointer-jumping components, min-id representative
+    * per component.
+    */
+  def semanticDedupQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+    val centroids = emb.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    Similarity.semanticDedup(emb, centroids, threshold = 0.2)
+  }
+
+  /** Okapi BM25 against a fixed 4-term query bag — two present corpus
+    * terms of different rarity ('vector' common, 'dup' rare), one term in
+    * only some docs ('spark'), one absent ('quantum', df = 0 exercises the
+    * idf smoothing).
+    */
+  def bm25Query(s: SparkSession, d: String): DataFrame =
+    TextOps.bm25Scores(docsParallel(s, d), Seq("vector", "dup", "spark", "quantum"))
+
   /** Per-document quality statistics. */
   def textStats(s: SparkSession, d: String): DataFrame = {
     val en = TextOps.StopwordsByLang.toMap.apply("en")
@@ -483,10 +503,61 @@ object TextQueries {
     "q_sample_mix" -> (sampleMix _),
     "q_seq_pack" -> (seqPack _),
     "q_unigram_ppl" -> (unigramPpl _),
-    "q_pii_scrub" -> (piiScrub _)
+    "q_pii_scrub" -> (piiScrub _),
+    "q_semantic_dedup" -> (semanticDedupQuery _),
+    "q_bm25" -> (bm25Query _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 23 = 0),
+        |assign AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    list_inner_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |       sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS c_cos
+        |  FROM embeddings e, cent c),
+        |buck AS (SELECT vec_id, embedding, centroid_id AS bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id ASC) AS rn
+        |    FROM assign) WHERE rn = 1),
+        |pairs AS (SELECT a.vec_id AS l_id, b.vec_id AS r_id
+        |  FROM buck a JOIN buck b ON a.bucket = b.bucket
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |       sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.2),
+        |sym AS (SELECT l_id AS a, r_id AS b FROM pairs
+        |        UNION SELECT r_id, l_id FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        |comp AS (SELECT a AS vec_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+        |SELECT bu.vec_id, bu.bucket,
+        |  CAST(coalesce(c.component, bu.vec_id) AS BIGINT) AS component,
+        |  coalesce(c.component, bu.vec_id) = bu.vec_id AS keep
+        |FROM buck bu LEFT JOIN comp c ON bu.vec_id = c.vec_id""".stripMargin,
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |perdoc AS (SELECT doc_id, count(*) AS dl,
+        |    sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS tf_0,
+        |    sum(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS tf_1,
+        |    sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS tf_2,
+        |    sum(CASE WHEN term = 'quantum' THEN 1 ELSE 0 END) AS tf_3
+        |  FROM tok GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+        |    sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+        |    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2,
+        |    sum(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END) AS df_3
+        |  FROM perdoc)
+        |SELECT p.doc_id, round(
+        |    ln(1 + (s.n_docs - s.df_0 + 0.5) / (s.df_0 + 0.5)) * p.tf_0 * 2.2 / (p.tf_0 + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+        |  + ln(1 + (s.n_docs - s.df_1 + 0.5) / (s.df_1 + 0.5)) * p.tf_1 * 2.2 / (p.tf_1 + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+        |  + ln(1 + (s.n_docs - s.df_2 + 0.5) / (s.df_2 + 0.5)) * p.tf_2 * 2.2 / (p.tf_2 + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+        |  + ln(1 + (s.n_docs - s.df_3 + 0.5) / (s.df_3 + 0.5)) * p.tf_3 * 2.2 / (p.tf_3 + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)), 6) AS bm25
+        |FROM perdoc p, stats s""".stripMargin,
     "q_pii_scrub" ->
       """SELECT c_custkey AS doc_id,
         |  regexp_replace(

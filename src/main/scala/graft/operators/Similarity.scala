@@ -727,6 +727,36 @@ object Similarity {
       .select(col("l_id"), col("r_id"), round(col("cos_raw"), 6).as("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the corpus with an IVF codebook
+    * ([[ivfAssign]] — the zero-exchange argmax projection), generate
+    * near-duplicate candidate pairs only WITHIN a cell
+    * ([[embeddingNearDupPairs]] — the quadratic term is bounded by cell
+    * occupancy ≈ N/C ≈ √N under the C ≈ √N sizing rule), connect the
+    * pairs into duplicate components ([[Dedup.connectedComponents]] —
+    * O(log diameter) pointer jumping, no driver-side graph), and keep the
+    * minimum-id vector per component. Output: every vector with its cell,
+    * canonical `component` id and the `keep` decision — semi-join
+    * `keep` against the document table to materialise the pruned corpus.
+    *
+    * Cross-cell near-duplicates are missed by design (the SemDeDup
+    * recall/cost trade-off); tighten the codebook first
+    * ([[lloydRefine]]/[[kmeansParallelSeed]]) to push duplicates into the
+    * same cell. The reference has no embedding-dedup surface
+    * (beyond-reference training-data operator).
+    */
+  def semanticDedup(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      threshold: Double
+  ): DataFrame = {
+    val assigned = ivfAssign(vectors, centroids)
+    val pairs = embeddingNearDupPairs(assigned, threshold)
+      .select(col("l_id"), col("r_id"))
+    Dedup.dedupByComponent(
+      assigned.select(col("vec_id"), col("bucket")), pairs, idCol = "vec_id")
+  }
+
   /** Multi-table approximate top-k (input from [[lshBucketsMulti]]):
     * candidate set is the union over tables (OR-amplification), deduped
     * before scoring. Both the candidate join and the embedding re-joins are

@@ -290,4 +290,55 @@ object TextOps {
           .otherwise(col("n_matched") / col("n_grams").cast("double")))
       .drop("text", "grams", "bench_grams")
   }
+
+  /** Okapi BM25 relevance of every document against a small fixed
+    * query-term bag — retrieval scoring for quality-aware curation
+    * (topical subsetting, retrieval-style decontamination shortlists).
+    * idf uses the +1 smoothing: idf_t = ln(1 + (N − df_t + 0.5)/(df_t +
+    * 0.5)), so absent terms (df = 0) stay finite and contribute 0 via
+    * tf = 0.
+    *
+    * Scale shape — two corpus passes, no per-term re-tokenize, no
+    * doc-side join: one explode pass reduces tokens to per-doc
+    * (dl, tf_t…) rows (map-side-combinable groupBy keyed by the doc id,
+    * the Dedup.signatures pattern — the round-5 lesson about HOF kernels
+    * re-inlining the tokenize child per term reference is why this is NOT
+    * |terms| `filter()` HOF columns); the corpus constants (N, avgdl,
+    * df_t…) reduce to ONE row that rides a broadcast crossJoin carrier;
+    * the score itself is a single whole-stage-codegen projection.
+    */
+  def bm25Scores(
+      docs: DataFrame,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores: query terms must be non-empty")
+    val t = terms.map(_.toLowerCase).distinct
+    val perDoc = docs
+      .select(col(idCol), explode(tokenize(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("dl"),
+        t.indices.map(i =>
+          sum(when(col("term") === t(i), 1L).otherwise(0L)).as(s"tf_$i")): _*)
+    val statCols =
+      count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
+        t.indices.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    // fixed term order keeps the floating-point sum bit-comparable with the
+    // oracle's identically-ordered expression
+    val score = t.indices
+      .map { i =>
+        val idf = log(
+          lit(1.0) + (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+        idf * col(s"tf_$i") * lit(k1 + 1.0) /
+          (col(s"tf_$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      }
+      .reduce(_ + _)
+    perDoc
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 6).as("bm25"))
+  }
 }

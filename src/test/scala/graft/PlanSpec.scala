@@ -287,4 +287,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"assignment must not join:\n$p")
     assert(p.contains("*(1)"), "assignment kernel must stay in whole-stage codegen")
   }
+
+  test("bm25Scores: corpus stats ride a broadcast carrier; the corpus never joins or re-tokenizes per term") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.operators.TextOps.bm25Scores(docs, Seq("vector", "dup")))
+    // per-doc (dl, tf…) reduce is ONE hash exchange keyed on doc_id; the
+    // single-row stats frame reaches the score projection by broadcast
+    // (never a SortMergeJoin of the corpus against anything)
+    assert(!p.contains("SortMergeJoin"), s"stats must broadcast:\n$p")
+    assert(
+      p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected a broadcast stats carrier:\n$p")
+    // two corpus passes (per-doc reduce; corpus-constant reduce), each
+    // tokenizing exactly once — the round-5 HOF lesson: |terms| filter()
+    // columns would re-inline the tokenize child once PER TERM
+    val generates = p.linesIterator.count(_.contains("Generate explode"))
+    assert(generates == 2, s"corpus must tokenize once per pass ($generates):\n$p")
+  }
 }

@@ -67,6 +67,29 @@ class RepetitionContaminationSpec extends SparkSpec {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("bm25Scores matches the hand-computed Okapi formula; absent terms and docs score 0") {
+    val docs = Seq(
+      (1L, "spark spark fast"),
+      (2L, "fast query engine"),
+      (3L, "spark QUERY")
+    ).toDF("doc_id", "text")
+    // 'Spark' exercises query-term lowercasing, doc 3 text lowercasing;
+    // 'missing' (df = 0) must stay finite via the +1 idf smoothing.
+    val got = TextOps.bm25Scores(docs, Seq("Spark", "missing"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    val k1 = 1.2; val b = 0.75
+    val avgdl = 8.0 / 3.0
+    val idfSpark = math.log(1.0 + (3 - 2 + 0.5) / 2.5)
+    def okapi(tf: Double, dl: Double) =
+      idfSpark * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    assert(math.abs(got(1L) - okapi(2, 3)) < 5e-6)
+    assert(got(2L) === 0.0)
+    assert(math.abs(got(3L) - okapi(1, 2)) < 5e-6)
+    // rarity payoff: the doc with double tf scores above the single-tf doc
+    // despite its longer length at these parameters
+    assert(got(1L) > got(3L))
+  }
+
   test("scrubPii redacts emails, IPs and phones and leaves clean text alone") {
     val got = Seq(
       "write to jane.doe+spam@mail.example.org today",

@@ -414,4 +414,48 @@ class SimilaritySpec extends SparkSpec {
       seededRefCos >= subsetRefCos,
       f"seeded+refined codebook $seededRefCos%.4f under subset+refined $subsetRefCos%.4f")
   }
+
+  test("semanticDedup keeps exactly one representative per planted duplicate cluster") {
+    import spark.implicits._
+    // Three well-separated base directions; 4 near-copies each (pairwise
+    // cosine ≈ 0.999), plus 3 mutually-orthogonal singletons that tie on
+    // every centroid (cos 0.5) and land in one cell without pairing.
+    val bases = Seq(
+      Array(1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f))
+    val clusters = for {
+      (base, c) <- bases.zipWithIndex
+      j <- 0 until 4
+    } yield {
+      val v = base.clone()
+      v(3) = 0.01f * j
+      (10L * c + j, v)
+    }
+    val singletons = Seq(
+      (30L, Array(1f, 1f, 1f, 1f)),
+      (31L, Array(1f, -1f, 1f, -1f)),
+      (32L, Array(1f, 1f, -1f, -1f)))
+    val vectors = (clusters ++ singletons).toDF("vec_id", "embedding")
+    val centroids = bases.zipWithIndex
+      .map { case (v, c) => (100L + c, v) }
+      .toDF("centroid_id", "embedding")
+    val out = Similarity.semanticDedup(vectors, centroids, threshold = 0.9)
+      .select("vec_id", "bucket", "component", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.length === 15)
+    val byId = out.map(r => r._1 -> r).toMap
+    for (c <- 0 until 3; j <- 0 until 4) {
+      val (_, bucket, component, keep) = byId(10L * c + j)
+      assert(bucket === 100L + c, s"cluster $c member $j in wrong cell")
+      assert(component === 10L * c, s"cluster $c member $j wrong component")
+      assert(keep === (j == 0), s"cluster $c keep must be the min id only")
+    }
+    // singletons: all tie to the min-id centroid, none pair up
+    singletons.map(_._1).foreach { id =>
+      val (_, bucket, component, keep) = byId(id)
+      assert(bucket === 100L)
+      assert(component === id && keep, s"singleton $id must keep itself")
+    }
+  }
 }
