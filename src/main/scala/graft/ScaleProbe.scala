@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextOps}
 
 /** Empirical scale-probe main: times the dedup/ANN family on sf0.1 and on a
   * 10×-derived corpus and prints the per-query scaling exponent
@@ -107,7 +107,14 @@ object ScaleProbe {
             Similarity.pqEncode(emb, cents),
             emb.filter(col("vec_id") % idOffset < 20 && col("vec_id") < idOffset),
             cents, k = 5).count()
-        }
+        },
+        "semantic_dedup" -> { () =>
+          val cents = emb.filter(col("vec_id") % ivfMod === 0)
+            .select(col("vec_id").as("centroid_id"), col("embedding"))
+          Similarity.semanticDedup(emb, cents, threshold = 0.2).count()
+        },
+        "bm25" -> (() =>
+          TextOps.bm25Scores(docs, Seq("vector", "dup", "spark", "quantum")).count())
       )
     }
 

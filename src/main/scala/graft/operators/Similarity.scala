@@ -322,27 +322,48 @@ object Similarity {
     * ANN at corpus scale, the standard first compression step before
     * product quantization. `floor(x + 0.5)` (not `round`) pins tie
     * behaviour identically across engines. Constant vectors quantize to
-    * level 0 with scale 0.
+    * level 0 with scale 0; non-finite inputs (any NaN/±Inf element)
+    * degrade that vector to null offset/scale/q fields.
     */
   def quantizeEmbedding(vec: Column): Column = {
     val v = asDouble(vec)
     val mn = array_min(v)
     val scale = (array_max(v) - mn) / 255.0
-    val quantized = struct(
-      mn.cast("float").as("offset"),
-      scale.cast("float").as("scale"),
+    // Let-binding via a single-element array lambda: interpreted HOF
+    // lambdas re-inline every referenced subtree PER ELEMENT, so a kernel
+    // that mentions mn/scale directly re-evaluates asDouble + array_min +
+    // array_max for each of the d elements (O(d²) array passes per
+    // vector). Lambda VARIABLES are bound values, so routing (v, mn,
+    // scale) through one outer lambda makes the per-element kernel O(1)
+    // per reference — one v pass, one min, one max per vector total.
+    //
+    // A NaN/Inf element makes scale non-finite and the tinyint cast of
+    // floor(NaN) would fail the whole job under ANSI — degrade that
+    // vector to null fields (per FIELD, not a null struct: a whole-struct
+    // `when` would block GetStructField pruning for downstream readers).
+    element_at(
       transform(
-        v,
-        x =>
-          (when(scale === 0.0, lit(0.0))
-            .otherwise(floor((x - mn) / scale + 0.5)) - 128.0)
-            .cast("tinyint")).as("q"))
-    // a NaN/Inf element makes scale non-finite and the tinyint cast of
-    // floor(NaN) would fail the whole job under ANSI — degrade the single
-    // bad vector to null instead
-    when(isnan(scale) || scale === Double.PositiveInfinity, lit(null).cast(
-      "struct<offset:float,scale:float,q:array<tinyint>>"))
-      .otherwise(quantized)
+        array(struct(v.as("v"), mn.as("mn"), scale.as("sc"))),
+        p => {
+          val pv = p.getField("v")
+          val pmn = p.getField("mn")
+          val psc = p.getField("sc")
+          val nonFinite = isnan(psc) || psc === Double.PositiveInfinity
+          struct(
+            when(nonFinite, lit(null).cast("float"))
+              .otherwise(pmn.cast("float")).as("offset"),
+            when(nonFinite, lit(null).cast("float"))
+              .otherwise(psc.cast("float")).as("scale"),
+            when(nonFinite, lit(null).cast("array<tinyint>"))
+              .otherwise(
+                transform(
+                  pv,
+                  x =>
+                    (when(psc === 0.0, lit(0.0))
+                      .otherwise(floor((x - pmn) / psc + 0.5)) - 128.0)
+                      .cast("tinyint"))).as("q"))
+        }),
+      1)
   }
 
   /** Inverse of [[quantizeEmbedding]] (as `array<double>`): element error is

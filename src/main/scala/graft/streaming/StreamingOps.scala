@@ -227,6 +227,62 @@ object StreamingOps {
         bucketUpdateEventTime(maxBucketSize, stateTtl.toMillis))
   }
 
+  final case class AnnResult(qId: Long, neighborId: Long, cos: Double)
+
+  /** Streaming ANN lookup: an incoming query-vector stream searched against
+    * a static IVF-bucketed corpus — the online twin of
+    * [[graft.operators.Similarity.annTopK]] (route each incoming document
+    * against an indexed corpus before admission, e.g. online semantic-dedup
+    * triage). Cell assignment of the stream side is the same zero-exchange
+    * codegen argmax projection (stateless, so it runs per micro-batch
+    * unchanged); the candidate join is a stream-static equi join on the
+    * cell id (the static side should be a persisted
+    * [[graft.operators.Similarity.ivfAssign]] output so each batch probes
+    * a ready frame); the per-query top-k runs as flatMapGroupsWithState in
+    * append mode, because window functions are unavailable on streams.
+    *
+    * State: NONE retained (NoTimeout, never updated) — a query's candidates
+    * all surface in its own micro-batch, so the group step only ranks
+    * within the batch and long-running streams hold no per-query state.
+    * Output matches the batch twin exactly: cos desc / neighbor-id asc,
+    * rounded half-up to 6 dp.
+    */
+  def annTopKStream(
+      queries: DataFrame,
+      assignedCorpus: DataFrame,
+      centroids: DataFrame,
+      k: Int
+  ): Dataset[AnnResult] = {
+    import queries.sparkSession.implicits._
+    val Similarity = graft.operators.Similarity
+    val q = Similarity.ivfAssign(queries, centroids).select(
+      col("vec_id").as("qId"),
+      Similarity.asDouble(col("embedding")).as("q_emb"),
+      col("bucket"))
+    val c = assignedCorpus.select(
+      col("vec_id").as("neighborId"),
+      Similarity.asDouble(col("embedding")).as("c_emb"),
+      col("bucket"))
+    q.join(c, Seq("bucket"))
+      .filter(col("qId") =!= col("neighborId"))
+      .select(
+        col("qId"),
+        col("neighborId"),
+        Similarity.cosine(col("q_emb"), col("c_emb")).as("cos"))
+      .as[AnnResult]
+      .groupByKey(_.qId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[AnnResult], _: GroupState[Int]) =>
+          rows.toSeq
+            .sortBy(r => (-r.cos, r.neighborId))
+            .take(k)
+            .map(r =>
+              r.copy(cos =
+                BigDecimal(r.cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            .iterator
+      }
+  }
+
   final case class StudyEvent(studyId: String, beta: Double)
   final case class StudyState(n: Long, sumBeta: Double)
   final case class StudyStats(studyId: String, n: Long, meanBeta: Double)

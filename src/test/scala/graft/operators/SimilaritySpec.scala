@@ -217,6 +217,29 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.8, f"quantization destroyed ranking: overlap $overlap%.3f")
   }
 
+  test("quantizeEmbedding degrades non-finite vectors to null fields without failing the job") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 2f, 3f)),
+      (2L, Array(Float.NaN, 2f, 3f)),
+      (3L, Array(Float.PositiveInfinity, 2f, 3f)),
+      (4L, Array(1f, 2f, Float.NegativeInfinity))
+    ).toDF("vec_id", "embedding")
+    val got = vecs
+      .withColumn("qe", Similarity.quantizeEmbedding(col("embedding")))
+      .select(
+        col("vec_id"),
+        col("qe.offset").isNull.as("o_null"),
+        col("qe.scale").isNull.as("s_null"),
+        col("qe.q").isNull.as("q_null"))
+      .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, false, false, false),
+      (2L, true, true, true),
+      (3L, true, true, true),
+      (4L, true, true, true)))
+  }
+
   test("pqEncode: per-subspace codes equal ivfAssign on the sliced frames") {
     import spark.implicits._
     val cent = emb.filter(col("vec_id") % 29 === 0)

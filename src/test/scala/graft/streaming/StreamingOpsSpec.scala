@@ -290,4 +290,44 @@ class StreamingOpsSpec extends SparkSpec {
     assert(fresh.get.docIds === List(9L))
     assert(fresh.getTimeoutTimestampMs.get() === 7500L + ttlMs)
   }
+
+  test("streaming ANN top-k against a static IVF corpus matches the batch twin") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.8f, 0.3f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.1f, 0.9f)), (5L, Array(0.3f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq((100L, Array(1f, 0f)), (101L, Array(0f, 1f)))
+      .toDF("centroid_id", "embedding")
+    val assigned = Similarity.ivfAssign(corpus, centroids)
+    val input = MemoryStream[(Long, Array[Float])]
+    val queries = input.toDF().toDF("vec_id", "embedding")
+    val q = StreamingOps.annTopKStream(queries, assigned, centroids, k = 2)
+      .writeStream.format("memory").queryName("ann_out")
+      .outputMode(OutputMode.Append)
+      .start()
+    input.addData((1000L, Array(1f, 0.05f)))
+    q.processAllAvailable()
+    // second batch probes the other cell — assignment and join re-run
+    // per batch against the same static frame
+    input.addData((1001L, Array(0.05f, 1f)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT qId, neighborId, cos FROM ann_out")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    // batch twin over the same frames: the queries sit in distinct cells,
+    // so union + predicate reproduces the stream-static candidate sets
+    val queryDf = Seq((1000L, Array(1f, 0.05f)), (1001L, Array(0.05f, 1f)))
+      .toDF("vec_id", "embedding")
+    val expected = Similarity.annTopK(
+        assigned.unionByName(Similarity.ivfAssign(queryDf, centroids)),
+        col("vec_id") >= 1000L, k = 2)
+      .select("q_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(got === expected)
+    assert(got.map(_._1).distinct === Seq(1000L, 1001L))
+    assert(got.count(_._1 == 1000L) === 2 && got.count(_._1 == 1001L) === 2)
+  }
 }
