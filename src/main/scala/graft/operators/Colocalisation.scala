@@ -208,9 +208,20 @@ object Colocalisation {
 
     val posteriors = grouped
       .withColumn("allBF", array(lH0, lH1, lH2, lH3, lH4))
+      // let-bind (array, logsumexp) once per row: referencing
+      // logsumexp(allBF) directly inside the lambda re-evaluates the
+      // kernel per element (harmless at n=5, wrong idiom — see
+      // quantizeEmbedding/Pics.normalise for the O(n²) cases)
       .withColumn(
         "posteriors",
-        transform(col("allBF"), bf => exp(bf - logsumexp(col("allBF"))))
+        element_at(
+          transform(
+            array(struct(col("allBF").as("arr"), logsumexp(col("allBF")).as("lse"))),
+            p =>
+              transform(
+                p.getField("arr"),
+                bf => exp(bf - p.getField("lse")))),
+          1)
       )
     posteriors
       .select(

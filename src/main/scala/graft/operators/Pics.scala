@@ -66,17 +66,31 @@ object Pics {
   def normalise(withRel: Column): Column = {
     val total = aggregate(
       withRel, lit(0.0), (acc, t) => acc + t.getField("relativePosteriorProbability"))
-    transform(
-      withRel,
-      t =>
-        struct(
-          t.getField("variantId").as("variantId"),
-          t.getField("r2Overall").as("r2Overall"),
-          t.getField("standardError").as("standardError"),
-          when(total =!= 0.0, t.getField("relativePosteriorProbability") / total)
-            .as("posteriorProbability")
-        )
-    )
+    // Let-bind (array, total) through a single-element array lambda:
+    // interpreted HOF lambdas re-inline referenced subtrees per element,
+    // so mentioning `total` directly inside the transform would re-run
+    // the aggregate — and, for an unstaged withRel chain, the
+    // survival-function kernel — once PER ELEMENT (O(n²)). Bound lambda
+    // variables are evaluated once.
+    element_at(
+      transform(
+        array(struct(withRel.as("arr"), total.as("tot"))),
+        p =>
+          transform(
+            p.getField("arr"),
+            t =>
+              struct(
+                t.getField("variantId").as("variantId"),
+                t.getField("r2Overall").as("r2Overall"),
+                t.getField("standardError").as("standardError"),
+                when(
+                  p.getField("tot") =!= 0.0,
+                  t.getField("relativePosteriorProbability") / p.getField("tot"))
+                  .as("posteriorProbability")
+              )
+          )
+      ),
+      1)
   }
 
   /** Two-stage variant for DataFrame pipelines: materialises the

@@ -199,12 +199,11 @@ object StudyLocusQc {
     * in a Python UDF; here it is a stable max-shifted array aggregate, fully
     * codegen.
     */
-  def calculateCredibleSetLog10Bf(logBfs: Column, numVariantsRegion: Int = 500): Column = {
-    val maxBf = array_max(logBfs)
-    val sumExp = aggregate(
-      logBfs,
-      lit(0.0),
-      (acc, x) => acc + exp(x - maxBf))
-    (maxBf + log(sumExp) - log(lit(numVariantsRegion.toDouble))) / log(lit(10.0))
-  }
+  def calculateCredibleSetLog10Bf(logBfs: Column, numVariantsRegion: Int = 500): Column =
+    // the codegen LogSumExp kernel (bit-identical max-shifted formula):
+    // the earlier HOF formulation referenced array_max(logBfs) inside the
+    // aggregate lambda, re-evaluating it per element (O(n²) for a
+    // 500-variant region)
+    (graft.functions.expressions.logsumexp(logBfs) -
+      log(lit(numVariantsRegion.toDouble))) / log(lit(10.0))
 }
