@@ -9,6 +9,31 @@ import org.apache.spark.sql.types.DataType
   */
 object ArrayOps {
 
+  /** Let-binding for HOF kernels: evaluate each named column ONCE per row
+    * and expose the bound values to `body`. Interpreted lambda bodies
+    * re-inline every referenced subtree per element, so a per-element
+    * kernel that mentions an O(n) expression over the array it iterates
+    * (array_min/max, aggregate, logsumexp) silently pays O(n²) array
+    * passes per row — measured 8× on q_embed_quant (round 8). Lambda
+    * VARIABLES, by contrast, are bound values; routing the expensive
+    * expressions through one single-element array lambda makes every
+    * `get(name)` reference O(1).
+    *
+    * {{{
+    * bindOnce("mn" -> array_min(v), "sc" -> scale) { get =>
+    *   transform(v, x => (x - get("mn")) / get("sc"))
+    * }
+    * }}}
+    */
+  def bindOnce(fields: (String, Column)*)(body: (String => Column) => Column): Column = {
+    require(fields.nonEmpty, "bindOnce: at least one binding required")
+    element_at(
+      transform(
+        array(struct(fields.map { case (n, c) => c.as(n) }: _*)),
+        p => body(name => p.getField(name))),
+      1)
+  }
+
   /** Sort an array-of-structs column by one field, descending, nulls last
     * (common/spark.py:256-279).
     */

@@ -214,14 +214,10 @@ object Colocalisation {
       // quantizeEmbedding/Pics.normalise for the O(n²) cases)
       .withColumn(
         "posteriors",
-        element_at(
-          transform(
-            array(struct(col("allBF").as("arr"), logsumexp(col("allBF")).as("lse"))),
-            p =>
-              transform(
-                p.getField("arr"),
-                bf => exp(bf - p.getField("lse")))),
-          1)
+        graft.functions.ArrayOps.bindOnce(
+          "arr" -> col("allBF"), "lse" -> logsumexp(col("allBF"))) { get =>
+          transform(get("arr"), bf => exp(bf - get("lse")))
+        }
       )
     posteriors
       .select(

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import graft.functions.ArrayOps
 import graft.functions.expressions.norm_survival_function
 
 /** PICS fine-mapping: posterior probability that each LD tag is causal,
@@ -66,31 +67,24 @@ object Pics {
   def normalise(withRel: Column): Column = {
     val total = aggregate(
       withRel, lit(0.0), (acc, t) => acc + t.getField("relativePosteriorProbability"))
-    // Let-bind (array, total) through a single-element array lambda:
-    // interpreted HOF lambdas re-inline referenced subtrees per element,
-    // so mentioning `total` directly inside the transform would re-run
-    // the aggregate — and, for an unstaged withRel chain, the
-    // survival-function kernel — once PER ELEMENT (O(n²)). Bound lambda
-    // variables are evaluated once.
-    element_at(
+    // Let-bind (array, total): mentioning `total` directly inside the
+    // transform would re-run the aggregate — and, for an unstaged
+    // withRel chain, the survival-function kernel — once PER ELEMENT.
+    ArrayOps.bindOnce("arr" -> withRel, "tot" -> total) { get =>
       transform(
-        array(struct(withRel.as("arr"), total.as("tot"))),
-        p =>
-          transform(
-            p.getField("arr"),
-            t =>
-              struct(
-                t.getField("variantId").as("variantId"),
-                t.getField("r2Overall").as("r2Overall"),
-                t.getField("standardError").as("standardError"),
-                when(
-                  p.getField("tot") =!= 0.0,
-                  t.getField("relativePosteriorProbability") / p.getField("tot"))
-                  .as("posteriorProbability")
-              )
+        get("arr"),
+        t =>
+          struct(
+            t.getField("variantId").as("variantId"),
+            t.getField("r2Overall").as("r2Overall"),
+            t.getField("standardError").as("standardError"),
+            when(
+              get("tot") =!= 0.0,
+              t.getField("relativePosteriorProbability") / get("tot"))
+              .as("posteriorProbability")
           )
-      ),
-      1)
+      )
+    }
   }
 
   /** Two-stage variant for DataFrame pipelines: materialises the

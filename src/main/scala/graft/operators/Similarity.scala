@@ -341,29 +341,25 @@ object Similarity {
     // floor(NaN) would fail the whole job under ANSI — degrade that
     // vector to null fields (per FIELD, not a null struct: a whole-struct
     // `when` would block GetStructField pruning for downstream readers).
-    element_at(
-      transform(
-        array(struct(v.as("v"), mn.as("mn"), scale.as("sc"))),
-        p => {
-          val pv = p.getField("v")
-          val pmn = p.getField("mn")
-          val psc = p.getField("sc")
-          val nonFinite = isnan(psc) || psc === Double.PositiveInfinity
-          struct(
-            when(nonFinite, lit(null).cast("float"))
-              .otherwise(pmn.cast("float")).as("offset"),
-            when(nonFinite, lit(null).cast("float"))
-              .otherwise(psc.cast("float")).as("scale"),
-            when(nonFinite, lit(null).cast("array<tinyint>"))
-              .otherwise(
-                transform(
-                  pv,
-                  x =>
-                    (when(psc === 0.0, lit(0.0))
-                      .otherwise(floor((x - pmn) / psc + 0.5)) - 128.0)
-                      .cast("tinyint"))).as("q"))
-        }),
-      1)
+    graft.functions.ArrayOps.bindOnce("v" -> v, "mn" -> mn, "sc" -> scale) { get =>
+      val pv = get("v")
+      val pmn = get("mn")
+      val psc = get("sc")
+      val nonFinite = isnan(psc) || psc === Double.PositiveInfinity
+      struct(
+        when(nonFinite, lit(null).cast("float"))
+          .otherwise(pmn.cast("float")).as("offset"),
+        when(nonFinite, lit(null).cast("float"))
+          .otherwise(psc.cast("float")).as("scale"),
+        when(nonFinite, lit(null).cast("array<tinyint>"))
+          .otherwise(
+            transform(
+              pv,
+              x =>
+                (when(psc === 0.0, lit(0.0))
+                  .otherwise(floor((x - pmn) / psc + 0.5)) - 128.0)
+                  .cast("tinyint"))).as("q"))
+    }
   }
 
   /** Inverse of [[quantizeEmbedding]] (as `array<double>`): element error is

@@ -202,4 +202,31 @@ class KernelPropertiesSpec extends SparkSpec {
     assert(out(0).getDouble(0) == Double.NegativeInfinity)
     assert(out(2).isNullAt(0) && out(4).isNullAt(0) && out(5).isNullAt(0))
   }
+
+  test("bindOnce exposes bound values identical to direct references") {
+    import spark.implicits._
+    val gen = Gen.listOfN(50, Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0)))
+    val arrays = gen.sample.get
+    val out = arrays.toDF("v")
+      .select(
+        // direct form: mn/span re-inlined per element (the slow idiom)
+        transform(
+          col("v"),
+          x => (x - array_min(col("v"))) / (array_max(col("v")) - array_min(col("v")) + 1.0))
+          .as("direct"),
+        ArrayOps.bindOnce(
+          "mn" -> array_min(col("v")),
+          "span" -> (array_max(col("v")) - array_min(col("v")) + 1.0)) { get =>
+          transform(col("v"), x => (x - get("mn")) / get("span"))
+        }.as("bound"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    out.foreach { case (direct, bound) =>
+      assert(direct.length == bound.length)
+      direct.zip(bound).foreach { case (d, b) =>
+        assert(
+          java.lang.Double.doubleToLongBits(d) == java.lang.Double.doubleToLongBits(b),
+          s"bindOnce changed the value: $d vs $b")
+      }
+    }
+  }
 }
