@@ -774,6 +774,29 @@ object Similarity {
       assigned.select(col("vec_id"), col("bucket")), pairs, idCol = "vec_id")
   }
 
+  /** [[semanticDedup]] with a self-built codebook — the production entry
+    * point when no IVF codebook exists yet: deterministic k-means||
+    * seeding ([[kmeansParallelSeed]]), `lloydRounds` Lloyd iterations
+    * ([[lloydRefine]]) to tighten cells (tighter cells put more true
+    * near-duplicates in the same cell, raising dedup recall at equal
+    * cost), then the SemDeDup pass. `numCells` defaults to C = ⌈√N⌉, the
+    * sizing rule used throughout (one bounded count() job to size it).
+    */
+  def semanticDedupAuto(
+      vectors: DataFrame,
+      threshold: Double,
+      numCells: Int = 0,
+      lloydRounds: Int = 2,
+      dims: Int = 64
+  ): DataFrame = {
+    val c =
+      if (numCells > 0) numCells
+      else math.max(1, math.ceil(math.sqrt(vectors.count().toDouble)).toInt)
+    val seeds = kmeansParallelSeed(vectors, c, dims = dims)
+    val cents = lloydRefine(vectors, seeds, lloydRounds, dims)
+    semanticDedup(vectors, cents, threshold)
+  }
+
   /** Multi-table approximate top-k (input from [[lshBucketsMulti]]):
     * candidate set is the union over tables (OR-amplification), deduped
     * before scoring. Both the candidate join and the embedding re-joins are

@@ -438,6 +438,30 @@ class SimilaritySpec extends SparkSpec {
       f"seeded+refined codebook $seededRefCos%.4f under subset+refined $subsetRefCos%.4f")
   }
 
+  test("semanticDedupAuto: identical copies share a cell under any codebook; one keep per copy group") {
+    import spark.implicits._
+    // identical vectors argmax to the same cell whatever the learned
+    // codebook is (the kernel is deterministic), so exact duplicates are
+    // always caught by the auto variant — the codebook only affects
+    // NEAR-duplicate recall
+    val base = emb.filter(col("vec_id") < 30).select("vec_id", "embedding")
+    val copies = base.filter(col("vec_id").isin(0L, 1L, 5L))
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(copies)
+    val out = Similarity.semanticDedupAuto(corpus, threshold = 0.999)
+      .select("vec_id", "component", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length === 33)
+    val byId = out.map(r => r._1 -> r).toMap
+    Seq(0L, 1L, 5L).foreach { id =>
+      assert(byId(1000L + id)._2 === id, s"copy of $id must join its original's component")
+      assert(!byId(1000L + id)._3, s"copy of $id must not be kept")
+      assert(byId(id)._2 === id && byId(id)._3, s"original $id must be the keeper")
+    }
+    // nothing else in the near-random corpus clears cosine 0.999
+    assert(out.count(!_._3) === 3)
+  }
+
   test("semanticDedup keeps exactly one representative per planted duplicate cluster") {
     import spark.implicits._
     // Three well-separated base directions; 4 near-copies each (pairwise
