@@ -3,7 +3,7 @@ package graft.harness
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Similarity, TextOps, TextPipeline}
+import graft.operators.{Dedup, Dsir, Similarity, TextOps, TextPipeline}
 
 /** Oracle-checked queries for the LLM-training-data-pipeline operators:
   * near-dedup (MinHash/LSH, SimHash, Jaccard), similarity search (exact and
@@ -76,6 +76,27 @@ object TextQueries {
     */
   def bm25Query(s: SparkSession, d: String): DataFrame =
     TextOps.bm25Scores(docsParallel(s, d), Seq("vector", "dup", "spark", "quantum"))
+
+  /** DSIR importance weights: target domain = 4 of the 20 sources, raw =
+    * the whole corpus (operators/Dsir.scala).
+    */
+  private val DsirTarget = Seq("src0", "src1", "src2", "src3")
+
+  private def dsirWeightFrame(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+    val ratios =
+      Dsir.bucketLogRatios(docs, docs.filter(col("source").isInCollection(DsirTarget)))
+    Dsir.importanceWeights(docs, ratios)
+  }
+
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirWeightFrame(s, d)
+      .select(col("doc_id"), round(col("weight"), 6).as("weight"))
+
+  /** Gumbel-top-50 DSIR selection (deterministic md5-derived noise). */
+  def dsirSelect(s: SparkSession, d: String): DataFrame =
+    Dsir.gumbelTopK(dsirWeightFrame(s, d), k = 50)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
 
   /** Per-document quality statistics. */
   def textStats(s: SparkSession, d: String): DataFrame = {
@@ -505,10 +526,46 @@ object TextQueries {
     "q_unigram_ppl" -> (unigramPpl _),
     "q_pii_scrub" -> (piiScrub _),
     "q_semantic_dedup" -> (semanticDedupQuery _),
-    "q_bm25" -> (bm25Query _)
+    "q_bm25" -> (bm25Query _),
+    "q_dsir_weights" -> (dsirWeights _),
+    "q_dsir_select" -> (dsirSelect _)
   )
 
+  // DSIR: hashed unigram+bigram buckets (first 4 md5 hex digits mod 4096),
+  // Laplace-smoothed target/raw bucket models, per-doc log-ratio sums.
+  private val DsirSql =
+    """tok AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |grams AS (SELECT doc_id, source,
+      |    unnest(toks || list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+      |  FROM tok),
+      |bkt AS (SELECT doc_id, source,
+      |    CAST('0x' || substr(md5(g), 1, 4) AS INTEGER) % 4096 AS bucket FROM grams),
+      |rc AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS cr FROM bkt GROUP BY 1),
+      |tc AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS ct FROM bkt
+      |  WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1),
+      |tot AS (SELECT (SELECT sum(cr) FROM rc) AS tr,
+      |    (SELECT coalesce(sum(ct), 0) FROM tc) AS tt),
+      |ratio AS (SELECT rc.bucket,
+      |    ln((coalesce(tc.ct, 0) + 0.5) / (tot.tt + 0.5 * 4096))
+      |      - ln((rc.cr + 0.5) / (tot.tr + 0.5 * 4096)) AS lr
+      |  FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket, tot),
+      |w AS (SELECT bkt.doc_id, sum(r.lr) AS wsum
+      |  FROM bkt JOIN ratio r ON bkt.bucket = r.bucket GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_dsir_weights" ->
+      s"""WITH $DsirSql
+         |SELECT d.doc_id, round(coalesce(w.wsum, 0.0), 6) AS weight
+         |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id""".stripMargin,
+    "q_dsir_select" ->
+      s"""WITH $DsirSql,
+         |noisy AS (SELECT d.doc_id, coalesce(w.wsum, 0.0)
+         |      - ln(-ln((CAST('0x' || substr(md5('g:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+         |        AS INTEGER) + 0.5) / 65536.0)) AS score
+         |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM noisy
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     "q_semantic_dedup" ->
       """WITH RECURSIVE cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 23 = 0),
         |assign AS (SELECT e.vec_id, e.embedding, c.centroid_id,
