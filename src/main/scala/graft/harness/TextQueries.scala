@@ -89,6 +89,16 @@ object TextQueries {
     Dsir.importanceWeights(docs, ratios)
   }
 
+  /** Substring-level dedup (Lee et al. 2021): maximal spans of corpus-wide
+    * duplicated 5-grams per document (operators/Dedup.scala).
+    */
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicatedSpans(docsParallel(s, d))
+
+  /** Token-level removal of duplicated-5-gram spans, text reassembled. */
+  def spanScrub(s: SparkSession, d: String): DataFrame =
+    Dedup.scrubDuplicatedSpans(docsParallel(s, d))
+
   def dsirWeights(s: SparkSession, d: String): DataFrame =
     dsirWeightFrame(s, d)
       .select(col("doc_id"), round(col("weight"), 6).as("weight"))
@@ -528,7 +538,9 @@ object TextQueries {
     "q_semantic_dedup" -> (semanticDedupQuery _),
     "q_bm25" -> (bm25Query _),
     "q_dsir_weights" -> (dsirWeights _),
-    "q_dsir_select" -> (dsirSelect _)
+    "q_dsir_select" -> (dsirSelect _),
+    "q_dup_spans" -> (dupSpans _),
+    "q_span_scrub" -> (spanScrub _)
   )
 
   // DSIR: hashed unigram+bigram buckets (first 4 md5 hex digits mod 4096),
@@ -553,7 +565,41 @@ object TextQueries {
       |w AS (SELECT bkt.doc_id, sum(r.lr) AS wsum
       |  FROM bkt JOIN ratio r ON bkt.bucket = r.bucket GROUP BY 1)""".stripMargin
 
+  // Duplicated 5-gram positions corpus-wide (substring-level dedup).
+  private val DupGramSql =
+    """tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |ex AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3), i -> {'pos': i,
+      |    'gram': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]})) AS s FROM tok),
+      |g AS (SELECT doc_id, CAST(s.pos AS INTEGER) AS pos, md5(s.gram) AS h FROM ex),
+      |c AS (SELECT h FROM g GROUP BY 1 HAVING count(*) >= 2),
+      |f AS (SELECT doc_id, pos FROM g JOIN c USING (h))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_dup_spans" ->
+      s"""WITH $DupGramSql,
+         |isl AS (SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+         |    THEN 0 ELSE 1 END AS ni FROM f),
+         |isl2 AS (SELECT doc_id, pos,
+         |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+         |  CAST(count(*) AS INTEGER) AS n_grams
+         |FROM isl2 GROUP BY doc_id, island""".stripMargin,
+    "q_span_scrub" ->
+      s"""WITH $DupGramSql,
+         |cov AS (SELECT DISTINCT doc_id, tpos FROM
+         |  (SELECT doc_id, unnest(range(pos, pos + 5)) AS tpos FROM f)),
+         |tk AS (SELECT doc_id, s.tpos AS tpos, s.tok AS tok FROM
+         |  (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+         |    i -> {'tpos': i, 'tok': toks[i]})) AS s FROM tok)),
+         |kept AS (SELECT tk.doc_id, tk.tpos, tk.tok FROM tk
+         |  LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos
+         |  WHERE cov.tpos IS NULL),
+         |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+         |    count(*) AS n_kept FROM kept GROUP BY 1)
+         |SELECT t.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+         |  CAST(len(t.toks) - coalesce(reb.n_kept, 0) AS INTEGER) AS n_removed
+         |FROM tok t LEFT JOIN reb ON t.doc_id = reb.doc_id""".stripMargin,
     "q_dsir_weights" ->
       s"""WITH $DsirSql
          |SELECT d.doc_id, round(coalesce(w.wsum, 0.0), 6) AS weight

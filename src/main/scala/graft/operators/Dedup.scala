@@ -399,4 +399,102 @@ object Dedup {
         round(jaccard(col("x.s"), col("y.s")), 6).as("jaccard")
       )
   }
+
+  /** Positions (1-indexed shingle starts) of word n-grams occurring at
+    * least `minCount` times corpus-wide — the substring-level duplication
+    * signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"), which doc-level MinHash cannot see
+    * (boilerplate shared by thousands of otherwise-distinct pages).
+    *
+    * Scale shape: grams are md5-hashed before the count shuffle (fixed-width
+    * keys), the count aggregation is map-side combinable, and the flag-back
+    * join is a plain shuffle join — the duplicated-gram set is NOT assumed
+    * broadcastable (at 100 TB it can be billions of grams).
+    */
+  def duplicatedGramPositions(
+      docs: DataFrame,
+      n: Int = 5,
+      minCount: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val grams = docs
+      .select(
+        col(idCol),
+        posexplode(TextOps.shingles(TextOps.tokenize(col(textCol)), n))
+          .as(Seq("pos0", "gram")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), md5(col("gram")).as("g"))
+    val dup = grams
+      .groupBy("g")
+      .agg(count(lit(1)).as("occurrences"))
+      .filter(col("occurrences") >= minCount)
+    grams.join(dup, "g").select(col(idCol), col("pos"))
+  }
+
+  /** Maximal duplicated spans per document: flagged n-gram positions merged
+    * whenever their token coverage is contiguous (a gram at `pos` covers
+    * tokens `[pos, pos+n-1]`, so positions ≤ n apart merge). Classic
+    * gaps-and-islands over a per-document window — bounded by document
+    * length, never corpus-wide. Output: (id, span_start, span_end,
+    * n_grams), token positions 1-indexed inclusive.
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      n: Int = 5,
+      minCount: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    duplicatedGramPositions(docs, n, minCount, idCol, textCol)
+      .withColumn(
+        "newIsland",
+        when(coalesce(col("pos") - lag("pos", 1).over(w), lit(n + 1)) > n, 1).otherwise(0))
+      .withColumn("island", sum("newIsland").over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(
+        min("pos").as("span_start"),
+        (max("pos") + (n - 1)).as("span_end"),
+        count(lit(1)).cast("int").as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Remove every token covered by a duplicated n-gram and reassemble the
+    * document (single-space joined). Covered positions are derived by
+    * exploding each flagged gram to its n token indices (an n× blow-up of
+    * the FLAGGED set only, not the corpus) and anti-joining the token
+    * stream. Output: (id, clean_text, n_removed).
+    */
+  def scrubDuplicatedSpans(
+      docs: DataFrame,
+      n: Int = 5,
+      minCount: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val covered = duplicatedGramPositions(docs, n, minCount, idCol, textCol)
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos"))
+      .distinct()
+    val tokens = docs
+      .select(col(idCol), posexplode(TextOps.tokenize(col(textCol))).as(Seq("tpos0", "tok")))
+      .select(col(idCol), (col("tpos0") + 1).as("tpos"), col("tok"))
+    val kept = tokens.join(covered, Seq(idCol, "tpos"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("tpos"), col("tok")))),
+            s => s.getField("tok"))).as("clean_text"),
+        count(lit(1)).cast("int").as("n_kept"))
+    docs
+      .select(col(idCol), size(TextOps.tokenize(col(textCol))).as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0))).cast("int").as("n_removed"))
+  }
 }

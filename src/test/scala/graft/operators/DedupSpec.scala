@@ -171,4 +171,60 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq(
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 9L, true)))
   }
+
+  test("duplicatedSpans: overlapping grams merge, distant grams split, boundaries exact") {
+    import spark.implicits._
+    // A/B share an opening 5-gram and a closing 5-gram with unique middles
+    // (two islands); C/D share a 6-token run = two overlapping grams (one
+    // merged island each, at different offsets).
+    val corpus = Seq(
+      (1L, "p q r s t a1 a2 a3 a4 a5 a6 u v w x y"),
+      (2L, "p q r s t b1 b2 b3 b4 b5 b6 u v w x y"),
+      (3L, "c1 m n o p2 q2 r2 c2"),
+      (4L, "d1 d2 m n o p2 q2 r2")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus)
+      .as[(Long, Int, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(spans.toSeq === Seq(
+      (1L, 1, 5, 1), (1L, 12, 16, 1),
+      (2L, 1, 5, 1), (2L, 12, 16, 1),
+      (3L, 2, 7, 2), (4L, 3, 8, 2)))
+  }
+
+  test("scrubDuplicatedSpans removes exactly the covered tokens") {
+    import spark.implicits._
+    val corpus = Seq(
+      (3L, "c1 m n o p2 q2 r2 c2"),
+      (4L, "d1 d2 m n o p2 q2 r2"),
+      (5L, "nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubDuplicatedSpans(corpus)
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (3L, "c1 c2", 6), (4L, "d1 d2", 6),
+      (5L, "nothing shared here at all", 0)))
+  }
+
+  test("span detection on the corpus: bounds sane and scrub accounting closes") {
+    import spark.implicits._
+    val n = 5
+    val spans = Dedup.duplicatedSpans(docs)
+      .as[(Long, Int, Int, Int)].collect()
+    assert(spans.nonEmpty, "expected duplicated 5-grams in the planted corpus")
+    spans.foreach { case (id, s, e, g) =>
+      assert(s >= 1 && e - s + 1 >= n && g >= 1, s"span ($id,$s,$e,$g)")
+      // a span of g grams covers at most g + n - 1 and at least n tokens
+      assert(e - s + 1 <= g + n - 1, s"span ($id,$s,$e,$g) wider than its grams")
+    }
+    // scrub must remove exactly the union of span token ranges
+    val removedBySpans = spans.groupBy(_._1).map { case (id, ss) =>
+      id -> ss.flatMap { case (_, s, e, _) => s to e }.distinct.size
+    }
+    val scrub = Dedup.scrubDuplicatedSpans(docs)
+      .select("doc_id", "n_removed").as[(Long, Int)].collect().toMap
+    removedBySpans.foreach { case (id, exp) =>
+      assert(scrub(id) === exp, s"doc $id removed ${scrub(id)} != span cover $exp")
+    }
+    assert(scrub.values.count(_ > 0) === removedBySpans.size)
+  }
 }
