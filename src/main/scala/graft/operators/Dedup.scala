@@ -418,12 +418,23 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    val grams = docs
+    import org.apache.spark.sql.expressions.Window
+    // grams are built relationally (posexplode + windowed lead, the
+    // signatures() pattern) rather than via the shingles() HOF: a
+    // posexplode over a transform() lambda re-inlines the tokenize split
+    // into every element access — O(tokens²) per document (10× observed
+    // at sf0.1)
+    val tokens = docs.select(
+      col(idCol), posexplode(TextOps.tokenize(col(textCol))).as(Seq("pos0", "token")))
+    val w = Window.partitionBy(idCol).orderBy("pos0")
+    val leads = (1 until n).map(k => lead(col("token"), k).over(w).as(s"_t$k"))
+    val grams = tokens
+      .select(col(idCol) +: col("pos0") +: col("token") +: leads: _*)
+      .filter(col(s"_t${n - 1}").isNotNull)
       .select(
         col(idCol),
-        posexplode(TextOps.shingles(TextOps.tokenize(col(textCol)), n))
-          .as(Seq("pos0", "gram")))
-      .select(col(idCol), (col("pos0") + 1).as("pos"), md5(col("gram")).as("g"))
+        (col("pos0") + 1).as("pos"),
+        md5(concat_ws(" ", col("token") +: (1 until n).map(k => col(s"_t$k")): _*)).as("g"))
     val dup = grams
       .groupBy("g")
       .agg(count(lit(1)).as("occurrences"))
