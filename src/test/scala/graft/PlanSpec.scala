@@ -304,4 +304,15 @@ class PlanSpec extends SparkSpec {
     val generates = p.linesIterator.count(_.contains("Generate explode"))
     assert(generates == 2, s"corpus must tokenize once per pass ($generates):\n$p")
   }
+
+  test("DSIR gram stream is a let-bound explode-projection, never a windowed lead") {
+    // the select pipeline streams grams three times (raw counts, target
+    // counts, document weights); a per-document lead window would add a
+    // sort shuffle to EACH pass (measured 8.5 s vs 2.7 s at sf0.1). The
+    // only allowed window is the bounded bucket-totals pass (<= numBuckets
+    // rows, single partition by construction).
+    val p = plan(graft.harness.TextQueries.dsirSelect(spark, sfDir))
+    assert(!p.contains("lead("), s"bigrams must come from the let-bound HOF:\n$p")
+    assert(p.contains("TakeOrdered"), "selection must be top-k, not a global sort")
+  }
 }

@@ -151,8 +151,15 @@ class KernelPropertiesSpec extends SparkSpec {
     })
   }
 
-  test("codegen LogSumExp is bit-identical to the interpreted HOF formulation on random arrays") {
+  test("codegen LogSumExp matches the interpreted HOF formulation to <= 4 ulp on random arrays") {
     import spark.implicits._
+    // NOT bit-identity: both sides call Math.exp/Math.log, whose HotSpot C2
+    // intrinsics may differ from the non-intrinsified call by 1 ulp — so two
+    // call sites in different JIT compilation states (e.g. a warm full-suite
+    // JVM vs a fresh one) can drift a few ulps on identical inputs. The
+    // accumulation ORDER is pinned identical (see DotProduct's true
+    // bit-identity test for the exact-op case); tolerance covers only the
+    // transcendental intrinsics.
     val gen = Gen.listOfN(300, Gen.listOfN(12, Gen.choose(-50.0, 50.0)))
     val rows = gen.sample.get :+ List.fill(3)(Double.NegativeInfinity)
     val hofLse = {
@@ -166,7 +173,11 @@ class KernelPropertiesSpec extends SparkSpec {
       .select(expressions.logsumexp(col("a")).as("cg"), hofLse.as("hof"))
       .as[(Double, Double)].collect()
     assert(out.forall { case (cg, hof) =>
-      java.lang.Double.doubleToLongBits(cg) == java.lang.Double.doubleToLongBits(hof)
+      val cgBits = java.lang.Double.doubleToLongBits(cg)
+      val hofBits = java.lang.Double.doubleToLongBits(hof)
+      // same-sign finite values: ulp distance IS the bits distance; the
+      // appended -Inf row compares bits-equal (distance 0)
+      cgBits == hofBits || ((cg.signum == hof.signum) && math.abs(cgBits - hofBits) <= 4L)
     })
   }
 
