@@ -449,6 +449,16 @@ object TextQueries {
         col("doc_id"), col("n_tokens"),
         round(col("avg_neglogp"), 6).as("avg_neglogp"))
 
+  /** Interpolated bigram LM scoring (operators/TextOps.bigramNegLogProb):
+    * mean −ln(0.75·p(cur|prev) + 0.25·p(cur)) over each doc's bigrams.
+    */
+  def bigramPpl(s: SparkSession, d: String): DataFrame =
+    TextOps
+      .bigramNegLogProb(documents(s, d).select(col("doc_id"), col("text")))
+      .select(
+        col("doc_id"), col("n_bigrams"),
+        round(col("avg_neglogp"), 6).as("avg_neglogp"))
+
   /** PII scrubbing (operators/TextOps.scrubPii): emails/IPs/phones planted
     * from customer rows, redacted with typed placeholders.
     */
@@ -534,6 +544,7 @@ object TextQueries {
     "q_sample_mix" -> (sampleMix _),
     "q_seq_pack" -> (seqPack _),
     "q_unigram_ppl" -> (unigramPpl _),
+    "q_bigram_ppl" -> (bigramPpl _),
     "q_pii_scrub" -> (piiScrub _),
     "q_semantic_dedup" -> (semanticDedupQuery _),
     "q_bm25" -> (bm25Query _),
@@ -688,6 +699,25 @@ object TextQueries {
         |  round(avg(-ln(lm.cnt / tot.total)), 6) AS avg_neglogp
         |FROM tok t JOIN lm ON t.token = lm.token, tot
         |GROUP BY t.doc_id""".stripMargin,
+    "q_bigram_ppl" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |uni AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+        |lm AS (SELECT token, count(*) AS cnt FROM uni GROUP BY token),
+        |tot AS (SELECT sum(cnt) AS total FROM lm),
+        |pp AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM
+        |  (SELECT doc_id, unnest(list_transform(range(2, len(toks) + 1),
+        |    i -> {'prev': toks[i - 1], 'cur': toks[i]})) AS p FROM tok)),
+        |bi AS (SELECT prev, cur, count(*) AS cnt_bi FROM pp GROUP BY 1, 2),
+        |ctx AS (SELECT prev, CAST(sum(cnt_bi) AS DOUBLE) AS cnt_ctx FROM bi GROUP BY 1)
+        |SELECT pp.doc_id, count(*) AS n_bigrams,
+        |  round(avg(-ln(0.75 * (bi.cnt_bi / ctx.cnt_ctx)
+        |    + 0.25 * (lm.cnt / tot.total))), 6) AS avg_neglogp
+        |FROM pp
+        |JOIN bi ON pp.prev = bi.prev AND pp.cur = bi.cur
+        |JOIN ctx ON pp.prev = ctx.prev
+        |JOIN lm ON pp.cur = lm.token, tot
+        |GROUP BY pp.doc_id""".stripMargin,
     "q_sample_mix" ->
       """WITH f AS (SELECT * FROM (VALUES ('src0', 1.0), ('src1', 0.5),
         |    ('src2', 0.25)) t(source, frac))

@@ -211,6 +211,62 @@ object TextOps {
         avg(-log(col("cnt") / col("total"))).as("avg_neglogp"))
   }
 
+  /** Interpolated bigram LM scoring (the next rung above
+    * [[unigramNegLogProb]] toward the CCNet/KenLM perplexity gate): mean
+    * `−ln(λ·p(cur|prev) + (1−λ)·p(cur))` over a document's token bigrams,
+    * with both models estimated from the corpus itself. Interpolation with
+    * the unigram model keeps every seen token finite even when the exact
+    * bigram is novel to the context.
+    *
+    * Scale design: the bigram pair stream is a let-bound explode-PROJECTION
+    * (no positions are needed downstream, so no windowed lead and no
+    * per-document sort shuffle — the Dsir.gramBuckets rule); the bigram /
+    * context / unigram models are vocabulary-bounded aggregates with
+    * map-side combine; scoring is equi joins against those models plus a
+    * single-row broadcast total carrier. Documents with fewer than two
+    * tokens have no bigrams and drop out of the result.
+    *
+    * Returns (idCol, n_bigrams, avg_neglogp); lower = more typical text.
+    */
+  def bigramNegLogProb(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1]: $lambda")
+    val tokens = docs.select(col(idCol), explode(tokenize(col("text"))).as("token"))
+    val lm = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = broadcast(lm.agg(sum(col("cnt")).as("total")))
+    val pairs = docs
+      .select(
+        col(idCol),
+        explode(graft.functions.ArrayOps.bindOnce("toks" -> tokenize(col("text"))) { get =>
+          val toks = get("toks")
+          // sequence(2, 1) would run DESCENDING for a 1-token array
+          when(size(toks) < 2, array().cast("array<struct<prev:string,cur:string>>"))
+            .otherwise(
+              transform(
+                sequence(lit(2), size(toks)),
+                i =>
+                  struct(
+                    element_at(toks, i - 1).as("prev"),
+                    element_at(toks, i).as("cur"))))
+        }).as("p"))
+      .select(col(idCol), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val bi = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cnt_bi"))
+    val ctx = bi.groupBy("prev").agg(sum("cnt_bi").cast("double").as("cnt_ctx"))
+    pairs
+      .join(bi, Seq("prev", "cur"))
+      .join(ctx, Seq("prev"))
+      .join(lm.withColumnRenamed("token", "cur"), Seq("cur"))
+      .crossJoin(total)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        avg(-log(
+          lit(lambda) * (col("cnt_bi") / col("cnt_ctx"))
+            + lit(1.0 - lambda) * (col("cnt") / col("total")))).as("avg_neglogp"))
+  }
+
   /** Benchmark decontamination: per document, how many of its distinct
     * n-grams appear in a benchmark (eval-set) corpus. The benchmark is
     * bounded by construction, so its distinct-gram set collapses to a single

@@ -67,6 +67,24 @@ class RepetitionContaminationSpec extends SparkSpec {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("bigramNegLogProb matches hand-computed interpolated probabilities") {
+    // corpus bigrams: (a,a) ×1 from doc 1; (a,b) ×1 from doc 2.
+    // context 'a' count = 2; unigrams: a×3 (p=3/5), b×1, c×1 (p=1/5 each).
+    val docs = Seq((1L, "a a"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val got = TextOps.bigramNegLogProb(docs, lambda = 0.75)
+      .select("doc_id", "n_bigrams", "avg_neglogp")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val pAA = 0.75 * (1.0 / 2.0) + 0.25 * (3.0 / 5.0) // p(a|a) interp
+    val pAB = 0.75 * (1.0 / 2.0) + 0.25 * (1.0 / 5.0) // p(b|a) interp
+    assert(got(1L)._1 === 1L)
+    assert(math.abs(got(1L)._2 - -math.log(pAA)) < 1e-12)
+    assert(math.abs(got(2L)._2 - -math.log(pAB)) < 1e-12)
+    // the single-token doc has no bigrams and drops out
+    assert(!got.contains(3L))
+    // rarer continuation scores strictly higher
+    assert(got(2L)._2 > got(1L)._2)
+  }
+
   test("bm25Scores matches the hand-computed Okapi formula; absent terms and docs score 0") {
     val docs = Seq(
       (1L, "spark spark fast"),
