@@ -305,6 +305,14 @@ class PlanSpec extends SparkSpec {
     assert(generates == 2, s"corpus must tokenize once per pass ($generates):\n$p")
   }
 
+  test("q_bigram_ppl pair stream is a windowless projection; the total broadcasts") {
+    val p = plan(graft.harness.TextQueries.bigramPpl(spark, sfDir))
+    assert(!p.contains("Window"), s"bigram pair stream must not window:\n$p")
+    assert(
+      p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the single-row total must ride a broadcast carrier")
+  }
+
   test("DSIR gram stream is a let-bound explode-projection, never a windowed lead") {
     // the select pipeline streams grams three times (raw counts, target
     // counts, document weights); a per-document lead window would add a
