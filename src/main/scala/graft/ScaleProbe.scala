@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Dsir, Similarity, TextOps}
 
 /** Empirical scale-probe main: times the dedup/ANN family on sf0.1 and on a
   * 10×-derived corpus and prints the per-query scaling exponent
@@ -114,7 +114,16 @@ object ScaleProbe {
           Similarity.semanticDedup(emb, cents, threshold = 0.2).count()
         },
         "bm25" -> (() =>
-          TextOps.bm25Scores(docs, Seq("vector", "dup", "spark", "quantum")).count())
+          TextOps.bm25Scores(docs, Seq("vector", "dup", "spark", "quantum")).count()),
+        // the harness's DsirTarget source subset; the per-copy token suffix
+        // grows the gram vocabulary ~10x while buckets stay capped at 4096
+        "dsir_select" -> { () =>
+          val target = docs.filter(col("source").isInCollection(Seq("src0", "src1", "src2", "src3")))
+          Dsir.gumbelTopK(
+            Dsir.importanceWeights(docs, Dsir.bucketLogRatios(docs, target)),
+            k = 50).count()
+        },
+        "bigram_ppl" -> (() => TextOps.bigramNegLogProb(docs).count())
       )
     }
 
