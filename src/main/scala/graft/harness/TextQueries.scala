@@ -449,6 +449,14 @@ object TextQueries {
         col("doc_id"), col("n_tokens"),
         round(col("avg_neglogp"), 6).as("avg_neglogp"))
 
+  /** Per-source token-distribution KL vs the corpus
+    * (operators/TextOps.groupTokenKl) — the mixture-rebalancing diagnostic.
+    */
+  def tokenKl(s: SparkSession, d: String): DataFrame =
+    TextOps
+      .groupTokenKl(documents(s, d).select(col("source"), col("text")))
+      .select(col("source"), col("n_tokens"), round(col("kl"), 6).as("kl"))
+
   /** Interpolated bigram LM scoring (operators/TextOps.bigramNegLogProb):
     * mean −ln(0.75·p(cur|prev) + 0.25·p(cur)) over each doc's bigrams.
     */
@@ -545,6 +553,7 @@ object TextQueries {
     "q_seq_pack" -> (seqPack _),
     "q_unigram_ppl" -> (unigramPpl _),
     "q_bigram_ppl" -> (bigramPpl _),
+    "q_token_kl" -> (tokenKl _),
     "q_pii_scrub" -> (piiScrub _),
     "q_semantic_dedup" -> (semanticDedupQuery _),
     "q_bm25" -> (bm25Query _),
@@ -718,6 +727,20 @@ object TextQueries {
         |JOIN ctx ON pp.prev = ctx.prev
         |JOIN lm ON pp.cur = lm.token, tot
         |GROUP BY pp.doc_id""".stripMargin,
+    "q_token_kl" ->
+      """WITH tok AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |bygrp AS (SELECT source, token, count(*) AS c_g FROM tok GROUP BY 1, 2),
+        |grptot AS (SELECT source, CAST(sum(c_g) AS BIGINT) AS n_tokens FROM bygrp GROUP BY 1),
+        |corpus AS (SELECT token, CAST(sum(c_g) AS BIGINT) AS c_c FROM bygrp GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_c) AS BIGINT) AS total FROM corpus)
+        |SELECT b.source, max(g.n_tokens) AS n_tokens,
+        |  round(sum((b.c_g / g.n_tokens)
+        |    * ln((b.c_g / g.n_tokens) / (c.c_c / t.total))), 6) AS kl
+        |FROM bygrp b
+        |JOIN corpus c ON b.token = c.token
+        |JOIN grptot g ON b.source = g.source, tot t
+        |GROUP BY b.source""".stripMargin,
     "q_sample_mix" ->
       """WITH f AS (SELECT * FROM (VALUES ('src0', 1.0), ('src1', 0.5),
         |    ('src2', 0.25)) t(source, frac))

@@ -267,6 +267,41 @@ object TextOps {
             + lit(1.0 - lambda) * (col("cnt") / col("total")))).as("avg_neglogp"))
   }
 
+  /** Per-group token-distribution divergence: `KL(p_group ‖ p_corpus)` of
+    * each group's (e.g. source's) unigram distribution against the whole
+    * corpus — the mixture-rebalancing diagnostic (a drifted or
+    * over-represented slice shows a high KL). No smoothing is needed:
+    * every token with `p_group > 0` is by construction present in the
+    * corpus, so the ratio is always finite.
+    *
+    * Scale design: one tokenize pass feeds a (group, token) count — the
+    * only corpus-sized shuffle, map-side combinable; the group totals,
+    * corpus marginals and grand total are all vocabulary- or
+    * group-bounded; the grand total rides a single-row broadcast carrier.
+    *
+    * Returns (groupCol, n_tokens, kl).
+    */
+  def groupTokenKl(
+      docs: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val tokens = docs.select(col(groupCol), explode(tokenize(col(textCol))).as("token"))
+    val byGroup = tokens.groupBy(groupCol, "token").agg(count(lit(1)).as("c_g"))
+    val groupTot = byGroup.groupBy(groupCol).agg(sum("c_g").as("n_tokens"))
+    val corpus = byGroup.groupBy("token").agg(sum("c_g").as("c_c"))
+    val corpusTot = broadcast(corpus.agg(sum(col("c_c")).as("total")))
+    byGroup
+      .join(corpus, Seq("token"))
+      .join(groupTot, Seq(groupCol))
+      .crossJoin(corpusTot)
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("n_tokens")).as("n_tokens"),
+        sum(
+          (col("c_g") / col("n_tokens"))
+            * log((col("c_g") / col("n_tokens")) / (col("c_c") / col("total")))).as("kl"))
+  }
+
   /** Benchmark decontamination: per document, how many of its distinct
     * n-grams appear in a benchmark (eval-set) corpus. The benchmark is
     * bounded by construction, so its distinct-gram set collapses to a single

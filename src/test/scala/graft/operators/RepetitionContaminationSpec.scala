@@ -85,6 +85,23 @@ class RepetitionContaminationSpec extends SparkSpec {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("groupTokenKl matches hand-computed divergences; identical slice scores 0") {
+    // corpus: a×2, b×2 (total 4, p_c = 1/2 each). A: p_s = (2/3, 1/3); B: all-b.
+    val docs = Seq(("A", "a a b"), ("B", "b")).toDF("source", "text")
+    val got = TextOps.groupTokenKl(docs)
+      .select("source", "n_tokens", "kl")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val klA = 2.0 / 3 * math.log((2.0 / 3) / 0.5) + 1.0 / 3 * math.log((1.0 / 3) / 0.5)
+    assert(got("A")._1 === 3L)
+    assert(math.abs(got("A")._2 - klA) < 1e-12)
+    assert(math.abs(got("B")._2 - math.log(2.0)) < 1e-12) // 1·ln(1/(1/2))
+    // a slice distributed exactly like the corpus diverges by 0
+    val uniform = Seq(("X", "a b"), ("Y", "a b")).toDF("source", "text")
+    val zero = TextOps.groupTokenKl(uniform)
+      .select("kl").as[Double].collect()
+    assert(zero.forall(math.abs(_) < 1e-12))
+  }
+
   test("bm25Scores matches the hand-computed Okapi formula; absent terms and docs score 0") {
     val docs = Seq(
       (1L, "spark spark fast"),
