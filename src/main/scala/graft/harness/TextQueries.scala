@@ -631,7 +631,7 @@ object TextQueries {
          |        AS INTEGER) + 0.5) / 65536.0)) AS score
          |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id)
          |SELECT doc_id, round(score, 6) AS score FROM noisy
-         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+         |ORDER BY noisy.score DESC, doc_id LIMIT 50""".stripMargin,
     "q_semantic_dedup" ->
       """WITH RECURSIVE cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 23 = 0),
         |assign AS (SELECT e.vec_id, e.embedding, c.centroid_id,

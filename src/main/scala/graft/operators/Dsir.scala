@@ -83,7 +83,10 @@ object Dsir {
     * most B rows, not a scale concern).
     *
     * Buckets seen only in `target` cannot be hit by a raw-corpus document,
-    * so dropping them loses nothing; smoothing covers target-absent buckets.
+    * so they emit no output row — but their mass still counts in the
+    * target-model normalizer `t_target` (computed from the unjoined target
+    * counts), so log-ratios stay correct when target is not a subset of
+    * raw. Smoothing covers target-absent buckets.
     */
   def bucketLogRatios(
       raw: DataFrame,
@@ -99,13 +102,19 @@ object Dsir {
         .groupBy("bucket")
         .agg(count(lit(1)).cast("double").as(name))
     }
+    val targetCounts = bucketCounts(target, "c_target")
+    // Target total from the UNJOINED counts: buckets present only in target
+    // still contribute to the normalizer (the general DSIR setting where
+    // target is not a subset of raw). Single-row broadcast carrier.
+    val tTarget = targetCounts.agg(
+      coalesce(sum("c_target"), lit(0.0)).as("t_target"))
     val joined = bucketCounts(raw, "c_raw")
-      .join(bucketCounts(target, "c_target"), Seq("bucket"), "left")
+      .join(targetCounts, Seq("bucket"), "left")
       .na.fill(0.0, Seq("c_target"))
     val all = Window.partitionBy()
     joined
       .withColumn("t_raw", sum("c_raw").over(all))
-      .withColumn("t_target", sum("c_target").over(all))
+      .crossJoin(broadcast(tTarget))
       .select(
         col("bucket"),
         (log((col("c_target") + alpha) / (col("t_target") + alpha * numBuckets))

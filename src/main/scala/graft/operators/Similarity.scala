@@ -652,12 +652,15 @@ object Similarity {
       vectors: DataFrame,
       c: Int,
       rounds: Int = 3,
-      oversample: Int = 0,
-      dims: Int = 64
+      oversample: Int = 0
   ): DataFrame = {
     require(c > 0, s"c must be positive: $c")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val l = if (oversample > 0) oversample else math.max(1, (2 * c) / rounds)
+    require(
+      1 + rounds * l >= c,
+      s"candidate pool 1 + rounds*oversample = ${1 + rounds * l} cannot deliver c=$c centroids; " +
+        s"raise rounds or oversample")
     val base = vectors.select(col("vec_id"), col("embedding"))
     var seeds = base
       .orderBy(col("vec_id"))
@@ -792,7 +795,7 @@ object Similarity {
     val c =
       if (numCells > 0) numCells
       else math.max(1, math.ceil(math.sqrt(vectors.count().toDouble)).toInt)
-    val seeds = kmeansParallelSeed(vectors, c, dims = dims)
+    val seeds = kmeansParallelSeed(vectors, c)
     val cents = lloydRefine(vectors, seeds, lloydRounds, dims)
     semanticDedup(vectors, cents, threshold)
   }
