@@ -26,7 +26,15 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Emit an explicit failure artifact: a one-row parquet whose `_error`
+        // schema can never match the oracle, so the driver reports a RED row
+        // instead of silently shrinking its denominator (round-9 lesson:
+        // q_sessionize broke and vanished from the dump with no red signal).
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        import spark.implicits._
+        Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}")
+          .toDF("_error").coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -43,9 +43,21 @@ object Sessionize {
       events: DataFrame,
       gapSeconds: Long = 1800
   ): DataFrame = {
-    // events.ts is nanos-since-epoch (see TESTDATA gotcha); integer division
-    // keeps full precision (a double division would lose sub-256ns exactness).
-    val sec = expr("ts div 1000000000")
+    // events.ts has shipped as both TIMESTAMP(NANOS)-read-as-long (under
+    // nanosAsLong) and timestamp[us]; dispatch on the actual type. Integer
+    // division keeps full precision on the long path; a timestamp cast to
+    // long is epoch seconds already.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val sec = events.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000000000")
+      case TimestampType    => unix_seconds(col("ts"))
+      // NTZ: interpret the naive timestamp as UTC (sessions pin UTC), matching
+      // DuckDB's epoch_ns on the same naive value. ANSI forbids a direct
+      // timestamp→long cast, hence unix_seconds.
+      case TimestampNTZType => unix_seconds(col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported events.ts type: $other")
+    }
     withSessionIndex(events.withColumn("ts_sec", sec), col("user_id"), col("ts_sec"), gapSeconds)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
