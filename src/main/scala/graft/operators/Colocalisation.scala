@@ -28,6 +28,21 @@ object Colocalisation {
   private val PairKeys =
     Seq("leftStudyLocusId", "rightStudyLocusId", "rightStudyType", "chromosome")
 
+  /** Per-pair average beta-ratio sign, folded into the SAME aggregation as
+    * the posteriors (dataset/study_locus_overlap.py:55-83 computes it as a
+    * separate groupBy + join; one avg in the existing agg is semantically
+    * identical — avg ignores nulls, an all-null group yields null exactly
+    * like the reference's left join miss — and saves a full shuffle of the
+    * aligned table plus a pair-level sort-merge join per coloc call).
+    */
+  private def betaRatioSignAvg(left: Column, right: Column): Column =
+    avg(
+      when(
+        left.isNotNull && right.isNotNull && left =!= 0 && right =!= 0,
+        signum(left / right)
+      )
+    ).as("betaRatioSignAverage")
+
   /** eCAVIAR: CLPP = Σ left·right posterior per overlap pair
     * (method/colocalisation.py:99-189).
     */
@@ -45,14 +60,10 @@ object Colocalisation {
         size(filter(collect_list(col("tagVariantSource")), x => x === "both"))
           .cast("long")
           .as("numberColocalisingVariants"),
-        sum(col("clpp")).as("clpp")
+        sum(col("clpp")).as("clpp"),
+        betaRatioSignAvg(col("statistics.left_beta"), col("statistics.right_beta"))
       )
       .withColumn("colocalisationMethod", lit("eCAVIAR"))
-      .join(
-        Overlaps.calculateBetaRatio(overlaps),
-        Seq("leftStudyLocusId", "rightStudyLocusId", "chromosome"),
-        "left"
-      )
   }
 
   /** COLOC-PIP: approximate posteriors from PIPs only, following R
@@ -78,7 +89,9 @@ object Colocalisation {
         greatest(coalesce(col("statistics.left_posteriorProbability"), lit(Pseudo)), lit(Pseudo))
           .as("lpp"),
         greatest(coalesce(col("statistics.right_posteriorProbability"), lit(Pseudo)), lit(Pseudo))
-          .as("rpp")
+          .as("rpp"),
+        col("statistics.left_beta").as("left_beta"),
+        col("statistics.right_beta").as("right_beta")
       )
       .groupBy(PairKeys.map(col): _*)
       .agg(
@@ -87,7 +100,8 @@ object Colocalisation {
           .as("numberColocalisingVariants"),
         collect_list(log(col("lpp"))).as("log_pip1"),
         collect_list(log(col("rpp"))).as("log_pip2"),
-        collect_list(log(col("lpp")) + log(col("rpp"))).as("log_both")
+        collect_list(log(col("lpp")) + log(col("rpp"))).as("log_both"),
+        betaRatioSignAvg(col("left_beta"), col("right_beta"))
       )
       .withColumn("sum_log_pip1", logsumexp(col("log_pip1")))
       .withColumn("sum_log_pip2", logsumexp(col("log_pip2")))
@@ -110,14 +124,10 @@ object Colocalisation {
         col("chromosome"), col("numberColocalisingVariants"),
         lit(0.0).as("h0"), lit(0.0).as("h1"), lit(0.0).as("h2"),
         exp(col("pp3_raw") - col("denom")).as("h3"),
-        exp(col("pp4_raw") - col("denom")).as("h4")
+        exp(col("pp4_raw") - col("denom")).as("h4"),
+        col("betaRatioSignAverage")
       )
       .withColumn("colocalisationMethod", lit("COLOC_PIP"))
-      .join(
-        Overlaps.calculateBetaRatio(overlaps),
-        Seq("leftStudyLocusId", "rightStudyLocusId", "chromosome"),
-        "left"
-      )
   }
 
   /** Merged COLOC-PIP + eCAVIAR result: ColocPIP posteriors with the eCAVIAR
@@ -165,7 +175,9 @@ object Colocalisation {
         coalesce(col("statistics.left_logBF"), lit(0.0)).as("left_logBF"),
         coalesce(col("statistics.right_logBF"), lit(0.0)).as("right_logBF"),
         coalesce(col("statistics.left_posteriorProbability"), lit(0.0)).as("left_pp"),
-        coalesce(col("statistics.right_posteriorProbability"), lit(0.0)).as("right_pp")
+        coalesce(col("statistics.right_posteriorProbability"), lit(0.0)).as("right_pp"),
+        col("statistics.left_beta").as("left_beta"),
+        col("statistics.right_beta").as("right_beta")
       )
       .withColumn("sum_log_bf", col("left_logBF") + col("right_logBF"))
 
@@ -185,7 +197,8 @@ object Colocalisation {
               col("left_pp") > posteriorCutoff && col("right_pp") > posteriorCutoff,
             1
           ).otherwise(0)
-        ).as("anyBothHigh")
+        ).as("anyBothHigh"),
+        betaRatioSignAvg(col("left_beta"), col("right_beta"))
       )
       .withColumn("logsum1", logsumexp(col("left_bfs")))
       .withColumn("logsum2", logsumexp(col("right_bfs")))
@@ -227,14 +240,10 @@ object Colocalisation {
         col("posteriors")(1).as("h1"),
         col("posteriors")(2).as("h2"),
         col("posteriors")(3).as("h3"),
-        col("posteriors")(4).as("h4")
+        col("posteriors")(4).as("h4"),
+        col("betaRatioSignAverage")
       )
       .withColumn("colocalisationMethod", lit("COLOC"))
-      .join(
-        Overlaps.calculateBetaRatio(overlaps),
-        Seq("leftStudyLocusId", "rightStudyLocusId", "chromosome"),
-        "left"
-      )
   }
 
   /** Append study metadata to one side of the colocalisation frame

@@ -102,6 +102,12 @@ object Overlaps {
         col("tag.pValueExponent").as("pValueExponent")
       )
     alignOverlappingTags(exploded, overlappingPeaks(exploded))
+    // Deliberately NO repartition here: the full-outer align reports
+    // UnknownPartitioning, so a downstream per-pair aggregation re-shuffles
+    // regardless — and an explicit pair-key repartition measured as pure
+    // extra cost (an InMemoryRelation over an AQE plan does not propagate
+    // partitioning, so even a persisted copy re-exchanges; round-10
+    // measurement: q_coloc 5.2 s without vs 10.4 s with the repartition).
   }
 
   /** Average sign of the left/right beta ratio per overlap pair
