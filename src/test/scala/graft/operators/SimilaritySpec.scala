@@ -505,4 +505,46 @@ class SimilaritySpec extends SparkSpec {
       assert(component === id && keep, s"singleton $id must keep itself")
     }
   }
+
+  test("an over-budget codebook fails loudly before the driver collect") {
+    import spark.implicits._
+    // 64 doubles/row ≈ 544 B with overhead; a 1 KiB budget affords ~1 row,
+    // so this 40-row codebook must trip the guard, not OOM-or-succeed.
+    val centroids = (0 until 40)
+      .map(i => (i.toLong, Array.fill(64)(i.toDouble)))
+      .toDF("centroid_id", "embedding")
+    spark.conf.set("graft.maxBroadcastBytes", "1024")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfAssign(emb.limit(10), centroids).count()
+      }
+      assert(e.getMessage.contains("graft.maxBroadcastBytes"))
+      // within budget again: the same codebook collects fine
+      spark.conf.set("graft.maxBroadcastBytes", (512L << 20).toString)
+      assert(Similarity.ivfAssign(emb.limit(10), centroids).count() === 10)
+    } finally spark.conf.unset("graft.maxBroadcastBytes")
+  }
+
+  test("over-budget ADC query batch falls back to a shuffle join with identical results") {
+    val emb30 = emb.filter(col("vec_id") < 30)
+    val coarse = emb.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val pqCents = emb.filter(col("vec_id") % 31 === 0).limit(8)
+      .select((col("vec_id") / 31).cast("long").as("centroid_id"), col("embedding"))
+    val codes = Similarity.ivfPqEncode(emb30, coarse, pqCents)
+    val queries = emb30
+    def run(): Array[org.apache.spark.sql.Row] =
+      Similarity.ivfPqAdcTopK(codes, queries, coarse, pqCents, k = 3)
+        .orderBy("q_id", "neighbor_id").collect()
+    val broadcasted = run()
+    // Shrink the budget ENOUGH that the ADC LUT (30 queries × 4 subspaces
+    // × 8 codes ≈ 53 KiB estimate) flips to a shuffle join while the
+    // 22-row coarse codebook (≈ 12 KiB) still collects within budget.
+    spark.conf.set("graft.maxBroadcastBytes", "16384")
+    try {
+      val fallback = run()
+      assert(fallback.sameElements(broadcasted),
+        "shuffle-join fallback must be result-identical to the broadcast plan")
+    } finally spark.conf.unset("graft.maxBroadcastBytes")
+  }
 }
