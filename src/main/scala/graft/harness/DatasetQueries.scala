@@ -227,6 +227,114 @@ object DatasetQueries {
         StructField("n_name", StringType)))))
   }
 
+  /** FinnGen raw-TSV ingestion core (sources/FinnGen.fromSource —
+    * datasource/finngen/summary_stats.py): nation-derived rows written as a
+    * real `FINNGEN_R9_SYNTH.tsv` (studyId is parsed from the FILE NAME, so
+    * the fixture must be an actual file), read through the declared-schema
+    * reader: p-value split to mantissa/exponent, zero-beta rows dropped,
+    * range-partitioned output. Oracle re-derives the rows from nation.
+    */
+  def finngenReaderQ(s: SparkSession, d: String): DataFrame = {
+    val ns = nation(s, d).select(col("n_nationkey").cast("long"))
+      .orderBy("n_nationkey").collect().map(_.getLong(0))
+    val header = "#chrom\tpos\tref\talt\trsids\tnearest_genes\tpval\tmlogp" +
+      "\tbeta\tsebeta\taf_alt\taf_alt_cases\taf_alt_controls"
+    val lines = ns.map { n =>
+      val beta = ((n % 21) - 10) / 10.0 // n % 21 == 10 → 0.0, dropped by the reader
+      Seq(
+        (n % 4 + 1).toString, (n * 1000 + 7).toString, "A", "G",
+        s"rs$n", s"GENE$n",
+        s"${n % 9 + 1}e-${n % 30 + 2}", (n % 30 + 2).toString, beta.toString,
+        ((n % 13 + 1) / 100.0).toString, ((n % 100) / 100.0).toString,
+        "0.1", "0.1"
+      ).mkString("\t")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-finngen")
+    val p = dir.resolve("FINNGEN_R9_SYNTH.tsv")
+    java.nio.file.Files.writeString(p, (header +: lines).mkString("\n"))
+    graft.sources.FinnGen.fromSource(s, p.toString, outputPartitions = 4).df.select(
+      col("studyId"), col("variantId"), col("chromosome"), col("position"),
+      col("pValueMantissa"), col("pValueExponent"),
+      round(col("beta"), 6).as("beta"),
+      round(col("standardError"), 6).as("standardError"),
+      col("effectAlleleFrequencyFromSource"))
+  }
+
+  /** eQTL-Catalogue raw credible-set reader (sources/EqtlCatalogue
+    * .readCredibleSets — datasource/eqtl_catalogue/finemapping.py:60-121):
+    * the same nation-derived rows written to TWO `*.credible_sets.tsv`
+    * files (dataset_id comes from each file name) with every row duplicated
+    * under two different rsids — the reader must collapse the rsid
+    * explosion via drop+distinct and tag the credibleSetIndex from cs_id.
+    */
+  def eqtlCredsetsQ(s: SparkSession, d: String): DataFrame = {
+    val ns = nation(s, d).select(col("n_nationkey").cast("long"))
+      .orderBy("n_nationkey").collect().map(_.getLong(0))
+    val header = "molecular_trait_id\tgene_id\tcs_id\tvariant\trsid\tcs_size\tpip" +
+      "\tpvalue\tbeta\tse\tz\tcs_min_r2\tregion"
+    def lineFor(n: Long, rsid: String) = Seq(
+      s"t${n % 5}", s"ENSG0000$n", s"t${n % 5}_L${n % 3 + 1}", s"chr1_${n * 10}_A_G",
+      rsid, (n % 7 + 1).toString, ((n % 100) / 100.0).toString,
+      s"${n % 9 + 1}e-${n % 20 + 2}", ((n % 21 - 10) / 10.0).toString,
+      ((n % 13 + 1) / 100.0).toString, ((n % 41 - 20) / 5.0).toString,
+      ((n % 10) / 10.0).toString, s"chr1:${n * 10}-${n * 10 + 500}"
+    ).mkString("\t")
+    val body = ns.flatMap(n => Seq(lineFor(n, s"rs$n"), lineFor(n, s"rs${n}b")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-eqtlcs")
+    for (ds <- Seq("QTD000011", "QTD000012"))
+      java.nio.file.Files.writeString(
+        dir.resolve(s"$ds.credible_sets.tsv"), (header +: body).mkString("\n"))
+    graft.sources.EqtlCatalogue
+      .readCredibleSets(s, s"$dir/*.credible_sets.tsv")
+      .select(
+        col("dataset_id"), col("molecular_trait_id"), col("gene_id"), col("cs_id"),
+        col("credibleSetIndex"), col("variant"), col("cs_size"),
+        round(col("pip"), 6).as("pip"), round(col("beta"), 6).as("beta"),
+        round(col("se"), 6).as("se"), round(col("z"), 6).as("z"),
+        round(col("cs_min_r2"), 6).as("cs_min_r2"), col("region"))
+  }
+
+  /** deCODE allele-frequency inference (sources/Decode.inferAlleleFrequency
+    * — datasource/decode/summary_stats.py): pick whichever of impMAF /
+    * 1−impMAF the gnomAD European AF is closer to; null EUR AF falls back
+    * to impMAF. Pure column kernel over lineitem-derived pairs.
+    */
+  def decodeAfQ(s: SparkSession, d: String): DataFrame = {
+    val k = col("l_orderkey") * 8 + col("l_linenumber")
+    lineitem(s, d)
+      .select(
+        k.as("k"),
+        ((k % 49 + 1) / lit(100.0)).as("impMaf"),
+        when(k % 5 === 0, lit(null).cast("double"))
+          .otherwise((k % 101) / lit(100.0)).as("eurAf"))
+      .select(
+        col("k"),
+        round(graft.sources.Decode.inferAlleleFrequency(col("impMaf"), col("eurAf")), 6)
+          .as("eaf"))
+  }
+
+  /** E2G BED parse (sources/Intervals.readBed — datasource/intervals/
+    * e2g.py:35): headerless BED fixture; chr prefix stripped, 0-based
+    * half-open → 1-based closed coordinates, gene id split from the
+    * `<gene>|<rest>` name field.
+    */
+  def e2gParseQ(s: SparkSession, d: String): DataFrame = {
+    val ns = nation(s, d).select(col("n_nationkey").cast("long"))
+      .orderBy("n_nationkey").collect().map(_.getLong(0))
+    val lines = ns.map { n =>
+      val name = if (n % 2 == 0) s"ENSG0000$n|e$n" else s"ENSG0000$n"
+      Seq(s"chr${n % 4 + 1}", (n * 100).toString, (n * 100 + 50).toString,
+        name, ((n % 20) / 20.0).toString).mkString("\t")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2g")
+    val p = dir.resolve("e2g.bed")
+    java.nio.file.Files.writeString(p, lines.mkString("\n"))
+    graft.sources.Intervals.readBed(s, p.toString)
+      .select(
+        col("chromosome"), col("start"), col("end"), col("geneId"),
+        round(col("resourceScore"), 6).as("resourceScore"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sanity_filter" -> (sanityFilterQ _),
     "q_credset_filter" -> (credsetFilterQ _),
@@ -235,7 +343,11 @@ object DatasetQueries {
     "q_sink_roundtrip" -> (sinkRoundtripQ _),
     "q_reader_tsv" -> (readerTsvQ _),
     "q_reader_url" -> (readerUrlQ _),
-    "q_reader_bgzf" -> (readerBgzfQ _)
+    "q_reader_bgzf" -> (readerBgzfQ _),
+    "q_finngen_reader" -> (finngenReaderQ _),
+    "q_eqtl_credsets" -> (eqtlCredsetsQ _),
+    "q_decode_af" -> (decodeAfQ _),
+    "q_e2g_parse" -> (e2gParseQ _)
   )
 
   private val FullSynthSql =
@@ -249,6 +361,59 @@ object DatasetQueries {
       |FROM lineitem""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_finngen_reader" ->
+      """WITH b AS (SELECT CAST(n_nationkey AS BIGINT) AS n FROM nation),
+        |c AS (SELECT n,
+        |    CAST(n % 4 + 1 AS VARCHAR) AS chrom,
+        |    n * 1000 + 7 AS pos,
+        |    CAST(n % 9 + 1 AS REAL) AS pm,
+        |    -(n % 30 + 2) AS pe,
+        |    (n % 21 - 10) / 10.0 AS beta,
+        |    (n % 13 + 1) / 100.0 AS se,
+        |    CAST((n % 100) / 100.0 AS REAL) AS af
+        |  FROM b)
+        |SELECT 'FINNGEN_R9_SYNTH' AS "studyId",
+        |  chrom || '_' || CAST(pos AS VARCHAR) || '_A_G' AS "variantId",
+        |  chrom AS chromosome,
+        |  CAST(pos AS INTEGER) AS position,
+        |  pm AS "pValueMantissa", CAST(pe AS INTEGER) AS "pValueExponent",
+        |  round(beta, 6) AS beta, round(se, 6) AS "standardError",
+        |  af AS "effectAlleleFrequencyFromSource"
+        |FROM c WHERE beta <> 0""".stripMargin,
+    "q_eqtl_credsets" ->
+      """WITH b AS (SELECT CAST(n_nationkey AS BIGINT) AS n FROM nation),
+        |ds AS (SELECT * FROM (VALUES ('QTD000011'), ('QTD000012')) AS t(dataset_id))
+        |SELECT ds.dataset_id,
+        |  't' || CAST(n % 5 AS VARCHAR) AS molecular_trait_id,
+        |  'ENSG0000' || CAST(n AS VARCHAR) AS gene_id,
+        |  't' || CAST(n % 5 AS VARCHAR) || '_L' || CAST(n % 3 + 1 AS VARCHAR) AS cs_id,
+        |  CAST(n % 3 + 1 AS INTEGER) AS "credibleSetIndex",
+        |  'chr1_' || CAST(n * 10 AS VARCHAR) || '_A_G' AS variant,
+        |  CAST(n % 7 + 1 AS INTEGER) AS cs_size,
+        |  round((n % 100) / 100.0, 6) AS pip,
+        |  round((n % 21 - 10) / 10.0, 6) AS beta,
+        |  round((n % 13 + 1) / 100.0, 6) AS se,
+        |  round((n % 41 - 20) / 5.0, 6) AS z,
+        |  round((n % 10) / 10.0, 6) AS cs_min_r2,
+        |  'chr1:' || CAST(n * 10 AS VARCHAR) || '-' || CAST(n * 10 + 500 AS VARCHAR)
+        |    AS region
+        |FROM b CROSS JOIN ds""".stripMargin,
+    "q_decode_af" ->
+      """WITH b AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem),
+        |c AS (SELECT k, (k % 49 + 1) / 100.0 AS maf,
+        |    CASE WHEN k % 5 = 0 THEN NULL ELSE (k % 101) / 100.0 END AS eur FROM b)
+        |SELECT k, round(CASE WHEN eur IS NULL THEN maf
+        |    WHEN abs(eur - maf) <= abs(eur - (1 - maf)) THEN maf
+        |    ELSE 1 - maf END, 6) AS eaf
+        |FROM c""".stripMargin,
+    "q_e2g_parse" ->
+      """WITH b AS (SELECT CAST(n_nationkey AS BIGINT) AS n FROM nation)
+        |SELECT CAST(n % 4 + 1 AS VARCHAR) AS chromosome,
+        |  CAST(n * 100 + 1 AS INTEGER) AS start,
+        |  CAST(n * 100 + 50 AS INTEGER) AS "end",
+        |  'ENSG0000' || CAST(n AS VARCHAR) AS "geneId",
+        |  round((n % 20) / 20.0, 6) AS "resourceScore"
+        |FROM b""".stripMargin,
     "q_sink_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_reader_tsv" ->
