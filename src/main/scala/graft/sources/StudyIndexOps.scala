@@ -203,28 +203,39 @@ object StudyIndexOps {
     * (study_index.py:182-230). Pure array HOFs — no explode/shuffle.
     */
   def aggregateAndMapAncestries(discoverySamples: Column): Column = {
-    val mapped = transform(discoverySamples, s => mapAncestryToLdPopulation(s))
-    val pops = array_distinct(transform(mapped, x => x.getField("ancestry")))
-    val counts = transform(
-      pops,
-      p =>
-        struct(
-          p.as("ldPopulation"),
-          aggregate(
-            filter(mapped, x => x.getField("ancestry") <=> p),
-            lit(0.0),
-            (acc, x) => acc + coalesce(x.getField("sampleSize").cast("double"), lit(0.0))
-          ).as("sampleSize")
+    // bindOnce discipline (round-8 lesson, BindOnceAuditSpec-enforced): the
+    // per-sample ancestry mapping is bound once — the population probe, the
+    // per-population sums and the total all read the bound value instead of
+    // re-inlining (and re-evaluating) the mapping per element.
+    val mappedRaw = transform(discoverySamples, s => mapAncestryToLdPopulation(s))
+    graft.functions.ArrayOps.bindOnce("mapped" -> mappedRaw) { g =>
+      val m = g("mapped")
+      val pops = array_distinct(transform(m, x => x.getField("ancestry")))
+      val counts = transform(
+        pops,
+        p =>
+          struct(
+            p.as("ldPopulation"),
+            aggregate(
+              filter(m, x => x.getField("ancestry") <=> p),
+              lit(0.0),
+              (acc, x) => acc + coalesce(x.getField("sampleSize").cast("double"), lit(0.0))
+            ).as("sampleSize")
+          )
+      )
+      graft.functions.ArrayOps.bindOnce(
+        "counts" -> counts,
+        "total" -> aggregate(counts, lit(0.0), (acc, x) => acc + x.getField("sampleSize"))
+      ) { g2 =>
+        transform(
+          g2("counts"),
+          x =>
+            struct(
+              x.getField("ldPopulation").as("ldPopulation"),
+              (x.getField("sampleSize") / g2("total")).as("relativeSampleSize")
+            )
         )
-    )
-    val total = aggregate(counts, lit(0.0), (acc, x) => acc + x.getField("sampleSize"))
-    transform(
-      counts,
-      x =>
-        struct(
-          x.getField("ldPopulation").as("ldPopulation"),
-          (x.getField("sampleSize") / total).as("relativeSampleSize")
-        )
-    )
+      }
+    }
   }
 }
