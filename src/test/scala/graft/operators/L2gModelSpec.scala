@@ -23,6 +23,59 @@ class L2gModelSpec extends SparkSpec {
     assert(scored.columns.contains("score") && !scored.columns.contains("features"))
   }
 
+  test("score golden: ranking recovers the generative signal (Spearman ≥ 0.95) and retraining is bit-deterministic") {
+    import spark.implicits._
+    // Generative model: P(label=1 | f1) = f1 over the whole range (label
+    // compares f1 to a deterministic pseudo-uniform draw), so the fitted
+    // probability must be ~monotone in f1 everywhere — a hard-threshold
+    // label would let the GBM collapse to a step function whose flat sides
+    // tie out the ranking. Depth is bounded so leaves average
+    // neighbourhoods instead of memorising rows. This is the
+    // offline-feasible analogue of a cross-engine sklearn-GBM Spearman
+    // golden (sklearn is unavailable in this container — divergence
+    // documented in COVERAGE.md).
+    val data = (0 until 400).map { i =>
+      val f1 = i / 400.0
+      val f2 = ((i * 7) % 13) / 13.0
+      val u = ((i * 137 + 29) % 400) / 400.0
+      (i.toLong, if (u < f1) 1.0 else 0.0, f1, f2)
+    }.toDF("id", "goldStandardSet", "f1", "f2")
+    val model = L2gModel.train(data, Seq("f1", "f2"), maxIter = 20, maxDepth = 3)
+    val scored = L2gModel.score(model, data, Seq("f1", "f2"))
+      .select("id", "f1", "score").as[(Long, Double, Double)].collect().sortBy(_._1)
+
+    def ranks(xs: Array[Double]): Array[Double] = {
+      val sorted = xs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](xs.length)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j + 1 < sorted.length && sorted(j + 1)._1 == sorted(i)._1) j += 1
+        val avg = (i + j) / 2.0 + 1
+        (i to j).foreach(k => out(sorted(k)._2) = avg)
+        i = j + 1
+      }
+      out
+    }
+    def pearson(a: Array[Double], b: Array[Double]): Double = {
+      val ma = a.sum / a.length; val mb = b.sum / b.length
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val va = math.sqrt(a.map(x => (x - ma) * (x - ma)).sum)
+      val vb = math.sqrt(b.map(y => (y - mb) * (y - mb)).sum)
+      cov / (va * vb)
+    }
+    val spearman = pearson(ranks(scored.map(_._2)), ranks(scored.map(_._3)))
+    assert(spearman >= 0.95, s"Spearman(score, generative f1) = $spearman")
+
+    // bit-determinism: same data + seed → identical model scores
+    val again = L2gModel.score(
+      L2gModel.train(data, Seq("f1", "f2"), maxIter = 20, maxDepth = 3),
+      data, Seq("f1", "f2"))
+      .select("id", "score").as[(Long, Double)].collect().sortBy(_._1)
+    assert(again.map(_._2).sameElements(scored.map(_._3)),
+      "retraining with the same seed must reproduce scores bit-exactly")
+  }
+
   test("evaluation metrics and cross-validated training on separable data") {
     import spark.implicits._
     val data = (0 until 200).map { i =>
