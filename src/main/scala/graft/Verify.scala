@@ -4,6 +4,28 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Dump one query result to `outDir/<name>`. A throwing query emits an
+    * explicit failure artifact — a one-row parquet whose `_error` schema can
+    * never match the oracle — so the driver reports a RED row instead of
+    * silently shrinking its denominator (round-9 lesson: q_sessionize broke
+    * and vanished from the dump with no red signal anywhere).
+    */
+  def dumpOne(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/$name")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+      import spark.implicits._
+      Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}")
+        .toDF("_error").coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -22,21 +44,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        // Emit an explicit failure artifact: a one-row parquet whose `_error`
-        // schema can never match the oracle, so the driver reports a RED row
-        // instead of silently shrinking its denominator (round-9 lesson:
-        // q_sessionize broke and vanished from the dump with no red signal).
-        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
-        import spark.implicits._
-        Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}")
-          .toDF("_error").coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-      }
-    }
+      .foreach { case (name, fn) => dumpOne(spark, sfDir, outDir, name, fn) }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
