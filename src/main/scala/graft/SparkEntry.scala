@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.harness.{ColocQueries, CoreQueries, DatasetQueries, GenomicQueries, IngestQueries, JoinQueries, MiscQueries, QcQueries, SourceQueries, StudyQueries, TextQueries}
+import graft.harness.{ColocQueries, CoreQueries, DatasetQueries, GenomicQueries, IndexQueries, IngestQueries, JoinQueries, MiscQueries, QcQueries, SourceQueries, StudyQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,10 +19,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ GenomicQueries.queries ++ TextQueries.queries ++ ColocQueries.queries ++ JoinQueries.queries ++ MiscQueries.queries ++ QcQueries.queries ++ SourceQueries.queries ++ DatasetQueries.queries ++ StudyQueries.queries ++ IngestQueries.queries
+    CoreQueries.queries ++ GenomicQueries.queries ++ IndexQueries.queries ++ TextQueries.queries ++ ColocQueries.queries ++ JoinQueries.queries ++ MiscQueries.queries ++ QcQueries.queries ++ SourceQueries.queries ++ DatasetQueries.queries ++ StudyQueries.queries ++ IngestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ GenomicQueries.oracles ++ TextQueries.oracles ++ ColocQueries.oracles ++ JoinQueries.oracles ++ MiscQueries.oracles ++ QcQueries.oracles ++ SourceQueries.oracles ++ DatasetQueries.oracles ++ StudyQueries.oracles ++ IngestQueries.oracles
+    CoreQueries.oracles ++ GenomicQueries.oracles ++ IndexQueries.oracles ++ TextQueries.oracles ++ ColocQueries.oracles ++ JoinQueries.oracles ++ MiscQueries.oracles ++ QcQueries.oracles ++ SourceQueries.oracles ++ DatasetQueries.oracles ++ StudyQueries.oracles ++ IngestQueries.oracles
 }
