@@ -130,12 +130,58 @@ object MiscQueries {
         round(col("pip"), 6).as("pip"))
   }
 
+  /** Click and view event streams for the as-of join pair: integral event
+    * time in epoch micros (ts is TIMESTAMP_NTZ since the 2026-08-13
+    * testdata regeneration — cast through TimestampType, session tz UTC;
+    * unix_micros keeps full resolution so the operator's units are the
+    * same at any SF).
+    */
+  private def asofSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val ev = events(s, d)
+    val sec = ev.schema("ts").dataType match {
+      case LongType => expr("ts div 1000") // legacy nanos-as-long → micros
+      case TimestampType => unix_micros(col("ts"))
+      case _ => unix_micros(col("ts").cast(TimestampType))
+    }
+    val base = ev.select(col("event_id"), col("user_id"), col("event_type"),
+      sec.as("t"), col("value"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("t"), col("value"))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id"), col("t"), col("value").as("view_value"))
+    (clicks, views)
+  }
+
+  /** Backward as-of join with a 1-hour tolerance: each click picks up the
+    * latest view by the same user at-or-before it (operators/AsofJoin —
+    * union + single key-window pass, no range join).
+    */
+  def asofJoinQ(s: SparkSession, d: String): DataFrame = {
+    val (clicks, views) = asofSides(s, d)
+    graft.operators.AsofJoin.asof(
+      clicks, views, Seq("user_id"), "t", Seq("view_value"),
+      direction = "backward", tolerance = Some(3600L * 1000000L))
+  }
+
+  /** Forward as-of join via the skew-resistant bucketed two-phase plan
+    * (6-hour buckets): identical semantics, `(key, bucket)` partitioning.
+    */
+  def asofBucketedQ(s: SparkSession, d: String): DataFrame = {
+    val (clicks, views) = asofSides(s, d)
+    graft.operators.AsofJoin.asofBucketed(
+      clicks, views, Seq("user_id"), "t", Seq("view_value"),
+      bucketWidth = 21600L * 1000000L, direction = "forward")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_finemap" -> (finemap _),
     "q_pics" -> (pics _),
     "q_minmax" -> (minmax _),
     "q_deconvolute" -> (deconvolute _),
-    "q_multimodal" -> (multimodal _)
+    "q_multimodal" -> (multimodal _),
+    "q_asof_join" -> (asofJoinQ _),
+    "q_asof_bucketed" -> (asofBucketedQ _)
   )
 
   /** Pinned-golden oracle for q_finemap: the generator is a pure function
@@ -184,7 +230,28 @@ object MiscQueries {
         |  CAST(3 AS INTEGER) AS channels,
         |  CAST(n AS INTEGER) AS n_bytes,
         |  CAST(len(range(0, greatest(n // 32 - 1, 0) + 1, 2)) AS BIGINT) AS n_frames
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    // Independent formulation on purpose: DuckDB's native ASOF JOIN vs the
+    // union+window (q_asof_join) and bucketed two-phase (q_asof_bucketed)
+    // Spark plans.
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
+        |    FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, epoch_us(ts) AS t, max(value) AS view_value
+        |    FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |j AS (SELECT l.event_id, l.user_id, l.t, l.value, r.t AS rt, r.view_value
+        |    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t)
+        |SELECT event_id, user_id, t, value,
+        |  CASE WHEN t - rt <= 3600000000 THEN rt END AS asofTime,
+        |  CASE WHEN t - rt <= 3600000000 THEN view_value END AS view_value
+        |FROM j""".stripMargin,
+    "q_asof_bucketed" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t, value
+        |    FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, epoch_us(ts) AS t, max(value) AS view_value
+        |    FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.t, l.value, r.t AS asofTime, r.view_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t <= r.t""".stripMargin
     // q_pics: no oracle (normal sf unavailable in DuckDB); PicsSpec carries
     // the reference doctest golden values.
   )
