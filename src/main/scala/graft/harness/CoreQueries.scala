@@ -272,9 +272,25 @@ object CoreQueries {
         .as("csIndex"))
   }
 
+  /** Bloom-pruned semi join (functions/BloomOps): lineitem rows whose
+    * orderkey appears in a sparse orders subset. The sketch probe filters the
+    * big side inside its scan stage; the exact semi join strips false
+    * positives, so the result is oracle-exact by construction.
+    */
+  def bloomPrune(s: SparkSession, d: String): DataFrame = {
+    val keys = orders(s, d)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("l_orderkey"))
+    graft.functions.BloomOps
+      .bloomSemiJoin(
+        lineitem(s, d).select("l_orderkey", "l_partkey", "l_linenumber"),
+        keys, "l_orderkey", expectedItems = 4096)
+  }
+
   // -- DuckDB oracles --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_prune" -> (bloomPrune _),
     "q_helpers" -> (helpers _),
     "q_source_cores" -> (sourceCores _),
     "q_pvalue_filter" -> (pvalueFilter _),
@@ -297,6 +313,10 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bloom_prune" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderkey % 97 = 0 AND o_orderkey = l_orderkey)""".stripMargin,
     "q_helpers" ->
       """WITH b AS (SELECT l_orderkey * 8 + l_linenumber AS id,
         |    l_returnflag AS rf FROM lineitem)
