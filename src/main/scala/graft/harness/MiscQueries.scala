@@ -136,7 +136,7 @@ object MiscQueries {
     * unix_micros keeps full resolution so the operator's units are the
     * same at any SF).
     */
-  private def asofSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def eventsMicros(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampType}
     val ev = events(s, d)
     val sec = ev.schema("ts").dataType match {
@@ -144,8 +144,12 @@ object MiscQueries {
       case TimestampType => unix_micros(col("ts"))
       case _ => unix_micros(col("ts").cast(TimestampType))
     }
-    val base = ev.select(col("event_id"), col("user_id"), col("event_type"),
+    ev.select(col("event_id"), col("user_id"), col("event_type"),
       sec.as("t"), col("value"))
+  }
+
+  private def asofSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = eventsMicros(s, d)
     val clicks = base.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("t"), col("value"))
     val views = base.filter(col("event_type") === "view")
@@ -174,7 +178,23 @@ object MiscQueries {
       bucketWidth = 21600L * 1000000L, direction = "forward")
   }
 
+  /** Ordered view→click→purchase funnel per user: one-shuffle sorted fold
+    * (operators/EventAnalytics.funnelStages) vs the oracle's chained
+    * min-after-predecessor joins — independent formulations on purpose.
+    */
+  def funnelQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.funnelStages(
+      eventsMicros(s, d), "user_id", "event_type", "t",
+      Seq("view", "click", "purchase"))
+
+  /** Weekly cohort retention counts over the events stream. */
+  def retentionQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.retentionMatrix(
+      eventsMicros(s, d), "user_id", "t", periodLength = 604800000000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (funnelQ _),
+    "q_retention" -> (retentionQ _),
     "q_finemap" -> (finemap _),
     "q_pics" -> (pics _),
     "q_minmax" -> (minmax _),
@@ -251,7 +271,29 @@ object MiscQueries {
         |r AS (SELECT user_id, epoch_us(ts) AS t, max(value) AS view_value
         |    FROM events WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, l.t, l.value, r.t AS asofTime, r.view_value
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t <= r.t""".stripMargin
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t <= r.t""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+        |    WHERE event_type IN ('view', 'click', 'purchase')),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+        |    WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+        |    WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1)
+        |SELECT u.user_id,
+        |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+        |  t1 AS stage_ts_1, t2 AS stage_ts_2, t3 AS stage_ts_3
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS period FROM events),
+        |g AS (SELECT user_id, min(period) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, period FROM e)
+        |SELECT g.cohort, a.period - g.cohort AS offset,
+        |  CAST(count(*) AS BIGINT) AS active_users
+        |FROM a JOIN g ON a.user_id = g.user_id GROUP BY 1, 2""".stripMargin
     // q_pics: no oracle (normal sf unavailable in DuckDB); PicsSpec carries
     // the reference doctest golden values.
   )
