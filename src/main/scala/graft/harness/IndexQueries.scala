@@ -130,7 +130,27 @@ object IndexQueries {
       .toDF("feature", "rate")
   }
 
+  /** Leakage-aware hierarchical train/test split (operators/L2gModel
+    * .hierarchicalSplit): genes hash deterministically into the test side
+    * (md5 first-8-hex / 2^32 < testSize), loci follow their positive genes,
+    * and loci seen from both sides stay in train. Fully deterministic, so
+    * the whole split is oracle-checkable.
+    */
+  def l2gSplitQ(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val gs = orders(s, d)
+      .select(
+        concat(lit("L"), (k % 300).cast(StringType)).as("studyLocusId"),
+        concat(lit("G"), (floor(k / 300).cast("long") % 80).cast(StringType)).as("geneId"),
+        when(k % 3 === 0, 1).otherwise(0).as("goldStandardSet"))
+      .distinct()
+    val (train, test) = graft.operators.L2gModel.hierarchicalSplit(gs, testSize = 0.15)
+    train.withColumn("split", lit("train"))
+      .unionByName(test.withColumn("split", lit("test")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_l2g_split" -> (l2gSplitQ _),
     "q_biotype_filter" -> (biotypeFilterQ _),
     "q_filter_by_variant" -> (filterByVariantQ _),
     "q_tag_variant_source" -> (tagVariantSourceQ _),
@@ -147,6 +167,22 @@ object IndexQueries {
       |  FROM orders GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_l2g_split" ->
+      """WITH gs AS (SELECT DISTINCT 'L' || CAST(o_orderkey % 300 AS VARCHAR) AS studyLocusId,
+        |    'G' || CAST((o_orderkey // 300) % 80 AS VARCHAR) AS geneId,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS goldStandardSet
+        |  FROM orders),
+        |pos AS (SELECT * FROM gs WHERE goldStandardSet = 1),
+        |genes AS (SELECT DISTINCT geneId,
+        |    (('0x' || substr(md5(geneId), 1, 8))::UBIGINT / 4294967296.0) < 0.15 AS inTest
+        |  FROM pos),
+        |trainLoci AS (SELECT DISTINCT studyLocusId FROM pos JOIN genes USING (geneId)
+        |  WHERE NOT inTest),
+        |testLoci AS (SELECT DISTINCT studyLocusId FROM pos JOIN genes USING (geneId)
+        |  WHERE inTest AND studyLocusId NOT IN (SELECT studyLocusId FROM trainLoci))
+        |SELECT gs.*, 'train' AS split FROM gs JOIN trainLoci USING (studyLocusId)
+        |UNION ALL
+        |SELECT gs.*, 'test' AS split FROM gs JOIN testLoci USING (studyLocusId)""".stripMargin,
     "q_biotype_filter" ->
       """WITH t AS (SELECT DISTINCT 'ENSG' || CAST(p_partkey % 500 AS VARCHAR) AS geneId,
         |    ['protein_coding', 'lncRNA', 'miRNA', 'pseudogene', 'snoRNA'][(p_partkey % 500) % 5 + 1] AS biotype
