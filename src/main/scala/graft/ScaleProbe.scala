@@ -355,10 +355,95 @@ object ScaleProbe {
       report(queriesAt(1).zip(queriesAt(copies)))
     }
 
+    // =====================================================================
+    // events / analytics family (round 10: asof, funnel, retention, bloom)
+    // =====================================================================
+    def eventsFamily(): Seq[String] = {
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      import graft.operators.{AsofJoin, EventAnalytics}
+
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      val sec = ev0.schema("ts").dataType match {
+        case LongType => expr("ts div 1000")
+        case TimestampType => unix_micros(col("ts"))
+        case _ => unix_micros(col("ts").cast(TimestampType))
+      }
+      val base = ev0.select(
+        col("event_id"), col("user_id"), col("event_type"), sec.as("t"), col("value"))
+
+      // growth model = MORE USERS over the same observation window (traffic
+      // growth): per-copy user offset keeps per-key event depth fixed, the
+      // honest shape for per-user window/fold operators
+      def evts(n: Int): DataFrame = (0 until n).map { c =>
+        base.select(
+          (col("event_id") + lit(c * idOffset)).as("event_id"),
+          (col("user_id") + lit(c * idOffset)).as("user_id"),
+          col("event_type"), col("t"), col("value"))
+      }.reduce(_ unionByName _)
+
+      // fact-side growth for the bloom probe: key-offset copies of lineitem
+      // against a FIXED small key set (prune selectivity tightens with
+      // scale, as it does in production)
+      def facts(n: Int): DataFrame = {
+        val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select("l_orderkey", "l_partkey", "l_linenumber")
+        (0 until n).map { c =>
+          l.select(
+            (col("l_orderkey") + lit(c * idOffset)).as("l_orderkey"),
+            col("l_partkey"), col("l_linenumber"))
+        }.reduce(_ unionByName _)
+      }
+      val bloomKeys = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("l_orderkey"))
+
+      val inputs = Seq[(String, Int => DataFrame)](
+        "evts" -> (evts _),
+        "facts" -> (facts _)
+      )
+      for ((name, gen) <- inputs; n <- Seq(1, copies))
+        write(gen(n), s"$workDir/${name}$n.parquet")
+
+      def queriesAt(n: Int): Seq[(String, () => Long)] = {
+        def rd(name: String) = parallel(spark.read.parquet(s"$workDir/${name}$n.parquet"))
+        def sides() = {
+          val e = rd("evts")
+          (e.filter(col("event_type") === "click")
+             .select("event_id", "user_id", "t", "value"),
+           e.filter(col("event_type") === "view")
+             .select(col("user_id"), col("t"), col("value").as("view_value")))
+        }
+        Seq(
+          "asof" -> { () =>
+            val (clicks, views) = sides()
+            AsofJoin.asof(clicks, views, Seq("user_id"), "t", Seq("view_value"),
+              tolerance = Some(3600L * 1000000L)).count()
+          },
+          "asof_bucketed" -> { () =>
+            val (clicks, views) = sides()
+            AsofJoin.asofBucketed(clicks, views, Seq("user_id"), "t", Seq("view_value"),
+              bucketWidth = 21600L * 1000000L, direction = "forward").count()
+          },
+          "funnel" -> (() =>
+            EventAnalytics.funnelStages(rd("evts"), "user_id", "event_type", "t",
+              Seq("view", "click", "purchase")).count()),
+          "retention" -> (() =>
+            EventAnalytics.retentionMatrix(rd("evts"), "user_id", "t",
+              periodLength = 604800000000L).count()),
+          "bloom_prune" -> (() =>
+            graft.functions.BloomOps.bloomSemiJoin(
+              rd("facts"), bloomKeys, "l_orderkey", expectedItems = 4096).count())
+        )
+      }
+
+      report(queriesAt(1).zip(queriesAt(copies)))
+    }
+
     val out = family match {
       case "text" => textFamily()
       case "genomic" => genomicFamily()
-      case _ => textFamily() ++ genomicFamily()
+      case "events" => eventsFamily()
+      case _ => textFamily() ++ genomicFamily() ++ eventsFamily()
     }
     println(s"""{"metric":"scale_probe","copies":$copies,"family":${jstr(family)},"queries":{${out.mkString(",")}}}""")
     spark.stop()
