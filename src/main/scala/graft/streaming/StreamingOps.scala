@@ -307,4 +307,54 @@ object StreamingOps {
           StudyStats(studyId, n, s / n)
       }
   }
+
+  final case class FunnelEvent(userId: Long, eventType: String, t: Long)
+  final case class FunnelState(slots: List[Option[Long]])
+  final case class FunnelProgress(
+      userId: Long, stageReached: Int, stageTs: List[Option[Long]])
+
+  /** The k-slot funnel state machine shared by the streaming twin and
+    * [[funnelUpdate]] unit tests: events applied in time order against a
+    * snapshot of the previous slots (stage i fills only when stage i−1 was
+    * already set by an EARLIER event — identical to the batch
+    * `EventAnalytics.funnelStages` fold).
+    */
+  def funnelUpdate(stages: Seq[String])(
+      userId: Long,
+      rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelState]
+  ): FunnelProgress = {
+    val init = state.getOption.getOrElse(FunnelState(List.fill(stages.length)(None)))
+    val slots = rows.toSeq.sortBy(e => (e.t, e.eventType)).foldLeft(init.slots) {
+      (st, e) =>
+        st.indices.map { i =>
+          st(i).orElse {
+            if (stages(i) == e.eventType &&
+              (i == 0 || st(i - 1).exists(_ < e.t))) Some(e.t)
+            else None
+          }
+        }.toList
+    }
+    state.update(FunnelState(slots))
+    FunnelProgress(userId, slots.count(_.isDefined), slots)
+  }
+
+  /** Streaming funnel progression: per-user `mapGroupsWithState` twin of
+    * the batch sorted fold. Each micro-batch emits the user's CURRENT
+    * funnel stage; under time-ordered delivery (per user) the final emitted
+    * row per user is identical to the batch operator — the spec pins this.
+    * Out-of-order arrivals across batches cannot retro-fill an earlier
+    * stage (the state machine is monotone), matching how a first-touch
+    * funnel must behave on an append-only stream.
+    */
+  def funnelStream(
+      events: Dataset[FunnelEvent],
+      stages: Seq[String]
+  ): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => stages.contains(e.eventType))
+      .groupByKey(_.userId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(funnelUpdate(stages))
+  }
 }

@@ -330,4 +330,75 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.map(_._1).distinct === Seq(1000L, 1001L))
     assert(got.count(_._1 == 1000L) === 2 && got.count(_._1 == 1001L) === 2)
   }
+  test("streaming funnel matches the batch twin under time-ordered delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.FunnelEvent
+    val stages = Seq("view", "click", "purchase")
+    val evs = Seq(
+      FunnelEvent(1L, "click", 1L), FunnelEvent(1L, "view", 2L),
+      FunnelEvent(1L, "click", 3L), FunnelEvent(1L, "purchase", 4L),
+      FunnelEvent(2L, "view", 5L), FunnelEvent(2L, "purchase", 6L),
+      FunnelEvent(3L, "click", 7L))
+
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamingOps.funnelStream(input.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Update)
+      .start()
+    input.addData(evs: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT userId, stageReached FROM funnel_stream")
+      .as[(Long, Int)].collect().toMap
+    val batch = graft.operators.EventAnalytics
+      .funnelStages(evs.toDF("u", "y", "t"), "u", "y", "t", stages)
+      .select("u", "stage_reached").as[(Long, Int)].collect().toMap
+    assert(got == batch && batch == Map(1L -> 3, 2L -> 1, 3L -> 0))
+  }
+
+  test("streaming funnel state carries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.FunnelEvent
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamingOps.funnelStream(input.toDS(), Seq("view", "click"))
+      .writeStream.format("memory").queryName("funnel_batches")
+      .outputMode(OutputMode.Update)
+      .start()
+    input.addData(FunnelEvent(1L, "view", 10L))
+    q.processAllAvailable()
+    input.addData(FunnelEvent(1L, "click", 20L))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.sql(
+      "SELECT stageReached FROM funnel_batches ORDER BY stageReached DESC LIMIT 1")
+      .as[Int].head()
+    assert(last == 2)
+  }
+
+  test("streaming funnel is monotone: a late predecessor cannot retro-fill") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.FunnelEvent
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamingOps.funnelStream(input.toDS(), Seq("view", "click"))
+      .writeStream.format("memory").queryName("funnel_late")
+      .outputMode(OutputMode.Update)
+      .start()
+    // the click is processed first; the view arrives a batch later with an
+    // EARLIER event time — the click is gone, so the user stays at stage 1
+    // (batch reprocessing would give 2; append-only streams cannot)
+    input.addData(FunnelEvent(1L, "click", 20L))
+    q.processAllAvailable()
+    input.addData(FunnelEvent(1L, "view", 10L))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.sql(
+      "SELECT stageReached FROM funnel_late ORDER BY stageReached DESC LIMIT 1")
+      .as[Int].head()
+    assert(last == 1)
+  }
+
 }
