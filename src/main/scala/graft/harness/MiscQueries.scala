@@ -192,7 +192,30 @@ object MiscQueries {
     graft.operators.EventAnalytics.retentionMatrix(
       eventsMicros(s, d), "user_id", "t", periodLength = 604800000000L)
 
+  /** Mergeable-sketch rollup (functions/SketchOps): per-(coarse, grp) HLL
+    * sketches over a synthetic user key, rolled up to the coarse level by
+    * sketch union, next to the direct per-grp estimates. Estimates are
+    * deterministic for a fixed input multiset and lgK, so the sf0.01
+    * output is a pinned golden (same pattern as q_finemap/q_pics — valid
+    * at the driver's correctness SF only).
+    */
+  def hllRollupQ(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchOps
+    val x = col("l_orderkey") * 8 + col("l_linenumber")
+    val base = lineitem(s, d).select(
+      concat(lit("u"), (x % 50021).cast(StringType)).as("user"),
+      (col("l_partkey") % 8).cast(StringType).as("grp"),
+      when(col("l_partkey") % 8 < 4, "A").otherwise("B").as("coarse"))
+    val fine = SketchOps.distinctSketches(base, "user", Seq("coarse", "grp"))
+    SketchOps.rollupEstimate(fine, Seq("coarse"))
+      .select(lit("coarse").as("level"), col("coarse").as("key"), col("distinct_approx"))
+      .unionByName(
+        SketchOps.approxDistinct(base, "user", Seq("grp"))
+          .select(lit("grp").as("level"), col("grp").as("key"), col("distinct_approx")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_rollup" -> (hllRollupQ _),
     "q_funnel" -> (funnelQ _),
     "q_retention" -> (retentionQ _),
     "q_finemap" -> (finemap _),
@@ -272,6 +295,18 @@ object MiscQueries {
         |    FROM events WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, l.t, l.value, r.t AS asofTime, r.view_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t <= r.t""".stripMargin,
+    // Pinned golden at sf0.01 (Datasketches HLL register-max merge is
+    // order- and partitioning-insensitive, so the estimate is a pure
+    // function of the input multiset + lgK). Exact distincts for context:
+    // coarse A/B ≈ 23 000; grp ≈ 7 000 — estimates sit inside the 5% band
+    // pinned in SketchOpsSpec.
+    "q_hll_rollup" ->
+      """SELECT * FROM (VALUES
+        |  ('coarse', 'A', CAST(22254 AS BIGINT)), ('coarse', 'B', 22468),
+        |  ('grp', '0', 7053), ('grp', '1', 6899), ('grp', '2', 6873),
+        |  ('grp', '3', 6899), ('grp', '4', 6869), ('grp', '5', 6873),
+        |  ('grp', '6', 6879), ('grp', '7', 6968))
+        |  AS t(level, key, distinct_approx)""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
         |    WHERE event_type IN ('view', 'click', 'purchase')),
