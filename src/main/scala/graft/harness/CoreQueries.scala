@@ -287,9 +287,26 @@ object CoreQueries {
         keys, "l_orderkey", expectedItems = 4096)
   }
 
+  /** Morton z-value for the data-skipping write path (functions/ZOrder):
+    * exact-bucket interleave of two 8-bit keys, checked bit-for-bit against
+    * the oracle's explicit shift/mask sum.
+    */
+  def zorderValue(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_partkey") % 256
+    val y = col("l_suppkey") % 256
+    lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        x.as("zx"), y.as("zy"),
+        graft.functions.ZOrder
+          .zValue(Seq(x -> (0.0, 256.0), y -> (0.0, 256.0)), bits = 8)
+          .as("z"))
+  }
+
   // -- DuckDB oracles --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> (zorderValue _),
     "q_bloom_prune" -> (bloomPrune _),
     "q_helpers" -> (helpers _),
     "q_source_cores" -> (sourceCores _),
@@ -313,6 +330,16 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zorder" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((zx >> $i) & 1) << ${2 * i})",
+        s"(((zy >> $i) & 1) << ${2 * i + 1})"))
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber,
+         |    l_partkey % 256 AS zx, l_suppkey % 256 AS zy FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, zx, zy,
+         |  CAST(${terms.mkString(" + ")} AS BIGINT) AS z
+         |FROM b""".stripMargin
+    },
     "q_bloom_prune" ->
       """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
         |WHERE EXISTS (SELECT 1 FROM orders
