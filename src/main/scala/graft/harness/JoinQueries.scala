@@ -160,7 +160,49 @@ object JoinQueries {
        |    $extra
        |  FROM lineitem)""".stripMargin
 
+  /** Binned point-in-interval join (operators/IntervalJoin): the
+    * non-broadcast scale path for variant×feature annotation — both sides
+    * shuffle on (chromosome, bin), the range predicate rides an equi join.
+    */
+  def intervalBin(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_orderkey") * 8 + col("l_linenumber")
+    val pts = lineitem(s, d).select(
+      (lit(1) + col("l_partkey") % 4).cast(StringType).as("chromosome"),
+      ((x * 2654435761L) % 10000019L).cast("long").as("position"),
+      concat(lit("p"), x.cast(StringType)).as("pid"))
+    val k = col("p_partkey")
+    val ivs = part(s, d).select(
+      (lit(1) + k % 4).cast(StringType).as("chromosome"),
+      ((k * 4999) % 10000019L).cast("long").as("start"),
+      ((k * 4999) % 10000019L + 500 + (k % 7) * 700).cast("long").as("end"),
+      concat(lit("iv"), k.cast(StringType)).as("ivid"))
+    graft.operators.IntervalJoin
+      .pointInInterval(pts, ivs, binWidth = 10000L)
+      .select("chromosome", "pid", "position", "ivid", "start", "end")
+  }
+
+  /** Binned interval×interval overlap with exactly-once pair emission. */
+  def intervalPairs(s: SparkSession, d: String): DataFrame = {
+    val k = col("p_partkey")
+    val a = part(s, d).select(
+      (lit(1) + k % 4).cast(StringType).as("chromosome"),
+      ((k * 4999) % 10000019L).cast("long").as("start"),
+      ((k * 4999) % 10000019L + 500 + (k % 7) * 700).cast("long").as("end"),
+      concat(lit("iv"), k.cast(StringType)).as("ivid"))
+    val j = col("s_suppkey")
+    val b = supplier(s, d).select(
+      (lit(1) + j % 4).cast(StringType).as("chromosome"),
+      ((j * 99991) % 10000019L).cast("long").as("start"),
+      ((j * 99991) % 10000019L + 1000 + (j % 11) * 5000).cast("long").as("end"),
+      concat(lit("b"), j.cast(StringType)).as("ivid"))
+    graft.operators.IntervalJoin
+      .intervalOverlap(a, b, binWidth = 10000L)
+      .select("chromosome", "ivid", "start", "end", "ivid_b", "start_b", "end_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_bin" -> (intervalBin _),
+    "q_interval_pairs" -> (intervalPairs _),
     "q_locus_breaker" -> (locusBreakerQ _),
     "q_locus_annotate" -> (locusAnnotate _),
     "q_lbc_semi" -> (lbcSemi _),
@@ -172,6 +214,33 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_interval_bin" ->
+      """WITH pts AS (SELECT CAST(1 + l_partkey % 4 AS VARCHAR) AS chromosome,
+        |    ((l_orderkey * 8 + l_linenumber) * 2654435761) % 10000019 AS position,
+        |    'p' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS pid
+        |  FROM lineitem),
+        |ivs AS (SELECT CAST(1 + p_partkey % 4 AS VARCHAR) AS chromosome,
+        |    (p_partkey * 4999) % 10000019 AS start,
+        |    (p_partkey * 4999) % 10000019 + 500 + (p_partkey % 7) * 700 AS "end",
+        |    'iv' || CAST(p_partkey AS VARCHAR) AS ivid
+        |  FROM part)
+        |SELECT pts.chromosome, pid, position, ivid, start, "end"
+        |FROM pts JOIN ivs ON pts.chromosome = ivs.chromosome
+        |  AND position >= start AND position <= "end"""".stripMargin,
+    "q_interval_pairs" ->
+      """WITH a AS (SELECT CAST(1 + p_partkey % 4 AS VARCHAR) AS chromosome,
+        |    (p_partkey * 4999) % 10000019 AS start,
+        |    (p_partkey * 4999) % 10000019 + 500 + (p_partkey % 7) * 700 AS "end",
+        |    'iv' || CAST(p_partkey AS VARCHAR) AS ivid
+        |  FROM part),
+        |b AS (SELECT CAST(1 + s_suppkey % 4 AS VARCHAR) AS chromosome,
+        |    (s_suppkey * 99991) % 10000019 AS start_b,
+        |    (s_suppkey * 99991) % 10000019 + 1000 + (s_suppkey % 11) * 5000 AS end_b,
+        |    'b' || CAST(s_suppkey AS VARCHAR) AS ivid_b
+        |  FROM supplier)
+        |SELECT a.chromosome, ivid, start, "end", ivid_b, start_b, end_b
+        |FROM a JOIN b ON a.chromosome = b.chromosome
+        |  AND start <= end_b AND start_b <= "end"""".stripMargin,
     "q_locus_breaker" ->
       s"""WITH ${synthWith("")},
          |f1 AS (SELECT * FROM ss WHERE pValueExponent < -3 OR (pValueExponent = -3 AND pValueMantissa <= 1.0)),
