@@ -303,9 +303,27 @@ object CoreQueries {
           .as("z"))
   }
 
+  /** Declarative data-quality gate (functions/Constraints): seven rules
+    * over the raw orders table — row-level rules share ONE aggregation
+    * pass, uniqueness rides the same pass as a count-distinct, the FK rule
+    * is an anti-join count against customer.
+    */
+  def constraintsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Constraints._
+    check(s, orders(s, d), Seq(
+      NotNull("o_custkey"),
+      InRange("o_totalprice", 0.0, 200000.0),
+      InSet("o_orderstatus", Seq("O", "F", "P")),
+      Satisfies("key_positive", col("o_orderkey") > 0),
+      Unique(Seq("o_orderkey")),
+      Unique(Seq("o_custkey")),
+      ForeignKey("o_custkey", customer(s, d), "c_custkey")))
+  }
+
   // -- DuckDB oracles --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_constraints" -> (constraintsQ _),
     "q_zorder" -> (zorderValue _),
     "q_bloom_prune" -> (bloomPrune _),
     "q_helpers" -> (helpers _),
@@ -330,6 +348,27 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_constraints" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |      AND NOT (o_totalprice >= 0 AND o_totalprice <= 200000) THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+        |    CAST(sum(CASE WHEN NOT coalesce(o_orderkey > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_sat,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uk,
+        |    CAST(count(*) - count(DISTINCT o_custkey) AS BIGINT) AS v_uc
+        |  FROM orders),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS v_fk FROM orders
+        |  WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |SELECT 'not_null' AS rule, 'o_custkey' AS "column", v_null AS violations, total, v_null = 0 AS pass FROM t
+        |UNION ALL SELECT 'in_range', 'o_totalprice', v_range, total, v_range = 0 FROM t
+        |UNION ALL SELECT 'in_set', 'o_orderstatus', v_set, total, v_set = 0 FROM t
+        |UNION ALL SELECT 'satisfies', 'key_positive', v_sat, total, v_sat = 0 FROM t
+        |UNION ALL SELECT 'unique', 'o_orderkey', v_uk, total, v_uk = 0 FROM t
+        |UNION ALL SELECT 'unique', 'o_custkey', v_uc, total, v_uc = 0 FROM t
+        |UNION ALL SELECT 'foreign_key', 'o_custkey', v_fk, (SELECT total FROM t), v_fk = 0 FROM fk""".stripMargin,
     "q_zorder" -> {
       val terms = (0 until 8).flatMap(i => Seq(
         s"(((zx >> $i) & 1) << ${2 * i})",
