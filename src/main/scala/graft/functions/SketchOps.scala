@@ -71,6 +71,79 @@ object SketchOps {
       .head()
       .getAs[Array[Byte]]("cms")
 
+  /** Per-group equal-width histogram in LONG form — `(groups..., bin, cnt)`
+    * rows over declared `[lo, hi)` bounds. The mergeable quantile sketch:
+    * persist per-slice histograms once, roll up to any coarser grouping
+    * with a plain `sum`, and answer quantiles with error ≤ one bin width.
+    * Values outside the bounds clamp into the edge bins.
+    */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      bins: Int
+  ): DataFrame = {
+    require(bins > 0 && hi > lo, s"need bins>0 and hi>lo, got bins=$bins [$lo,$hi)")
+    val w = (hi - lo) / bins
+    val bin = least(
+      greatest(floor((col(valueCol).cast("double") - lo) / w), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge long-form histograms to a coarser grouping: one `sum`. */
+  def histogramRollup(hist: DataFrame, rollupCols: Seq[String]): DataFrame =
+    hist
+      .groupBy((rollupCols.map(col) :+ col("bin")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Linear-interpolated quantile estimates from a long-form histogram:
+    * for each requested q, the first bin whose cumulative count reaches
+    * q·total, positioned proportionally inside that bin. Deterministic —
+    * exactly reproducible in SQL.
+    */
+  def histogramQuantiles(
+      hist: DataFrame,
+      groupCols: Seq[String],
+      qs: Seq[Double],
+      lo: Double,
+      hi: Double,
+      bins: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty, "qs must be non-empty")
+    val w = (hi - lo) / bins
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    val cumW = byGroup.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("_cum", sum(col("cnt")).over(cumW))
+      .withColumn("_total", sum(col("cnt")).over(byGroup))
+    val qDf = cum.sparkSession
+      .createDataFrame(qs.map(Tuple1.apply)).toDF("q")
+    val at = col("_at")
+    val cumBefore = at.getField("_cum") - at.getField("cnt")
+    val frac = least(
+      greatest(
+        (col("q") * at.getField("_total") - cumBefore) / at.getField("cnt"),
+        lit(0.0)),
+      lit(1.0))
+    cum
+      .crossJoin(broadcast(qDf))
+      .filter(col("_cum") >= col("q") * col("_total"))
+      .groupBy((groupCols.map(col) :+ col("q")): _*)
+      .agg(
+        min(col("bin")).as("_qbin"),
+        min_by(struct(col("_cum"), col("cnt"), col("_total")), col("bin")).as("_at"))
+      .select(
+        (groupCols.map(col) :+ col("q") :+
+          round(lit(lo) + lit(w) * (col("_qbin") + frac), 6).as("value")): _*)
+  }
+
   /** Probe a serialized count-min sketch for a bounded list of candidates
     * (driver-side: the sketch is a few KB, the candidate list is yours to
     * bound). Estimates never undercount.

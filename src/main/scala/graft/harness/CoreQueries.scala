@@ -320,9 +320,22 @@ object CoreQueries {
       ForeignKey("o_custkey", customer(s, d), "c_custkey")))
   }
 
+  /** Mergeable histogram quantiles (functions/SketchOps.histogram family):
+    * per-status order-value distribution, p50/p90 via the deterministic
+    * linear-interpolated estimator — identical arithmetic in the oracle.
+    */
+  def histQuantile(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchOps
+    val hist = SketchOps.histogram(
+      orders(s, d), "o_totalprice", Seq("o_orderstatus"), 0.0, 600000.0, 60)
+    SketchOps.histogramQuantiles(
+      hist, Seq("o_orderstatus"), Seq(0.5, 0.9), 0.0, 600000.0, 60)
+  }
+
   // -- DuckDB oracles --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hist_quantile" -> (histQuantile _),
     "q_constraints" -> (constraintsQ _),
     "q_zorder" -> (zorderValue _),
     "q_bloom_prune" -> (bloomPrune _),
@@ -348,6 +361,21 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hist_quantile" ->
+      """WITH h AS (SELECT o_orderstatus,
+        |    CAST(least(greatest(floor(o_totalprice / 10000), 0), 59) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+        |hc AS (SELECT *, sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin) AS cum,
+        |    sum(cnt) OVER (PARTITION BY o_orderstatus) AS total FROM h),
+        |qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q),
+        |f AS (SELECT o_orderstatus, q, bin, cum, cnt, total FROM hc CROSS JOIN qs
+        |  WHERE cum >= q * total),
+        |m AS (SELECT o_orderstatus, q, min(bin) AS qbin FROM f GROUP BY 1, 2)
+        |SELECT f.o_orderstatus, f.q,
+        |  round(0 + 10000 * (f.bin +
+        |    least(greatest((f.q * f.total - (f.cum - f.cnt)) / f.cnt, 0), 1)), 6) AS value
+        |FROM f JOIN m ON f.o_orderstatus = m.o_orderstatus AND f.q = m.q AND f.bin = m.qbin""".stripMargin,
     "q_constraints" ->
       """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total,
         |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,

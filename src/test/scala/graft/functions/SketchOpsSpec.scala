@@ -45,4 +45,34 @@ class SketchOpsSpec extends SparkSpec {
     assert(p.contains("partial_hll_sketch_agg") || p.contains("ObjectHashAggregate"),
       s"expected a partial sketch aggregate:\n$p")
   }
+  test("histogram rollup equals building the histogram at the coarse level") {
+    val vals = (0 until 10000).map(i => ((i * 37) % 1000 / 10.0, i % 6, if (i % 6 < 3) "A" else "B"))
+      .toDF("v", "grp", "coarse")
+    val fine = SketchOps.histogram(vals, "v", Seq("coarse", "grp"), 0.0, 100.0, 20)
+    val rolled = SketchOps.histogramRollup(fine, Seq("coarse"))
+      .orderBy("coarse", "bin").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val direct = SketchOps.histogram(vals, "v", Seq("coarse"), 0.0, 100.0, 20)
+      .orderBy("coarse", "bin").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rolled == direct && direct.nonEmpty)
+  }
+
+  test("histogram quantiles land within one bin width of the exact percentile") {
+    val vals = (0 until 20000).map(i => Tuple1((i * 7919) % 10000 / 10.0)).toDF("v")
+    val hist = SketchOps.histogram(vals.withColumn("g", org.apache.spark.sql.functions.lit("x")),
+      "v", Seq("g"), 0.0, 1000.0, 100)
+    val qs = SketchOps.histogramQuantiles(hist, Seq("g"), Seq(0.5, 0.95), 0.0, 1000.0, 100)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // values are ~uniform on [0, 1000): exact p50 = 500, p95 = 950
+    assert(math.abs(qs(0.5) - 500.0) <= 10.0, s"p50=${qs(0.5)}")
+    assert(math.abs(qs(0.95) - 950.0) <= 10.0, s"p95=${qs(0.95)}")
+  }
+
+  test("out-of-bounds values clamp into the edge bins, nulls are dropped") {
+    val vals = Seq(Some(-5.0), Some(500.0), Some(1e9), None).map(Tuple1.apply)
+      .toDF("v").withColumn("g", org.apache.spark.sql.functions.lit("x"))
+    val h = SketchOps.histogram(vals, "v", Seq("g"), 0.0, 100.0, 10)
+      .orderBy("bin").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(h == Seq((0L, 1L), (9L, 2L)))
+  }
+
 }
