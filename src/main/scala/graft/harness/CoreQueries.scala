@@ -334,7 +334,31 @@ object CoreQueries {
 
   // -- DuckDB oracles --------------------------------------------------------
 
+  /** Snapshot change capture (operators/SnapshotDiff): the new snapshot
+    * drops every 97th order, reprices every 13th, and appends a shifted
+    * key block — diff must classify each key exactly. The Spark side
+    * compares one xxhash64 per row; the oracle compares the payload
+    * columns directly (independent formulations, identical results absent
+    * 2^-64 collisions).
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val old = orders(s, d)
+    val mutated = old
+      .filter(k % 97 =!= 0)
+      .withColumn(
+        "o_totalprice",
+        when(k % 13 === 0, col("o_totalprice") + 1000.0).otherwise(col("o_totalprice")))
+    val added = old
+      .filter(k % 101 === 0)
+      .withColumn("o_orderkey", k + 10000000L)
+    graft.operators.SnapshotDiff.diff(
+      old, mutated.unionByName(added), Seq("o_orderkey"),
+      compareCols = Seq("o_orderstatus", "o_totalprice"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_diff" -> (snapshotDiff _),
     "q_hist_quantile" -> (histQuantile _),
     "q_constraints" -> (constraintsQ _),
     "q_zorder" -> (zorderValue _),
@@ -361,6 +385,23 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      """WITH oldsnap AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |newsnap AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey""".stripMargin,
     "q_hist_quantile" ->
       """WITH h AS (SELECT o_orderstatus,
         |    CAST(least(greatest(floor(o_totalprice / 10000), 0), 59) AS BIGINT) AS bin,
