@@ -341,6 +341,29 @@ object CoreQueries {
     * columns directly (independent formulations, identical results absent
     * 2^-64 collisions).
     */
+  /** SCD2 history maintenance (operators/Scd2): seed a history from the
+    * orders snapshot at t=100, apply the mutated snapshot (same mutation
+    * pattern as q_snapshot_diff) at t=200 — every key must land in exactly
+    * the right (valid_from, valid_to, is_current) rows. The oracle builds
+    * the same history declaratively from the two snapshots.
+    */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val snap1 = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val snap2 = snap1
+      .filter(k % 97 =!= 0)
+      .withColumn(
+        "o_totalprice",
+        when(k % 13 === 0, col("o_totalprice") + 1000.0).otherwise(col("o_totalprice")))
+      .unionByName(
+        snap1.filter(k % 101 === 0).withColumn("o_orderkey", k + 10000000L))
+    graft.operators.Scd2
+      .applySnapshot(
+        graft.operators.Scd2.init(snap1, lit(100L)),
+        snap2, Seq("o_orderkey"), lit(200L))
+      .withColumn("o_totalprice", round(col("o_totalprice"), 6))
+  }
+
   def snapshotDiff(s: SparkSession, d: String): DataFrame = {
     val k = col("o_orderkey")
     val old = orders(s, d)
@@ -358,6 +381,7 @@ object CoreQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> (scd2 _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_hist_quantile" -> (histQuantile _),
     "q_constraints" -> (constraintsQ _),
@@ -385,6 +409,32 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH s1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |s2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |cls AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+        |    a.o_orderkey IS NOT NULL AS op, b.o_orderkey IS NOT NULL AS np,
+        |    (a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL AND
+        |     (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |      OR a.o_totalprice IS DISTINCT FROM b.o_totalprice)) AS chg,
+        |    a.o_orderstatus AS o_s, a.o_totalprice AS o_p,
+        |    b.o_orderstatus AS n_s, b.o_totalprice AS n_p
+        |  FROM s1 a FULL OUTER JOIN s2 b ON a.o_orderkey = b.o_orderkey)
+        |SELECT k AS o_orderkey, o_s AS o_orderstatus, round(o_p, 6) AS o_totalprice,
+        |  CAST(100 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+        |  TRUE AS is_current
+        |FROM cls WHERE op AND np AND NOT chg
+        |UNION ALL
+        |SELECT k, o_s, round(o_p, 6), 100, 200, FALSE FROM cls WHERE op AND (chg OR NOT np)
+        |UNION ALL
+        |SELECT k, n_s, round(n_p, 6), 200, NULL, TRUE FROM cls WHERE np AND (chg OR NOT op)""".stripMargin,
     "q_snapshot_diff" ->
       """WITH oldsnap AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |newsnap AS (
