@@ -341,6 +341,41 @@ object CoreQueries {
     * columns directly (independent formulations, identical results absent
     * 2^-64 collisions).
     */
+  /** Deterministic Bernoulli sample (operators/Sampling.hashSample):
+    * retry-safe hash-uniform draw, replayed bit-for-bit by the oracle's
+    * identical md5 threshold.
+    */
+  def hashSample(s: SparkSession, d: String): DataFrame = {
+    val id = concat(
+      col("l_orderkey").cast(StringType), lit("_"), col("l_linenumber").cast(StringType))
+    graft.operators.Sampling
+      .hashSample(lineitem(s, d), id, 0.1)
+      .select(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Uniform k-per-group draw (operators/Sampling.groupSample): one
+    * window shuffle, (hash, id)-total order.
+    */
+  def groupSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling
+      .groupSample(
+        orders(s, d).withColumn("grp", col("o_custkey") % 50),
+        Seq("grp"), col("o_orderkey"), k = 3)
+      .select(col("grp"), col("o_orderkey"))
+
+  /** Per-stratum fractions (operators/Sampling.stratifiedSample):
+    * broadcast threshold table, scan-local filter.
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val id = concat(
+      col("l_orderkey").cast(StringType), lit("_"), col("l_linenumber").cast(StringType))
+    graft.operators.Sampling
+      .stratifiedSample(
+        lineitem(s, d), "l_returnflag",
+        Map("A" -> 0.05, "N" -> 0.2, "R" -> 0.1), id)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** SCD2 history maintenance (operators/Scd2): seed a history from the
     * orders snapshot at t=100, apply the mutated snapshot (same mutation
     * pattern as q_snapshot_diff) at t=200 — every key must land in exactly
@@ -381,6 +416,9 @@ object CoreQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hash_sample" -> (hashSample _),
+    "q_group_sample" -> (groupSample _),
+    "q_stratified_sample" -> (stratifiedSample _),
     "q_scd2" -> (scd2 _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_hist_quantile" -> (histQuantile _),
@@ -409,6 +447,24 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hash_sample" ->
+      s"""SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 8)
+        |  < '${graft.operators.Sampling.hexThreshold(0.1)}'""".stripMargin,
+    "q_group_sample" ->
+      """WITH g AS (SELECT o_custkey % 50 AS grp, o_orderkey,
+        |    substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS h FROM orders),
+        |r AS (SELECT grp, o_orderkey,
+        |    row_number() OVER (PARTITION BY grp ORDER BY h, o_orderkey) AS rk FROM g)
+        |SELECT grp, o_orderkey FROM r WHERE rk <= 3""".stripMargin,
+    "q_stratified_sample" ->
+      s"""SELECT l_returnflag, l_orderkey, l_linenumber FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 8)
+        |  < CASE l_returnflag
+        |      WHEN 'A' THEN '${graft.operators.Sampling.hexThreshold(0.05)}'
+        |      WHEN 'N' THEN '${graft.operators.Sampling.hexThreshold(0.2)}'
+        |      WHEN 'R' THEN '${graft.operators.Sampling.hexThreshold(0.1)}'
+        |      ELSE '${graft.operators.Sampling.hexThreshold(0.0)}' END""".stripMargin,
     "q_scd2" ->
       """WITH s1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |s2 AS (

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic hash-based sampling for training-data pipelines.
+  *
+  * Every sampler here derives its randomness from `md5(salt ++ id)` instead
+  * of `rand()`. At cluster scale this is the only sound choice: `rand()` is
+  * re-drawn when a task retries or a stage is recomputed, so a sampled
+  * corpus silently changes under fault recovery, while a hash of the row
+  * identity is reproducible across retries, runs, partitionings — and
+  * engines, which is what lets DuckDB replay these samples bit-for-bit in
+  * the oracle. The Bernoulli/stratified samplers are scan-local (no
+  * shuffle, filter pushes to the scan); the per-group sampler pays exactly
+  * one shuffle on the group key.
+  */
+object Sampling {
+
+  /** First 32 hash bits as lowercase hex — uniform on [0, 2^32) in
+    * lexicographic string order, identically in any engine with md5.
+    */
+  def uniformHashHex(id: Column, salt: String = ""): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 8)
+
+  /** `fraction` mapped to the equivalent 8-hex-digit threshold. */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    f"${math.min((fraction * 4294967296.0).toLong, 0xffffffffL)}%08x"
+  }
+
+  /** Deterministic Bernoulli sample: keeps a row iff its hash-uniform is
+    * below `fraction`. Scan-local; different `salt`s give independent
+    * samples (e.g. disjoint train/eval draws).
+    */
+  def hashSample(df: DataFrame, id: Column, fraction: Double, salt: String = ""): DataFrame =
+    df.filter(uniformHashHex(id, salt) < lit(hexThreshold(fraction)))
+
+  /** Uniform `k` rows per group — the distributed equivalent of per-group
+    * reservoir sampling: rank by `(hash, id)` inside the group and keep the
+    * first `k`. One hash-partitioned window, no global sort; the `id`
+    * tiebreak makes the draw total even under hash collisions.
+    */
+  def groupSample(
+      df: DataFrame,
+      groupCols: Seq[String],
+      id: Column,
+      k: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(uniformHashHex(id, salt), id)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /** Per-stratum Bernoulli fractions (dataset-mixing rebalance): strata
+    * missing from `fractions` fall back to `defaultFraction`. The
+    * stratum→threshold table is a broadcast join, never a collect-driven
+    * `isin` — the map is user-bounded, the fact side streams.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      fractions: Map[String, Double],
+      id: Column,
+      defaultFraction: Double = 0.0,
+      salt: String = ""
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thresholds = fractions.toSeq
+      .map { case (s, f) => (s, hexThreshold(f)) }
+      .toDF(strataCol, "_thr")
+    df.join(broadcast(thresholds), Seq(strataCol), "left")
+      .filter(
+        uniformHashHex(id, salt) < coalesce(col("_thr"), lit(hexThreshold(defaultFraction))))
+      .drop("_thr")
+  }
+}
