@@ -341,6 +341,13 @@ object CoreQueries {
     * columns directly (independent formulations, identical results absent
     * 2^-64 collisions).
     */
+  /** One-pass ANALYZE profile (operators/Profiler): per-column counts,
+    * exact NDV, min/max/mean over a mixed numeric/string column set.
+    */
+  def profileQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profiler.profile(
+      orders(s, d), Seq("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"))
+
   /** Deterministic Bernoulli sample (operators/Sampling.hashSample):
     * retry-safe hash-uniform draw, replayed bit-for-bit by the oracle's
     * identical md5 threshold.
@@ -416,6 +423,7 @@ object CoreQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> (profileQ _),
     "q_hash_sample" -> (hashSample _),
     "q_group_sample" -> (groupSample _),
     "q_stratified_sample" -> (stratifiedSample _),
@@ -447,6 +455,25 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  round(CAST(min($c) AS DOUBLE), 6) AS min_num,
+           |  round(CAST(max($c) AS DOUBLE), 6) AS max_num,
+           |  round(avg($c), 6) AS avg_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', CAST(count(*) AS BIGINT), CAST(count(*) - count($c) AS BIGINT),
+           |  CAST(count(DISTINCT $c) AS BIGINT),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |  min($c), max($c)
+           |FROM orders""".stripMargin
+      Seq(num("o_orderkey"), num("o_totalprice"), str("o_orderstatus"), str("o_orderpriority"))
+        .mkString("\nUNION ALL\n")
+    },
     "q_hash_sample" ->
       s"""SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 8)
