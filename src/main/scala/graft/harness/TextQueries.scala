@@ -77,6 +77,16 @@ object TextQueries {
   def bm25Query(s: SparkSession, d: String): DataFrame =
     TextOps.bm25Scores(docsParallel(s, d), Seq("vector", "dup", "spark", "quantum"))
 
+  /** Keyword extraction: top-3 smoothed-TF-IDF terms per document
+    * (operators/TextOps.topTfidfTerms).
+    */
+  def tfidfQuery(s: SparkSession, d: String): DataFrame =
+    TextOps
+      .topTfidfTerms(docsParallel(s, d), 3)
+      .select(
+        col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"))
+
   /** DSIR importance weights: target domain = 4 of the 20 sources, raw =
     * the whole corpus (operators/Dsir.scala).
     */
@@ -557,6 +567,7 @@ object TextQueries {
     "q_pii_scrub" -> (piiScrub _),
     "q_semantic_dedup" -> (semanticDedupQuery _),
     "q_bm25" -> (bm25Query _),
+    "q_tfidf" -> (tfidfQuery _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_dsir_select" -> (dsirSelect _),
     "q_dup_spans" -> (dupSpans _),
@@ -659,6 +670,20 @@ object TextQueries {
         |  CAST(coalesce(c.component, bu.vec_id) AS BIGINT) AS component,
         |  coalesce(c.component, bu.vec_id) = bu.vec_id AS keep
         |FROM buck bu LEFT JOIN comp c ON bu.vec_id = c.vec_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |wd AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM dt),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |    tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+        |  FROM wd CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rk FROM sc)
+        |SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf FROM r WHERE rk <= 3""".stripMargin,
     "q_bm25" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

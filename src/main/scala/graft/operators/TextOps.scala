@@ -432,4 +432,54 @@ object TextOps {
       .crossJoin(broadcast(stats))
       .select(col(idCol), round(score, 6).as("bm25"))
   }
+
+  /** Document-term TF-IDF with smoothed idf
+    * (`ln((N+1)/(df+1)) + 1`, the sklearn smoothing so unseen-term idf
+    * stays finite) — the classic sparse retrieval/keyword-extraction
+    * weighting next to [[bm25Scores]].
+    *
+    * Scale shape: tokenize → explode → one `(doc, term)` hash aggregation
+    * (map-side combinable); document frequency is a window over the SAME
+    * term-keyed frame, which AQE serves with one additional term-keyed
+    * exchange (no self-join, no distinct pass — `(doc, term)` rows ARE the
+    * df increments); the corpus size N rides a single-row broadcast
+    * carrier. Nothing here is vocabulary-bounded in driver memory.
+    */
+  def tfidf(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dt = docs
+      .select(col(idCol), explode(tokenize(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val withDf = dt.withColumn(
+      "df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    withDf
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+      .drop("n_docs")
+  }
+
+  /** The `k` highest-tfidf terms per document (keyword extraction);
+    * deterministic under ties via the term tiebreak.
+    */
+  def topTfidfTerms(
+      docs: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tfidf(docs, idCol, textCol)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
 }

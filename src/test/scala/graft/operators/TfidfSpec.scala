@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TfidfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry date")
+  ).toDF("doc_id", "text")
+
+  test("tfidf matches the hand-computed smoothed formula") {
+    val got = TextOps.tfidf(docs)
+      .as[(Long, String, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    def idf(df: Long) = math.log(4.0 / (df + 1.0)) + 1.0
+    assert(got((1L, "apple")) == ((2L, 1L, 2 * idf(1))))
+    assert(got((2L, "banana")) == ((1L, 2L, 1 * idf(2))))
+    assert(got((3L, "cherry")) == ((2L, 2L, 2 * idf(2))))
+    assert(got.size == 6, "one row per (doc, distinct term)")
+  }
+
+  test("topTfidfTerms keeps k terms, ties broken by term; plan has no self-join") {
+    val top1 = TextOps.topTfidfTerms(docs, 1)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // doc 2: banana and cherry tie on (tf=1, df=2) → term asc → banana
+    assert(top1 == Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+    val doc2 = TextOps.topTfidfTerms(docs, 2).filter($"doc_id" === 2L)
+      .orderBy($"term").as[(Long, String, Long, Long, Double)].collect().map(_._2)
+    assert(doc2.toSeq == Seq("banana", "cherry"))
+    val plan = TextOps.tfidf(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"df must come from a window, not a self-join:\n$plan")
+  }
+}
