@@ -341,6 +341,19 @@ object CoreQueries {
     * columns directly (independent formulations, identical results absent
     * 2^-64 collisions).
     */
+  /** Fixed-iteration PageRank (operators/GraphOps) over a deterministic
+    * order→part link graph; the oracle unrolls the same three power
+    * iterations as CTEs.
+    */
+  def pagerankQ(s: SparkSession, d: String): DataFrame = {
+    val e = lineitem(s, d).select(
+      (col("l_orderkey") % 2000).as("src"),
+      (col("l_partkey") % 2000).as("dst"))
+    graft.operators.GraphOps
+      .pageRank(e, iterations = 3)
+      .select(col("node"), round(col("pr"), 8).as("pr"))
+  }
+
   /** One-pass ANALYZE profile (operators/Profiler): per-column counts,
     * exact NDV, min/max/mean over a mixed numeric/string column set.
     */
@@ -423,6 +436,7 @@ object CoreQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (pagerankQ _),
     "q_profile" -> (profileQ _),
     "q_hash_sample" -> (hashSample _),
     "q_group_sample" -> (groupSample _),
@@ -455,6 +469,26 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pagerank" ->
+      """WITH e AS (SELECT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst FROM lineitem),
+        |nodes AS (SELECT DISTINCT n AS node
+        |  FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+        |c1 AS (SELECT e.dst AS node, sum(r0.pr / od.deg) AS s
+        |  FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c1.s, 0.0) AS pr
+        |  FROM nodes LEFT JOIN c1 ON nodes.node = c1.node),
+        |c2 AS (SELECT e.dst AS node, sum(r1.pr / od.deg) AS s
+        |  FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c2.s, 0.0) AS pr
+        |  FROM nodes LEFT JOIN c2 ON nodes.node = c2.node),
+        |c3 AS (SELECT e.dst AS node, sum(r2.pr / od.deg) AS s
+        |  FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c3.s, 0.0) AS pr
+        |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
+        |SELECT node, round(pr, 8) AS pr FROM r3""".stripMargin,
     "q_profile" -> {
       def num(c: String) =
         s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
