@@ -1024,7 +1024,47 @@ object SourceQueries {
         col("all_inv_var_meta_beta"), col("all_N"), col("rsid"))
   }
 
+  /** FinnGen+UKBB+MVP meta cohort extraction, meta-analyzed flag, and
+    * sample-size-weighted combined allele frequency
+    * (sources/FinnGenMeta.scala cohorts/isMetaAnalyzedVariant/
+    * combinedAlleleFrequency; reference summary_statistics.py:779-1227).
+    * Cohort AF presence and per-cohort sample sizes are deterministic
+    * modulo patterns; MVP_AMR has frequency but never a sample size, so it
+    * must drop out of the weighted AF while still counting as a cohort.
+    */
+  def finngenMetaCohorts(s: SparkSession, d: String): DataFrame = {
+    val o = col("l_orderkey")
+    val raw = lineitem(s, d).select(
+      o, col("l_linenumber"),
+      when(o % 3 === 0, lit(null).cast("double")).otherwise(col("l_discount")).as("MVP_EUR_af_alt"),
+      when(o % 4 === 0, lit(null).cast("double")).otherwise(col("l_tax")).as("MVP_AFR_af_alt"),
+      when(o % 5 === 0, lit(null).cast("double")).otherwise(col("l_discount") * 0.5).as("MVP_HIS_af_alt"),
+      when(o % 2 === 0, lit(null).cast("double")).otherwise(col("l_tax") * 0.8).as("fg_af_alt"),
+      when(o % 7 === 0, lit(null).cast("double")).otherwise(col("l_discount") * 0.3).as("ukbb_af_alt"))
+    val afArr = array(
+      Seq("MVP_EUR" -> "MVP_EUR_af_alt", "MVP_AFR" -> "MVP_AFR_af_alt",
+        "MVP_AMR" -> "MVP_HIS_af_alt", "FinnGen" -> "fg_af_alt", "UKBB" -> "ukbb_af_alt")
+        .map { case (cohort, c) =>
+          struct(lit(cohort).as("cohort"), col(c).as("alleleFrequency"))
+        }: _*)
+    val nArr = array(
+      struct(lit("MVP_EUR").as("cohort"), lit(1000L).as("nSamples")),
+      struct(lit("MVP_AFR").as("cohort"),
+        when(o % 6 === 0, lit(null).cast("long")).otherwise(lit(800L)).as("nSamples")),
+      struct(lit("FinnGen").as("cohort"), lit(500L).as("nSamples")),
+      struct(lit("UKBB").as("cohort"), lit(2000L).as("nSamples")))
+    val coh = FinnGenMeta.cohorts()
+    raw.select(
+      o.as("l_orderkey"), col("l_linenumber"),
+      concat_ws(",",
+        transform(coh, x =>
+          concat(x.getField("biobank"), lit(":"), x.getField("cohort")))).as("cohorts"),
+      FinnGenMeta.isMetaAnalyzedVariant(coh).as("is_meta"),
+      round(FinnGenMeta.combinedAlleleFrequency(afArr, nArr), 8).as("combined_af"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_finngen_meta_cohorts" -> (finngenMetaCohorts _),
     "q_finngen_meta_align" -> (finngenMetaAlign _),
     "q_variant_direction" -> (variantDirection _),
     "q_interval_qc" -> (intervalQc _),
@@ -1087,6 +1127,37 @@ object SourceQueries {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_finngen_meta_cohorts" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_discount END AS eur,
+        |  CASE WHEN l_orderkey % 4 = 0 THEN NULL ELSE l_tax END AS afr,
+        |  CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_discount * 0.5 END AS amr,
+        |  CASE WHEN l_orderkey % 2 = 0 THEN NULL ELSE l_tax * 0.8 END AS fg,
+        |  CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_discount * 0.3 END AS ukbb,
+        |  CASE WHEN l_orderkey % 6 = 0 THEN NULL ELSE 800 END AS afr_n
+        |  FROM lineitem),
+        |c AS (SELECT *,
+        |  (CASE WHEN eur IS NOT NULL THEN eur * 1000 ELSE 0 END
+        |   + CASE WHEN afr IS NOT NULL AND afr_n IS NOT NULL THEN afr * afr_n ELSE 0 END
+        |   + CASE WHEN fg IS NOT NULL THEN fg * 500 ELSE 0 END
+        |   + CASE WHEN ukbb IS NOT NULL THEN ukbb * 2000 ELSE 0 END) AS num,
+        |  (CASE WHEN eur IS NOT NULL THEN 1000.0 ELSE 0 END
+        |   + CASE WHEN afr IS NOT NULL AND afr_n IS NOT NULL THEN CAST(afr_n AS DOUBLE) ELSE 0 END
+        |   + CASE WHEN fg IS NOT NULL THEN 500.0 ELSE 0 END
+        |   + CASE WHEN ukbb IS NOT NULL THEN 2000.0 ELSE 0 END) AS den
+        |  FROM b)
+        |SELECT l_orderkey, l_linenumber,
+        |  concat_ws(',',
+        |    CASE WHEN eur IS NOT NULL THEN 'MVP:MVP_EUR' END,
+        |    CASE WHEN afr IS NOT NULL THEN 'MVP:MVP_AFR' END,
+        |    CASE WHEN amr IS NOT NULL THEN 'MVP:MVP_AMR' END,
+        |    CASE WHEN fg IS NOT NULL THEN 'FinnGen:FinnGen' END,
+        |    CASE WHEN ukbb IS NOT NULL THEN 'UKBB:UKBB' END) AS cohorts,
+        |  ((CASE WHEN eur IS NOT NULL OR afr IS NOT NULL OR amr IS NOT NULL THEN 1 ELSE 0 END)
+        |   + (CASE WHEN fg IS NOT NULL THEN 1 ELSE 0 END)
+        |   + (CASE WHEN ukbb IS NOT NULL THEN 1 ELSE 0 END)) >= 2 AS is_meta,
+        |  CASE WHEN den > 0 THEN round(num / den, 8) END AS combined_af
+        |FROM c""".stripMargin,
     "q_finngen_meta_align" ->
       """WITH fa AS (SELECT 'finngen_meta_F1' AS studyId,
         |    CAST(o_orderkey % 4 AS VARCHAR) AS chrom,
