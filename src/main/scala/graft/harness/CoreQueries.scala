@@ -341,6 +341,32 @@ object CoreQueries {
     * columns directly (independent formulations, identical results absent
     * 2^-64 collisions).
     */
+  /** Incremental aggregate maintenance (operators/IncrementalAgg): state
+    * bootstrapped from the t=100 orders snapshot, CDC delta from the same
+    * mutation pattern as q_snapshot_diff folded in — the oracle is the
+    * DIRECT re-aggregation of the t=200 snapshot, so the checked property
+    * is incremental ≡ full recompute (including zero-count key removal).
+    */
+  def incrAgg(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val k = col("o_orderkey")
+    val s1 = orders(s, d).select(k, col("o_custkey"), col("o_totalprice"))
+    val removed = s1.filter(k % 97 === 0 || k % 13 === 0)
+    val added = s1
+      .filter(k % 13 === 0 && k % 97 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(
+        s1.filter(k % 101 === 0).withColumn("o_orderkey", k + 10000000L))
+    val grp = Seq("grp")
+    def withGrp(df: DataFrame): DataFrame = df.withColumn("grp", col("o_custkey") % 100)
+    IncrementalAgg
+      .merge(
+        IncrementalAgg.initState(withGrp(s1), grp, "o_totalprice"),
+        IncrementalAgg.deltaFromRowSets(withGrp(removed), withGrp(added), grp, "o_totalprice"),
+        grp)
+      .select(col("grp"), col("cnt"), round(col("sum"), 2).as("sum"))
+  }
+
   /** Fixed-iteration PageRank (operators/GraphOps) over a deterministic
     * order→part link graph; the oracle unrolls the same three power
     * iterations as CTEs.
@@ -436,6 +462,7 @@ object CoreQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_agg" -> (incrAgg _),
     "q_pagerank" -> (pagerankQ _),
     "q_profile" -> (profileQ _),
     "q_hash_sample" -> (hashSample _),
@@ -469,6 +496,18 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_incr_agg" ->
+      """WITH s2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT o_custkey % 100 AS grp, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(o_totalprice), 2) AS sum
+        |FROM s2 GROUP BY 1""".stripMargin,
     "q_pagerank" ->
       """WITH e AS (SELECT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst FROM lineitem),
         |nodes AS (SELECT DISTINCT n AS node
