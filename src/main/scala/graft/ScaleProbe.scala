@@ -439,11 +439,95 @@ object ScaleProbe {
       report(queriesAt(1).zip(queriesAt(copies)))
     }
 
+    // =====================================================================
+    // curation / maintenance family (round 10: pagerank, tfidf, scd2,
+    // incremental agg, group sampling)
+    // =====================================================================
+    def curationFamily(): Seq[String] = {
+      import graft.operators.{GraphOps, IncrementalAgg, Sampling, Scd2, TextOps}
+
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      // growth = more orders from more customers; key offsets keep the
+      // change-fraction and per-customer depth fixed
+      def ords(n: Int): DataFrame = (0 until n).map { c =>
+        ord.select(
+          (col("o_orderkey") + lit(c * idOffset)).as("o_orderkey"),
+          (col("o_custkey") + lit(c * idOffset)).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      }.reduce(_ unionByName _)
+
+      // growth = more pages: each copy is a node-disjoint subgraph (the web
+      // grows in pages, not in per-page degree)
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+      def edges(n: Int): DataFrame = (0 until n).map { c =>
+        li.select(
+          ((col("l_orderkey") % 20000) + lit(c * 40000L)).as("src"),
+          ((col("l_partkey") % 20000) + lit(c * 40000L) + lit(20000L)).as("dst"))
+      }.reduce(_ unionByName _)
+
+      // growth = more documents over a SHARED vocabulary: per-term document
+      // frequency scales 10x, stressing the term-keyed df window
+      val doc = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+      def docs(n: Int): DataFrame = (0 until n).map { c =>
+        doc.select((col("doc_id") + lit(c * idOffset)).as("doc_id"), col("text"))
+      }.reduce(_ unionByName _)
+
+      val inputs = Seq[(String, Int => DataFrame)](
+        "ords" -> (ords _), "edges" -> (edges _), "docs" -> (docs _))
+      for ((name, gen) <- inputs; n <- Seq(1, copies))
+        write(gen(n), s"$workDir/${name}$n.parquet")
+
+      def queriesAt(n: Int): Seq[(String, () => Long)] = {
+        def rd(name: String) = parallel(spark.read.parquet(s"$workDir/${name}$n.parquet"))
+        def snapPair() = {
+          val s1 = rd("ords")
+          val k = col("o_orderkey")
+          val s2 = s1
+            .filter(k % 97 =!= 0)
+            .withColumn("o_totalprice",
+              when(k % 13 === 0, col("o_totalprice") + 1000.0).otherwise(col("o_totalprice")))
+            .unionByName(s1.filter(k % 101 === 0)
+              .withColumn("o_orderkey", k + lit(100L * idOffset)))
+          (s1, s2)
+        }
+        Seq(
+          "pagerank" -> (() => GraphOps.pageRank(rd("edges"), iterations = 3).count()),
+          "tfidf_topk" -> (() => TextOps.topTfidfTerms(rd("docs"), 3).count()),
+          "scd2_apply" -> { () =>
+            val (s1, s2) = snapPair()
+            Scd2.applySnapshot(
+              Scd2.init(s1, lit(100L)), s2, Seq("o_orderkey"), lit(200L)).count()
+          },
+          "incr_agg" -> { () =>
+            val (s1, _) = snapPair()
+            val k = col("o_orderkey")
+            val removed = s1.filter(k % 97 === 0 || k % 13 === 0)
+            val added = s1.filter(k % 13 === 0 && k % 97 =!= 0)
+              .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+              .unionByName(s1.filter(k % 101 === 0)
+                .withColumn("o_orderkey", k + lit(100L * idOffset)))
+            def wg(df: DataFrame) = df.withColumn("grp", col("o_custkey") % 100000)
+            IncrementalAgg.merge(
+              IncrementalAgg.initState(wg(s1), Seq("grp"), "o_totalprice"),
+              IncrementalAgg.deltaFromRowSets(wg(removed), wg(added), Seq("grp"), "o_totalprice"),
+              Seq("grp")).count()
+          },
+          "group_sample" -> (() =>
+            Sampling.groupSample(rd("ords"), Seq("o_custkey"), col("o_orderkey"), 3).count())
+        )
+      }
+
+      report(queriesAt(1).zip(queriesAt(copies)))
+    }
+
     val out = family match {
       case "text" => textFamily()
       case "genomic" => genomicFamily()
       case "events" => eventsFamily()
-      case _ => textFamily() ++ genomicFamily() ++ eventsFamily()
+      case "curation" => curationFamily()
+      case _ => textFamily() ++ genomicFamily() ++ eventsFamily() ++ curationFamily()
     }
     println(s"""{"metric":"scale_probe","copies":$copies,"family":${jstr(family)},"queries":{${out.mkString(",")}}}""")
     spark.stop()

@@ -341,6 +341,22 @@ object CoreQueries {
     * columns directly (independent formulations, identical results absent
     * 2^-64 collisions).
     */
+  /** Two-phase exact top-k per group (operators/TopK): local bounded-heap
+    * prune before the shuffle, final window over the pruned set; the oracle
+    * is the plain row_number formulation — identical rows by construction
+    * of the total (value desc, tiebreak asc) order.
+    */
+  def topkPushdown(s: SparkSession, d: String): DataFrame =
+    graft.operators.TopK
+      .topKPerGroup(
+        lineitem(s, d)
+          .select(
+            (col("l_partkey") % 200).as("grp"),
+            col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("tie")),
+        Seq("grp"), "l_extendedprice", "tie", k = 5)
+      .select(col("grp"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+
   /** Incremental aggregate maintenance (operators/IncrementalAgg): state
     * bootstrapped from the t=100 orders snapshot, CDC delta from the same
     * mutation pattern as q_snapshot_diff folded in — the oracle is the
@@ -462,6 +478,7 @@ object CoreQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_pushdown" -> (topkPushdown _),
     "q_incr_agg" -> (incrAgg _),
     "q_pagerank" -> (pagerankQ _),
     "q_profile" -> (profileQ _),
@@ -496,6 +513,12 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_topk_pushdown" ->
+      """WITH r AS (SELECT l_partkey % 200 AS grp, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_partkey % 200
+        |      ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS rk
+        |  FROM lineitem)
+        |SELECT grp, l_orderkey, l_linenumber, l_extendedprice FROM r WHERE rk <= 5""".stripMargin,
     "q_incr_agg" ->
       """WITH s2 AS (
         |  SELECT o_orderkey, o_custkey,
