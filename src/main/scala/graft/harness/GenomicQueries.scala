@@ -77,6 +77,31 @@ object GenomicQueries {
   def sessionize(s: SparkSession, d: String): DataFrame =
     Sessionize.sessionStats(events(s, d), gapSeconds = 1800)
 
+  /** Per-user linear gap-fill (operators/TimeSeries.interpolateLinear):
+    * every 5th event's value is nulled, interpolation must reconstruct it
+    * from the time-nearest observed neighbours; t is microseconds (unique
+    * per user in this data — the operator's documented contract).
+    */
+  def interpolate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val ev = events(s, d)
+    val micros = ev.schema("ts").dataType match {
+      case LongType          => expr("ts div 1000")
+      case TimestampType     => unix_micros(col("ts"))
+      case TimestampNTZType  => unix_micros(col("ts").cast(TimestampType))
+      case other => throw new IllegalArgumentException(s"unsupported ts type: $other")
+    }
+    val base = ev.select(
+      col("user_id"), col("event_id"), micros.as("t"),
+      when(col("event_id") % 5 === 0, lit(null).cast("double"))
+        .otherwise(col("value")).as("v"))
+    graft.operators.TimeSeries
+      .interpolateLinear(base, Seq("user_id"), "t", "v")
+      .select(
+        col("user_id"), col("event_id"), col("t"),
+        round(col("v_filled"), 6).as("v_filled"))
+  }
+
   // -- oracles ---------------------------------------------------------------
 
   private val SynthSql =
@@ -100,10 +125,33 @@ object GenomicQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_clump_cluster" -> (clumpCluster _),
     "q_clump" -> (clump _),
-    "q_sessionize" -> (sessionize _)
+    "q_sessionize" -> (sessionize _),
+    "q_interpolate" -> (interpolate _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_interpolate" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v FROM events),
+        |w AS (SELECT *,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt
+        |  FROM b)
+        |SELECT user_id, event_id, t,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+        |      THEN pv + (nv - pv) * CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)
+        |    WHEN pv IS NOT NULL THEN pv
+        |    ELSE nv END, 6) AS v_filled
+        |FROM w""".stripMargin,
     "q_clump_cluster" ->
       s"""$ClusterSql
          |SELECT studyId, chromosome, position, cluster_id FROM c""".stripMargin,
