@@ -341,6 +341,23 @@ object CoreQueries {
     * columns directly (independent formulations, identical results absent
     * 2^-64 collisions).
     */
+  /** Profile drift (operators/Profiler.drift): statistics regression
+    * between the orders table and a mutated release (every 97th row
+    * dropped, every 13th repriced) — null-fraction, NDV-ratio, mean-shift
+    * and range-widening per column.
+    */
+  def profileDrift(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Profiler
+    val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+    val k = col("o_orderkey")
+    val mutated = orders(s, d)
+      .filter(k % 97 =!= 0)
+      .withColumn(
+        "o_totalprice",
+        when(k % 13 === 0, col("o_totalprice") + 1000.0).otherwise(col("o_totalprice")))
+    Profiler.drift(Profiler.profile(orders(s, d), cols), Profiler.profile(mutated, cols))
+  }
+
   /** Two-phase exact top-k per group (operators/TopK): local bounded-heap
     * prune before the shuffle, final window over the pruned set; the oracle
     * is the plain row_number formulation — identical rows by construction
@@ -478,6 +495,7 @@ object CoreQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_drift" -> (profileDrift _),
     "q_topk_pushdown" -> (topkPushdown _),
     "q_incr_agg" -> (incrAgg _),
     "q_pagerank" -> (pagerankQ _),
@@ -511,6 +529,30 @@ object CoreQueries {
     "q_missingness" -> (missingness _),
     "q_dedup_exact" -> (dedupExact _)
   )
+
+  /** DuckDB mirror of Profiler.profile over the 4 profiled orders columns,
+    * parameterised by source relation so the drift oracle can profile two
+    * snapshots with the same block.
+    */
+  private def profileSql(from: String): String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  round(CAST(min($c) AS DOUBLE), 6) AS min_num,
+         |  round(CAST(max($c) AS DOUBLE), 6) AS max_num,
+         |  round(avg($c), 6) AS avg_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM $from""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c', CAST(count(*) AS BIGINT), CAST(count(*) - count($c) AS BIGINT),
+         |  CAST(count(DISTINCT $c) AS BIGINT),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  min($c), max($c)
+         |FROM $from""".stripMargin
+    Seq(num("o_orderkey"), num("o_totalprice"), str("o_orderstatus"), str("o_orderpriority"))
+      .mkString("\nUNION ALL\n")
+  }
 
   val oracles: Map[String, String] = Map(
     "q_topk_pushdown" ->
@@ -551,25 +593,24 @@ object CoreQueries {
         |r3 AS (SELECT nodes.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c3.s, 0.0) AS pr
         |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
         |SELECT node, round(pr, 8) AS pr FROM r3""".stripMargin,
-    "q_profile" -> {
-      def num(c: String) =
-        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
-           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
-           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-           |  round(CAST(min($c) AS DOUBLE), 6) AS min_num,
-           |  round(CAST(max($c) AS DOUBLE), 6) AS max_num,
-           |  round(avg($c), 6) AS avg_num,
-           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-           |FROM orders""".stripMargin
-      def str(c: String) =
-        s"""SELECT '$c', CAST(count(*) AS BIGINT), CAST(count(*) - count($c) AS BIGINT),
-           |  CAST(count(DISTINCT $c) AS BIGINT),
-           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-           |  min($c), max($c)
-           |FROM orders""".stripMargin
-      Seq(num("o_orderkey"), num("o_totalprice"), str("o_orderstatus"), str("o_orderpriority"))
-        .mkString("\nUNION ALL\n")
-    },
+    "q_profile" -> profileSql("orders"),
+    "q_profile_drift" ->
+      s"""WITH newsnap AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |po AS (${profileSql("orders")}),
+        |pn AS (${profileSql("newsnap")})
+        |SELECT po."column", po.n_rows AS n_rows_old, pn.n_rows AS n_rows_new,
+        |  round(CAST(po.n_nulls AS DOUBLE) / po.n_rows, 6) AS null_frac_old,
+        |  round(CAST(pn.n_nulls AS DOUBLE) / pn.n_rows, 6) AS null_frac_new,
+        |  round(CAST(pn.n_distinct AS DOUBLE) / po.n_distinct, 6) AS ndv_ratio,
+        |  round(pn.avg_num - po.avg_num, 6) AS avg_shift,
+        |  coalesce(pn.min_num < po.min_num OR pn.max_num > po.max_num
+        |    OR pn.min_str < po.min_str OR pn.max_str > po.max_str, FALSE) AS range_widened
+        |FROM po JOIN pn ON po."column" = pn."column"""".stripMargin,
     "q_hash_sample" ->
       s"""SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 8)

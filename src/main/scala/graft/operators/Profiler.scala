@@ -30,6 +30,33 @@ object Profiler {
   def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
     profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
 
+  /** Statistics drift between two profiles of the same table (release n vs
+    * n+1) — the alert input of a data-quality gate: per column the
+    * null-fraction movement, NDV ratio, mean shift, and whether the value
+    * range widened (new values outside the old envelope — the classic
+    * symptom of an upstream schema/unit change). Profile frames are tiny
+    * (one row per column), so this is a driver-cheap broadcast join no
+    * matter how large the profiled table was.
+    */
+  def drift(oldProfile: DataFrame, newProfile: DataFrame): DataFrame = {
+    def pfx(df: DataFrame, p: String): DataFrame =
+      df.columns.filter(_ != "column").foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
+    val j = pfx(oldProfile, "o_").join(pfx(newProfile, "n_"), Seq("column"), "full_outer")
+    j.select(
+      col("column"),
+      col("o_n_rows").as("n_rows_old"),
+      col("n_n_rows").as("n_rows_new"),
+      round(col("o_n_nulls").cast("double") / col("o_n_rows"), 6).as("null_frac_old"),
+      round(col("n_n_nulls").cast("double") / col("n_n_rows"), 6).as("null_frac_new"),
+      round(col("n_n_distinct").cast("double") / col("o_n_distinct"), 6).as("ndv_ratio"),
+      round(col("n_avg_num") - col("o_avg_num"), 6).as("avg_shift"),
+      coalesce(
+        col("n_min_num") < col("o_min_num") || col("n_max_num") > col("o_max_num") ||
+          col("n_min_str") < col("o_min_str") || col("n_max_str") > col("o_max_str"),
+        lit(false)).as("range_widened")
+    )
+  }
+
   private def profileWith(
       df: DataFrame,
       cols: Seq[String],

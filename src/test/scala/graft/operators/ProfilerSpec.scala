@@ -19,6 +19,22 @@ class ProfilerSpec extends SparkSpec {
     assert(got("s") == (("s", 4L, 1L, 2L, None, None, None, Some("a"), Some("b"))))
   }
 
+  test("drift flags null growth, NDV collapse, mean shift, and range widening") {
+    val oldDf = Seq((1L, Some(1.0), "a"), (2L, Some(3.0), "b"), (3L, Some(5.0), "c")).toDF("id", "v", "s")
+    val newDf = Seq((1L, Some(9.0), "a"), (2L, None, "a"), (3L, Some(5.0), "a")).toDF("id", "v", "s")
+    val d = Profiler.drift(
+      Profiler.profile(oldDf, Seq("v", "s")), Profiler.profile(newDf, Seq("v", "s")))
+      .as[(String, Long, Long, Double, Double, Double, Option[Double], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    val v = d("v")
+    assert(v._4 == 0.0 && math.abs(v._5 - 1.0 / 3) < 1e-6, "null fraction moved 0 -> 1/3")
+    assert(math.abs(v._6 - 2.0 / 3) < 1e-6, "NDV 3 -> 2")
+    assert(v._7.exists(x => math.abs(x - (7.0 - 3.0)) < 1e-6), "mean 3 -> 7")
+    assert(v._8, "9.0 exceeds the old max 5.0")
+    val sCol = d("s")
+    assert(math.abs(sCol._6 - 1.0 / 3) < 1e-6 && !sCol._8, "string NDV collapsed, range within")
+  }
+
   test("profileApprox tracks exact NDV within the configured error and plans no Expand") {
     val big = (1L to 20000L).toDF("id").selectExpr("id", "CAST(id % 977 AS STRING) AS s")
     val approx = Profiler.profileApprox(big, Seq("id", "s"))
