@@ -308,6 +308,33 @@ object StreamingOps {
       }
   }
 
+  final case class ChangeRec(key: String, op: String, value: Double)
+  final case class AggState(cnt: Long, sum: Double)
+  final case class AggRow(key: String, cnt: Long, sum: Double)
+
+  /** Streaming twin of [[graft.operators.IncrementalAgg]]: fold a CDC
+    * change stream (`op` ∈ add|remove; a changed row arrives as
+    * remove(old) + add(new)) into per-key count/sum state — the same
+    * algebra the batch merge applies, held in `mapGroupsWithState` instead
+    * of a state table. Emits the updated aggregate row per key per batch.
+    */
+  def incrementalAggStream(changes: Dataset[ChangeRec]): Dataset[AggRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[ChangeRec], state: GroupState[AggState]) =>
+          val prev = state.getOption.getOrElse(AggState(0L, 0.0))
+          val (c, s) = rows.foldLeft((prev.cnt, prev.sum)) {
+            case ((cc, cs), r) =>
+              val sign = if (r.op == "remove") -1 else 1
+              (cc + sign, cs + sign * r.value)
+          }
+          state.update(AggState(c, s))
+          AggRow(key, c, s)
+      }
+  }
+
   final case class FunnelEvent(userId: Long, eventType: String, t: Long)
   final case class FunnelState(slots: List[Option[Long]])
   final case class FunnelProgress(

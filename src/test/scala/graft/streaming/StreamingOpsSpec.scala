@@ -401,4 +401,47 @@ class StreamingOpsSpec extends SparkSpec {
     assert(last == 1)
   }
 
+
+  test("incremental-agg stream matches the batch IncrementalAgg merge over the same change sets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.ChangeRec
+    val input = MemoryStream[ChangeRec]
+    val q = StreamingOps.incrementalAggStream(input.toDS())
+      .writeStream.format("memory").queryName("incr_agg")
+      .outputMode(OutputMode.Update)
+      .start()
+
+    // batch 1: base rows arrive as adds
+    input.addData(
+      ChangeRec("a", "add", 1.0), ChangeRec("a", "add", 2.0),
+      ChangeRec("b", "add", 3.0), ChangeRec("c", "add", 4.0))
+    q.processAllAvailable()
+    // batch 2: a revalued (2->5), c removed, d added
+    input.addData(
+      ChangeRec("a", "remove", 2.0), ChangeRec("a", "add", 5.0),
+      ChangeRec("c", "remove", 4.0), ChangeRec("d", "add", 7.0))
+    q.processAllAvailable()
+    q.stop()
+
+    // every per-batch emission is deterministic
+    val emitted = spark.sql("SELECT key, cnt, sum FROM incr_agg")
+      .as[(String, Long, Double)].collect().toSet
+    assert(emitted == Set(
+      ("a", 2L, 3.0), ("b", 1L, 3.0), ("c", 1L, 4.0),   // batch 1
+      ("a", 2L, 6.0), ("c", 0L, 0.0), ("d", 1L, 7.0)))  // batch 2
+
+    // batch twin: the operators.IncrementalAgg merge over the same change
+    // sets yields exactly the live final states (c gone at cnt 0)
+    import graft.operators.IncrementalAgg
+    val s1 = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("c", 4.0)).toDF("key", "v")
+    val removed = Seq(("a", 2.0), ("c", 4.0)).toDF("key", "v")
+    val added = Seq(("a", 5.0), ("d", 7.0)).toDF("key", "v")
+    val batch = IncrementalAgg.merge(
+      IncrementalAgg.initState(s1, Seq("key"), "v"),
+      IncrementalAgg.deltaFromRowSets(removed, added, Seq("key"), "v"),
+      Seq("key")).as[(String, Long, Double)].collect().toSet
+    assert(batch == Set(("a", 2L, 6.0), ("b", 1L, 3.0), ("d", 1L, 7.0)))
+    assert(batch.subsetOf(emitted), "final states must all have been emitted live")
+  }
 }
