@@ -341,6 +341,29 @@ object CoreQueries {
     * columns directly (independent formulations, identical results absent
     * 2^-64 collisions).
     */
+  /** Feature hashing (operators/FeatureOps.hashBucket): md5-derived
+    * bucket, engine-portable by construction.
+    */
+  def featureHash(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      graft.operators.FeatureOps
+        .hashBucket(concat(col("source"), lit("|"), col("lang")), 1024).as("bucket"))
+
+  /** Rank-based normalisation (operators/FeatureOps.withRankFeatures):
+    * percent_rank quantile transform + decile per return flag.
+    */
+  def pctRank(s: SparkSession, d: String): DataFrame =
+    graft.operators.FeatureOps
+      .withRankFeatures(
+        lineitem(s, d).select(
+          col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("tie")),
+        Seq("l_returnflag"), "l_extendedprice", "tie")
+      .select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        round(col("pct_rank"), 8).as("pct_rank"), col("bucket_rank"))
+
   /** Profile drift (operators/Profiler.drift): statistics regression
     * between the orders table and a mutated release (every 97th row
     * dropped, every 13th repriced) — null-fraction, NDV-ratio, mean-shift
@@ -495,6 +518,8 @@ object CoreQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feature_hash" -> (featureHash _),
+    "q_pct_rank" -> (pctRank _),
     "q_profile_drift" -> (profileDrift _),
     "q_topk_pushdown" -> (topkPushdown _),
     "q_incr_agg" -> (incrAgg _),
@@ -593,6 +618,17 @@ object CoreQueries {
         |r3 AS (SELECT nodes.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c3.s, 0.0) AS pr
         |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
         |SELECT node, round(pr, 8) AS pr FROM r3""".stripMargin,
+    "q_feature_hash" ->
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5(source || '|' || lang), 1, 8) AS BIGINT) % 1024 AS bucket
+        |FROM documents""".stripMargin,
+    "q_pct_rank" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  round(percent_rank() OVER w, 8) AS pct_rank,
+        |  CAST(ntile(10) OVER w AS INTEGER) AS bucket_rank
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice, l_orderkey * 10 + l_linenumber)""".stripMargin,
     "q_profile" -> profileSql("orders"),
     "q_profile_drift" ->
       s"""WITH newsnap AS (

@@ -126,10 +126,46 @@ object GenomicQueries {
     "q_clump_cluster" -> (clumpCluster _),
     "q_clump" -> (clump _),
     "q_sessionize" -> (sessionize _),
-    "q_interpolate" -> (interpolate _)
+    "q_interpolate" -> (interpolate _),
+    "q_rolling_stats" -> (rollingStats _)
   )
 
+  /** Rolling 1-hour trailing stats per user (operators/FeatureOps
+    * .rollingStats) over the event stream; t in microseconds.
+    */
+  def rollingStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val ev = events(s, d)
+    val micros = ev.schema("ts").dataType match {
+      case LongType          => expr("ts div 1000")
+      case TimestampType     => unix_micros(col("ts"))
+      case TimestampNTZType  => unix_micros(col("ts").cast(TimestampType))
+      case other => throw new IllegalArgumentException(s"unsupported ts type: $other")
+    }
+    graft.operators.FeatureOps
+      .rollingStats(
+        ev.select(col("user_id"), col("event_id"), micros.as("t"), col("value")),
+        Seq("user_id"), "t", "value", windowSize = 3600L * 1000000L)
+      .select(
+        col("user_id"), col("event_id"), col("roll_n"),
+        round(col("roll_sum"), 6).as("roll_sum"),
+        round(col("roll_mean"), 6).as("roll_mean"),
+        round(col("roll_min"), 6).as("roll_min"),
+        round(col("roll_max"), 6).as("roll_max"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_rolling_stats" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(count(value) OVER w AS BIGINT) AS roll_n,
+        |  round(sum(value) OVER w, 6) AS roll_sum,
+        |  round(avg(value) OVER w, 6) AS roll_mean,
+        |  round(min(value) OVER w, 6) AS roll_min,
+        |  round(max(value) OVER w, 6) AS roll_max
+        |FROM b
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_interpolate" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS t,
         |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v FROM events),

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FeatureOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashBucket is stable, in-range, and spreads values") {
+    val df = (1L to 2000L).toDF("id").select($"id", concat(lit("cat_"), $"id" % 500).as("c"))
+    val b = df.select(FeatureOps.hashBucket($"c", 64).as("b"))
+    val counts = b.groupBy("b").count().as[(Long, Long)].collect()
+    assert(counts.forall { case (bk, _) => bk >= 0 && bk < 64 })
+    assert(counts.length > 48, s"500 categories should hit most of 64 buckets: ${counts.length}")
+    val twice = df.select(FeatureOps.hashBucket($"c", 64).as("b")).collect()
+    assert(twice.toSeq == b.collect().toSeq, "deterministic")
+  }
+
+  test("withRankFeatures: pct_rank spans [0,1] per group, deciles near-balanced") {
+    val df = (1L to 1000L).toDF("id").select(
+      ($"id" % 2).as("g"), $"id", (($"id" * 37) % 991).cast("double").as("v"))
+    val got = FeatureOps.withRankFeatures(df, Seq("g"), "v", "id")
+    val rk = got.groupBy("g").agg(min("pct_rank"), max("pct_rank")).as[(Long, Double, Double)].collect()
+    assert(rk.forall { case (_, mn, mx) => mn == 0.0 && mx == 1.0 })
+    val deciles = got.filter($"g" === 0).groupBy("bucket_rank").count().as[(Int, Long)].collect().toMap
+    assert(deciles.keySet == (1 to 10).toSet && deciles.values.forall(_ == 50L))
+  }
+
+  test("rollingStats matches a hand-built trailing window") {
+    val df = Seq(
+      (1L, 0L, 1.0), (1L, 50L, 2.0), (1L, 100L, 4.0), (1L, 1000L, 8.0)
+    ).toDF("k", "t", "v")
+    val got = FeatureOps.rollingStats(df, Seq("k"), "t", "v", windowSize = 100L)
+      .select($"t", $"roll_n", $"roll_sum", $"roll_mean", $"roll_min", $"roll_max")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 1L, 1.0, 1.0, 1.0, 1.0)))
+    assert(got(100L) == ((100L, 3L, 7.0, 7.0 / 3, 1.0, 4.0)), "t=0 still inside [0,100]")
+    assert(got(1000L) == ((1000L, 1L, 8.0, 8.0, 8.0, 8.0)), "window slid past everything")
+  }
+}
