@@ -465,6 +465,19 @@ object CoreQueries {
         Seq("grp"), col("o_orderkey"), k = 3)
       .select(col("grp"), col("o_orderkey"))
 
+  /** Weighted k-per-group draw (operators/Sampling.weightedGroupSample,
+    * Efraimidis–Spirakis keys from deterministic hash-uniforms).
+    */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val id = concat(
+      col("l_orderkey").cast(StringType), lit("_"), col("l_linenumber").cast(StringType))
+    graft.operators.Sampling
+      .weightedGroupSample(
+        lineitem(s, d).withColumn("_id", id),
+        Seq("l_returnflag"), col("_id"), col("l_quantity"), k = 10)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** Per-stratum fractions (operators/Sampling.stratifiedSample):
     * broadcast threshold table, scan-local filter.
     */
@@ -528,6 +541,7 @@ object CoreQueries {
     "q_hash_sample" -> (hashSample _),
     "q_group_sample" -> (groupSample _),
     "q_stratified_sample" -> (stratifiedSample _),
+    "q_weighted_sample" -> (weightedSample _),
     "q_scd2" -> (scd2 _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_hist_quantile" -> (histQuantile _),
@@ -665,6 +679,16 @@ object CoreQueries {
         |      WHEN 'N' THEN '${graft.operators.Sampling.hexThreshold(0.2)}'
         |      WHEN 'R' THEN '${graft.operators.Sampling.hexThreshold(0.1)}'
         |      ELSE '${graft.operators.Sampling.hexThreshold(0.0)}' END""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH b AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |    CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS id,
+        |    (CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+        |       || CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) + 1.0) / 4294967296.0 AS u
+        |  FROM lineitem),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY (CASE WHEN l_quantity > 0 THEN pow(u, 1.0 / l_quantity)
+        |              ELSE -1.0 END) DESC, id) AS rk FROM b)
+        |SELECT l_returnflag, l_orderkey, l_linenumber FROM r WHERE rk <= 10""".stripMargin,
     "q_scd2" ->
       """WITH s1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |s2 AS (

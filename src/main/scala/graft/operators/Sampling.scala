@@ -58,6 +58,36 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Weighted uniform `k` per group without replacement
+    * (Efraimidis–Spirakis A-ES): each row draws `key = u^(1/w)` from its
+    * deterministic hash-uniform `u` and the `k` largest keys win — rows
+    * with twice the weight are twice as likely to be drawn, exactly, and
+    * the draw stays retry-safe/engine-reproducible like every sampler
+    * here. Same single window shuffle as [[groupSample]].
+    *
+    * Rows with non-positive weight never win (key −1).
+    */
+  def weightedGroupSample(
+      df: DataFrame,
+      groupCols: Seq[String],
+      id: Column,
+      weight: Column,
+      k: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    // u in (0,1]: (hash+1)/2^32 avoids u=0 (pow(0, x) would tie at 0)
+    val u = (conv(uniformHashHex(id, salt), 16, 10).cast("double") + lit(1.0)) /
+      lit(4294967296.0)
+    val key = when(weight > 0, pow(u, lit(1.0) / weight)).otherwise(lit(-1.0))
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(key.desc, id)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** Per-stratum Bernoulli fractions (dataset-mixing rebalance): strata
     * missing from `fractions` fall back to `defaultFraction`. The
     * stratum→threshold table is a broadcast join, never a collect-driven

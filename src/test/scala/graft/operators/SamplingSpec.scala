@@ -37,6 +37,22 @@ class SamplingSpec extends SparkSpec {
     assert(a == b, "draw must be independent of input order")
   }
 
+  test("weightedGroupSample favours heavy weights, excludes non-positive, stays deterministic") {
+    val df = ids.withColumn("g", lit(0))
+      .withColumn("w", when($"id" <= 100, 100.0).when($"id" <= 4999, 1.0).otherwise(0.0))
+    val got = Sampling.weightedGroupSample(df, Seq("g"), $"id", $"w", 100)
+      .as[(Long, Int, Double)].collect().map(_._1)
+    assert(got.length == 100)
+    // 100 rows at weight 100 vs 4899 at weight 1: heavy rows carry ~2/3 of
+    // the total weight mass, so they must dominate the draw
+    val heavy = got.count(_ <= 100L)
+    assert(heavy > 50, s"heavy-weight rows under-drawn: $heavy/100")
+    assert(!got.contains(5000L), "zero-weight row must never win")
+    val again = Sampling.weightedGroupSample(df.repartition(13), Seq("g"), $"id", $"w", 100)
+      .as[(Long, Int, Double)].collect().map(_._1)
+    assert(got.sorted.toSeq == again.sorted.toSeq, "partitioning-invariant")
+  }
+
   test("stratifiedSample applies per-stratum fractions with a broadcast threshold join") {
     val df = ids.withColumn("st", when($"id" % 2 === 0, "even").otherwise("odd"))
     val got = Sampling.stratifiedSample(df, "st", Map("even" -> 0.4, "odd" -> 0.1), $"id")
