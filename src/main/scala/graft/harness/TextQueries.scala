@@ -77,6 +77,16 @@ object TextQueries {
   def bm25Query(s: SparkSession, d: String): DataFrame =
     TextOps.bm25Scores(docsParallel(s, d), Seq("vector", "dup", "spark", "quantum"))
 
+  /** Exact Jaccard ≥ 0.5 set-similarity self-join with prefix filtering
+    * (operators/Dedup.setSimilarityJoin); the oracle verifies EVERY pair
+    * exhaustively via the token equi-join, so a prefix-filter false
+    * negative would show as a missing row.
+    */
+  def setSimJoin(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .setSimilarityJoin(docsParallel(s, d), theta = 0.8, shingle = 3)
+      .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"))
+
   /** Keyword extraction: top-3 smoothed-TF-IDF terms per document
     * (operators/TextOps.topTfidfTerms).
     */
@@ -568,6 +578,7 @@ object TextQueries {
     "q_semantic_dedup" -> (semanticDedupQuery _),
     "q_bm25" -> (bm25Query _),
     "q_tfidf" -> (tfidfQuery _),
+    "q_setsim_join" -> (setSimJoin _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_dsir_select" -> (dsirSelect _),
     "q_dup_spans" -> (dupSpans _),
@@ -670,6 +681,21 @@ object TextQueries {
         |  CAST(coalesce(c.component, bu.vec_id) AS BIGINT) AS component,
         |  coalesce(c.component, bu.vec_id) = bu.vec_id AS keep
         |FROM buck bu LEFT JOIN comp c ON bu.vec_id = c.vec_id""".stripMargin,
+    "q_setsim_join" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles FROM tk),
+        |tok AS (SELECT DISTINCT doc_id, unnest(shingles) AS term FROM shl),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+        |  FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jacc
+        |  FROM inter
+        |  JOIN sz sa ON inter.doc_a = sa.doc_id
+        |  JOIN sz sb ON inter.doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, round(jacc, 6) AS jacc FROM j WHERE jacc >= 0.8""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

@@ -508,4 +508,65 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0))).cast("int").as("n_removed"))
   }
+
+  /** EXACT threshold set-similarity self-join (token-set Jaccard ≥ θ) via
+    * prefix filtering (Chaudhuri/Ganti/Kaushik 2006, the PPJoin family):
+    * order each document's distinct tokens by global rarity (df asc, term
+    * asc — a total order), keep only the first `|d| − ⌈θ·|d|⌉ + 1` tokens
+    * as its prefix; any pair with Jaccard ≥ θ MUST collide on at least one
+    * prefix token, so the candidate join is an equi-join on prefix tokens
+    * (rarity-ordered prefixes make hot tokens structurally unlikely in
+    * prefixes), never all-pairs. Candidates are then verified exactly with
+    * `array_intersect` over the per-document token sets.
+    *
+    * Complements the PROBABILISTIC LSH path: same guarantee shape as a
+    * database-style similarity join — no false negatives at all.
+    *
+    * @return `(doc_a, doc_b, jacc)` for all pairs with Jaccard ≥ theta
+    */
+  def setSimilarityJoin(
+      docs: DataFrame,
+      theta: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingle: Int = 3
+  ): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, s"theta out of (0,1]: $theta")
+    // set elements: word n-shingles by default (near-unique off-diagonal, so
+    // rarity-ordered prefixes actually prune; shingle=1 degrades to unigram
+    // token sets, which on boilerplate-heavy corpora makes EVERY pair a
+    // candidate — measured 104 s vs 4 s at sf0.1 on the synthetic docs)
+    val elems =
+      if (shingle <= 1) TextOps.tokenize(lower(col(textCol)))
+      else TextOps.shingles(TextOps.tokenize(col(textCol)), shingle)
+    val toks = docs
+      .select(col(idCol).as("id"), explode(elems).as("term"))
+      .distinct()
+    val df = toks.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val ranked = toks
+      .join(df, Seq("term"))
+      .withColumn(
+        "_rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id"))
+            .orderBy(col("_df").asc, col("term").asc)))
+      .withColumn("_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+    val prefix = ranked
+      .filter(col("_rank") <= col("_size") - ceil(lit(theta) * col("_size")) + lit(1))
+      .select(col("id"), col("term"))
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"), col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val sets = toks.groupBy(col("id")).agg(collect_set(col("term")).as("ts"))
+    candidates
+      .join(sets.select(col("id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
+      .join(sets.select(col("id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
+      .withColumn("_i", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+      .withColumn("jacc", col("_i") / (size(col("ta")) + size(col("tb")) - col("_i")))
+      .filter(col("jacc") >= theta)
+      .select(col("doc_a"), col("doc_b"), col("jacc"))
+  }
 }

@@ -227,4 +227,31 @@ class DedupSpec extends SparkSpec {
     }
     assert(scrub.values.count(_ > 0) === removedBySpans.size)
   }
+
+  test("setSimilarityJoin finds exactly the brute-force Jaccard pairs (no prefix-filter false negatives)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 40 docs: pairs (2k, 2k+1) are near-identical, everything else disjoint
+    val docs = (0 until 40).map { i =>
+      val base = (0 until 30).map(j => s"w${i / 2}_$j")
+      val text = if (i % 2 == 1) (base.dropRight(2) :+ s"x$i" :+ s"y$i").mkString(" ")
+                 else base.mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text").repartition(7)
+
+    val got = Dedup.setSimilarityJoin(docs, theta = 0.5, shingle = 3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+
+    // brute force over all pairs on the same shingle sets
+    val sets = docs.select($"doc_id",
+        TextOps.shingles(TextOps.tokenize($"text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().map { case (id, sh) => id -> sh.toSet }
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      i = (sa intersect sb).size.toDouble
+      j = i / (sa.size + sb.size - i) if j >= 0.5
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(want.size == 20, s"planted 20 near-dup pairs, found ${want.size}")
+  }
 }
