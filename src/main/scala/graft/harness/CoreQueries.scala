@@ -341,6 +341,22 @@ object CoreQueries {
     * columns directly (independent formulations, identical results absent
     * 2^-64 collisions).
     */
+  /** Salted skew join (operators/SkewJoin): lineitem (fact) joined to
+    * orders (dim, replicated 8×) — result must be row-identical to the
+    * plain join the oracle runs.
+    */
+  def saltedJoin(s: SparkSession, d: String): DataFrame =
+    graft.operators.SkewJoin
+      .saltedEquiJoin(
+        lineitem(s, d).select(
+          col("l_orderkey").as("o_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+        orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+        keys = Seq("o_orderkey"),
+        saltCols = Seq("l_linenumber"),
+        saltBuckets = 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("price_sum"))
+
   /** Feature hashing (operators/FeatureOps.hashBucket): md5-derived
     * bucket, engine-portable by construction.
     */
@@ -531,6 +547,7 @@ object CoreQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> (saltedJoin _),
     "q_feature_hash" -> (featureHash _),
     "q_pct_rank" -> (pctRank _),
     "q_profile_drift" -> (profileDrift _),
@@ -632,6 +649,11 @@ object CoreQueries {
         |r3 AS (SELECT nodes.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c3.s, 0.0) AS pr
         |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
         |SELECT node, round(pr, 8) AS pr FROM r3""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l.l_extendedprice), 2) AS price_sum
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q_feature_hash" ->
       """SELECT doc_id,
         |  CAST('0x' || substr(md5(source || '|' || lang), 1, 8) AS BIGINT) % 1024 AS bucket
