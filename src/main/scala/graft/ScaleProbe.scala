@@ -474,8 +474,20 @@ object ScaleProbe {
         doc.select((col("doc_id") + lit(c * idOffset)).as("doc_id"), col("text"))
       }.reduce(_ unionByName _)
 
+      // copy-UNIQUE vocabulary for the set-similarity join: tokens carry the
+      // copy id, so the duplicate rate stays fixed as the corpus grows (10
+      // verbatim copies would instead inflate the true-pair count ×100)
+      def docsUnique(n: Int): DataFrame = (0 until n).map { c =>
+        doc.select(
+          (col("doc_id") + lit(c * idOffset)).as("doc_id"),
+          concat_ws(" ",
+            transform(split(trim(col("text")), "\\s+"),
+              t => concat(lit(s"c${c}_"), t))).as("text"))
+      }.reduce(_ unionByName _)
+
       val inputs = Seq[(String, Int => DataFrame)](
-        "ords" -> (ords _), "edges" -> (edges _), "docs" -> (docs _))
+        "ords" -> (ords _), "edges" -> (edges _), "docs" -> (docs _),
+        "docsu" -> (docsUnique _))
       for ((name, gen) <- inputs; n <- Seq(1, copies))
         write(gen(n), s"$workDir/${name}$n.parquet")
 
@@ -515,7 +527,9 @@ object ScaleProbe {
               Seq("grp")).count()
           },
           "group_sample" -> (() =>
-            Sampling.groupSample(rd("ords"), Seq("o_custkey"), col("o_orderkey"), 3).count())
+            Sampling.groupSample(rd("ords"), Seq("o_custkey"), col("o_orderkey"), 3).count()),
+          "setsim_join" -> (() =>
+            Dedup.setSimilarityJoin(rd("docsu"), theta = 0.8, shingle = 3).count())
         )
       }
 
