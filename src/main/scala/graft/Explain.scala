@@ -20,7 +20,9 @@ object Explain {
       if (args.nonEmpty) args.toSeq
       else Seq(
         "q_pvalue_filter", "q_clump", "q_locus_annotate", "q_overlaps",
-        "q_lsh_pairs", "q_clean_corpus", "q_contamination", "q_seq_pack")
+        "q_lsh_pairs", "q_clean_corpus", "q_contamination", "q_seq_pack",
+        "q_topk_pushdown", "q_setsim_join", "q_pagerank", "q_scd2",
+        "q_salted_join", "q_rolling_stats")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n===== $name =====")

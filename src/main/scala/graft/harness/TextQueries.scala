@@ -77,6 +77,15 @@ object TextQueries {
   def bm25Query(s: SparkSession, d: String): DataFrame =
     TextOps.bm25Scores(docsParallel(s, d), Seq("vector", "dup", "spark", "quantum"))
 
+  /** Sparse cosine top-5 retrieval (operators/TextOps.sparseCosineTopK):
+    * every 50th doc queries the rest through the shared TF-IDF space via
+    * the inverted-index term join.
+    */
+  def sparseTopK(s: SparkSession, d: String): DataFrame =
+    TextOps
+      .sparseCosineTopK(docsParallel(s, d), col("doc_id") % 50 === 0, k = 5)
+      .select(col("query_id"), col("doc_id"), round(col("cosine"), 6).as("cosine"))
+
   /** Exact Jaccard ≥ 0.5 set-similarity self-join with prefix filtering
     * (operators/Dedup.setSimilarityJoin); the oracle verifies EVERY pair
     * exhaustively via the token equi-join, so a prefix-filter false
@@ -579,6 +588,7 @@ object TextQueries {
     "q_bm25" -> (bm25Query _),
     "q_tfidf" -> (tfidfQuery _),
     "q_setsim_join" -> (setSimJoin _),
+    "q_sparse_topk" -> (sparseTopK _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_dsir_select" -> (dsirSelect _),
     "q_dup_spans" -> (dupSpans _),
@@ -681,6 +691,28 @@ object TextQueries {
         |  CAST(coalesce(c.component, bu.vec_id) AS BIGINT) AS component,
         |  coalesce(c.component, bu.vec_id) = bu.vec_id AS keep
         |FROM buck bu LEFT JOIN comp c ON bu.vec_id = c.vec_id""".stripMargin,
+    "q_sparse_topk" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |wd AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM dt),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term,
+        |    tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+        |  FROM wd CROSS JOIN n),
+        |nrm AS (SELECT doc_id, sqrt(sum(tfidf * tfidf)) AS nn FROM sc GROUP BY 1),
+        |wt AS (SELECT s.doc_id, s.term, s.tfidf / nrm.nn AS w,
+        |    s.doc_id % 50 = 0 AS isq
+        |  FROM sc s JOIN nrm ON s.doc_id = nrm.doc_id),
+        |p AS (SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+        |    sum(q.w * c.w) AS cosine
+        |  FROM wt q JOIN wt c ON q.term = c.term AND q.isq AND NOT c.isq
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, doc_id) AS rk FROM p)
+        |SELECT query_id, doc_id, round(cosine, 6) AS cosine FROM r WHERE rk <= 5""".stripMargin,
     "q_setsim_join" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
         |  FROM documents),

@@ -465,6 +465,48 @@ object TextOps {
       .drop("n_docs")
   }
 
+  /** Sparse cosine top-k retrieval over TF-IDF vectors via the INVERTED
+    * INDEX join: query and corpus documents are weighted in one shared
+    * [[tfidf]] space, pairs meet on their common terms (a term-keyed
+    * equi-join — the sparse analogue of the IVF bucket join; never
+    * all-pairs), partial dot products aggregate per (query, doc), and a
+    * window keeps the k best per query. Documents sharing no term with a
+    * query are — correctly — never scored.
+    *
+    * @param isQuery predicate over the docs frame splitting queries from
+    *                the corpus (query docs are excluded from the corpus
+    *                side, so there are no self-matches)
+    * @return `(query_id, doc_id, cosine)`, k rows per query
+    */
+  def sparseCosineTopK(
+      docs: DataFrame,
+      isQuery: Column,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = tfidf(docs, idCol, textCol)
+      .join(docs.select(col(idCol), isQuery.as("_q")), Seq(idCol))
+    val norms = w.groupBy(col(idCol))
+      .agg(sqrt(sum(col("tfidf") * col("tfidf"))).as("_norm"))
+    val weighted = w.join(norms, Seq(idCol))
+      .select(col(idCol), col("_q"), col("term"), (col("tfidf") / col("_norm")).as("_w"))
+    val q = weighted.filter(col("_q"))
+      .select(col(idCol).as("query_id"), col("term"), col("_w").as("_wq"))
+    val c = weighted.filter(!col("_q"))
+      .select(col(idCol).as("doc_id"), col("term"), col("_w").as("_wc"))
+    val scored = q.join(c, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("_wq") * col("_wc")).as("cosine"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id").asc)
+    scored
+      .withColumn("_rk", row_number().over(win))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** The `k` highest-tfidf terms per document (keyword extraction);
     * deterministic under ties via the term tiebreak.
     */

@@ -34,4 +34,22 @@ class TfidfSpec extends SparkSpec {
     val plan = TextOps.tfidf(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), s"df must come from a window, not a self-join:\n$plan")
   }
+
+  test("sparseCosineTopK ranks the lexically-closest corpus doc first via the term join") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "red apple pie with red apples"),    // the query doc
+      (1L, "red apple tart and red apples"),    // near doc
+      (2L, "quantum flux capacitor manual"),    // unrelated
+      (3L, "apple pie recipe")                  // related
+    ).toDF("doc_id", "text")
+    val got = TextOps.sparseCosineTopK(docs, col("doc_id") === 0L, k = 3)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    assert(got.forall(_._1 == 0L))
+    assert(got.map(_._2).head == 1L, s"nearest must be the near-duplicate: $got")
+    assert(!got.map(_._2).contains(0L), "no self-match")
+    assert(got.forall(r => r._3 > 0.0 && r._3 <= 1.0 + 1e-9))
+    // doc 2 shares no term with the query -> never scored
+    assert(!got.map(_._2).contains(2L), s"disjoint doc must be unscored: $got")
+  }
 }
