@@ -109,6 +109,33 @@ final case class GSession(spark: SparkSession) {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Small-file compaction: rewrite a parquet dataset into
+    * `ceil(totalBytes / targetBytes)` files. Streaming appends and
+    * per-partition-value sinks accumulate thousands of KB-sized files;
+    * at scan time each file costs a task plus footer reads, so periodic
+    * compaction is a standing maintenance job of any 100 TB lake. The
+    * rewrite goes to a NEW directory (no in-place mutation — swap is the
+    * caller's atomic rename), content byte-identical, row order not
+    * preserved (parquet makes no ordering promise across files).
+    *
+    * @return (filesBefore, filesAfter)
+    */
+  def compactParquet(inPath: String, outPath: String, targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = new org.apache.hadoop.fs.Path(inPath)
+    val fs = in.getFileSystem(conf)
+    val files = fs.listStatus(in).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (files.length, outFiles)
+  }
+
   /** Register the splittable BGZF codec for block-gzipped TSV summary stats
     * (common/session.py:473-497). Defaults to the in-repo
     * [[graft.sources.BgzfCodec]] (claims `.bgz`), so 100 GB block-gzipped

@@ -341,6 +341,22 @@ object CoreQueries {
     * columns directly (independent formulations, identical results absent
     * 2^-64 collisions).
     */
+  /** Small-file compaction round trip (core/GSession.compactParquet):
+    * a 64-file fragment of lineitem is compacted to few large files; the
+    * query returns the compacted CONTENT, so the oracle (the same
+    * selection straight from lineitem) proves the rewrite lost nothing.
+    */
+  def compactRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val g = graft.core.GSession(s)
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val frag = lineitem(s, d)
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    frag.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    g.compactParquet(s"$base/small", s"$base/compacted", targetBytes = 512L * 1024)
+    s.read.parquet(s"$base/compacted")
+  }
+
   /** Salted skew join (operators/SkewJoin): lineitem (fact) joined to
     * orders (dim, replicated 8×) — result must be row-identical to the
     * plain join the oracle runs.
@@ -547,6 +563,7 @@ object CoreQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_compact" -> (compactRoundtrip _),
     "q_salted_join" -> (saltedJoin _),
     "q_feature_hash" -> (featureHash _),
     "q_pct_rank" -> (pctRank _),
@@ -649,6 +666,9 @@ object CoreQueries {
         |r3 AS (SELECT nodes.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c3.s, 0.0) AS pr
         |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
         |SELECT node, round(pr, 8) AS pr FROM r3""".stripMargin,
+    "q_compact" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin,
     "q_salted_join" ->
       """SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(l.l_extendedprice), 2) AS price_sum

@@ -29,4 +29,17 @@ class BucketedJoinSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bkt_left")
     spark.sql("DROP TABLE IF EXISTS bkt_right")
   }
+
+  test("compactParquet merges a fragmented dataset into size-targeted files, content-identical") {
+    import spark.implicits._
+    val g = GSession(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    val df = (1L to 20000L).toDF("id").select($"id", ($"id" * 1.5).as("v"))
+    df.repartition(50).write.mode("overwrite").parquet(s"$base/small")
+    val (before, after) = g.compactParquet(s"$base/small", s"$base/out", targetBytes = 256L * 1024)
+    assert(before == 50)
+    assert(after < 10, s"expected few large files, got $after")
+    val back = spark.read.parquet(s"$base/out").as[(Long, Double)].collect().toSet
+    assert(back == df.as[(Long, Double)].collect().toSet)
+  }
 }
