@@ -341,6 +341,18 @@ object CoreQueries {
     * columns directly (independent formulations, identical results absent
     * 2^-64 collisions).
     */
+  /** OLAP rollup with grouping ids: subtotal levels
+    * (flag, status) → (flag) → () in one pass — Catalyst's Expand handles
+    * the grouping sets, identically to the oracle's GROUP BY ROLLUP.
+    */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("qty_sum"))
+
   /** Small-file compaction round trip (core/GSession.compactParquet):
     * a 64-file fragment of lineitem is compacted to few large files; the
     * query returns the compacted CONTENT, so the oracle (the same
@@ -563,6 +575,7 @@ object CoreQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup" -> (rollupAgg _),
     "q_compact" -> (compactRoundtrip _),
     "q_salted_join" -> (saltedJoin _),
     "q_feature_hash" -> (featureHash _),
@@ -666,6 +679,13 @@ object CoreQueries {
         |r3 AS (SELECT nodes.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c3.s, 0.0) AS pr
         |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
         |SELECT node, round(pr, 8) AS pr FROM r3""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS qty_sum
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q_compact" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin,
