@@ -541,7 +541,7 @@ object CoreQueries {
     * the right (valid_from, valid_to, is_current) rows. The oracle builds
     * the same history declaratively from the two snapshots.
     */
-  def scd2(s: SparkSession, d: String): DataFrame = {
+  private def scd2History(s: SparkSession, d: String): DataFrame = {
     val k = col("o_orderkey")
     val snap1 = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     val snap2 = snap1
@@ -551,11 +551,28 @@ object CoreQueries {
         when(k % 13 === 0, col("o_totalprice") + 1000.0).otherwise(col("o_totalprice")))
       .unionByName(
         snap1.filter(k % 101 === 0).withColumn("o_orderkey", k + 10000000L))
+    graft.operators.Scd2.applySnapshot(
+      graft.operators.Scd2.init(snap1, lit(100L)),
+      snap2, Seq("o_orderkey"), lit(200L))
+  }
+
+  def scd2(s: SparkSession, d: String): DataFrame =
+    scd2History(s, d).withColumn("o_totalprice", round(col("o_totalprice"), 6))
+
+  /** Point-in-time join (operators/Scd2.joinAsOf): lineitem facts carry a
+    * timestamp 50 + 50·linenumber (spanning before / between / after the
+    * two snapshot batches) and must each see the dimension version valid
+    * at their own time — or be dropped when none was.
+    */
+  def scd2AsOf(s: SparkSession, d: String): DataFrame = {
+    val facts = lineitem(s, d).select(
+      col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+      (lit(50L) + col("l_linenumber") * 50L).as("t"))
     graft.operators.Scd2
-      .applySnapshot(
-        graft.operators.Scd2.init(snap1, lit(100L)),
-        snap2, Seq("o_orderkey"), lit(200L))
-      .withColumn("o_totalprice", round(col("o_totalprice"), 6))
+      .joinAsOf(facts, scd2History(s, d), Seq("o_orderkey"), "t")
+      .select(
+        col("o_orderkey"), col("l_linenumber"), col("t"),
+        col("o_orderstatus"), round(col("o_totalprice"), 6).as("o_totalprice"))
   }
 
   def snapshotDiff(s: SparkSession, d: String): DataFrame = {
@@ -590,6 +607,7 @@ object CoreQueries {
     "q_stratified_sample" -> (stratifiedSample _),
     "q_weighted_sample" -> (weightedSample _),
     "q_scd2" -> (scd2 _),
+    "q_scd2_asof" -> (scd2AsOf _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_hist_quantile" -> (histQuantile _),
     "q_constraints" -> (constraintsQ _),
@@ -615,6 +633,38 @@ object CoreQueries {
     "q_missingness" -> (missingness _),
     "q_dedup_exact" -> (dedupExact _)
   )
+
+  /** DuckDB mirror of the q_scd2 two-snapshot history: `hist` carries the
+    * unrounded payload plus (valid_from, valid_to, is_current), reused by
+    * the point-in-time join oracle.
+    */
+  private val Scd2HistSql =
+    """s1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |s2 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 101 = 0),
+      |cls AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+      |    a.o_orderkey IS NOT NULL AS op, b.o_orderkey IS NOT NULL AS np,
+      |    (a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL AND
+      |     (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+      |      OR a.o_totalprice IS DISTINCT FROM b.o_totalprice)) AS chg,
+      |    a.o_orderstatus AS o_s, a.o_totalprice AS o_p,
+      |    b.o_orderstatus AS n_s, b.o_totalprice AS n_p
+      |  FROM s1 a FULL OUTER JOIN s2 b ON a.o_orderkey = b.o_orderkey),
+      |hist AS (
+      |  SELECT k AS o_orderkey, o_s AS o_orderstatus, o_p AS o_totalprice,
+      |    CAST(100 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+      |    TRUE AS is_current
+      |  FROM cls WHERE op AND np AND NOT chg
+      |  UNION ALL
+      |  SELECT k, o_s, o_p, 100, 200, FALSE FROM cls WHERE op AND (chg OR NOT np)
+      |  UNION ALL
+      |  SELECT k, n_s, n_p, 200, NULL, TRUE FROM cls WHERE np AND (chg OR NOT op))""".stripMargin
 
   /** DuckDB mirror of Profiler.profile over the 4 profiled orders columns,
     * parameterised by source relation so the drift oracle can profile two
@@ -752,31 +802,18 @@ object CoreQueries {
         |              ELSE -1.0 END) DESC, id) AS rk FROM b)
         |SELECT l_returnflag, l_orderkey, l_linenumber FROM r WHERE rk <= 10""".stripMargin,
     "q_scd2" ->
-      """WITH s1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-        |s2 AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.0
-        |         ELSE o_totalprice END AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 97 <> 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
-        |  FROM orders WHERE o_orderkey % 101 = 0),
-        |cls AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
-        |    a.o_orderkey IS NOT NULL AS op, b.o_orderkey IS NOT NULL AS np,
-        |    (a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL AND
-        |     (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
-        |      OR a.o_totalprice IS DISTINCT FROM b.o_totalprice)) AS chg,
-        |    a.o_orderstatus AS o_s, a.o_totalprice AS o_p,
-        |    b.o_orderstatus AS n_s, b.o_totalprice AS n_p
-        |  FROM s1 a FULL OUTER JOIN s2 b ON a.o_orderkey = b.o_orderkey)
-        |SELECT k AS o_orderkey, o_s AS o_orderstatus, round(o_p, 6) AS o_totalprice,
-        |  CAST(100 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
-        |  TRUE AS is_current
-        |FROM cls WHERE op AND np AND NOT chg
-        |UNION ALL
-        |SELECT k, o_s, round(o_p, 6), 100, 200, FALSE FROM cls WHERE op AND (chg OR NOT np)
-        |UNION ALL
-        |SELECT k, n_s, round(n_p, 6), 200, NULL, TRUE FROM cls WHERE np AND (chg OR NOT op)""".stripMargin,
+      s"""WITH $Scd2HistSql
+        |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 6) AS o_totalprice,
+        |  valid_from, valid_to, is_current
+        |FROM hist""".stripMargin,
+    "q_scd2_asof" ->
+      s"""WITH $Scd2HistSql,
+        |facts AS (SELECT l_orderkey AS o_orderkey, l_linenumber,
+        |    50 + l_linenumber * 50 AS t FROM lineitem)
+        |SELECT f.o_orderkey, f.l_linenumber, CAST(f.t AS BIGINT) AS t,
+        |  h.o_orderstatus, round(h.o_totalprice, 6) AS o_totalprice
+        |FROM facts f JOIN hist h ON f.o_orderkey = h.o_orderkey
+        |WHERE h.valid_from <= f.t AND (h.valid_to IS NULL OR h.valid_to > f.t)""".stripMargin,
     "q_snapshot_diff" ->
       """WITH oldsnap AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |newsnap AS (

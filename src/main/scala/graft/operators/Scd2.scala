@@ -120,4 +120,29 @@ object Scd2 {
     history.filter(
       col("valid_from") <= t && (col("valid_to").isNull || col("valid_to") > t))
   }
+
+  /** Point-in-time join: each fact row picks the dimension version that was
+    * valid at ITS OWN timestamp (`tCol`) — the read path that makes an SCD2
+    * history useful (training examples see the features as they were, not
+    * as they are).
+    *
+    * Scale shape: an equi-join on the key with the validity range as a
+    * post-join filter — NOT a range join. Version count per key is bounded
+    * (it is a dimension history), so the equi-join fan-out is a small
+    * constant and Catalyst keeps the whole thing a hash join; facts with no
+    * valid version at their timestamp are dropped (inner semantics).
+    */
+  def joinAsOf(
+      facts: DataFrame,
+      history: DataFrame,
+      keyCols: Seq[String],
+      tCol: String
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val t = col(tCol).cast("long")
+    facts
+      .join(history, keyCols)
+      .filter(col("valid_from") <= t && (col("valid_to").isNull || col("valid_to") > t))
+      .drop("valid_from", "valid_to", "is_current")
+  }
 }
