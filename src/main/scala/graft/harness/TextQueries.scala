@@ -77,6 +77,20 @@ object TextQueries {
   def bm25Query(s: SparkSession, d: String): DataFrame =
     TextOps.bm25Scores(docsParallel(s, d), Seq("vector", "dup", "spark", "quantum"))
 
+  /** Incremental near-dup (operators/Dedup.incrementalNearDup): every 10th
+    * doc is the "new batch", the rest the published reference — candidates
+    * are new×ref band collisions only, verified at Jaccard ≥ 0.5.
+    */
+  def incrNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+    Dedup
+      .incrementalNearDup(
+        Dedup.signatures(docs.filter(col("doc_id") % 10 === 0)),
+        Dedup.signatures(docs.filter(col("doc_id") % 10 =!= 0)),
+        threshold = 0.5)
+      .select(col("new_id"), col("ref_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Sparse cosine top-5 retrieval (operators/TextOps.sparseCosineTopK):
     * every 50th doc queries the rest through the shared TF-IDF space via
     * the inverted-index term join.
@@ -589,6 +603,7 @@ object TextQueries {
     "q_tfidf" -> (tfidfQuery _),
     "q_setsim_join" -> (setSimJoin _),
     "q_sparse_topk" -> (sparseTopK _),
+    "q_incr_near_dup" -> (incrNearDup _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_dsir_select" -> (dsirSelect _),
     "q_dup_spans" -> (dupSpans _),
@@ -691,6 +706,19 @@ object TextQueries {
         |  CAST(coalesce(c.component, bu.vec_id) AS BIGINT) AS component,
         |  coalesce(c.component, bu.vec_id) = bu.vec_id AS keep
         |FROM buck bu LEFT JOIN comp c ON bu.vec_id = c.vec_id""".stripMargin,
+    "q_incr_near_dup" ->
+      s"""WITH $SigSql,
+         |bands AS (SELECT doc_id, b, md5(sig[b*2+1] || sig[b*2+2]) AS bh FROM sig, range(0, 8) t(b)),
+         |pairs AS (SELECT a.doc_id AS new_id, b.doc_id AS ref_id FROM bands a
+         |  JOIN bands b ON a.b = b.b AND a.bh = b.bh
+         |  AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1, 2),
+         |dsh AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+         |inter AS (SELECT p.new_id, p.ref_id,
+         |    len(list_filter(x.s, v -> list_contains(y.s, v))) AS i,
+         |    len(x.s) AS nx, len(y.s) AS ny
+         |  FROM pairs p JOIN dsh x ON p.new_id = x.doc_id JOIN dsh y ON p.ref_id = y.doc_id)
+         |SELECT new_id, ref_id, round(i / CAST(nx + ny - i AS DOUBLE), 6) AS jaccard
+         |FROM inter WHERE i / CAST(nx + ny - i AS DOUBLE) >= 0.5""".stripMargin,
     "q_sparse_topk" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

@@ -509,6 +509,37 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0))).cast("int").as("n_removed"))
   }
 
+  /** Incremental near-dup: verified candidates between a NEW ingest batch
+    * and an existing REFERENCE corpus only (new × ref — never ref × ref,
+    * which the publish run already did). The reference side is the
+    * persisted [[signatures]] artifact from that run, so a 100 TB corpus is
+    * NOT re-hashed per batch: only the (small) new side computes
+    * signatures, and the band join's shuffle is sized by the batch.
+    *
+    * @return `(new_id, ref_id, jaccard)` for verified pairs ≥ threshold
+    */
+  def incrementalNearDup(
+      newSigs: DataFrame,
+      refSigs: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold out of (0,1]: $threshold")
+    def bandKeys(sigs: DataFrame, as: String): DataFrame =
+      sigs.select(
+        col(idCol).as(as), posexplode(col("bands")).as(Seq("band", "band_hash")))
+    val candidates = bandKeys(newSigs, "new_id")
+      .join(bandKeys(refSigs, "ref_id"), Seq("band", "band_hash"))
+      .select(col("new_id"), col("ref_id"))
+      .distinct()
+    candidates
+      .join(newSigs.select(col(idCol).as("new_id"), col("shingles").as("_sa")), Seq("new_id"))
+      .join(refSigs.select(col(idCol).as("ref_id"), col("shingles").as("_sb")), Seq("ref_id"))
+      .withColumn("jaccard", jaccard(col("_sa"), col("_sb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("ref_id"), col("jaccard"))
+  }
+
   /** EXACT threshold set-similarity self-join (token-set Jaccard ≥ θ) via
     * prefix filtering (Chaudhuri/Ganti/Kaushik 2006, the PPJoin family):
     * order each document's distinct tokens by global rarity (df asc, term

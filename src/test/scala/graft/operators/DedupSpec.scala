@@ -254,4 +254,27 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
     assert(want.size == 20, s"planted 20 near-dup pairs, found ${want.size}")
   }
+
+  test("incrementalNearDup pairs the new batch against the reference only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val body = (0 until 40).map(j => s"tok$j").mkString(" ")
+    val ref = Seq(
+      (1L, body), (2L, body + " tail tail2 tail3"),           // ref near-dups of each other
+      (3L, (100 until 140).map(j => s"z$j").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, body + " extra"),                                  // dup of ref 1/2
+      (11L, (200 until 240).map(j => s"q$j").mkString(" "))    // novel
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(
+      Dedup.signatures(fresh), Dedup.signatures(ref), threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((10L, 1L)), s"new near-dup must hit its ref twin: $pairs")
+    assert(got.forall(r => Set(10L, 11L).contains(r._1)), "left side must be new ids only")
+    assert(got.forall(r => Set(1L, 2L, 3L).contains(r._2)), "right side must be ref ids only")
+    assert(!pairs.exists(p => p._1 == 11L), "novel doc matches nothing")
+    assert(got.forall(_._3 >= 0.5))
+  }
 }
