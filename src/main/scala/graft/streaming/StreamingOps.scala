@@ -335,6 +335,50 @@ object StreamingOps {
       }
   }
 
+  final case class Scd2Change(key: String, op: String, payload: String, value: Double, ts: Long)
+  final case class VersionState(payload: String, value: Double, from: Long)
+  final case class VersionRow(
+      key: String, payload: String, value: Double,
+      valid_from: Long, valid_to: Option[Long], is_current: Boolean)
+
+  /** Streaming twin of [[graft.operators.Scd2]]: a CDC change stream
+    * (`op` ∈ upsert|delete, each carrying its batch timestamp) folds into
+    * SCD2 version rows live. Closed versions are emitted exactly once (they
+    * are immutable history); the open version is re-emitted whenever it
+    * changes — a sink keeping the latest row per `(key, valid_from)`
+    * reconstructs the same table the batch fold produces.
+    */
+  def scd2Stream(changes: Dataset[Scd2Change]): Dataset[VersionRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Scd2Change], state: GroupState[VersionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[VersionRow]
+          var cur = state.getOption
+          rows.toSeq.sortBy(c => (c.ts, c.op)).foreach { c =>
+            (c.op, cur) match {
+              case ("delete", Some(v)) =>
+                out += VersionRow(key, v.payload, v.value, v.from, Some(c.ts), is_current = false)
+                cur = None
+              case ("delete", None) => // no-op
+              case (_, Some(v)) if v.payload == c.payload && v.value == c.value => // unchanged
+              case (_, maybe) =>
+                maybe.foreach { v =>
+                  out += VersionRow(key, v.payload, v.value, v.from, Some(c.ts), is_current = false)
+                }
+                cur = Some(VersionState(c.payload, c.value, c.ts))
+                out += VersionRow(key, c.payload, c.value, c.ts, None, is_current = true)
+            }
+          }
+          cur match {
+            case Some(v) => state.update(v)
+            case None => state.remove()
+          }
+          out.iterator
+      }
+  }
+
   final case class FunnelEvent(userId: Long, eventType: String, t: Long)
   final case class FunnelState(slots: List[Option[Long]])
   final case class FunnelProgress(

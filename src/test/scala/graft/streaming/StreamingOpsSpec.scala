@@ -444,4 +444,46 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch == Set(("a", 2L, 6.0), ("b", 1L, 3.0), ("d", 1L, 7.0)))
     assert(batch.subsetOf(emitted), "final states must all have been emitted live")
   }
+
+  test("streaming SCD2 fold matches the batch Scd2 snapshot application") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.Scd2Change
+    val input = MemoryStream[Scd2Change]
+    val q = StreamingOps.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode(OutputMode.Append)
+      .start()
+
+    // batch at ts=100: initial upserts (equivalent to snapshot 1)
+    input.addData(
+      Scd2Change("a", "upsert", "pa", 1.0, 100L),
+      Scd2Change("b", "upsert", "pb", 2.0, 100L),
+      Scd2Change("c", "upsert", "pc", 3.0, 100L))
+    q.processAllAvailable()
+    // batch at ts=200: a changed, c deleted, d added (snapshot 2)
+    input.addData(
+      Scd2Change("a", "upsert", "pa", 9.0, 200L),
+      Scd2Change("c", "delete", "", 0.0, 200L),
+      Scd2Change("d", "upsert", "pd", 7.0, 200L))
+    q.processAllAvailable()
+    q.stop()
+
+    // sink reconciliation: latest emission per (key, valid_from)
+    val live = spark.sql(
+      """SELECT key, payload, value, valid_from, valid_to, is_current FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key, valid_from
+        |    ORDER BY CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END ASC) AS rk
+        |  FROM scd2_stream) WHERE rk = 1""".stripMargin)
+      .as[(String, String, Double, Long, Option[Long], Boolean)].collect().toSet
+
+    // batch twin over the equivalent snapshots
+    import graft.operators.Scd2
+    import org.apache.spark.sql.functions.lit
+    val s1 = Seq(("a", "pa", 1.0), ("b", "pb", 2.0), ("c", "pc", 3.0)).toDF("key", "payload", "value")
+    val s2 = Seq(("a", "pa", 9.0), ("b", "pb", 2.0), ("d", "pd", 7.0)).toDF("key", "payload", "value")
+    val batch = Scd2.applySnapshot(Scd2.init(s1, lit(100L)), s2, Seq("key"), lit(200L))
+      .as[(String, String, Double, Long, Option[Long], Boolean)].collect().toSet
+    assert(live == batch, s"stream fold diverged:\nlive=$live\nbatch=$batch")
+  }
 }
