@@ -341,6 +341,55 @@ object CoreQueries {
     * columns directly (independent formulations, identical results absent
     * 2^-64 collisions).
     */
+  /** A/B experiment readout: per event type, Welch's t statistic between
+    * the user-hash variant split. Variances via the explicit
+    * (Σx², Σx, n) sum-of-squares formulation so both engines aggregate
+    * the same three sums in one pass (var_samp's internal algorithm
+    * differs between engines).
+    */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      col("event_type"),
+      (col("user_id") % 2 === 0).as("variant_a"),
+      col("value"))
+    val agg = ev
+      .groupBy(col("event_type"), col("variant_a"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("value")).as("sx"),
+        sum(col("value") * col("value")).as("sxx"))
+      .select(
+        col("event_type"), col("variant_a"), col("n"),
+        (col("sx") / col("n")).as("m"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("s2"))
+    val a = agg.filter(col("variant_a")).drop("variant_a")
+      .select(col("event_type"), col("n").as("n_a"), col("m").as("m_a"), col("s2").as("s2_a"))
+    val b = agg.filter(!col("variant_a")).drop("variant_a")
+      .select(col("event_type"), col("n").as("n_b"), col("m").as("m_b"), col("s2").as("s2_b"))
+    a.join(b, Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        round(col("m_a") - col("m_b"), 6).as("mean_diff"),
+        round(
+          (col("m_a") - col("m_b")) /
+            sqrt(col("s2_a") / col("n_a") + col("s2_b") / col("n_b")), 6).as("welch_t"))
+  }
+
+  /** Per-group categorical entropy (nats): the class-balance metric of a
+    * data-quality report.
+    */
+  def entropyQ(s: SparkSession, d: String): DataFrame = {
+    val counts = lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val totals = counts.groupBy(col("l_returnflag")).agg(sum(col("c")).as("t"))
+    counts
+      .join(totals, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(-sum((col("c") / col("t")) * log(col("c") / col("t"))), 6).as("entropy"))
+  }
+
   /** OLAP rollup with grouping ids: subtotal levels
     * (flag, status) → (flag) → () in one pass — Catalyst's Expand handles
     * the grouping sets, identically to the oracle's GROUP BY ROLLUP.
@@ -592,6 +641,8 @@ object CoreQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_test" -> (abTest _),
+    "q_entropy" -> (entropyQ _),
     "q_rollup" -> (rollupAgg _),
     "q_compact" -> (compactRoundtrip _),
     "q_salted_join" -> (saltedJoin _),
@@ -729,6 +780,25 @@ object CoreQueries {
         |r3 AS (SELECT nodes.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c3.s, 0.0) AS pr
         |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
         |SELECT node, round(pr, 8) AS pr FROM r3""".stripMargin,
+    "q_ab_test" ->
+      """WITH agg AS (SELECT event_type, user_id % 2 = 0 AS variant_a,
+        |    CAST(count(*) AS DOUBLE) AS n, sum(value) AS sx, sum(value * value) AS sxx
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, variant_a, n, sx / n AS m,
+        |    (sxx - sx * sx / n) / (n - 1) AS s2 FROM agg)
+        |SELECT a.event_type, CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  round(a.m - b.m, 6) AS mean_diff,
+        |  round((a.m - b.m) / sqrt(a.s2 / a.n + b.s2 / b.n), 6) AS welch_t
+        |FROM st a JOIN st b ON a.event_type = b.event_type
+        |  AND a.variant_a AND NOT b.variant_a""".stripMargin,
+    "q_entropy" ->
+      """WITH c AS (SELECT l_returnflag, l_linestatus, CAST(count(*) AS DOUBLE) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT l_returnflag, sum(c) AS t FROM c GROUP BY 1)
+        |SELECT c.l_returnflag,
+        |  round(-sum((c.c / t.t) * ln(c.c / t.t)), 6) AS entropy
+        |FROM c JOIN t ON c.l_returnflag = t.l_returnflag
+        |GROUP BY 1""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
