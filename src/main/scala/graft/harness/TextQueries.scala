@@ -77,6 +77,21 @@ object TextQueries {
   def bm25Query(s: SparkSession, d: String): DataFrame =
     TextOps.bm25Scores(docsParallel(s, d), Seq("vector", "dup", "spark", "quantum"))
 
+  /** Distributed Gram matrix (operators/Pca.gramStats): the one-pass
+    * sufficient statistic of PCA over the first 16 embedding dims,
+    * emitted as upper-triangular (i, j, Σ xᵢxⱼ) cells. The oracle is the
+    * naive unnest-twice double sum.
+    */
+  def gramQuery(s: SparkSession, d: String): DataFrame = {
+    val stats = graft.operators.Pca.gramStats(
+      s.read.parquet(s"$d/embeddings.parquet"), "embedding", dims = 16)
+    val dims = stats.dims
+    val cells = for { i <- 0 until dims; j <- i until dims }
+      yield (i, j, BigDecimal(stats.gram(i * dims + j)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    import s.implicits._
+    cells.toDF("i", "j", "v")
+  }
+
   /** Incremental near-dup (operators/Dedup.incrementalNearDup): every 10th
     * doc is the "new batch", the rest the published reference — candidates
     * are new×ref band collisions only, verified at Jaccard ≥ 0.5.
@@ -604,6 +619,7 @@ object TextQueries {
     "q_setsim_join" -> (setSimJoin _),
     "q_sparse_topk" -> (sparseTopK _),
     "q_incr_near_dup" -> (incrNearDup _),
+    "q_gram" -> (gramQuery _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_dsir_select" -> (dsirSelect _),
     "q_dup_spans" -> (dupSpans _),
@@ -706,6 +722,11 @@ object TextQueries {
         |  CAST(coalesce(c.component, bu.vec_id) AS BIGINT) AS component,
         |  coalesce(c.component, bu.vec_id) = bu.vec_id AS keep
         |FROM buck bu LEFT JOIN comp c ON bu.vec_id = c.vec_id""".stripMargin,
+    "q_gram" ->
+      """SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+        |  round(sum(CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[j + 1] AS DOUBLE)), 4) AS v
+        |FROM embeddings, range(0, 16) ti(i), range(0, 16) tj(j)
+        |WHERE i <= j GROUP BY 1, 2""".stripMargin,
     "q_incr_near_dup" ->
       s"""WITH $SigSql,
          |bands AS (SELECT doc_id, b, md5(sig[b*2+1] || sig[b*2+2]) AS bh FROM sig, range(0, 8) t(b)),

@@ -1,0 +1,107 @@
+package graft.operators
+
+import breeze.linalg.{eigSym, DenseMatrix, DenseVector}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Distributed PCA for embedding compression: project d-dimensional
+  * embeddings onto their top-k principal components (k ≪ d) — the
+  * storage/compute reducer that sits in front of ANN indexing and
+  * SemDeDup at corpus scale (a 768→64 projection cuts every downstream
+  * pair dot product 12×).
+  *
+  * Scale split, the only one that works at N = 10¹²: the GRAM MATRIX is
+  * accumulated distributed in ONE pass (`treeAggregate` of per-partition
+  * dense d×d partials — this is the codebase's justified RDD use: the
+  * relational formulation explodes N×d² rows, the dense partial is d²
+  * doubles per partition); the d×d eigendecomposition runs on the driver
+  * (microseconds for d ≤ 4096); the projection back over N rows is a
+  * per-row codegen dot-product projection, shuffle-free.
+  */
+object Pca {
+
+  /** One-pass sufficient statistics: row count, per-dim sums, and the
+    * upper-triangular Gram Σ xxᵀ (flattened row-major d×d, symmetric).
+    */
+  final case class GramStats(n: Long, sums: Array[Double], gram: Array[Double]) {
+    def dims: Int = sums.length
+  }
+
+  /** @param embCol array column; only the first `dims` entries are used */
+  def gramStats(vecs: DataFrame, embCol: String, dims: Int): GramStats = {
+    require(dims > 0, s"dims must be positive: $dims")
+    val rows = vecs
+      .select(slice(col(embCol), 1, dims).cast("array<double>").as("_e"))
+      .filter(size(col("_e")) === dims)
+    val zero = GramStats(0L, new Array[Double](dims), new Array[Double](dims * dims))
+    def seq(acc: GramStats, r: Row): GramStats = {
+      val x = r.getSeq[Double](0)
+      var i = 0
+      while (i < dims) {
+        val xi = x(i)
+        acc.sums(i) += xi
+        var j = i
+        while (j < dims) { acc.gram(i * dims + j) += xi * x(j); j += 1 }
+        i += 1
+      }
+      GramStats(acc.n + 1, acc.sums, acc.gram)
+    }
+    def comb(a: GramStats, b: GramStats): GramStats = {
+      var i = 0
+      while (i < dims) { a.sums(i) += b.sums(i); i += 1 }
+      var c = 0
+      while (c < dims * dims) { a.gram(c) += b.gram(c); c += 1 }
+      GramStats(a.n + b.n, a.sums, a.gram)
+    }
+    rows.rdd.treeAggregate(zero)(seq, comb)
+  }
+
+  final case class PcaModel(
+      mean: Array[Double],
+      components: Array[Array[Double]], // k rows of length d
+      explainedVariance: Array[Double])
+
+  /** Fit top-k components from the one-pass stats: covariance
+    * `(G − n·m·mᵀ)/(n−1)` assembled and eigendecomposed on the driver.
+    */
+  def fit(stats: GramStats, k: Int): PcaModel = {
+    val d = stats.dims
+    require(k > 0 && k <= d, s"k out of (0,$d]: $k")
+    require(stats.n > 1, s"need at least 2 rows, got ${stats.n}")
+    val n = stats.n.toDouble
+    val mean = stats.sums.map(_ / n)
+    val cov = DenseMatrix.tabulate(d, d) { (i, j) =>
+      val g = stats.gram(math.min(i, j) * d + math.max(i, j))
+      (g - n * mean(i) * mean(j)) / (n - 1)
+    }
+    val es = eigSym(cov)
+    val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).take(k)
+    val comps = order.map { case (_, idx) =>
+      val v = es.eigenvectors(::, idx)
+      // sign convention: largest-|coord| entry positive, so fits are
+      // reproducible across LAPACK builds
+      val pivot = v.toArray.maxBy(math.abs)
+      (if (pivot < 0) -v else v).toArray
+    }
+    PcaModel(mean, comps, order.map(_._1))
+  }
+
+  def fit(vecs: DataFrame, embCol: String, dims: Int, k: Int): PcaModel =
+    fit(gramStats(vecs, embCol, dims), k)
+
+  /** Project the embedding column onto the fitted components: appends
+    * `<embCol>_pca` (array of k floats). Pure codegen dot products against
+    * literal component arrays — no shuffle, no UDF.
+    */
+  def transform(vecs: DataFrame, embCol: String, model: PcaModel): DataFrame = {
+    import graft.functions.expressions.dot_product
+    val d = model.mean.length
+    val centered = slice(col(embCol), 1, d).cast("array<double>")
+    val meanLit = array(model.mean.map(lit): _*)
+    val x = zip_with(centered, meanLit, (a, b) => a - b)
+    val proj = model.components.map { c =>
+      dot_product(x, array(c.map(lit): _*)).cast("float")
+    }
+    vecs.withColumn(s"${embCol}_pca", array(proj: _*))
+  }
+}
