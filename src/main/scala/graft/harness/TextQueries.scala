@@ -92,6 +92,16 @@ object TextQueries {
     cells.toDF("i", "j", "v")
   }
 
+  /** Deterministic JL random projection (operators/Pca.randomProject):
+    * 16 → 8 dims with md5-derived signs the oracle regenerates in SQL.
+    */
+  def randomProjQuery(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pca
+      .randomProject(
+        s.read.parquet(s"$d/embeddings.parquet"), "embedding", dims = 16, outDims = 8)
+      .select(col("vec_id"), posexplode(col("embedding_rp")).as(Seq("k", "v")))
+      .select(col("vec_id"), col("k"), round(col("v").cast("double"), 4).as("v"))
+
   /** Incremental near-dup (operators/Dedup.incrementalNearDup): every 10th
     * doc is the "new batch", the rest the published reference — candidates
     * are new×ref band collisions only, verified at Jaccard ≥ 0.5.
@@ -620,6 +630,7 @@ object TextQueries {
     "q_sparse_topk" -> (sparseTopK _),
     "q_incr_near_dup" -> (incrNearDup _),
     "q_gram" -> (gramQuery _),
+    "q_random_proj" -> (randomProjQuery _),
     "q_dsir_weights" -> (dsirWeights _),
     "q_dsir_select" -> (dsirSelect _),
     "q_dup_spans" -> (dupSpans _),
@@ -722,6 +733,17 @@ object TextQueries {
         |  CAST(coalesce(c.component, bu.vec_id) AS BIGINT) AS component,
         |  coalesce(c.component, bu.vec_id) = bu.vec_id AS keep
         |FROM buck bu LEFT JOIN comp c ON bu.vec_id = c.vec_id""".stripMargin,
+    "q_random_proj" ->
+      """WITH w AS (SELECT k, d,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |      substr(md5('rp:' || CAST(k AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) - 1 >= 8
+        |    THEN 1.0 ELSE -1.0 END AS wgt
+        |  FROM range(0, 8) tk(k), range(0, 16) td(d)),
+        |proj AS (SELECT e.vec_id, w.k,
+        |    sum(CAST(e.embedding[w.d + 1] AS DOUBLE) * w.wgt) / sqrt(8) AS v
+        |  FROM embeddings e, w GROUP BY 1, 2)
+        |SELECT vec_id, CAST(k AS INTEGER) AS k,
+        |  round(CAST(CAST(v AS REAL) AS DOUBLE), 4) AS v FROM proj""".stripMargin,
     "q_gram" ->
       """SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
         |  round(sum(CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[j + 1] AS DOUBLE)), 4) AS v

@@ -89,6 +89,41 @@ object Pca {
   def fit(vecs: DataFrame, embCol: String, dims: Int, k: Int): PcaModel =
     fit(gramStats(vecs, embCol, dims), k)
 
+  /** Deterministic Johnson–Lindenstrauss random projection: `outDims`
+    * components of ±1/√outDims signs derived from `md5("rp:k:d")` — the
+    * FIT-FREE compression path (no Gram pass, no model to ship; distances
+    * preserved within the JL bound). Signs are engine-reproducible, so an
+    * external system — or the DuckDB oracle — regenerates the exact same
+    * matrix from the formula alone. The per-row projection is the same
+    * literal-array codegen dot product as [[transform]]: the weight matrix
+    * is a plan CONSTANT, never a joined table (a relational matmul would
+    * shuffle N×d×K rows).
+    */
+  def signFor(k: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp:$k:$d".getBytes("UTF-8"))
+    // first hex digit = high nibble of byte 0; >= 8 → +1
+    if (((hex(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+  }
+
+  def randomProject(
+      vecs: DataFrame,
+      embCol: String,
+      dims: Int,
+      outDims: Int): DataFrame = {
+    import graft.functions.expressions.dot_product
+    require(outDims > 0, s"outDims must be positive: $outDims")
+    // division (not multiply-by-reciprocal) so external re-implementations
+    // of "sum / sqrt(K)" are bit-identical
+    val scale = math.sqrt(outDims.toDouble)
+    val x = slice(col(embCol), 1, dims).cast("array<double>")
+    val proj = (0 until outDims).map { k =>
+      (dot_product(x, array((0 until dims).map(d => lit(signFor(k, d))): _*)) / scale)
+        .cast("float")
+    }
+    vecs.withColumn(s"${embCol}_rp", array(proj: _*))
+  }
+
   /** Project the embedding column onto the fitted components: appends
     * `<embCol>_pca` (array of k floats). Pure codegen dot products against
     * literal component arrays — no shuffle, no UDF.

@@ -62,4 +62,23 @@ class PcaSpec extends SparkSpec {
     val plan = Pca.transform(data, "embedding", model).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
   }
+
+  test("JL random projection preserves pairwise distances within tolerance, deterministically") {
+    val proj = Pca.randomProject(data, "embedding", dims = 8, outDims = 32)
+      .select($"vec_id", $"embedding", $"embedding_rp")
+      .as[(Long, Seq[Float], Seq[Float])].collect().sortBy(_._1).take(40)
+    def dist(a: Seq[Float], b: Seq[Float]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ratios = for (w <- proj.sliding(2).toSeq; p = w(0); q = w(1); d = dist(p._2, q._2) if d > 0.5)
+      yield dist(p._3, q._3) / d
+    assert(ratios.nonEmpty)
+    // K=32 JL: distortion comfortably within +/-60% per pair, mean near 1
+    assert(ratios.forall(r => r > 0.4 && r < 1.6), s"worst ratios: ${ratios.min}, ${ratios.max}")
+    assert(math.abs(ratios.sum / ratios.size - 1.0) < 0.2)
+    val again = Pca.randomProject(data, "embedding", dims = 8, outDims = 32)
+      .select($"embedding_rp").as[Seq[Float]].collect()
+    val first = Pca.randomProject(data, "embedding", dims = 8, outDims = 32)
+      .select($"embedding_rp").as[Seq[Float]].collect()
+    assert(again.toSeq == first.toSeq, "projection must be deterministic")
+  }
 }
