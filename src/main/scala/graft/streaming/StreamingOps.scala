@@ -53,6 +53,44 @@ object StreamingOps {
         col("value_sum")
       )
 
+  /** Watermarked STREAM-STREAM attribution join: each conversion pairs with
+    * the views of the same user in the `window` before it — the classic
+    * click/conversion attribution as a live pipeline. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so the
+    * engine can expire view state once `view_ts + window` falls behind the
+    * conversion watermark — state stays proportional to the window, not the
+    * stream. Batch twin: the same time-range join as a static interval
+    * join.
+    *
+    * @param views       streaming frame `(user_id, ts, ...viewCols)`
+    * @param conversions streaming frame `(user_id, ts, ...convCols)`
+    */
+  def attributionJoinStream(
+      views: DataFrame,
+      conversions: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "30 minutes"
+  ): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("ts").as("view_ts"), col("value").as("view_value"))
+      .withWatermark("view_ts", watermark)
+    val c = conversions
+      .select(col("user_id"), col("ts").as("conv_ts"), col("value").as("conv_value"))
+      .withWatermark("conv_ts", watermark)
+    c.as("c")
+      .join(
+        v.as("v"),
+        expr(s"""
+          c.user_id = v.user_id AND
+          v.view_ts <= c.conv_ts AND
+          v.view_ts >= c.conv_ts - INTERVAL $window
+        """))
+      .select(
+        col("c.user_id").as("user_id"),
+        col("v.view_ts"), col("c.conv_ts"),
+        col("v.view_value"), col("c.conv_value"))
+  }
+
   /** Streaming exact deduplication for ingest pipelines: drop repeats of a
     * content key within the watermark horizon (`dropDuplicatesWithinWatermark`
     * keeps state bounded — the batch twin is the hash-groupBy exact dedup).
