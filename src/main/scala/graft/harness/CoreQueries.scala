@@ -341,6 +341,17 @@ object CoreQueries {
     * columns directly (independent formulations, identical results absent
     * 2^-64 collisions).
     */
+  /** Key-skew diagnostics (operators/Diagnostics.keySkew): a planted hot
+    * key (every 3rd row collapses to key 0) must surface with its share
+    * and skew ratio.
+    */
+  def keySkewQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Diagnostics.keySkew(
+      lineitem(s, d).select(
+        when(col("l_orderkey") % 3 === 0, 0L)
+          .otherwise(col("l_orderkey") % 1000).as("k")),
+      Seq("k"), k = 10)
+
   /** A/B experiment readout: per event type, Welch's t statistic between
     * the user-hash variant split. Variances via the explicit
     * (Σx², Σx, n) sum-of-squares formulation so both engines aggregate
@@ -641,6 +652,7 @@ object CoreQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_key_skew" -> (keySkewQ _),
     "q_ab_test" -> (abTest _),
     "q_entropy" -> (entropyQ _),
     "q_rollup" -> (rollupAgg _),
@@ -780,6 +792,18 @@ object CoreQueries {
         |r3 AS (SELECT nodes.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c3.s, 0.0) AS pr
         |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
         |SELECT node, round(pr, 8) AS pr FROM r3""".stripMargin,
+    "q_key_skew" ->
+      """WITH keyed AS (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+        |    ELSE l_orderkey % 1000 END AS k FROM lineitem),
+        |c AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM keyed GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys FROM c),
+        |r AS (SELECT c.k, c.n,
+        |    round(c.n / CAST(t.total_rows AS DOUBLE), 6) AS share,
+        |    round(c.n / (CAST(t.total_rows AS DOUBLE) / t.n_keys), 6) AS skew_ratio,
+        |    row_number() OVER (ORDER BY c.n DESC, c.k) AS rk
+        |  FROM c CROSS JOIN t)
+        |SELECT k, n, share, skew_ratio FROM r WHERE rk <= 10""".stripMargin,
     "q_ab_test" ->
       """WITH agg AS (SELECT event_type, user_id % 2 = 0 AS variant_a,
         |    CAST(count(*) AS DOUBLE) AS n, sum(value) AS sx, sum(value * value) AS sxx
