@@ -16,10 +16,15 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
   * Correctness requires a TOTAL order, so ranking is always
   * `(value desc|asc, tiebreak asc)`: with a total order, the global top-k
   * is a subset of the union of local top-ks, and the final (cheap) window
-  * over the pruned set reproduces exact `row_number` semantics. The local
-  * prune is the one `mapPartitions` in this codebase that earns its place:
-  * Catalyst has no partial-TopK operator, and a window alone shuffles the
-  * full input.
+  * over the pruned set reproduces exact `row_number` semantics.
+  *
+  * HONEST NOTE (measured, Spark 4.1): Catalyst's `InferWindowGroupLimit`
+  * already rewrites the plain `filter(row_number <= k)` pattern into
+  * Partial/Final `WindowGroupLimit` around the exchange — the same
+  * pre-shuffle prune, natively. Prefer the plain window formulation in SQL
+  * paths and let the optimizer do it; this operator remains for callers
+  * that want the prune as an explicit API with the total-order contract
+  * enforced (`tieCol` required) rather than inferred from a filter shape.
   */
 object TopK {
 
