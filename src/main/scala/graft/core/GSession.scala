@@ -47,6 +47,8 @@ final case class GSession(spark: SparkSession) {
         withSchema.options(defaults ++ options).format("csv")
       case "json" | "jsonl" =>
         withSchema.options(options).format("json")
+      case "orc" =>
+        withSchema.options(options).format("orc")
       case other =>
         throw new IllegalArgumentException(s"Unsupported format: $other")
     }

@@ -157,6 +157,19 @@ object DatasetQueries {
         col("n_regionkey").cast("long"))
   }
 
+  /** ORC sink/reader round trip (GSession.loadData "orc" path): supplier
+    * written as ORC and read back; the oracle reads the source parquet, so
+    * the compare proves cross-format content identity.
+    */
+  def readerOrcQ(s: SparkSession, d: String): DataFrame = {
+    val gs = graft.core.GSession(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .write.mode("overwrite").orc(s"$dir/orc")
+    gs.loadData(Seq(s"$dir/orc"), format = "orc")
+  }
+
   /** Declared-schema TSV reader round trip (GSession.loadData "tsv" path):
     * region dumped as a headered TSV and read back through the generic
     * reader with a declared schema (no inference). Oracle reads the source.
@@ -341,6 +354,7 @@ object DatasetQueries {
     "q_boundaries" -> (boundariesQ _),
     "q_global_sort" -> (globalSortQ _),
     "q_sink_roundtrip" -> (sinkRoundtripQ _),
+    "q_reader_orc" -> (readerOrcQ _),
     "q_reader_tsv" -> (readerTsvQ _),
     "q_reader_url" -> (readerUrlQ _),
     "q_reader_bgzf" -> (readerBgzfQ _),
@@ -416,6 +430,8 @@ object DatasetQueries {
         |FROM b""".stripMargin,
     "q_sink_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_reader_orc" ->
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
     "q_reader_tsv" ->
       "SELECT r_regionkey, r_name FROM region",
     "q_reader_url" ->

@@ -323,4 +323,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lead("), s"bigrams must come from the let-bound HOF:\n$p")
     assert(p.contains("TakeOrdered"), "selection must be top-k, not a global sort")
   }
+
+  test("the optimizer keeps the native pre-shuffle WindowGroupLimit on top-k window filters") {
+    // regression pin for Catalyst's InferWindowGroupLimit: q_top1_per_group's
+    // filter(row_number == 1) must plan a Partial WindowGroupLimit BELOW the
+    // exchange — losing it would re-shuffle the full input per group
+    val p = plan(CoreQueries.top1PerGroup(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), s"expected native window group limit:\n$p")
+    assert(p.contains("Partial"), s"expected the PARTIAL pre-shuffle prune:\n$p")
+  }
 }
