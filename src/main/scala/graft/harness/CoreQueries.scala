@@ -341,6 +341,24 @@ object CoreQueries {
     * columns directly (independent formulations, identical results absent
     * 2^-64 collisions).
     */
+  /** Golden-record survivorship (operators/Survivorship.goldenRecord):
+    * each customer's orders act as duplicate "records" with deterministic
+    * attribute gaps; per attribute the latest NON-NULL value must survive.
+    */
+  def goldenRecordQ(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val recs = orders(s, d).select(
+      col("o_custkey"),
+      k.as("seq"),
+      when(k % 3 === 0, lit(null).cast(StringType))
+        .otherwise(col("o_orderstatus")).as("status"),
+      when(k % 4 === 0, lit(null).cast("double"))
+        .otherwise(col("o_totalprice")).as("price"))
+    graft.operators.Survivorship
+      .goldenRecord(recs, Seq("o_custkey"), "seq", Seq("status", "price"))
+      .withColumn("price", round(col("price"), 6))
+  }
+
   /** Key-skew diagnostics (operators/Diagnostics.keySkew): a planted hot
     * key (every 3rd row collapses to key 0) must surface with its share
     * and skew ratio.
@@ -652,6 +670,7 @@ object CoreQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_golden_record" -> (goldenRecordQ _),
     "q_key_skew" -> (keySkewQ _),
     "q_ab_test" -> (abTest _),
     "q_entropy" -> (entropyQ _),
@@ -792,6 +811,17 @@ object CoreQueries {
         |r3 AS (SELECT nodes.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c3.s, 0.0) AS pr
         |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
         |SELECT node, round(pr, 8) AS pr FROM r3""".stripMargin,
+    "q_golden_record" ->
+      """WITH recs AS (SELECT o_custkey, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS status,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_totalprice END AS price
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  arg_max(status, CASE WHEN status IS NOT NULL THEN seq END) AS status,
+        |  round(arg_max(price, CASE WHEN price IS NOT NULL THEN seq END), 6) AS price,
+        |  CAST(count(*) AS BIGINT) AS n_merged,
+        |  max(seq) AS last_seen
+        |FROM recs GROUP BY 1""".stripMargin,
     "q_key_skew" ->
       """WITH keyed AS (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
         |    ELSE l_orderkey % 1000 END AS k FROM lineitem),
