@@ -52,7 +52,13 @@ object Bench {
           spark.catalog.clearCache()
           System.gc()
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          // noop WRITE, not count(): count() lets Catalyst prune projected
+          // columns, silently skipping work that exists only in the output
+          // (measured at ~sf1: q_clump "3.0 s" under count() vs >20 min
+          // with its UDF column actually evaluated, pre-TreeSet fix). The
+          // noop sink materialises every output column with zero I/O, so
+          // timings reflect what a real consumer pays.
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         }
         timings(name) = times.min

@@ -529,7 +529,11 @@ object ScaleProbe {
           "group_sample" -> (() =>
             Sampling.groupSample(rd("ords"), Seq("o_custkey"), col("o_orderkey"), 3).count()),
           "setsim_join" -> (() =>
-            Dedup.setSimilarityJoin(rd("docsu"), theta = 0.8, shingle = 3).count())
+            Dedup.setSimilarityJoin(rd("docsu"), theta = 0.8, shingle = 3).count()),
+          // copy-unique vocab keeps each query inside its own copy's corpus
+          // (shared vocab would grow scored pairs x100 at x10 by construction)
+          "sparse_topk" -> (() =>
+            TextOps.sparseCosineTopK(rd("docsu"), col("doc_id") % 50 === 0, k = 5).count())
         )
       }
 

@@ -44,7 +44,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) => dumpOne(spark, sfDir, outDir, name, fn) }
+      .foreach { case (name, fn) =>
+        dumpOne(spark, sfDir, outDir, name, fn)
+        // queries that persist internal frames (coloc chain, pagerank
+        // edges, IVF codebooks) would otherwise accumulate cache across a
+        // ~200-query dump and starve executor memory at larger SFs —
+        // measured: q_clump 3 s in isolation vs >20 min after 100 cached
+        // queries at ~sf1. Mirror Bench's per-query isolation.
+        spark.catalog.clearCache()
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

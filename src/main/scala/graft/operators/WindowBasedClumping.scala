@@ -51,14 +51,29 @@ object WindowBasedClumping {
     * position becomes a lead unless a previously-chosen lead lies within
     * `windowSize` (method/window_based_clumping.py:114-153). Plain arrays —
     * no ML vector types.
+    *
+    * The "is any chosen lead within `windowSize`" membership test runs on
+    * a TreeSet (nearest lead via floor/ceiling) — O(n log n) per cluster
+    * instead of the reference's O(n × leads) linear re-scan. Identical
+    * output (only the LOOKUP changed, the greedy order did not); the
+    * difference is what makes dense clusters survivable: at 10× the sf0.1
+    * density a chromosome collapses into ONE cluster of ~150k positions
+    * with ~2000 leads, and the quadratic scan measured >20 minutes where
+    * this runs in milliseconds.
     */
   def prunePeak(positions: Seq[Long], windowSize: Int): Seq[Int] = {
     val isLead = Array.fill(positions.length)(0)
-    val leadIndices = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val leads = new java.util.TreeSet[java.lang.Long]()
     var index = 0
     while (index < positions.length) {
-      if (!leadIndices.exists(li => math.abs(positions(li) - positions(index)) < windowSize)) {
-        leadIndices += index
+      val p = positions(index)
+      val below = leads.floor(p)
+      val above = leads.ceiling(p)
+      val nearLead =
+        (below != null && p - below < windowSize) ||
+          (above != null && above - p < windowSize)
+      if (!nearLead) {
+        leads.add(p)
         isLead(index) = 1
       }
       index += 1
@@ -100,10 +115,15 @@ object WindowBasedClumping {
       .withColumn("pvRank", row_number().over(clusterWindow))
       .withColumn(
         "collectedPositions",
+        // whole-partition frame, NOT currentRow→unboundedFollowing: only the
+        // rank-1 row's value is consumed, and for that row the two frames are
+        // identical — but the moving frame re-materialises a shrinking list
+        // per ROW (O(n²) per cluster; a 150k-position cluster at ~sf1 took
+        // >20 min), while the unbounded frame is computed ONCE per partition.
         when(
           col("pvRank") === 1,
           collect_list(col("position"))
-            .over(clusterWindow.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+            .over(clusterWindow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
         ).otherwise(array())
       )
       .withColumn(

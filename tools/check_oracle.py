@@ -9,6 +9,7 @@ Usage: python3 tools/check_oracle.py <sfDir> <outDir>
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -32,8 +33,11 @@ def canon(v):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # multi-file dataset (e.g. the scaled corpus)
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
