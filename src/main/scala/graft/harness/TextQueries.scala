@@ -94,13 +94,22 @@ object TextQueries {
 
   /** Deterministic JL random projection (operators/Pca.randomProject):
     * 16 → 8 dims with md5-derived signs the oracle regenerates in SQL.
+    * Quantisation is an explicit `floor(v*1e4 + 0.5)/1e4` on the double —
+    * the same formula the oracle applies — so no engine-specific `round`
+    * semantics sit on the comparison boundary; the oracle additionally pins
+    * its summation order to match [[graft.functions.expressions.DotProduct]]
+    * (left-to-right over d), making the pre-quantisation doubles
+    * bit-identical rather than merely close.
     */
   def randomProjQuery(s: SparkSession, d: String): DataFrame =
     graft.operators.Pca
       .randomProject(
         s.read.parquet(s"$d/embeddings.parquet"), "embedding", dims = 16, outDims = 8)
       .select(col("vec_id"), posexplode(col("embedding_rp")).as(Seq("k", "v")))
-      .select(col("vec_id"), col("k"), round(col("v").cast("double"), 4).as("v"))
+      .select(
+        col("vec_id"),
+        col("k"),
+        (floor(col("v").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4)).as("v"))
 
   /** Incremental near-dup (operators/Dedup.incrementalNearDup): every 10th
     * doc is the "new batch", the rest the published reference — candidates
@@ -734,16 +743,25 @@ object TextQueries {
         |  coalesce(c.component, bu.vec_id) = bu.vec_id AS keep
         |FROM buck bu LEFT JOIN comp c ON bu.vec_id = c.vec_id""".stripMargin,
     "q_random_proj" ->
+      // Summation order pinned with list(... ORDER BY d) so the double
+      // accumulates left-to-right exactly like the engine's DotProduct
+      // codegen loop; quantisation is the same floor(v*1e4+0.5)/1e4 the
+      // Spark side applies — a plain sum() GROUP BY leaves the order to the
+      // engine and a last-ulp difference can flip a digit at the rounding
+      // boundary on some DuckDB versions (the round-10 driver red row).
       """WITH w AS (SELECT k, d,
         |    CASE WHEN strpos('0123456789abcdef',
         |      substr(md5('rp:' || CAST(k AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) - 1 >= 8
         |    THEN 1.0 ELSE -1.0 END AS wgt
         |  FROM range(0, 8) tk(k), range(0, 16) td(d)),
-        |proj AS (SELECT e.vec_id, w.k,
-        |    sum(CAST(e.embedding[w.d + 1] AS DOUBLE) * w.wgt) / sqrt(8) AS v
-        |  FROM embeddings e, w GROUP BY 1, 2)
+        |terms AS (SELECT e.vec_id, w.k, w.d,
+        |    CAST(e.embedding[w.d + 1] AS DOUBLE) * w.wgt AS t
+        |  FROM embeddings e, w),
+        |proj AS (SELECT vec_id, k,
+        |    list_aggregate(list(t ORDER BY d), 'sum') / sqrt(8) AS v
+        |  FROM terms GROUP BY 1, 2)
         |SELECT vec_id, CAST(k AS INTEGER) AS k,
-        |  round(CAST(CAST(v AS REAL) AS DOUBLE), 4) AS v FROM proj""".stripMargin,
+        |  floor(CAST(CAST(v AS REAL) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS v FROM proj""".stripMargin,
     "q_gram" ->
       """SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
         |  round(sum(CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[j + 1] AS DOUBLE)), 4) AS v

@@ -52,6 +52,10 @@ object GraphOps {
     val teleport = (lit(1.0) - lit(damping)) / col("n_nodes")
 
     var ranks = nodes.crossJoin(broadcast(n)).select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
+    // cached frames superseded by a newer checkpoint: each new rank persist
+    // materialises first (count()), then the previous checkpoint unpersists
+    // — long-lived sessions must not accumulate orphaned storage blocks
+    var prevCheckpoint: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -61,9 +65,22 @@ object GraphOps {
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"), (teleport + lit(damping) * coalesce(col("_in"), lit(0.0))).as("pr"))
-      if (i % persistEvery == 0 && i < iterations)
+      if (i % persistEvery == 0 && i < iterations) {
         ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        ranks.count() // materialise BEFORE dropping the frame it reads from
+        prevCheckpoint.foreach(_.unpersist(blocking = false))
+        prevCheckpoint = Some(ranks)
+      }
     }
-    ranks
+    // the final frame still reads e/nodes (and the last checkpoint); eagerly
+    // materialise the result as its own cached frame so every intermediate
+    // can be released — callers get a self-contained `(node, pr)` frame and
+    // should unpersist it (or clearCache) when done
+    val result = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    prevCheckpoint.foreach(_.unpersist(blocking = false))
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    result
   }
 }

@@ -24,10 +24,17 @@ object Sampling {
   def uniformHashHex(id: Column, salt: String = ""): Column =
     substring(md5(concat(lit(salt), id.cast("string"))), 1, 8)
 
-  /** `fraction` mapped to the equivalent 8-hex-digit threshold. */
+  /** `fraction` mapped to the equivalent 8-hex-digit threshold, compared
+    * with strict `<` against [[uniformHashHex]]. `fraction >= 1.0` returns
+    * the sentinel `"g"` — lexicographically above every hex string — so a
+    * full sample keeps ALL rows; clamping to `"ffffffff"` under strict `<`
+    * would silently drop rows whose 32-bit hash prefix is exactly
+    * 0xffffffff (~2^-32 of rows, a few hundred at 10^12-row scale).
+    */
   def hexThreshold(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
-    f"${math.min((fraction * 4294967296.0).toLong, 0xffffffffL)}%08x"
+    if (fraction >= 1.0) "g"
+    else f"${(fraction * 4294967296.0).toLong}%08x"
   }
 
   /** Deterministic Bernoulli sample: keeps a row iff its hash-uniform is
@@ -35,7 +42,9 @@ object Sampling {
     * samples (e.g. disjoint train/eval draws).
     */
   def hashSample(df: DataFrame, id: Column, fraction: Double, salt: String = ""): DataFrame =
-    df.filter(uniformHashHex(id, salt) < lit(hexThreshold(fraction)))
+    if (fraction >= 1.0) df
+    else if (fraction <= 0.0) df.filter(lit(false))
+    else df.filter(uniformHashHex(id, salt) < lit(hexThreshold(fraction)))
 
   /** Uniform `k` rows per group — the distributed equivalent of per-group
     * reservoir sampling: rank by `(hash, id)` inside the group and keep the

@@ -59,8 +59,12 @@ object Scd2 {
       history.columns.toSet == (snapshot.columns ++ metaCols).toSet,
       s"history schema must be snapshot schema + $metaCols")
 
+    // each payload value hashes alongside an explicit is-null flag, so SQL
+    // NULL and a value whose string form is any in-band sentinel (e.g. the
+    // literal string "NULL") can never collide as "unchanged"
     def rowHash(prefix: String): Column =
-      xxhash64(payload.map(c => coalesce(col(s"$prefix$c").cast("string"), lit("NULL"))): _*)
+      xxhash64(payload.flatMap(c =>
+        Seq(col(s"$prefix$c").isNull, coalesce(col(s"$prefix$c").cast("string"), lit("")))): _*)
 
     val cur = history
       .filter(col("is_current"))

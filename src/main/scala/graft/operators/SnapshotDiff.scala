@@ -33,10 +33,14 @@ object SnapshotDiff {
       if (compareCols.nonEmpty) compareCols
       else (oldSnap.columns.toSet intersect newSnap.columns.toSet)
         .diff(keyCols.toSet).toSeq.sorted
+    // is-null flag hashed next to each value: SQL NULL must not collide
+    // with any in-band string sentinel (a null<->"NULL" transition is a
+    // real change)
     def hashed(df: DataFrame, name: String): DataFrame =
       df.select(
         (keyCols.map(col) :+
-          xxhash64(payload.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
+          xxhash64(payload.flatMap(c =>
+            Seq(col(c).isNull, coalesce(col(c).cast("string"), lit("")))): _*)
             .as(name)): _*)
     val o = hashed(oldSnap, "_old_hash")
     val n = hashed(newSnap, "_new_hash")

@@ -48,19 +48,28 @@ object TopK {
     val sign = if (descending) -1 else 1
 
     // total order: better rows FIRST; the heap keeps the k best by evicting
-    // the worst retained row (a max-heap on "worseness")
+    // the worst retained row (a max-heap on "worseness"). Nulls compare
+    // OUTSIDE the direction sign — a null value is always worst, matching
+    // the final window's desc_nulls_last/asc_nulls_last; scaling the null
+    // branch by `sign` would rank null rows BEST under descending and evict
+    // genuine top-k rows in the local prune.
     val rowOrd: Ordering[Row] = new Ordering[Row] {
-      private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+      private def cmpNonNull(x: Any, y: Any): Int =
+        x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
+      // nulls-last total order, direction-independent
+      private def cmpNullsLast(a: Any, b: Any): Int = (a, b) match {
         case (null, null) => 0
-        case (null, _) => 1 // nulls last among "better"
+        case (null, _) => 1
         case (_, null) => -1
-        case (x: java.lang.Comparable[_], y) =>
-          x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
-        case _ => 0
+        case _ => cmpNonNull(a, b)
       }
       def compare(a: Row, b: Row): Int = {
-        val byValue = sign * cmpAny(a.get(vIdx), b.get(vIdx))
-        if (byValue != 0) byValue else cmpAny(a.get(tIdx), b.get(tIdx))
+        val av = a.get(vIdx)
+        val bv = b.get(vIdx)
+        val byValue =
+          if (av == null || bv == null) cmpNullsLast(av, bv)
+          else sign * cmpNonNull(av, bv)
+        if (byValue != 0) byValue else cmpNullsLast(a.get(tIdx), b.get(tIdx))
       }
     }
 

@@ -51,6 +51,17 @@ class Scd2Spec extends SparkSpec {
     assert(slice(350) == Set((2L, "b", 99.0), (4L, "e", 40.0)))
   }
 
+  test("a null <-> literal-\"NULL\" payload transition opens a new version (no sentinel collision)") {
+    val s1 = Seq((1L, Option.empty[String]), (2L, Some("NULL"))).toDF("k", "s")
+    val s2 = Seq((1L, Some("NULL")), (2L, Option.empty[String])).toDF("k", "s")
+    val h = Scd2.applySnapshot(Scd2.init(s1, lit(100L)), s2, Seq("k"), lit(200L))
+    val rows = h.select($"k", $"s", $"valid_from", $"is_current")
+      .as[(Long, Option[String], Long, Boolean)].collect().toSet
+    assert(rows == Set(
+      (1L, None, 100L, false), (1L, Some("NULL"), 200L, true),
+      (2L, Some("NULL"), 100L, false), (2L, None, 200L, true)))
+  }
+
   test("the reconciliation is one full-outer join; emitted rows come from one explode, not per-class re-joins") {
     val p = hist2.queryExecution.executedPlan.toString
     assert(p.contains("FullOuter"), s"expected one full-outer join:\n$p")

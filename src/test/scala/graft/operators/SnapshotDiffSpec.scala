@@ -24,6 +24,13 @@ class SnapshotDiffSpec extends SparkSpec {
       4L -> "changed", 5L -> "added"))
   }
 
+  test("SQL NULL vs the literal string \"NULL\" is a change, not a sentinel collision") {
+    val o = Seq((1L, Option.empty[String]), (2L, Some("NULL"))).toDF("k", "s")
+    val n = Seq((1L, Some("NULL")), (2L, Option.empty[String])).toDF("k", "s")
+    val got = SnapshotDiff.diff(o, n, Seq("k")).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed"))
+  }
+
   test("diffSummary counts per kind; compareCols restricts the payload") {
     val m = SnapshotDiff.diffSummary(oldSnap, newSnap, Seq("k"), compareCols = Seq("v"))
       .as[(String, Long)].collect().toMap

@@ -37,6 +37,36 @@ class TopKSpec extends SparkSpec {
     assert(got == Set(13L, 10L, 11L), s"got $got")
   }
 
+  test("null values rank worst in the local prune, both directions (desc/asc _nulls_last)") {
+    // every 3rd value null; single input partition so the local heap sees
+    // >= k rows per group INCLUDING nulls — under descending, a
+    // sign-scaled null comparison would rank nulls best, evict genuine
+    // top-k rows pre-shuffle, and the final window could not recover them
+    val withNulls = (1L to 300L).toDF("id").select(
+        ($"id" % 5).as("g"),
+        $"id",
+        when($"id" % 3 === 0, lit(null).cast("double"))
+          .otherwise((($"id" * 2654435761L) % 97).cast("double")).as("v"))
+      .coalesce(1)
+    for (desc <- Seq(true, false)) {
+      val o = if (desc) $"v".desc_nulls_last else $"v".asc_nulls_last
+      val want = withNulls.withColumn("rk", row_number().over(
+          Window.partitionBy($"g").orderBy(o, $"id".asc_nulls_last)))
+        .filter($"rk" <= 7).drop("rk")
+        .as[(Long, Long, Option[Double])].collect().toSet
+      val got = TopK.topKPerGroup(withNulls, Seq("g"), "v", "id", 7, descending = desc)
+        .as[(Long, Long, Option[Double])].collect().toSet
+      assert(got == want, s"descending=$desc")
+      assert(want.forall(_._3.nonEmpty), "groups have >=7 non-null rows; no null should surface")
+    }
+    // all-null tail group: nulls DO surface when the group runs out of values
+    val tiny = Seq((1L, 1L, Some(1.0)), (1L, 2L, None), (1L, 3L, None))
+      .toDF("g", "id", "v").coalesce(1)
+    val got = TopK.topKPerGroup(tiny, Seq("g"), "v", "id", 2)
+      .as[(Long, Long, Option[Double])].collect().map(_._2).toSet
+    assert(got == Set(1L, 2L), s"null rows fill remaining slots in tiebreak order: $got")
+  }
+
   test("groups smaller than k survive whole; the local prune bounds rows into the shuffle") {
     val small = Seq((1L, 1L, 1.0), (2L, 2L, 2.0)).toDF("g", "id", "v")
     assert(TopK.topKPerGroup(small, Seq("g"), "v", "id", 10).count() == 2)

@@ -6,6 +6,16 @@ matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over the same
 sf tables, sorts columns by name, sorts rows, and compares values.
 
 Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+
+DuckDB-version sensitivity: a local PASS does not guarantee a driver-side
+PASS if the oracle SQL leaves any floating-point evaluation order to the
+engine — round 10's q_random_proj was red on the driver's gate while green
+on local duckdb 1.0.0 because a plain sum() GROUP BY summed doubles in an
+engine/version-dependent order and a last-ulp difference flipped a rounded
+digit. Oracle SQL must pin float summation order (list_aggregate(list(x
+ORDER BY k), 'sum')) and quantise doubles identically on both sides
+(floor(v*1e4+0.5)/1e4) BEFORE any narrowing cast. This script prints the
+local duckdb version so the assumption is recorded with every run.
 """
 import json
 import math
@@ -31,6 +41,7 @@ def canon(v):
 
 
 def main(sf_dir, out_dir):
+    print(f"duckdb {duckdb.__version__}")
     con = duckdb.connect()
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
