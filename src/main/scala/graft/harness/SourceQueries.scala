@@ -788,6 +788,180 @@ object SourceQueries {
       round(col("credibleSetlog10BF"), 4).as("bf"))
   }
 
+  /** FinnGen-meta study index (sources/FinnGenMeta.scala manifestContract +
+    * shapeManifest + studyIndexFromManifest; reference finngen_meta/
+    * __init__.py:112-480 + finngen_meta/study_index.py:20-95): the raw
+    * all-string manifest gets the column contract (int casts, null
+    * tolerance), MVP-column presence selects the data source, per-cohort
+    * discovery samples keep >0 cohorts, constants attach, ancestries map
+    * to LD populations with relative sizes, and EFO mappings join by
+    * trait (R11 rows filtered out, unmapped traits keep an empty list).
+    */
+  def finngenMetaStudies(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{FinnGen, FinnGenMeta}
+    val k = col("o_orderkey") % 400
+    val raw = orders(s, d).select(
+      concat(lit("PH"), k.cast(StringType)).as("fg_phenotype"),
+      concat(lit("Trait "), (k % 29).cast(StringType)).as("name"),
+      when(k % 11 === 0, lit(null).cast(StringType))
+        .otherwise(((k * 3) % 5000).cast(StringType)).as("fg_n_cases"),
+      ((k * 7) % 90000).cast(StringType).as("fg_n_controls"),
+      when(k % 13 === 0, lit(null).cast(StringType))
+        .otherwise(((k * 5) % 4000).cast(StringType)).as("ukbb_n_cases"),
+      ((k * 11) % 80000 + 1).cast(StringType).as("ukbb_n_controls"),
+      ((k * 2) % 3000).cast(StringType).as("MVP_EUR_n_cases"),
+      ((k * 9) % 60000).cast(StringType).as("MVP_EUR_n_controls"),
+      when(k % 17 === 0, lit("0")).otherwise((k % 1000).cast(StringType))
+        .as("MVP_AFR_n_cases"),
+      when(k % 17 === 0, lit("0")).otherwise(((k * 4) % 20000).cast(StringType))
+        .as("MVP_AFR_n_controls"),
+      when(k % 3 === 0, lit("0")).otherwise((k % 500).cast(StringType))
+        .as("MVP_AMR_n_cases"),
+      when(k % 3 === 0, lit("0")).otherwise(((k * 6) % 10000 + 1).cast(StringType))
+        .as("MVP_AMR_n_controls"),
+      concat(lit("gs://meta/PH"), k.cast(StringType), lit(".gz")).as("path_bucket")
+    ).distinct()
+    val (contracted, meta) = FinnGenMeta.manifestContract(raw)
+    val shaped = FinnGenMeta.shapeManifest(contracted, meta)
+    val m = col("s_suppkey") % 29
+    def tag(prefix: String) = concat(
+      lit("http://purl.obolibrary.org/obo/"), lit(prefix), m.cast(StringType))
+    val efo = supplier(s, d).filter(m % 2 === 0).select(
+      lit("FINNGEN_R12").as("STUDY"),
+      concat(lit("Trait "), m.cast(StringType)).as("PROPERTY_VALUE"),
+      tag("EFO_").as("SEMANTIC_TAG"))
+      .unionByName(supplier(s, d).filter(m % 4 === 0).select(
+        lit("FINNGEN_R12").as("STUDY"),
+        concat(lit("Trait "), m.cast(StringType)).as("PROPERTY_VALUE"),
+        tag("MONDO_").as("SEMANTIC_TAG")))
+      .unionByName(supplier(s, d).select(
+        lit("FINNGEN_R11").as("STUDY"),
+        concat(lit("Trait "), m.cast(StringType)).as("PROPERTY_VALUE"),
+        tag("EFO_99").as("SEMANTIC_TAG")))
+      .distinct()
+    FinnGenMeta
+      .studyIndexFromManifest(shaped, meta, FinnGen.loadEfoMapping(efo))
+      .select(
+        col("studyId"), col("projectId"), col("studyType"), col("traitFromSource"),
+        col("nSamples"), col("nCases"), col("nControls"),
+        col("hasSumstats"), col("summarystatsLocation"),
+        col("initialSampleSize"), col("publicationDate"),
+        array_join(col("cohorts"), "|").as("cohorts"),
+        array_join(
+          array_sort(transform(
+            col("discoverySamples"),
+            x => concat_ws(
+              ":", x.getField("ancestry"), x.getField("sampleSize")))), "|")
+          .as("discovery"),
+        array_join(
+          array_sort(transform(
+            col("ldPopulationStructure"),
+            x => concat_ws(
+              ":",
+              x.getField("ldPopulation"),
+              format_string("%.6f", x.getField("relativeSampleSize"))))), "|")
+          .as("ldPopulationStructure"),
+        array_join(array_sort(col("traitFromSourceMappedIds")), "|").as("efos"))
+  }
+
+  /** eQTL-Catalogue raw summary-stats ingestion (sources/EqtlCatalogue
+    * readSummaryStats + summaryStatsFromSource; reference
+    * eqtl_catalogue/summary_stats.py:24-93): a deterministic two-file
+    * gzipped TSV corpus derived from lineitem is written under the
+    * catalogue's `imported/<project>/<method>/<group>.tsv.gz` layout, read
+    * back through the schema'd reader, and harmonised — exercising the
+    * URI-derived study id, the mantissa/exponent p-value split, and the
+    * position/zero-beta filters.
+    */
+  def eqtlSumstats(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.EqtlCatalogue
+    val ks = lineitem(s, d)
+      .select((col("l_orderkey") * 8 + col("l_linenumber")).as("k"))
+      .filter(col("k") % 13 === 0)
+      .orderBy("k").collect().map(_.getLong(0))
+    def line(k: Long): String = {
+      val chrom = (k % 22 + 1).toString
+      val pos = if (k % 19 == 0) "" else (k % 5000000).toString
+      Seq(
+        s"T${k % 300}", chrom, pos, "A", "G", s"chr${chrom}_${pos}_A_G",
+        "10", ((k % 50 + 1) / 100.0).toString, s"${k % 9 + 1}.${k % 10}E-${k % 30 + 2}",
+        ((k % 21 - 10) / 10.0).toString, ((k % 13 + 1) / 100.0).toString,
+        "SNP", "5", "20", "0.9", s"O${k % 300}", s"ENSG${k % 80}", "1.5", "."
+      ).mkString("\t")
+    }
+    val header = EqtlCatalogue.rawSummaryStatsSchema.fieldNames.mkString("\t")
+    val dir = java.nio.file.Files.createTempDirectory("graft-eqtl-ss")
+    val sub = dir.resolve("imported/GTEx_V8/ge")
+    java.nio.file.Files.createDirectories(sub)
+    for ((group, par) <- Seq(("Adipose_Subcutaneous", 0L), ("Liver", 1L))) {
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(sub.resolve(s"$group.tsv.gz")))
+      val body = (header +: ks.filter(k => (k / 13) % 2 == par).map(line).toSeq)
+        .mkString("\n")
+      out.write(body.getBytes("UTF-8"))
+      out.close()
+    }
+    val raw = EqtlCatalogue.readSummaryStats(s, sub.resolve("*.tsv.gz").toString)
+    EqtlCatalogue.summaryStatsFromSource(raw)
+      .select(
+        col("studyId"), col("variantId"), col("chromosome"), col("position"),
+        col("pValueMantissa"), col("pValueExponent"),
+        round(col("beta"), 6).as("beta"),
+        round(col("standardError"), 6).as("standardError"),
+        col("effectAlleleFrequencyFromSource"))
+  }
+
+  /** eQTL-Catalogue study index from SuSiE results (sources/EqtlCatalogue
+    * studyIndexFromSusieResults; reference eqtl_catalogue/study_index.py:
+    * 109-131): the processed fine-mapping frame collapses to distinct
+    * study rows over the StudyIndex-schema columns it carries.
+    */
+  def eqtlStudyIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.EqtlCatalogue
+    val k = col("l_orderkey") * 8 + col("l_linenumber")
+    def traitId = concat(lit("T"), (k % 300).cast(StringType))
+    def region = concat(lit("R"), (k % 4).cast(StringType))
+    def dataset = concat(lit("D"), (k % 7).cast(StringType))
+    def variant = concat(
+      lit("chr"), (k % 22 + 1).cast(StringType), lit("_"),
+      (k % 500000).cast(StringType), lit("_A_C"))
+    val cs = lineitem(s, d).select(
+      traitId.as("molecular_trait_id"), region.as("region"),
+      variant.as("variant"), dataset.as("dataset_id"),
+      (k % 3 + 1).cast("int").as("credibleSetIndex"),
+      ((k % 64 + 1) / lit(128.0)).as("pip"),
+      pow(lit(10.0), -(k % 20 + 4).cast("double")).as("pvalue"),
+      ((k % 21) - 10).cast("double").as("beta"),
+      (lit(0.01) + (k % 16) / lit(128.0)).as("se"),
+      concat(lit("ENSG"), (k % 80).cast(StringType)).as("gene_id")
+    ).distinct()
+    val lbfCols = (1 to 10).map(i =>
+      (((k * (i + 3)) % 100) / lit(10.0) - 3.0).as(s"lbf_variable$i"))
+    val lbf = lineitem(s, d).select(
+      (Seq(
+        traitId.as("molecular_trait_id"), region.as("region"),
+        variant.as("variant"), dataset.as("dataset_id"),
+        (k % 22 + 1).cast(StringType).as("chromosome"),
+        (k % 500000).cast("int").as("position")) ++ lbfCols): _*
+    ).distinct()
+    val j = col("n_nationkey") % 7
+    val meta = nation(s, d).select(
+      concat(lit("D"), j.cast(StringType)).as("dataset_id"),
+      concat(lit("S"), j.cast(StringType)).as("study_id"),
+      concat(lit("lab"), (j % 3).cast(StringType)).as("study_label"),
+      lit("sg").as("sample_group"),
+      concat(lit("UBERON_"), j.cast(StringType)).as("tissue_id"),
+      lit("naive").as("condition_label"),
+      ((j + 1) * 100).cast("int").as("sample_size"),
+      when(j % 3 === 0, "ge").when(j % 3 === 1, "leafcutter").otherwise("aptamer")
+        .as("quant_method"),
+      concat(lit("3"), j.cast(StringType)).as("pmid"),
+      when(j % 2 === 0, "bulk").otherwise("single-cell").as("study_type")
+    ).distinct()
+    EqtlCatalogue.studyIndexFromSusieResults(
+      EqtlCatalogue.parseSusieResults(cs, lbf, meta))
+  }
+
   /** Full LD-annotation chain (operators/PairwiseLdOps.scala; reference
     * method/ld.py:20-199 + datasource/gnomad/ld.py:55-99): long-form
     * per-population LD rows → nested LDIndex shape → major-population
@@ -1066,11 +1240,14 @@ object SourceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_finngen_meta_cohorts" -> (finngenMetaCohorts _),
     "q_finngen_meta_align" -> (finngenMetaAlign _),
+    "q_finngen_meta_studies" -> (finngenMetaStudies _),
     "q_variant_direction" -> (variantDirection _),
     "q_interval_qc" -> (intervalQc _),
     "q_ontology_closure" -> (ontologyClosure _),
     "q_ld_annotate" -> (ldAnnotate _),
     "q_eqtl_susie" -> (eqtlSusie _),
+    "q_eqtl_sumstats" -> (eqtlSumstats _),
+    "q_eqtl_study_index" -> (eqtlStudyIndex _),
     "q_vcf_export" -> (vcfExport _),
     "q_l2g_evidence" -> (l2gEvidence _),
     "q_drug_assoc" -> (drugAssoc _),
@@ -1328,6 +1505,113 @@ object SourceQueries {
         |  major AS "majorPopulation", qc_str,
         |  vid AS "tagVariantId", 1.0 AS r2
         |FROM ann WHERE NOT has""".stripMargin,
+    "q_finngen_meta_studies" ->
+      """WITH kk AS (SELECT DISTINCT o_orderkey % 400 AS k FROM orders),
+        |c AS (SELECT k,
+        |    CASE WHEN k % 11 = 0 THEN 0 ELSE (k * 3) % 5000 END AS fgc,
+        |    (k * 7) % 90000 AS fgx,
+        |    CASE WHEN k % 13 = 0 THEN 0 ELSE (k * 5) % 4000 END AS ukc,
+        |    (k * 11) % 80000 + 1 AS ukx,
+        |    (k * 2) % 3000 AS eurc, (k * 9) % 60000 AS eurx,
+        |    CASE WHEN k % 17 = 0 THEN 0 ELSE k % 1000 END AS afrc,
+        |    CASE WHEN k % 17 = 0 THEN 0 ELSE (k * 4) % 20000 END AS afrx,
+        |    CASE WHEN k % 3 = 0 THEN 0 ELSE k % 500 END AS amrc,
+        |    CASE WHEN k % 3 = 0 THEN 0 ELSE (k * 6) % 10000 + 1 END AS amrx
+        |  FROM kk),
+        |t AS (SELECT *, fgc + fgx AS f, ukc + ukx + eurc + eurx AS e,
+        |    afrc + afrx AS a, amrc + amrx AS m FROM c),
+        |sup AS (SELECT DISTINCT s_suppkey % 29 AS t29 FROM supplier),
+        |efos AS (SELECT t29, list_sort(
+        |    CASE WHEN t29 % 4 = 0
+        |         THEN ['EFO_' || CAST(t29 AS VARCHAR), 'MONDO_' || CAST(t29 AS VARCHAR)]
+        |         WHEN t29 % 2 = 0 THEN ['EFO_' || CAST(t29 AS VARCHAR)]
+        |         ELSE [] END) AS ids
+        |  FROM sup)
+        |SELECT 'FINNGEN_R12_UKB_MVP_META_PH' || CAST(t.k AS VARCHAR) AS "studyId",
+        |  'FINNGEN_R12_UKB_MVP_META' AS "projectId",
+        |  'gwas' AS "studyType",
+        |  'Trait ' || CAST(t.k % 29 AS VARCHAR) AS "traitFromSource",
+        |  CAST(f + e + a + m AS INTEGER) AS "nSamples",
+        |  CAST(fgc + ukc + eurc + afrc + amrc AS INTEGER) AS "nCases",
+        |  CAST(fgx + ukx + eurx + afrx + amrx AS INTEGER) AS "nControls",
+        |  TRUE AS "hasSumstats",
+        |  'gs://meta/PH' || CAST(t.k AS VARCHAR) || '.gz' AS "summarystatsLocation",
+        |  '1,550,147 (MVP: nEUR=449,042, nAFR=121,177, nAMR=59,048; FinnGenR12: nNFE=500,349; pan-UKBB-EUR: nEUR=420,531)' AS "initialSampleSize",
+        |  '2024-11-01' AS "publicationDate",
+        |  'MVP|FinnGen|pan-UKBB-EUR' AS cohorts,
+        |  array_to_string(list_sort(list_transform(
+        |    list_filter([
+        |      struct_pack(n := 'Finnish', v := f),
+        |      struct_pack(n := 'European', v := e),
+        |      struct_pack(n := 'African', v := a),
+        |      struct_pack(n := 'Admixed American', v := m)], x -> x.v > 0),
+        |    x -> x.n || ':' || CAST(x.v AS VARCHAR))), '|') AS discovery,
+        |  array_to_string(list_sort(list_transform(
+        |    list_filter([
+        |      struct_pack(n := 'fin', v := f),
+        |      struct_pack(n := 'nfe', v := e),
+        |      struct_pack(n := 'afr', v := a),
+        |      struct_pack(n := 'amr', v := m)], x -> x.v > 0),
+        |    x -> x.n || ':'
+        |      || printf('%.6f', CAST(x.v AS DOUBLE) / (f + e + a + m)))), '|')
+        |    AS "ldPopulationStructure",
+        |  coalesce(array_to_string(ef.ids, '|'), '') AS efos
+        |FROM t LEFT JOIN efos ef ON t.k % 29 = ef.t29""".stripMargin,
+    "q_eqtl_sumstats" ->
+      """WITH b AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem
+        |  WHERE (l_orderkey * 8 + l_linenumber) % 13 = 0),
+        |c AS (SELECT k,
+        |    CASE WHEN (k // 13) % 2 = 0 THEN 'Adipose_Subcutaneous'
+        |         ELSE 'Liver' END AS grp,
+        |    CAST(k % 22 + 1 AS VARCHAR) AS chrom,
+        |    CASE WHEN k % 19 = 0 THEN NULL
+        |         ELSE CAST(k % 5000000 AS INTEGER) END AS pos,
+        |    CAST(CAST(k % 9 + 1 AS VARCHAR) || '.'
+        |      || CAST(k % 10 AS VARCHAR) AS DOUBLE) AS pm,
+        |    -(k % 30 + 2) AS pe,
+        |    (k % 21 - 10) / 10.0 AS beta,
+        |    (k % 13 + 1) / 100.0 AS se,
+        |    (k % 50 + 1) / 100.0 AS maf,
+        |    'ENSG' || CAST(k % 80 AS VARCHAR) AS gene
+        |  FROM b)
+        |SELECT 'GTEx_V8_' || grp || '_' || gene AS "studyId",
+        |  chrom || '_' || CAST(pos AS VARCHAR) || '_A_G' AS "variantId",
+        |  chrom AS chromosome, pos AS position,
+        |  CAST(round(pm, 3) AS REAL) AS "pValueMantissa",
+        |  CAST(pe AS INTEGER) AS "pValueExponent",
+        |  round(beta, 6) AS beta, round(se, 6) AS "standardError",
+        |  CAST(maf AS REAL) AS "effectAlleleFrequencyFromSource"
+        |FROM c WHERE pos IS NOT NULL AND beta <> 0""".stripMargin,
+    "q_eqtl_study_index" ->
+      """WITH r AS (SELECT DISTINCT
+        |    (l_orderkey * 8 + l_linenumber) % 300 AS t300,
+        |    (l_orderkey * 8 + l_linenumber) % 7 AS j,
+        |    (l_orderkey * 8 + l_linenumber) % 80 AS g80
+        |  FROM lineitem),
+        |meta AS (SELECT DISTINCT n_nationkey % 7 AS j,
+        |    'lab' || CAST(n_nationkey % 7 % 3 AS VARCHAR) AS label,
+        |    CASE WHEN n_nationkey % 7 % 3 = 0 THEN 'ge'
+        |         WHEN n_nationkey % 7 % 3 = 1 THEN 'leafcutter'
+        |         ELSE 'aptamer' END AS quant,
+        |    n_nationkey % 7 % 2 = 1 AS single_cell
+        |  FROM nation)
+        |SELECT DISTINCT
+        |  m.label || '_' || m.quant || '_sg_t' || CAST(r.t300 AS VARCHAR) AS "studyId",
+        |  m.label AS "projectId",
+        |  CASE WHEN m.single_cell THEN 'sc' ELSE '' END ||
+        |    CASE m.quant WHEN 'ge' THEN 'eqtl'
+        |         WHEN 'leafcutter' THEN 'sqtl' ELSE 'pqtl' END AS "studyType",
+        |  'T' || CAST(r.t300 AS VARCHAR) AS "traitFromSource",
+        |  'ENSG' || CAST(r.g80 AS VARCHAR) AS "geneId",
+        |  'UBERON_' || CAST(r.j AS VARCHAR) AS "biosampleFromSourceId",
+        |  '3' || CAST(r.j AS VARCHAR) AS "pubmedId",
+        |  CAST((r.j + 1) * 100 AS INTEGER) AS "nSamples",
+        |  'https://ftp.ebi.ac.uk/pub/databases/spot/eQTL/sumstats/S'
+        |    || CAST(r.j AS VARCHAR) || '/D' || CAST(r.j AS VARCHAR)
+        |    AS "summarystatsLocation",
+        |  TRUE AS "hasSumstats",
+        |  'naive' AS condition
+        |FROM r JOIN meta m ON r.j = m.j""".stripMargin,
     "q_eqtl_susie" ->
       """WITH r AS (SELECT DISTINCT
         |    l_orderkey * 8 + l_linenumber AS k,

@@ -41,6 +41,140 @@ object EqtlCatalogue {
       .drop("rsid")
       .distinct()
 
+  /** Raw summary-statistics TSV schema — the eQTL Catalogue "all
+    * variants" export format (datasource/eqtl_catalogue/summary_stats.py
+    * reads these columns; full column list per the public eQTL Catalogue
+    * data spec). Declared so malformed numerics become nulls under the
+    * PERMISSIVE csv reader instead of ANSI cast failures.
+    */
+  val rawSummaryStatsSchema: StructType = StructType(Seq(
+    StructField("molecular_trait_id", StringType),
+    StructField("chromosome", StringType),
+    StructField("position", IntegerType),
+    StructField("ref", StringType),
+    StructField("alt", StringType),
+    StructField("variant", StringType),
+    StructField("ma_samples", IntegerType),
+    StructField("maf", DoubleType),
+    StructField("pvalue", StringType),
+    StructField("beta", DoubleType),
+    StructField("se", DoubleType),
+    StructField("type", StringType),
+    StructField("ac", IntegerType),
+    StructField("an", IntegerType),
+    StructField("r2", DoubleType),
+    StructField("molecular_trait_object_id", StringType),
+    StructField("gene_id", StringType),
+    StructField("median_tpm", DoubleType),
+    StructField("rsid", StringType)
+  ))
+
+  /** Schema-enforced read of raw eQTL Catalogue summary-stats TSVs
+    * (summary_stats.py:52-60 ingestion entry; gzip handled by codec
+    * inference, splittable variants via the BGZF codec where used).
+    */
+  def readSummaryStats(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(rawSummaryStatsSchema)
+      .option("sep", "\t")
+      .option("header", "true")
+      .csv(path)
+
+  /** Full study ID from the source URI + gene: project id from the
+    * `imported/<project>/...` path segment, QTL group from the
+    * `<group>.tsv.gz` file name, suffixed with the gene
+    * (summary_stats.py:24-47 `_full_study_id_regexp`), e.g.
+    * `GTEx_V8_Adipose_Subcutaneous_ENSG00000225630`.
+    */
+  def fullStudyId(uri: Column, geneId: Column): Column =
+    concat(
+      regexp_extract(uri, "imported/([^/]+)/.*", 1),
+      lit("_"),
+      regexp_extract(uri, "([^/]+)\\.tsv\\.gz", 1),
+      lit("_"),
+      geneId)
+
+  /** Harmonise raw summary stats into the SummaryStatistics shape
+    * (summary_stats.py:49-93 `from_source`): study id from the URI,
+    * underscore-joined variant id, p-value split into mantissa/exponent,
+    * typed effect columns; rows without a parseable position or with a
+    * zero beta are dropped.
+    *
+    * `uri` defaults to `input_file_name()` so the projection rides the
+    * scan with zero extra passes; tests may inject a literal.
+    */
+  def summaryStatsFromSource(raw: DataFrame, uri: Column = input_file_name()): DataFrame = {
+    import graft.functions.Stats
+    val (mantissa, exponent) = Stats.splitPvalueColumn(col("pvalue"))
+    raw
+      .select(
+        fullStudyId(uri, col("gene_id")).as("studyId"),
+        concat_ws("_", col("chromosome"), col("position"), col("ref"), col("alt"))
+          .as("variantId"),
+        col("chromosome"),
+        col("position").cast(IntegerType).as("position"),
+        mantissa,
+        exponent,
+        col("beta").cast(DoubleType).as("beta"),
+        col("se").cast(DoubleType).as("standardError"),
+        col("maf").cast(FloatType).as("effectAlleleFrequencyFromSource"))
+      .filter(col("position").isNotNull && col("beta") =!= 0)
+  }
+
+  /** Raw studies-metadata TSV schema (study_index.py:33-47). */
+  val rawStudiesMetadataSchema: StructType = StructType(Seq(
+    StructField("study_id", StringType),
+    StructField("dataset_id", StringType),
+    StructField("study_label", StringType),
+    StructField("sample_group", StringType),
+    StructField("tissue_id", StringType),
+    StructField("tissue_label", StringType),
+    StructField("condition_label", StringType),
+    StructField("sample_size", IntegerType),
+    StructField("quant_method", StringType),
+    StructField("pmid", StringType),
+    StructField("study_type", StringType)
+  ))
+
+  /** Quantification methods the catalogue publishes; a blacklist entry
+    * outside this set is a caller error (study_index.py:48-57 mapping keys,
+    * validated in read_studies_from_source).
+    */
+  val quantificationMethods: Set[String] =
+    Set("ge", "exon", "tx", "microarray", "leafcutter", "aptamer", "txrev", "majiq")
+
+  /** Read raw studies metadata, dropping blacklisted quantification
+    * methods (study_index.py:132-162 `read_studies_from_source`).
+    */
+  def readStudiesMetadata(
+      spark: SparkSession,
+      path: String,
+      quantMethodsBlacklist: Seq[String] = Seq.empty): DataFrame = {
+    val invalid = quantMethodsBlacklist.filterNot(quantificationMethods.contains)
+    require(
+      invalid.isEmpty,
+      s"Quantification methods not supported: ${invalid.mkString(", ")}. " +
+        s"Available options are: ${quantificationMethods.mkString(", ")}")
+    val raw = spark.read
+      .schema(rawStudiesMetadataSchema)
+      .option("sep", "\t")
+      .option("header", "true")
+      .csv(path)
+    if (quantMethodsBlacklist.isEmpty) raw
+    else raw.filter(!col("quant_method").isin(quantMethodsBlacklist: _*))
+  }
+
+  /** Study index from processed SuSiE fine-mapping results
+    * (study_index.py:109-131 `from_susie_results`): keep the StudyIndex
+    * schema fields present in the processed frame — in schema order — and
+    * collapse to distinct study rows.
+    */
+  def studyIndexFromSusieResults(processed: DataFrame): DataFrame = {
+    val present = processed.columns.toSet
+    val cols = graft.core.SchemaRegistry("study_index").fieldNames.filter(present.contains)
+    processed.select(cols.map(col).toSeq: _*).distinct()
+  }
+
   /** quant_method → QTL study type, `sc` prefix for single-cell studies
     * (eqtl_catalogue/study_index.py:47-87).
     */

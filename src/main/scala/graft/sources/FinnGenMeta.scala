@@ -225,4 +225,185 @@ object FinnGenMeta {
     }
     df
   }
+
+  // ---------------------------------------------------------------------
+  // Study index (reference: datasource/finngen_meta/__init__.py:21-480 +
+  // finngen_meta/study_index.py:20-95)
+  // ---------------------------------------------------------------------
+
+  /** Meta-analysis data sources (finngen_meta/__init__.py:21-25). */
+  val FinnGenUkbbMeta = "FINNGEN_R12_UKB_META"
+  val FinnGenUkbbMvpMeta = "FINNGEN_R12_UKB_MVP_META"
+
+  val finngenAncestryCols: Seq[String] = Seq("fg_n_cases", "fg_n_controls")
+  val ukbbAncestryCols: Seq[String] = Seq("ukbb_n_cases", "ukbb_n_controls")
+  val mvpAncestryCols: Seq[String] = Seq(
+    "MVP_AFR_n_cases", "MVP_AFR_n_controls", "MVP_EUR_n_cases",
+    "MVP_EUR_n_controls", "MVP_AMR_n_cases", "MVP_AMR_n_controls")
+
+  /** Columns every manifest flavour must carry (__init__.py:40-47). */
+  val requiredManifestColumns: Seq[String] =
+    Seq("fg_phenotype", "name") ++ finngenAncestryCols ++ ukbbAncestryCols
+
+  val sumstatLocationColumn = "path_bucket"
+
+  /** Null-tolerant integer sum: each operand coalesces to 0
+    * (__init__.py:200-224 `_add` doctest: (1,2,3)→6, (1,2,null)→3).
+    */
+  private def addInts(cols: Seq[Column]): Column =
+    cols.map(c => coalesce(c, lit(0))).reduce(_ + _).cast(IntegerType)
+
+  /** Ancestry count columns for a data source (__init__.py:226-253). */
+  def ancestryColumns(meta: String): Seq[String] = meta match {
+    case FinnGenUkbbMeta => finngenAncestryCols ++ ukbbAncestryCols
+    case FinnGenUkbbMvpMeta =>
+      finngenAncestryCols ++ ukbbAncestryCols ++ mvpAncestryCols
+    case other => throw new IllegalArgumentException(
+      s"Unsupported meta-analysis data source: $other")
+  }
+
+  /** Per-cohort ancestry cocktail, keeping cohorts with >0 samples
+    * (__init__.py:273-367). UKBB-only metas label the two cohorts with LD
+    * codes (`fin`/`nfe`), the MVP meta with GWAS ancestry labels — exactly
+    * the reference's (inconsistent but load-bearing) behaviour.
+    */
+  def discoverySamples(meta: String): Column = {
+    def entry(label: String, cols: Seq[String]) = struct(
+      addInts(cols.map(col)).as("sampleSize"), lit(label).as("ancestry"))
+    val arr = meta match {
+      case FinnGenUkbbMeta =>
+        array(entry("fin", finngenAncestryCols), entry("nfe", ukbbAncestryCols))
+      case FinnGenUkbbMvpMeta =>
+        array(
+          entry("Finnish", finngenAncestryCols),
+          entry(
+            "European",
+            ukbbAncestryCols ++ Seq("MVP_EUR_n_cases", "MVP_EUR_n_controls")),
+          entry("African", Seq("MVP_AFR_n_cases", "MVP_AFR_n_controls")),
+          entry("Admixed American", Seq("MVP_AMR_n_cases", "MVP_AMR_n_controls")))
+      case other => throw new IllegalArgumentException(
+        s"Unsupported meta-analysis data source: $other")
+    }
+    filter(arr, x => x.getField("sampleSize") > lit(0.0))
+  }
+
+  /** Per-cohort case/sample arrays (__init__.py:425-480). */
+  private def perCohort(meta: String, suffix: String, outField: String): Column = {
+    def entry(cohort: String, cols: Seq[String]) = struct(
+      lit(cohort).as("cohort"), addInts(cols.map(col)).as(outField))
+    val base = Seq(
+      entry("FinnGen", Seq(s"fg_$suffix") ++
+        (if (outField == "nSamples") Seq("fg_n_controls") else Nil)),
+      entry("UKBB", Seq(s"ukbb_$suffix") ++
+        (if (outField == "nSamples") Seq("ukbb_n_controls") else Nil)))
+    val mvp =
+      if (meta == FinnGenUkbbMvpMeta)
+        Seq("MVP_EUR", "MVP_AFR", "MVP_AMR").map(c =>
+          entry(c, Seq(s"${c}_$suffix") ++
+            (if (outField == "nSamples") Seq(s"${c}_n_controls") else Nil)))
+      else Nil
+    array((base ++ mvp): _*)
+  }
+
+  /** Enforce the manifest contract on a raw (all-string) manifest frame:
+    * required columns asserted, case/control counts cast to int, the rest
+    * to string, a null `path_bucket` added when missing; the data source is
+    * detected from MVP column presence (__init__.py:112-182
+    * `from_path`).
+    */
+  def manifestContract(raw: DataFrame): (DataFrame, String) = {
+    val present = raw.columns.toSet
+    val missing = requiredManifestColumns.filterNot(present.contains)
+    require(
+      missing.isEmpty,
+      s"Manifest file must contain the following columns: $requiredManifestColumns " +
+        s"(missing: ${missing.mkString(", ")})")
+    val meta =
+      if (mvpAncestryCols.forall(present.contains)) FinnGenUkbbMvpMeta
+      else FinnGenUkbbMeta
+    // try_cast: the reference (non-ANSI) nulls malformed counts; a plain
+    // ANSI cast would throw CAST_INVALID_INPUT on a stray string
+    val cols = ancestryColumns(meta)
+      .map(c => expr(s"try_cast(`$c` AS INT)").as(c)) ++
+      Seq(col("fg_phenotype").cast(StringType).as("fg_phenotype"),
+        col("name").cast(StringType).as("name")) :+
+      (if (present.contains(sumstatLocationColumn))
+        col(sumstatLocationColumn).cast(StringType).as(sumstatLocationColumn)
+      else lit(null).cast(StringType).as(sumstatLocationColumn))
+    (raw.select(cols: _*), meta)
+  }
+
+  /** Header TSV read + contract (__init__.py:112-145). */
+  def readManifest(spark: SparkSession, path: String): (DataFrame, String) =
+    manifestContract(
+      spark.read.option("header", "true").option("sep", "\t").csv(path))
+
+  /** Contracted manifest → the documented manifest shape
+    * (__init__.py:70-110 `df` property).
+    */
+  def shapeManifest(contracted: DataFrame, meta: String): DataFrame = {
+    val caseCols = ancestryColumns(meta).filter(_.contains("n_cases"))
+    val controlCols = ancestryColumns(meta).filter(_.contains("n_controls"))
+    contracted.select(
+      concat_ws("_", lit(meta), col("fg_phenotype")).as("studyId"),
+      lit(meta).as("projectId"),
+      col("name").as("traitFromSource"),
+      discoverySamples(meta).as("discoverySamples"),
+      addInts(ancestryColumns(meta).map(col)).as("nSamples"),
+      perCohort(meta, "n_cases", "nSamples").as("nSamplesPerCohort"),
+      addInts(caseCols.map(col)).as("nCases"),
+      perCohort(meta, "n_cases", "nCases").as("nCasesPerCohort"),
+      addInts(controlCols.map(col)).as("nControls"),
+      col(sumstatLocationColumn).as("summarystatsLocation"),
+      lit(true).as("hasSumstats"))
+  }
+
+  /** Per-data-source constant columns (study_index.py:20-45
+    * `get_constants`): published initial sample size, cohort list,
+    * publication date.
+    */
+  def metaConstants(meta: String): Seq[Column] = meta match {
+    case FinnGenUkbbMeta => Seq(
+      lit("920,880 (FinnGenR12: nNFE=500,349; pan-UKBB-EUR: nEUR=420,531)")
+        .as("initialSampleSize"),
+      array(lit("FinnGen"), lit("pan-UKBB-EUR")).as("cohorts"),
+      lit("2024-11-01").as("publicationDate"))
+    case FinnGenUkbbMvpMeta => Seq(
+      lit("1,550,147 (MVP: nEUR=449,042, nAFR=121,177, nAMR=59,048; " +
+        "FinnGenR12: nNFE=500,349; pan-UKBB-EUR: nEUR=420,531)")
+        .as("initialSampleSize"),
+      array(lit("MVP"), lit("FinnGen"), lit("pan-UKBB-EUR")).as("cohorts"),
+      lit("2024-11-01").as("publicationDate"))
+    case other => throw new IllegalArgumentException(
+      s"Unsupported meta-analysis data source: $other")
+  }
+
+  /** Shaped manifest → StudyIndex rows with constants, LD population
+    * structure and EFO mappings (study_index.py:46-95
+    * `from_finngen_manifest`). The EFO mapping table is curated/bounded
+    * (broadcast inside annotateStudyIndexWithEfo); the result is a
+    * dimension table, coalesced like the reference ships it.
+    */
+  def studyIndexFromManifest(
+      shaped: DataFrame,
+      meta: String,
+      efoMapping: DataFrame,
+      finngenRelease: String = "R12"): DataFrame = {
+    val base = shaped.select(
+      (Seq(
+        col("studyId"),
+        col("projectId"),
+        lit("gwas").as("studyType"),
+        col("traitFromSource"),
+        col("hasSumstats"),
+        col("summarystatsLocation"),
+        col("discoverySamples"),
+        col("nSamples"),
+        col("nCases"),
+        col("nControls")) ++
+        metaConstants(meta) :+
+        StudyIndexOps.aggregateAndMapAncestries(col("discoverySamples"))
+          .as("ldPopulationStructure")): _*)
+    FinnGen.annotateStudyIndexWithEfo(base, efoMapping, finngenRelease).coalesce(1)
+  }
 }

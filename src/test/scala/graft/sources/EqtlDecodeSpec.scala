@@ -28,6 +28,85 @@ class EqtlDecodeSpec extends SparkSpec {
     assert(row === (("QTD000584", 2)))
   }
 
+  test("eQTL Catalogue raw summary stats: URI study id, p-value split, position/beta filters") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("eqtl-ss")
+    val sub = dir.resolve("imported/GTEx_V8/ge")
+    Files.createDirectories(sub)
+    val header = EqtlCatalogue.rawSummaryStatsSchema.fieldNames.mkString("\t")
+    val rows = Seq(
+      // kept: full row
+      Seq("T1", "1", "100", "A", "G", "chr1_100_A_G", "10", "0.25", "2.5E-8",
+        "0.5", "0.05", "SNP", "5", "20", "0.9", "O1", "ENSG1", "1.5", "rs1"),
+      // dropped: zero beta
+      Seq("T1", "1", "200", "A", "G", "chr1_200_A_G", "10", "0.25", "1E-4",
+        "0.0", "0.05", "SNP", "5", "20", "0.9", "O1", "ENSG1", "1.5", "rs2"),
+      // dropped: unparseable position
+      Seq("T1", "1", "", "A", "G", "chr1_x_A_G", "10", "0.25", "1E-4",
+        "0.3", "0.05", "SNP", "5", "20", "0.9", "O1", "ENSG1", "1.5", "rs3"),
+      // kept: plain decimal p-value takes the log10 branch
+      Seq("T2", "2", "300", "C", "T", "chr2_300_C_T", "10", "0.1", "0.0004",
+        "-0.2", "0.02", "SNP", "5", "20", "0.9", "O2", "ENSG2", "1.5", "rs4")
+    ).map(_.mkString("\t"))
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(sub.resolve("Adipose_Subcutaneous.tsv.gz")))
+    gz.write((header +: rows).mkString("\n").getBytes("UTF-8"))
+    gz.close()
+    val out = EqtlCatalogue.summaryStatsFromSource(
+        EqtlCatalogue.readSummaryStats(spark, sub.resolve("*.tsv.gz").toString))
+      .select($"studyId", $"variantId", $"position", $"pValueMantissa",
+        $"pValueExponent", $"beta", $"effectAlleleFrequencyFromSource")
+      .as[(String, String, Int, Float, Int, Double, Float)]
+      .collect().sortBy(_._3)
+    assert(out.length === 2)
+    assert(out(0) === ((
+      "GTEx_V8_Adipose_Subcutaneous_ENSG1", "1_100_A_G", 100, 2.5f, -8, 0.5, 0.25f)))
+    // 0.0004 → mantissa 4.0, exponent -4 via the floor(log10) branch
+    assert(out(1)._1 === "GTEx_V8_Adipose_Subcutaneous_ENSG2")
+    assert(out(1)._4 === 4.0f && out(1)._5 === -4)
+  }
+
+  test("eQTL Catalogue study index from SuSiE results keeps schema columns, distinct") {
+    import spark.implicits._
+    val processed = Seq(
+      ("s1", "GTEx", "eqtl", "T1", "ENSG1", "UBERON_1", "123", 500,
+        "loc1", true, "naive", "1_100_A_C", 0.8),
+      // same study, second variant row → one study row after distinct
+      ("s1", "GTEx", "eqtl", "T1", "ENSG1", "UBERON_1", "123", 500,
+        "loc1", true, "naive", "1_200_A_G", 0.2),
+      ("s2", "GTEx", "sqtl", "T2", "ENSG2", "UBERON_1", "123", 500,
+        "loc2", true, "naive", "1_300_A_T", 1.0)
+    ).toDF("studyId", "projectId", "studyType", "traitFromSource", "geneId",
+      "biosampleFromSourceId", "pubmedId", "nSamples", "summarystatsLocation",
+      "hasSumstats", "condition", "variantId", "pip")
+    val si = EqtlCatalogue.studyIndexFromSusieResults(processed)
+    // non-StudyIndex columns dropped; schema order preserved
+    assert(!si.columns.contains("variantId") && !si.columns.contains("pip"))
+    assert(si.columns.head === "studyId")
+    assert(si.count() === 2)
+  }
+
+  test("studies metadata reader filters blacklisted quantification methods") {
+    val dir = Files.createTempDirectory("eqtl-meta")
+    val p = dir.resolve("metadata.tsv")
+    Files.writeString(
+      p,
+      Seq(
+        EqtlCatalogue.rawStudiesMetadataSchema.fieldNames.mkString("\t"),
+        Seq("QTS1", "QTD1", "Sun_2018", "plasma", "UBERON_1", "plasma",
+          "naive", "3301", "aptamer", "123", "bulk").mkString("\t"),
+        Seq("QTS2", "QTD2", "GTEx", "adipose", "UBERON_2", "adipose",
+          "naive", "500", "ge", "456", "bulk").mkString("\t")
+      ).mkString("\n"))
+    val kept = EqtlCatalogue
+      .readStudiesMetadata(spark, p.toString, quantMethodsBlacklist = Seq("aptamer"))
+    assert(kept.count() === 1)
+    assert(kept.select("dataset_id").collect().head.getString(0) === "QTD2")
+    intercept[IllegalArgumentException] {
+      EqtlCatalogue.readStudiesMetadata(spark, p.toString, Seq("not-a-method"))
+    }
+  }
+
   test("deCODE allele-frequency inference matches the reference doctest") {
     import spark.implicits._
     val got = Seq((0.01, Some(0.02)), (0.01, Some(0.6)), (0.01, None: Option[Double]))

@@ -263,4 +263,68 @@ class UkbFinnGenMetaSpec extends SparkSpec {
     assert(got.filter($"fg_beta" === 0.5).count() === 1)
     assert(got.filter($"ukbb_beta".isNotNull).count() === 0) // NA → null
   }
+
+  test("FinnGen-meta manifest contract: MVP detection, int casts, missing path_bucket") {
+    // UKBB-only manifest (no MVP columns) — all-string input, as read from TSV
+    val ukbbRaw = Seq(
+      ("I9_HEARTFAIL", "Heart failure", "100", "900", "50", "950"),
+      ("AB1", "Amoebiasis", null, "10", "5", "x") // null + unparseable count
+    ).toDF("fg_phenotype", "name", "fg_n_cases", "fg_n_controls",
+      "ukbb_n_cases", "ukbb_n_controls")
+    val (c1, meta1) = FinnGenMeta.manifestContract(ukbbRaw)
+    assert(meta1 === FinnGenMeta.FinnGenUkbbMeta)
+    assert(c1.columns.contains("path_bucket")) // added as null when absent
+    assert(c1.schema("fg_n_cases").dataType.typeName === "integer")
+    val shaped = FinnGenMeta.shapeManifest(c1, meta1)
+    val hf = shaped.filter($"studyId" === "FINNGEN_R12_UKB_META_I9_HEARTFAIL")
+      .selectExpr(
+        "nSamples", "nCases", "nControls",
+        "transform(discoverySamples, x -> x.ancestry || ':' || x.sampleSize) AS ds",
+        "summarystatsLocation")
+      .as[(Int, Int, Int, Seq[String], Option[String])].head()
+    // doctest semantics: nulls coalesce to 0 in every sum
+    assert(hf === ((2000, 150, 1850, Seq("fin:1000", "nfe:1000"), None)))
+    // the unparseable 'x' count became null → 0; ukbb cohort = 5 + 0
+    val ab = shaped.filter($"studyId" === "FINNGEN_R12_UKB_META_AB1")
+      .selectExpr("nSamples",
+        "transform(discoverySamples, x -> x.ancestry || ':' || x.sampleSize) AS ds")
+      .as[(Int, Seq[String])].head()
+    assert(ab === ((15, Seq("fin:10", "nfe:5"))))
+    // required-column assertion
+    intercept[IllegalArgumentException] {
+      FinnGenMeta.manifestContract(Seq(("a")).toDF("fg_phenotype"))
+    }
+  }
+
+  test("FinnGen-meta study index: UKBB constants, ld structure nulls for fin/nfe labels") {
+    val raw = Seq(
+      ("I9_HEARTFAIL", "Heart failure", "100", "900", "0", "0")
+    ).toDF("fg_phenotype", "name", "fg_n_cases", "fg_n_controls",
+      "ukbb_n_cases", "ukbb_n_controls")
+    val (c, meta) = FinnGenMeta.manifestContract(raw)
+    val efo = Seq(
+      ("FINNGEN_R12", "Heart failure", "http://purl.obolibrary.org/obo/EFO_0003144"),
+      ("FINNGEN_R11", "Heart failure", "http://purl.obolibrary.org/obo/EFO_9")
+    ).toDF("STUDY", "PROPERTY_VALUE", "SEMANTIC_TAG")
+    val si = FinnGenMeta.studyIndexFromManifest(
+      FinnGenMeta.shapeManifest(c, meta), meta, FinnGen.loadEfoMapping(efo))
+    val row = si.selectExpr(
+      "studyType", "initialSampleSize", "publicationDate",
+      "array_join(cohorts, '|') AS cohorts",
+      "size(discoverySamples) AS nds", // all-zero ukbb cohort dropped
+      "ldPopulationStructure[0].ldPopulation", // 'fin' has no GWAS-label map entry
+      "ldPopulationStructure[0].relativeSampleSize",
+      "array_join(traitFromSourceMappedIds, '|') AS efos"
+    ).as[(String, String, String, String, Int, Option[String], Double, String)].head()
+    assert(row._1 === "gwas")
+    assert(row._2.startsWith("920,880"))
+    assert(row._3 === "2024-11-01")
+    assert(row._4 === "FinnGen|pan-UKBB-EUR")
+    assert(row._5 === 1)
+    // reference behaviour: 'fin'/'nfe' cohort labels are NOT in the GWAS→LD
+    // map (it maps 'Finnish'/'European'), so the UKBB path yields a null
+    // ldPopulation with the full relative share — mirrored deliberately
+    assert(row._6.isEmpty && row._7 === 1.0)
+    assert(row._8 === "EFO_0003144") // R11 mapping filtered out
+  }
 }
