@@ -1215,26 +1215,31 @@ object SourceQueries {
       when(o % 5 === 0, lit(null).cast("double")).otherwise(col("l_discount") * 0.5).as("MVP_HIS_af_alt"),
       when(o % 2 === 0, lit(null).cast("double")).otherwise(col("l_tax") * 0.8).as("fg_af_alt"),
       when(o % 7 === 0, lit(null).cast("double")).otherwise(col("l_discount") * 0.3).as("ukbb_af_alt"))
-    val afArr = array(
-      Seq("MVP_EUR" -> "MVP_EUR_af_alt", "MVP_AFR" -> "MVP_AFR_af_alt",
-        "MVP_AMR" -> "MVP_HIS_af_alt", "FinnGen" -> "fg_af_alt", "UKBB" -> "ukbb_af_alt")
-        .map { case (cohort, c) =>
-          struct(lit(cohort).as("cohort"), col(c).as("alleleFrequency"))
-        }: _*)
-    val nArr = array(
-      struct(lit("MVP_EUR").as("cohort"), lit(1000L).as("nSamples")),
-      struct(lit("MVP_AFR").as("cohort"),
-        when(o % 6 === 0, lit(null).cast("long")).otherwise(lit(800L)).as("nSamples")),
-      struct(lit("FinnGen").as("cohort"), lit(500L).as("nSamples")),
-      struct(lit("UKBB").as("cohort"), lit(2000L).as("nSamples")))
-    val coh = FinnGenMeta.cohorts()
+    // Fixed-cohort production shape: one (af, n) pair per cohort, scalar
+    // when-chain (combinedAlleleFrequencyUnrolled — the codegen path the raw
+    // meta files take). MVP_AMR has a frequency but never a sample size
+    // (n = null) and must drop out of the weighted AF while still counting
+    // as a cohort; MVP_AFR's n is patterned-null to exercise per-row
+    // exclusion. The array-generic combinedAlleleFrequency twin is pinned to
+    // this same arithmetic in UkbFinnGenMetaSpec.
+    val afPairs = Seq[(Column, Column)](
+      col("MVP_EUR_af_alt") -> lit(1000L),
+      col("MVP_AFR_af_alt") ->
+        when(o % 6 === 0, lit(null).cast("long")).otherwise(lit(800L)),
+      col("MVP_HIS_af_alt") -> lit(null).cast("long"),
+      col("fg_af_alt") -> lit(500L),
+      col("ukbb_af_alt") -> lit(2000L))
+    // All three outputs take the codegen scalar twins (cohortLabels,
+    // metaAnalyzedPredicate, combinedAlleleFrequencyUnrolled) — the
+    // interpreted array forms (cohorts(), isMetaAnalyzedVariant,
+    // combinedAlleleFrequency) are exhaustively pinned equal to these twins
+    // in UkbFinnGenMetaSpec; production's harmoniseCore filter uses the
+    // same scalar predicate.
     raw.select(
       o.as("l_orderkey"), col("l_linenumber"),
-      concat_ws(",",
-        transform(coh, x =>
-          concat(x.getField("biobank"), lit(":"), x.getField("cohort")))).as("cohorts"),
-      FinnGenMeta.isMetaAnalyzedVariant(coh).as("is_meta"),
-      round(FinnGenMeta.combinedAlleleFrequency(afArr, nArr), 8).as("combined_af"))
+      FinnGenMeta.cohortLabels().as("cohorts"),
+      FinnGenMeta.metaAnalyzedPredicate().as("is_meta"),
+      round(FinnGenMeta.combinedAlleleFrequencyUnrolled(afPairs), 8).as("combined_af"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

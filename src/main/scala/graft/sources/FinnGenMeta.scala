@@ -48,26 +48,89 @@ object FinnGenMeta {
   def isMetaAnalyzedVariant(cohorts: Column): Column =
     size(array_distinct(transform(cohorts, x => x.getField("biobank")))) >= 2
 
+  /** Codegen scalar twin of the cohorts() array rendered as
+    * "biobank:cohort" labels joined by `sep`: concat_ws skips nulls, so the
+    * per-cohort when-chain compacts exactly like cohorts()'s inCohort
+    * filter. Exhaustively pinned equal (all 32 presence patterns) in
+    * UkbFinnGenMetaSpec. Use when only the label string is needed — no
+    * array build, no interpreted HOFs.
+    */
+  def cohortLabels(sep: String = ","): Column = {
+    def label(afCol: String, biobank: String, cohort: String) =
+      when(col(afCol).isNotNull, lit(s"$biobank:$cohort"))
+    concat_ws(
+      sep,
+      label("MVP_EUR_af_alt", "MVP", "MVP_EUR"),
+      label("MVP_AFR_af_alt", "MVP", "MVP_AFR"),
+      label("MVP_HIS_af_alt", "MVP", "MVP_AMR"),
+      label("fg_af_alt", "FinnGen", "FinnGen"),
+      label("ukbb_af_alt", "UKBB", "UKBB"))
+  }
+
+  /** Codegen scalar twin of `isMetaAnalyzedVariant(cohorts())` for the fixed
+    * raw-file cohort columns: distinct biobanks = {MVP if any MVP af, FinnGen
+    * if fg af, UKBB if ukbb af}; meta-analyzed ⇔ at least two present. A pure
+    * when-chain sum — no array build, no array_distinct — so the
+    * harmoniseCore filter stays inside whole-stage codegen (the array form
+    * costs interpreted-HOF evaluation per row; pinned equal in
+    * UkbFinnGenMetaSpec).
+    */
+  def metaAnalyzedPredicate(): Column = {
+    def present(c: Column) = when(c.isNotNull, lit(1)).otherwise(lit(0))
+    val mvp = present(
+      coalesce(col("MVP_EUR_af_alt"), col("MVP_AFR_af_alt"), col("MVP_HIS_af_alt")))
+    (mvp + present(col("fg_af_alt")) + present(col("ukbb_af_alt"))) >= 2
+  }
+
   /** Sample-size-weighted allele frequency across cohorts; cohorts missing
     * either the frequency or the sample size are excluded, empty
     * intersection → null (summary_statistics.py:779-860).
     */
-  def combinedAlleleFrequency(alleleFreq: Column, nSamplesPerCohort: Column): Column = {
-    val afF = filter(alleleFreq, x => x.getField("alleleFrequency").isNotNull)
-    val nF = filter(nSamplesPerCohort, x => x.getField("nSamples").isNotNull)
-    val nMap = map_from_entries(
-      transform(nF, x => struct(x.getField("cohort"), x.getField("nSamples"))))
-    val common = filter(afF, x => element_at(nMap, x.getField("cohort")).isNotNull)
-    val num = aggregate(
-      common,
-      lit(0.0),
-      (acc, x) =>
-        acc + x.getField("alleleFrequency") *
-          coalesce(element_at(nMap, x.getField("cohort")).cast("double"), lit(0.0)))
-    val den = aggregate(
-      common,
-      lit(0.0),
-      (acc, x) => acc + coalesce(element_at(nMap, x.getField("cohort")).cast("double"), lit(0.0)))
+  def combinedAlleleFrequency(alleleFreq: Column, nSamplesPerCohort: Column): Column =
+    // Let-binding discipline (round-8 audit rule): the cohort→nSamples map
+    // and the non-null AF array are bound ONCE per row; the aggregate's
+    // lambdas only do field accesses and O(#cohorts) map probes. The
+    // previous form re-inlined the map_from_entries(transform(filter(...)))
+    // subtree per element per aggregate (interpreted HOFs substitute, not
+    // memoize), costing ~37 µs/row at sf0.1. A single struct(num, den)
+    // accumulator replaces the two aggregates, and the finish lambda emits
+    // the ratio so the accumulator subtree is not duplicated either.
+    graft.functions.ArrayOps.bindOnce(
+      "nMap" -> map_from_entries(
+        transform(
+          filter(nSamplesPerCohort, x => x.getField("nSamples").isNotNull),
+          x => struct(x.getField("cohort"), x.getField("nSamples")))),
+      "afF" -> filter(alleleFreq, x => x.getField("alleleFrequency").isNotNull)
+    ) { get =>
+      aggregate(
+        get("afF"),
+        struct(lit(0.0).as("num"), lit(0.0).as("den")),
+        (acc, x) => {
+          // null n (cohort absent from nMap) contributes 0 to both terms —
+          // identical to the reference's inner-join-then-weight semantics
+          val n = element_at(get("nMap"), x.getField("cohort")).cast("double")
+          struct(
+            (acc.getField("num") +
+              coalesce(x.getField("alleleFrequency") * n, lit(0.0))).as("num"),
+            (acc.getField("den") + coalesce(n, lit(0.0))).as("den"))
+        },
+        acc => when(acc.getField("den") > 0, acc.getField("num") / acc.getField("den"))
+      )
+    }
+
+  /** Sample-size-weighted allele frequency over a FIXED cohort set, given as
+    * (alleleFrequency, nSamples) column pairs — the shape the raw meta files
+    * actually have (one af/n column pair per cohort,
+    * summary_statistics.py:64-147). Pure scalar when-chain arithmetic: stays
+    * inside whole-stage codegen, no arrays, no interpreted HOFs. Semantics
+    * match [[combinedAlleleFrequency]]: a cohort contributes only when both
+    * af and n are non-null; no contributing cohort → null.
+    */
+  def combinedAlleleFrequencyUnrolled(pairs: Seq[(Column, Column)]): Column = {
+    def term(value: Column, af: Column, n: Column): Column =
+      when(af.isNotNull && n.isNotNull, value).otherwise(lit(0.0))
+    val num = pairs.map { case (af, n) => term(af * n.cast("double"), af, n) }.reduce(_ + _)
+    val den = pairs.map { case (af, n) => term(n.cast("double"), af, n) }.reduce(_ + _)
     when(den > 0, num / den)
   }
 
@@ -217,11 +280,9 @@ object FinnGenMeta {
       .filter(col("beta").isNotNull)
       .filter(col("standardError").isNotNull)
     if (metaAnalysisFilter) {
-      df = df
-        .withColumn("cohorts", cohorts())
-        .withColumn("isMetaAnalyzedVariant", isMetaAnalyzedVariant(col("cohorts")))
-        .filter(col("isMetaAnalyzedVariant"))
-        .drop("isMetaAnalyzedVariant", "cohorts")
+      // scalar codegen twin of isMetaAnalyzedVariant(cohorts()) — the array
+      // form is only needed when the cohorts column itself is an output
+      df = df.filter(metaAnalyzedPredicate())
     }
     df
   }

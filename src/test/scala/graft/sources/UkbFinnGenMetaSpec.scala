@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -134,6 +135,61 @@ class UkbFinnGenMetaSpec extends SparkSpec {
     assert(got("v1") === Some(0.33))
     assert(got("v2") === None)
     assert(got("v3") === None)
+  }
+
+  test("unrolled fixed-cohort combined AF matches the array-generic twin") {
+    // The harness oracle (q_finngen_meta_cohorts) exercises the unrolled
+    // codegen path; this pin keeps the array-generic API twin arithmetic-
+    // identical on the same cohort patterns, including the both-null,
+    // af-without-n (MVP_AMR) and n-without-af drop-out cases.
+    val df = Seq(
+      (1, Some(0.6), Some(0.2), Some(0.3), Some(0.1), Some(0.05)),
+      (2, None, Some(0.2), None, Some(0.1), None),
+      (3, Option.empty[Double], Option.empty[Double], Some(0.3),
+        Option.empty[Double], Option.empty[Double]),
+      (4, None, None, None, None, None)
+    ).toDF("id", "eur", "afr", "amr", "fg", "ukbb")
+    val cohortNs = Seq[(String, Column)](
+      "eur" -> lit(1000L), "afr" -> lit(800L), "amr" -> lit(null).cast("long"),
+      "fg" -> lit(500L), "ukbb" -> lit(2000L))
+    val generic = FinnGenMeta.combinedAlleleFrequency(
+      array(cohortNs.map { case (c, _) =>
+        struct(lit(c).as("cohort"), col(c).as("alleleFrequency"))
+      }: _*),
+      array(cohortNs.map { case (c, n) =>
+        struct(lit(c).as("cohort"), n.as("nSamples"))
+      }: _*))
+    val unrolled = FinnGenMeta.combinedAlleleFrequencyUnrolled(
+      cohortNs.map { case (c, n) => (col(c), n) })
+    val rows = df.select(
+      col("id"), round(generic, 10).as("g"), round(unrolled, 10).as("u"))
+      .as[(Int, Option[Double], Option[Double])].collect()
+    rows.foreach { case (id, g, u) => assert(g === u, s"row $id") }
+    assert(rows.find(_._1 == 3).get._2 === None) // amr-only: af but never n
+    assert(rows.find(_._1 == 4).get._2 === None)
+  }
+
+  test("scalar metaAnalyzedPredicate matches isMetaAnalyzedVariant(cohorts())") {
+    // all 32 presence patterns over the five af columns
+    val df = spark.range(32).select(
+      col("id"),
+      when(col("id") % 2 === 0, 0.1).as("MVP_EUR_af_alt"),
+      when((col("id") / 2) % 2 === 0, 0.2).as("MVP_AFR_af_alt"),
+      when((col("id") / 4) % 2 === 0, 0.3).as("MVP_HIS_af_alt"),
+      when((col("id") / 8) % 2 === 0, 0.4).as("fg_af_alt"),
+      when((col("id") / 16) % 2 === 0, 0.5).as("ukbb_af_alt"))
+    val got = df.select(
+      FinnGenMeta.isMetaAnalyzedVariant(FinnGenMeta.cohorts()).as("a"),
+      FinnGenMeta.metaAnalyzedPredicate().as("s"),
+      concat_ws(",",
+        transform(FinnGenMeta.cohorts(), x =>
+          concat(x.getField("biobank"), lit(":"), x.getField("cohort")))).as("al"),
+      FinnGenMeta.cohortLabels().as("sl"))
+      .as[(Boolean, Boolean, String, String)].collect()
+    got.zipWithIndex.foreach { case ((a, s, al, sl), i) =>
+      assert(a === s, s"pattern $i")
+      assert(al === sl, s"pattern $i labels")
+    }
   }
 
   test("FinnGen-meta core harmonisation builds ids and applies the meta filter") {
