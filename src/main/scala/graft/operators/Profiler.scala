@@ -65,24 +65,45 @@ object Profiler {
     require(cols.nonEmpty, "cols must be non-empty")
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
-    val perCol = cols.map { c =>
+    // Two aggregation passes, NOT one: string min/max buffers are not
+    // hash-aggregable (DeclarativeAggregate over StringType → SortAggregate),
+    // and the count(DISTINCT) Expand rewrite adds a gid grouping — combined
+    // in one agg that means Sort + SortAggregate over rows × k expanded
+    // rows. Split, the counts pass keeps fixed-width buffers (HashAggregate
+    // through the Expand) and the range pass is a GLOBAL aggregate, which
+    // SortAggregate executes without any Sort. Both 1-row results meet in a
+    // broadcast-trivial cross join; two scans beat one n·k-row sort at any
+    // scale.
+    val countsRow = df.agg(
+      count(lit(1)).as("_rows"),
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(count(col(c)).as(s"_nn_$i"), distinctAgg(c).as(s"_nd_$i"))
+      }: _*)
+    val rangesRow = df.agg(
+      min(col(cols.head)).as("_raw_mn_0"),
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        val numeric = df.schema(c).dataType.isInstanceOf[NumericType]
+        (if (i == 0) Seq.empty[Column] else Seq(min(col(c)).as(s"_raw_mn_$i"))) ++
+          Seq(max(col(c)).as(s"_raw_mx_$i")) ++
+          (if (numeric) Seq(avg(col(c)).as(s"_avg_$i")) else Nil)
+      }: _*)
+    val perCol = cols.zipWithIndex.map { case (c, i) =>
       val numeric = df.schema(c).dataType.isInstanceOf[NumericType]
       struct(
         lit(c).as("column"),
-        count(lit(1)).as("n_rows"),
-        (count(lit(1)) - count(col(c))).as("n_nulls"),
-        distinctAgg(c).as("n_distinct"),
-        (if (numeric) round(min(col(c)).cast("double"), 6) else nullD).as("min_num"),
-        (if (numeric) round(max(col(c)).cast("double"), 6) else nullD).as("max_num"),
-        (if (numeric) round(avg(col(c)), 6) else nullD).as("avg_num"),
-        (if (numeric) nullS else min(col(c)).cast("string")).as("min_str"),
-        (if (numeric) nullS else max(col(c)).cast("string")).as("max_str")
+        col("_rows").as("n_rows"),
+        (col("_rows") - col(s"_nn_$i")).as("n_nulls"),
+        col(s"_nd_$i").as("n_distinct"),
+        (if (numeric) round(col(s"_raw_mn_$i").cast("double"), 6) else nullD).as("min_num"),
+        (if (numeric) round(col(s"_raw_mx_$i").cast("double"), 6) else nullD).as("max_num"),
+        (if (numeric) round(col(s"_avg_$i"), 6) else nullD).as("avg_num"),
+        (if (numeric) nullS else col(s"_raw_mn_$i").cast("string")).as("min_str"),
+        (if (numeric) nullS else col(s"_raw_mx_$i").cast("string")).as("max_str")
       )
     }
-    df.agg(perCol.head.as("_p0"), perCol.tail.zipWithIndex.map {
-        case (e, i) => e.as(s"_p${i + 1}")
-      }: _*)
-      .select(explode(array(cols.indices.map(i => col(s"_p$i")): _*)).as("_p"))
+    countsRow
+      .crossJoin(rangesRow)
+      .select(explode(array(perCol: _*)).as("_p"))
       .select(col("_p.*"))
   }
 }
