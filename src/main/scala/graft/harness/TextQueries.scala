@@ -326,6 +326,26 @@ object TextQueries {
     Similarity.annTopK(Similarity.ivfAssign(emb, centroids), col("vec_id") < 30, k = 3)
   }
 
+  /** Batch projection of the streaming ANN lookup
+    * (streaming/StreamingOps.scala annTopKStreamTwin): the exact candidate
+    * plan annTopKStream executes per micro-batch — query-side zero-exchange
+    * cell assignment, stream-static equi join on the cell id against the
+    * pre-assigned corpus, per-query top-k. Query/corpus split mirrors
+    * q_ann_ivf, so the windowed rank must reproduce its result set;
+    * StreamingOpsSpec pins the live stream to this same frame.
+    */
+  def annStreamTwin(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+    val centroids = emb.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    graft.streaming.StreamingOps.annTopKStreamTwin(
+      emb.filter(col("vec_id") < 30),
+      Similarity.ivfAssign(emb, centroids),
+      centroids,
+      k = 3)
+      .select(col("qId").as("q_id"), col("neighborId").as("neighbor_id"), col("cos"))
+  }
+
   /** One relational Lloyd iteration exposed end-to-end: the q_ann_ivf
     * assignment refined to per-cell means (operators/Similarity.scala
     * kmeansIteration). The refined centroid table is exploded per dimension
@@ -621,6 +641,7 @@ object TextQueries {
     "q_rerank" -> (rerank _),
     "q_quality_filter" -> (qualityFilter _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_stream_twin" -> (annStreamTwin _),
     "q_ann_ivf_probe" -> (annIvfProbe _),
     "q_ivf_refine" -> (ivfRefine _),
     "q_repetition" -> (repetitionStats _),
@@ -1226,6 +1247,29 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
         |  FROM cand) WHERE rn <= 5""".stripMargin,
     "q_ann_ivf" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 23 = 0),
+        |assign AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    list_inner_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |       sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS c_cos
+        |  FROM embeddings e, cent c),
+        |buck AS (SELECT vec_id, embedding, centroid_id AS bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id ASC) AS rn
+        |    FROM assign) WHERE rn = 1),
+        |cand AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+        |    list_inner_product(q.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos_raw
+        |  FROM buck q JOIN buck b ON q.bucket = b.bucket
+        |  WHERE q.vec_id < 30 AND q.vec_id <> b.vec_id)
+        |SELECT q_id, neighbor_id, round(cos_raw, 6) AS cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+        |  FROM cand) WHERE rn <= 3""".stripMargin,
+    // The streaming twin's batch projection routes the same query/corpus
+    // split through the stream's candidate plan (query-side assignment +
+    // cell equi join), so its oracle is semantically q_ann_ivf's: the
+    // assignment of a query subset equals the subset of the full assignment.
+    "q_ann_stream_twin" ->
       """WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 23 = 0),
         |assign AS (SELECT e.vec_id, e.embedding, c.centroid_id,
         |    list_inner_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) /

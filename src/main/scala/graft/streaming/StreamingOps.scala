@@ -292,6 +292,30 @@ object StreamingOps {
       k: Int
   ): Dataset[AnnResult] = {
     import queries.sparkSession.implicits._
+    annStreamCandidates(queries, assignedCorpus, centroids)
+      .as[AnnResult]
+      .groupByKey(_.qId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[AnnResult], _: GroupState[Int]) =>
+          rows.toSeq
+            .sortBy(r => (-r.cos, r.neighborId))
+            .take(k)
+            .map(r =>
+              r.copy(cos =
+                BigDecimal(r.cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            .iterator
+      }
+  }
+
+  /** The candidate frame both the streaming lookup and its batch twin rank:
+    * zero-exchange cell assignment of the query side, equi join on the cell
+    * id against the pre-assigned corpus, exact cosine per candidate.
+    */
+  private def annStreamCandidates(
+      queries: DataFrame,
+      assignedCorpus: DataFrame,
+      centroids: DataFrame
+  ): DataFrame = {
     val Similarity = graft.operators.Similarity
     val q = Similarity.ivfAssign(queries, centroids).select(
       col("vec_id").as("qId"),
@@ -307,18 +331,28 @@ object StreamingOps {
         col("qId"),
         col("neighborId"),
         Similarity.cosine(col("q_emb"), col("c_emb")).as("cos"))
-      .as[AnnResult]
-      .groupByKey(_.qId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[AnnResult], _: GroupState[Int]) =>
-          rows.toSeq
-            .sortBy(r => (-r.cos, r.neighborId))
-            .take(k)
-            .map(r =>
-              r.copy(cos =
-                BigDecimal(r.cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-            .iterator
-      }
+  }
+
+  /** Batch projection of [[annTopKStream]] — the same candidate plan the
+    * stream executes per micro-batch, ranked with a window instead of
+    * flatMapGroupsWithState (windows are fine in batch). DuckDB-expressible,
+    * so this is the oracle surface for the streaming twin; StreamingOpsSpec
+    * pins stream output == this frame.
+    */
+  def annTopKStreamTwin(
+      queries: DataFrame,
+      assignedCorpus: DataFrame,
+      centroids: DataFrame,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    annStreamCandidates(queries, assignedCorpus, centroids)
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("qId")).orderBy(col("cos").desc, col("neighborId"))))
+      .filter(col("rn") <= k)
+      .select(col("qId"), col("neighborId"), round(col("cos"), 6).as("cos"))
   }
 
   final case class StudyEvent(studyId: String, beta: Double)

@@ -329,6 +329,12 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got === expected)
     assert(got.map(_._1).distinct === Seq(1000L, 1001L))
     assert(got.count(_._1 == 1000L) === 2 && got.count(_._1 == 1001L) === 2)
+    // the oracle surface: the dedicated batch twin (same candidate plan,
+    // window-ranked) must reproduce the stream output exactly
+    val twin = StreamingOps.annTopKStreamTwin(queryDf, assigned, centroids, k = 2)
+      .select("qId", "neighborId", "cos")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(got === twin)
   }
   test("streaming funnel matches the batch twin under time-ordered delivery") {
     import spark.implicits._
