@@ -5,7 +5,20 @@ Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over the same
 sf tables, sorts columns by name, sorts rows, and compares values.
 
-Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+Usage:
+  python3 tools/check_oracle.py <sfDir> <outDir> [queryName...]
+  python3 tools/check_oracle.py --smoke
+
+`--smoke` is the pinned-environment pre-close gate: it prints the duckdb
+version, runs graft.Verify itself for the five environment-sensitive
+queries (q_finemap, q_pics, q_pz_test, q_hll_rollup, q_random_proj) at
+BOTH sf0.01 and sf0.001, and checks the full expectation matrix:
+  - sf0.01: all five PASS (the pinned goldens were recorded there);
+  - sf0.001: q_random_proj PASSes (its oracle is SF-independent since the
+    round-11 determinism fix) and the four pinned goldens fail ONLY with
+    the expected row-count mismatch — an exception, column or value-shape
+    failure there means the environment (duckdb version, golden resource,
+    numeric pinning) drifted, not the scale factor.
 
 DuckDB-version sensitivity: a local PASS does not guarantee a driver-side
 PASS if the oracle SQL leaves any floating-point evaluation order to the
@@ -20,6 +33,7 @@ local duckdb version so the assumption is recorded with every run.
 import json
 import math
 import os
+import subprocess
 import sys
 
 import duckdb
@@ -28,6 +42,12 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+
+# Environment-sensitive queries: the four pinned-golden oracles recorded at
+# sf0.01 plus q_random_proj (historically the duckdb-version canary).
+SMOKE_QUERIES = ["q_finemap", "q_hll_rollup", "q_pics", "q_pz_test",
+                 "q_random_proj"]
+SF_PINNED = {"q_finemap", "q_hll_rollup", "q_pics", "q_pz_test"}
 
 
 def canon(v):
@@ -40,18 +60,17 @@ def canon(v):
     return v
 
 
-def main(sf_dir, out_dir):
-    print(f"duckdb {duckdb.__version__}")
-    con = duckdb.connect()
-    for t in TABLES:
-        path = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(path):  # multi-file dataset (e.g. the scaled corpus)
-            path = f"{path}/*.parquet"
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+def check(con, sf_dir, out_dir, names=None):
+    """Compare each dumped query against its oracle.
+
+    Returns {name: (status, detail)} where status is "PASS" or "FAIL" and
+    detail is the human-readable reason ("rows 123" for a pass).
+    """
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
-    n_pass = n_fail = 0
+    if names:
+        oracles = {n: s for n, s in oracles.items() if n in names}
+    results = {}
     for name, sql in sorted(oracles.items()):
         try:
             got = con.sql(
@@ -75,27 +94,96 @@ def main(sf_dir, out_dir):
                     + f" FROM ({sql})").fetchall()),
                 key=sort_key)
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: exception {e}")
-            n_fail += 1
+            results[name] = ("FAIL", f"exception {e}")
             continue
         if got_cols != want_cols:
-            print(f"FAIL {name}: columns {got_cols} != {want_cols}")
-            n_fail += 1
+            results[name] = ("FAIL", f"columns {got_cols} != {want_cols}")
         elif len(got_rows) != len(want_rows):
-            print(f"FAIL {name}: rows {len(got_rows)} != {len(want_rows)}")
-            n_fail += 1
+            results[name] = ("FAIL", f"rows {len(got_rows)} != {len(want_rows)}")
         elif got_rows != want_rows:
             bad = sum(1 for a, b in zip(got_rows, want_rows) if a != b)
             ex = next((a, b) for a, b in zip(got_rows, want_rows) if a != b)
-            print(f"FAIL {name}: {bad}/{len(got_rows)} mismatched rows; "
-                  f"first diff got={ex[0]} want={ex[1]}")
-            n_fail += 1
+            results[name] = (
+                "FAIL",
+                f"{bad}/{len(got_rows)} mismatched rows; "
+                f"first diff got={ex[0]} want={ex[1]}")
         else:
-            print(f"PASS {name} ({len(got_rows)} rows)")
-            n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail")
+            results[name] = ("PASS", f"{len(got_rows)} rows")
+    return results
+
+
+def connect(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # multi-file dataset (e.g. the scaled corpus)
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def main(sf_dir, out_dir, names=None):
+    print(f"duckdb {duckdb.__version__}")
+    results = check(connect(sf_dir), sf_dir, out_dir, names)
+    n_fail = 0
+    for name, (status, detail) in sorted(results.items()):
+        if status == "PASS":
+            print(f"PASS {name} ({detail})")
+        else:
+            print(f"FAIL {name}: {detail}")
+            n_fail += 1
+    print(f"== {len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
 
+def smoke():
+    print(f"duckdb {duckdb.__version__} (pinned-environment smoke gate)")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gate_red = False
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.001"):
+        sf_name = os.path.basename(sf_dir)
+        out_dir = f"/tmp/oracle_smoke_{sf_name}"
+        print(f"-- verifying {SMOKE_QUERIES} at {sf_name}")
+        proc = subprocess.run(
+            ["sbt", "-batch",
+             "runMain graft.Verify " + " ".join([sf_dir, out_dir] + SMOKE_QUERIES)],
+            cwd=repo, capture_output=True, text=True)
+        if proc.returncode != 0:
+            print(f"GATE RED: Verify failed at {sf_name}: "
+                  f"{proc.stdout[-2000:]}{proc.stderr[-2000:]}")
+            gate_red = True
+            continue
+        results = check(connect(sf_dir), sf_dir, out_dir, SMOKE_QUERIES)
+        for name in SMOKE_QUERIES:
+            status, detail = results.get(name, ("FAIL", "missing from dump"))
+            expect_pass = (sf_name == "sf0.01") or name not in SF_PINNED
+            if expect_pass:
+                if status == "PASS":
+                    print(f"ok   {sf_name} {name}: PASS ({detail})")
+                else:
+                    print(f"GATE RED: {sf_name} {name} expected PASS, "
+                          f"got FAIL: {detail}")
+                    gate_red = True
+            else:
+                # pinned golden at the wrong SF: acceptable failures are the
+                # DATA mismatches the SF change causes — fewer rows
+                # (row-level goldens) or shifted aggregate values (fixed
+                # group counts, e.g. q_hll_rollup's 10 rollup rows). An
+                # exception or column mismatch means environment drift.
+                data_mismatch = status == "FAIL" and (
+                    detail.startswith("rows ") or "mismatched rows" in detail)
+                if data_mismatch:
+                    print(f"ok   {sf_name} {name}: expected SF-pin data "
+                          f"mismatch ({detail.split(';')[0]})")
+                else:
+                    print(f"GATE RED: {sf_name} {name} expected a data-only "
+                          f"mismatch, got {status}: {detail}")
+                    gate_red = True
+    print("== GATE " + ("RED" if gate_red else "GREEN"))
+    return 1 if gate_red else 0
+
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    if len(sys.argv) >= 2 and sys.argv[1] == "--smoke":
+        sys.exit(smoke())
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3:] or None))
