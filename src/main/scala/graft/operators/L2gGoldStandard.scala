@@ -175,6 +175,29 @@ object L2gGoldStandard {
           .otherwise(col("non_curated_geneId")))
       .drop("distanceFromTss", "curated_geneId", "non_curated_geneId")
 
+  /** The full curation-to-training-labels chain
+    * (l2g_gold_standard.py:33-65 from_otg_curation +
+    * datasource/open_targets/l2g_gold_standard.py:109-133
+    * as_l2g_gold_standard): parse the positive curation, expand with
+    * within-window negatives, drop non-independent loci, remove
+    * interaction-confounded false negatives.
+    *
+    * @param distanceToGene relational replacement of the variant index's
+    *                       get_distance_to_gene view:
+    *                       (variantId, targetId, distanceFromTss)
+    */
+  def fromOtgCuration(
+      curation: DataFrame,
+      distanceToGene: DataFrame,
+      overlaps: DataFrame,
+      interactions: DataFrame
+  ): DataFrame =
+    removeFalseNegatives(
+      filterUniqueAssociations(
+        expandGoldStandardWithNegatives(parsePositiveCuration(curation), distanceToGene),
+        overlaps),
+      processGeneInteractions(interactions))
+
   /** Restrict a full feature matrix to gold-standard rows
     * (l2g_gold_standard.py:108-139): annotate the matrix with
     * (studyId, variantId) through the credible set, inner-join the

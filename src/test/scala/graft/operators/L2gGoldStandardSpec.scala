@@ -96,6 +96,58 @@ class L2gGoldStandardSpec extends SparkSpec {
     assert(got.count(_._4 == "positive") === positives.count().toInt)
   }
 
+  test("fromOtgCuration composes parse -> expand -> unique -> de-confound " +
+    "(reference from_otg_curation + as_l2g_gold_standard)") {
+    // Two High-confidence curated loci: (study1, 1_1000_A_C, gene1) and
+    // (study1, 2_2000_G_T, gene4). The variant index places gene1 at 5 bp
+    // (positive confirmed), gene2 at 10 kb (negative candidate), gene9 at
+    // 600 kb (outside the 500 kb window -> never labelled), gene4 at 5 bp
+    // of its own sentinel. Interactions: gene1-gene2 at 0.8 makes the gene2
+    // negative a confounded false negative -> dropped; gene1-gene4 at 0.9
+    // is the positive-positive interaction that (per the reference's
+    // EXISTS-over-join-rows semantics) lets gene1 itself survive having a
+    // strong negative interactor.
+    val curation = Seq(
+      ("High", "study1", "gene1", "1", 1000, "A", "C", "ProGeM"),
+      ("High", "study1", "gene4", "2", 2000, "G", "T", "ProGeM")
+    ).map { case (conf, study, gene, chrom, pos, ref, alt, label) =>
+      ((conf, gene), study, ((chrom, pos), (ref, alt)), label)
+    }.toDF("gold_standard_info_t", "assoc", "sv", "label")
+      .selectExpr(
+        "named_struct('highest_confidence', gold_standard_info_t._1, 'gene_id', gold_standard_info_t._2) AS gold_standard_info",
+        "named_struct('otg_id', assoc) AS association_info",
+        "named_struct('locus_GRCh38', named_struct('chromosome', sv._1._1, 'position', sv._1._2), 'alleles', named_struct('reference', sv._2._1, 'alternative', sv._2._2)) AS sentinel_variant",
+        "named_struct('set_label', label) AS metadata")
+    val distances = Seq(
+      ("1_1000_A_C", "gene1", 5L),
+      ("1_1000_A_C", "gene2", 10000L),
+      ("1_1000_A_C", "gene9", 600000L),
+      ("2_2000_G_T", "gene4", 5L)
+    ).toDF("variantId", "targetId", "distanceFromTss")
+    val overlaps = Seq.empty[(String, String, String)]
+      .toDF("leftStudyLocusId", "rightStudyLocusId", "tagVariantId")
+    val interactions = Seq(
+      ("gene1", "gene2", 0.8), ("gene1", "gene4", 0.9)
+    ).toDF("targetA", "targetB", "scoring")
+    val got = L2gGoldStandard
+      .fromOtgCuration(curation, distances, overlaps, interactions)
+      .select("variantId", "geneId", "goldStandardSet")
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(
+      ("1_1000_A_C", "gene1", "positive"),
+      ("2_2000_G_T", "gene4", "positive")))
+    // with all interactions weak, nothing is confounded and the gene2
+    // negative survives the chain
+    val noConfound = L2gGoldStandard
+      .fromOtgCuration(
+        curation, distances, overlaps,
+        Seq(("gene1", "gene2", 0.1)).toDF("targetA", "targetB", "scoring"))
+      .select("geneId", "goldStandardSet")
+      .as[(String, String)].collect().toSet
+    assert(noConfound === Set(
+      ("gene1", "positive"), ("gene2", "negative"), ("gene4", "positive")))
+  }
+
   test("buildFeatureMatrix restricts to gold-standard protein-coding rows") {
     val gs = Seq(
       ("9", "variant1", "study1", "G1", "positive"),
