@@ -15,76 +15,100 @@ import graft.functions.GenomicOps
   */
 object Annotations {
 
-  /** Collect all summary-statistics rows within ±`distance` of each clumped
-    * lead into a `locus` array (dataset/study_locus.py:1018-1084).
+  /** Shared binned broadcast range-collect: join sumstats to broadcast
+    * per-lead [lo, hi] windows and collect the in-range rows per lead.
     *
-    * The lead table is broadcast — the sumstats side (the 100 TB side) is
-    * never shuffled; the range predicate runs as a residual on the
-    * (studyId, chromosome) equi join.
+    * The leads are exploded to the position bins their window covers and
+    * broadcast, and the join adds the bin to the (studyId, chromosome) hash
+    * key — so each sumstats row is checked ONLY against the few leads
+    * covering its own bin, not every lead on its chromosome. Without the
+    * bin, the broadcast-hash residual scan is Θ(rows × leads-per-
+    * chromosome): measured at 10× rows (round 12, q_locus_annotate) that
+    * was 9.3e9 candidate checks for ~1e6 emitted tags, 26 s solo — ×12
+    * super-linear; binned it is candidate≈output and linear. Each
+    * (row, lead) pair meets in exactly one bin (the row's), so no dedup is
+    * needed. The sumstats side (the 100 TB side) is still never shuffled.
     */
-  def annotateLocusStatistics(
+  private def collectTagsInWindows(
       clumped: DataFrame,
       sumstats: DataFrame,
-      collectLocusDistance: Long
+      lo: Column,
+      hi: Column,
+      binWidth: Long
   ): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val leads = broadcast(
-      clumped.select("position", "chromosome", "studyId", "studyLocusId").alias("clumped"))
-    val tagged = sumstats.alias("sumstat")
+      clumped.select(
+        col("studyId").as("_l_studyId"),
+        col("chromosome").as("_l_chromosome"),
+        col("studyLocusId").as("_l_studyLocusId"),
+        lo.as("_lo"),
+        hi.as("_hi"))
+        .withColumn(
+          "_bin",
+          explode(sequence(
+            floor(col("_lo") / binWidth).cast("long"),
+            floor(col("_hi") / binWidth).cast("long")))))
+    val tagged = sumstats
       .join(
         leads,
-        col("sumstat.studyId") === col("clumped.studyId") &&
-          col("sumstat.chromosome") === col("clumped.chromosome") &&
-          col("sumstat.position") >= (col("clumped.position") - collectLocusDistance) &&
-          col("sumstat.position") <= (col("clumped.position") + collectLocusDistance),
+        col("studyId") === col("_l_studyId") &&
+          col("chromosome") === col("_l_chromosome") &&
+          floor(col("position") / binWidth).cast("long") === col("_bin") &&
+          col("position") >= col("_lo") && col("position") <= col("_hi"),
         "inner"
       )
       .select(
-        col("clumped.studyLocusId").as("studyLocusId"),
+        col("_l_studyLocusId").as("studyLocusId"),
         struct(
-          col("sumstat.variantId").as("variantId"),
-          col("sumstat.beta").as("beta"),
-          col("sumstat.pValueMantissa").as("pValueMantissa"),
-          col("sumstat.pValueExponent").as("pValueExponent"),
-          col("sumstat.standardError").as("standardError")
+          col("variantId"),
+          col("beta"),
+          col("pValueMantissa"),
+          col("pValueExponent"),
+          col("standardError")
         ).as("tag")
       )
     val locusDf = tagged.groupBy("studyLocusId").agg(collect_list(col("tag")).as("locus"))
     clumped.drop("locus").join(locusDf, Seq("studyLocusId"), "left")
   }
 
+  /** Collect all summary-statistics rows within ±`distance` of each clumped
+    * lead into a `locus` array (dataset/study_locus.py:1018-1084).
+    *
+    * The lead table is broadcast — the sumstats side (the 100 TB side) is
+    * never shuffled; the bin key bounds the per-row residual scan (see
+    * [[collectTagsInWindows]]). Bin width = the collect distance, so each
+    * lead window covers ≤3 bins.
+    */
+  def annotateLocusStatistics(
+      clumped: DataFrame,
+      sumstats: DataFrame,
+      collectLocusDistance: Long
+  ): DataFrame =
+    collectTagsInWindows(
+      clumped,
+      sumstats,
+      lo = col("position") - collectLocusDistance,
+      hi = col("position") + collectLocusDistance,
+      binWidth = collectLocusDistance.max(1L))
+
   /** Boundaries variant of the locus-statistics annotation: collect sumstats
     * between each lead's locusStart and locusEnd instead of a fixed ±distance
-    * (dataset/study_locus.py:1342-1405). Same broadcast-range-join design.
+    * (dataset/study_locus.py:1342-1405). Same binned broadcast design;
+    * `binWidth` should be ≥ the typical locus span so the broadcast
+    * explosion stays ≤2×.
     */
   def annotateLocusStatisticsBoundaries(
       clumped: DataFrame,
-      sumstats: DataFrame
-  ): DataFrame = {
-    val leads = broadcast(
-      clumped.select("locusStart", "locusEnd", "chromosome", "studyId", "studyLocusId")
-        .alias("clumped"))
-    val tagged = sumstats.alias("sumstat")
-      .join(
-        leads,
-        col("sumstat.studyId") === col("clumped.studyId") &&
-          col("sumstat.chromosome") === col("clumped.chromosome") &&
-          col("sumstat.position") >= col("clumped.locusStart") &&
-          col("sumstat.position") <= col("clumped.locusEnd"),
-        "inner"
-      )
-      .select(
-        col("clumped.studyLocusId").as("studyLocusId"),
-        struct(
-          col("sumstat.variantId").as("variantId"),
-          col("sumstat.beta").as("beta"),
-          col("sumstat.pValueMantissa").as("pValueMantissa"),
-          col("sumstat.pValueExponent").as("pValueExponent"),
-          col("sumstat.standardError").as("standardError")
-        ).as("tag")
-      )
-    val locusDf = tagged.groupBy("studyLocusId").agg(collect_list(col("tag")).as("locus"))
-    clumped.drop("locus").join(locusDf, Seq("studyLocusId"), "left")
-  }
+      sumstats: DataFrame,
+      binWidth: Long = 100000L
+  ): DataFrame =
+    collectTagsInWindows(
+      clumped,
+      sumstats,
+      lo = col("locusStart"),
+      hi = col("locusEnd"),
+      binWidth = binWidth)
 
   /** True when a lead variant is explained by a more significant lead in the
     * same (study, chromosome) whose variant appears among this lead's LD tags
