@@ -45,6 +45,21 @@ class ClumpingSpec extends SparkSpec {
     )
   }
 
+  test("prunePeakLeadIndices is the index compression of prunePeak") {
+    assert(
+      WindowBasedClumping.prunePeakLeadIndices(Seq(3L, 9L, 8L, 4L, 6L), 2) ===
+        Seq(0, 1, 4))
+    // property over random position sets: indices == positions of the 1s
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val ps = Seq.fill(rnd.nextInt(200) + 1)(rnd.nextInt(100000).toLong)
+      val w = rnd.nextInt(5000) + 1
+      val flags = WindowBasedClumping.prunePeak(ps, w)
+      val idx = WindowBasedClumping.prunePeakLeadIndices(ps, w)
+      assert(idx === flags.zipWithIndex.collect { case (1, i) => i })
+    }
+  }
+
   test("clump keeps all variants and flags non-leads") {
     import spark.implicits._
     // One cluster (positions within 10 of each other), pv rank: 20 < 30 < 40.
