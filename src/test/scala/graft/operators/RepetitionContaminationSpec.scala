@@ -141,6 +141,20 @@ class RepetitionContaminationSpec extends SparkSpec {
       "multi: <EMAIL> and <EMAIL>"))
   }
 
+  test("contaminationScoresPerRow (the stream-safe shape) matches the batch variant") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven"),
+      (3L, "tiny")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq("alpha beta gamma delta epsilon").toDF("text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_grams", "n_matched", "contamination")
+      .as[(Long, Int, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(rows(TextOps.contaminationScores(docs, benchmark, n = 5)) ===
+      rows(TextOps.contaminationScoresPerRow(docs, benchmark, n = 5)))
+  }
+
   test("contaminationScores keeps non-text columns and handles gram-less docs") {
     val docs = Seq((7L, "tiny", "keep-me")).toDF("doc_id", "text", "tag")
     val benchmark = Seq("alpha beta gamma delta epsilon").toDF("text")

@@ -110,7 +110,7 @@ class StreamingOpsSpec extends SparkSpec {
     // static benchmark: its distinct-gram set is a one-row static frame, so
     // the per-batch plan is a broadcast probe with no streaming state at all
     val benchmark = Seq("alpha beta gamma delta epsilon").toDF("text")
-    val q = TextOps.contaminationScores(docs, benchmark, n = 5)
+    val q = TextOps.contaminationScoresPerRow(docs, benchmark, n = 5)
       .writeStream.format("memory").queryName("contam_out")
       .outputMode(OutputMode.Append)
       .start()
