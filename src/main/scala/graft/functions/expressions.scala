@@ -472,6 +472,99 @@ case class TopNCentroids(
     copy(child = newChild)
 }
 
+/** Codegen binary-search bin assignment: the number of elements of a SORTED
+  * ascending `array<double>` (quantile boundaries, typically a broadcast
+  * column) strictly less than `value` — `O(log n)` per row inside
+  * whole-stage codegen, vs the interpreted `aggregate` HOF's `O(n)` with
+  * per-element lambda dispatch (the n=255 linear probe dominated the
+  * distributed-rank operator's runtime at sf0.1).
+  *
+  * Result is never null, mirroring `coalesce(aggregate(bnds, 0, (acc, b) ->
+  * acc + if(v > b, 1, 0)), 0)`: a null array or null value contributes
+  * nothing → bin 0; a null ELEMENT (never produced by percentile_approx,
+  * which returns a null array instead) breaks the sort contract, so the
+  * search falls back to a linear count of non-null elements < value —
+  * exactly the HOF's semantics.
+  */
+case class SortedLowerBound(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = false
+
+  private def linearCount(arr: ArrayData, x: Double): Int = {
+    var c = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && arr.getDouble(i) < x) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val v = right.eval(input)
+    if (a == null || v == null) 0
+    else {
+      val arr = a.asInstanceOf[ArrayData]
+      val x = v.asInstanceOf[Double]
+      var lo = 0
+      var hi = arr.numElements()
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr.isNullAt(mid)) return linearCount(arr, x)
+        else if (arr.getDouble(mid) < x) lo = mid + 1
+        else hi = mid
+      }
+      lo
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val arr = ctx.freshName("arr")
+    val x = ctx.freshName("x")
+    val lo = ctx.freshName("lo")
+    val hi = ctx.freshName("hi")
+    val mid = ctx.freshName("mid")
+    val bad = ctx.freshName("bad")
+    val i = ctx.freshName("i")
+    val resultCode =
+      code"""
+        |${l.code}
+        |${r.code}
+        |int ${ev.value} = 0;
+        |if (!${l.isNull} && !${r.isNull}) {
+        |  org.apache.spark.sql.catalyst.util.ArrayData $arr = ${l.value};
+        |  double $x = ${r.value};
+        |  int $lo = 0;
+        |  int $hi = $arr.numElements();
+        |  boolean $bad = false;
+        |  while ($lo < $hi && !$bad) {
+        |    int $mid = ($lo + $hi) >>> 1;
+        |    if ($arr.isNullAt($mid)) { $bad = true; }
+        |    else if ($arr.getDouble($mid) < $x) { $lo = $mid + 1; }
+        |    else { $hi = $mid; }
+        |  }
+        |  if (!$bad) { ${ev.value} = $lo; }
+        |  else {
+        |    for (int $i = 0; $i < $arr.numElements(); $i++) {
+        |      if (!$arr.isNullAt($i) && $arr.getDouble($i) < $x) { ${ev.value}++; }
+        |    }
+        |  }
+        |}
+      """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object expressions {
   import org.apache.spark.sql.functions.lit
 
@@ -503,6 +596,13 @@ object expressions {
     */
   def logsumexp(arr: Column): Column =
     Bridge.column(LogSumExp(Bridge.expression(arr.cast(ArrayType(DoubleType)))))
+
+  /** Codegen sorted-array binary-search bin (see [[SortedLowerBound]]). */
+  def sorted_lower_bound(boundaries: Column, value: Column): Column =
+    Bridge.column(
+      SortedLowerBound(
+        Bridge.expression(boundaries.cast(ArrayType(DoubleType))),
+        toDoubleExpr(value)))
 
   /** Projection-side nearest-centroid argmax (see [[NearestCentroid]]):
     * centroid ids must be given ascending (the tiebreak order).

@@ -486,6 +486,22 @@ object CoreQueries {
         col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         round(col("pct_rank"), 8).as("pct_rank"), col("bucket_rank"))
 
+  /** Distributed-rank scale twin (FeatureOps.withRankFeaturesScalable):
+    * identical semantics to [[pctRank]] but quantile-bin-partitioned so no
+    * task ever sorts a whole `l_returnflag` group — the window form's 3
+    * single-task sorts were the worst 10× ratio of the round-12 sf1 sweep.
+    */
+  def pctRankScalable(s: SparkSession, d: String): DataFrame =
+    graft.operators.FeatureOps
+      .withRankFeaturesScalable(
+        lineitem(s, d).select(
+          col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("tie")),
+        Seq("l_returnflag"), "l_extendedprice", "tie")
+      .select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        round(col("pct_rank"), 8).as("pct_rank"), col("bucket_rank"))
+
   /** Profile drift (operators/Profiler.drift): statistics regression
     * between the orders table and a mutated release (every 97th row
     * dropped, every 13th repriced) — null-fraction, NDV-ratio, mean-shift
@@ -679,6 +695,7 @@ object CoreQueries {
     "q_salted_join" -> (saltedJoin _),
     "q_feature_hash" -> (featureHash _),
     "q_pct_rank" -> (pctRank _),
+    "q_pct_rank_scalable" -> (pctRankScalable _),
     "q_profile_drift" -> (profileDrift _),
     "q_topk_pushdown" -> (topkPushdown _),
     "q_incr_agg" -> (incrAgg _),
@@ -873,6 +890,13 @@ object CoreQueries {
         |  CAST('0x' || substr(md5(source || '|' || lang), 1, 8) AS BIGINT) % 1024 AS bucket
         |FROM documents""".stripMargin,
     "q_pct_rank" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  round(percent_rank() OVER w, 8) AS pct_rank,
+        |  CAST(ntile(10) OVER w AS INTEGER) AS bucket_rank
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice, l_orderkey * 10 + l_linenumber)""".stripMargin,
+    "q_pct_rank_scalable" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber,
         |  round(percent_rank() OVER w, 8) AS pct_rank,
         |  CAST(ntile(10) OVER w AS INTEGER) AS bucket_rank

@@ -40,6 +40,76 @@ object FeatureOps {
       .withColumn("bucket_rank", ntile(buckets).over(w))
   }
 
+  /** Scale twin of [[withRankFeatures]] for LOW-CARDINALITY groups. The
+    * window form shuffles each group to ONE task (3 `l_returnflag` values =
+    * 3 tasks sorting everything — the worst measured 10× ratio of the
+    * round-12 sf1 sweep, and an executor-memory wall at cluster scale).
+    * Here the rank is distributed: per-group approximate quantile
+    * boundaries (`percentile_approx`, tiny groups×bins frame) assign each
+    * row a monotone bin; per-(group, bin) counts give exclusive cumulative
+    * offsets (window over the TINY histogram); the full data then only
+    * needs a row_number within (group, bin) — partitions bounded by
+    * ~n/bins — plus the broadcast offset. percent_rank/ntile are
+    * reconstructed from the global rank with Spark's exact semantics
+    * (ties are impossible: `tieCol` totalises the order, and equal values
+    * always share a bin since binning is monotone in `valueCol`).
+    *
+    * Limitation: a group whose values are ~all identical cannot be split
+    * by value-quantiles and degrades to the window form's one-task sort
+    * for that group (binning on the tie would change no semantics but
+    * `percentile_approx` cannot see composite keys).
+    */
+  def withRankFeaturesScalable(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      valueCol: String,
+      tieCol: String,
+      buckets: Int = 10,
+      bins: Int = 256
+  ): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(bins > 1, s"bins must be > 1: $bins")
+    val g = partitionCols.map(col)
+    val v = col(valueCol)
+    val probs = array((1 until bins).map(i => lit(i.toDouble / bins)): _*)
+    val bnds = df.groupBy(g: _*)
+      .agg(percentile_approx(v, probs, lit(10000)).as("__bnds"))
+    val binned = df
+      .join(broadcast(bnds), partitionCols, "left")
+      .withColumn("__bin", graft.functions.expressions.sorted_lower_bound(col("__bnds"), v))
+      .drop("__bnds")
+    val wOff = Window.partitionBy(g: _*).orderBy(col("__bin"))
+    val offs = binned
+      .groupBy(g :+ col("__bin"): _*).count()
+      .withColumn(
+        "__off",
+        coalesce(
+          sum("count").over(wOff.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("__n", sum("count").over(Window.partitionBy(g: _*)))
+      .drop("count")
+    val wLoc = Window.partitionBy(g :+ col("__bin"): _*).orderBy(v.asc, col(tieCol).asc)
+    val withRank = binned
+      .join(broadcast(offs), partitionCols :+ "__bin", "left")
+      .withColumn("__rank", row_number().over(wLoc).cast("long") + col("__off"))
+    val n = col("__n")
+    val r = col("__rank")
+    val q = lit(buckets.toLong)
+    val bSize = floor(n / q).cast("long")
+    val padded = n % q
+    val thr = padded * (bSize + lit(1L))
+    withRank
+      .withColumn(
+        "pct_rank",
+        when(n === 1L, lit(0.0)).otherwise((r - 1L).cast("double") / (n - 1L).cast("double")))
+      .withColumn(
+        "bucket_rank",
+        when(r <= thr, floor((r - 1L).cast("double") / (bSize + 1L).cast("double")).cast("long") + 1L)
+          .otherwise(padded + floor((r - thr - 1L).cast("double") / bSize.cast("double")).cast("long") + 1L)
+          .cast("int"))
+      .select(df.columns.map(col) ++ Seq(col("pct_rank"), col("bucket_rank")): _*)
+  }
+
   /** Rolling statistics over a trailing time window per key
     * (`range (-windowSize, 0]` on `tCol`): count, sum, mean, min, max —
     * the lag-feature block of an event-level training table. One key

@@ -34,6 +34,33 @@ class KernelPropertiesSpec extends SparkSpec {
     assert(out.forall { case (rc, a) => rc != a })
   }
 
+  test("sorted_lower_bound equals the linear HOF count on random sorted arrays, and nulls bin to 0") {
+    import spark.implicits._
+    val gen = Gen.listOfN(
+      300,
+      for {
+        arr <- Gen.listOf(Gen.choose(-100.0, 100.0))
+        x <- Gen.choose(-120.0, 120.0)
+        dup <- Gen.oneOf(true, false)
+      } yield (if (dup && arr.nonEmpty) (arr.head :: arr).sorted else arr.sorted, x))
+    val cases = gen.sample.get :+ ((Nil: List[Double]), 0.0)
+    val out = cases.toDF("bnds", "x")
+      .select(
+        expressions.sorted_lower_bound(col("bnds"), col("x")).as("cg"),
+        coalesce(
+          aggregate(col("bnds"), lit(0), (acc, b) => acc + when(col("x") > b, 1).otherwise(0)),
+          lit(0)).as("hof"))
+      .as[(Int, Int)].collect()
+    out.foreach { case (cg, hof) => assert(cg == hof, s"binary search $cg != linear $hof") }
+    val nulls = Seq((None: Option[Seq[Double]], None: Option[Double]))
+      .toDF("bnds", "x")
+      .select(
+        expressions.sorted_lower_bound(col("bnds"), col("x")).as("a"),
+        expressions.sorted_lower_bound(array(lit(1.0), lit(2.0)), col("x")).as("b"))
+      .as[(Int, Int)].collect()
+    assert(nulls.toSeq == Seq((0, 0)), "null array and null value both bin to 0")
+  }
+
   test("harmonic sum is monotone in set size and bounded by the theoretical max") {
     import spark.implicits._
     val gen = Gen.listOfN(100, Gen.nonEmptyListOf(Gen.choose(0.0, 1.0)))

@@ -27,6 +27,37 @@ class FeatureOpsSpec extends SparkSpec {
     assert(deciles.keySet == (1 to 10).toSet && deciles.values.forall(_ == 50L))
   }
 
+  test("withRankFeaturesScalable matches the window form exactly, including edge groups") {
+    // groups: "big" 1000 rows, "dup" all-identical values, "tiny" n<buckets,
+    // "one" n=1 (percent_rank=0 guard), few bins to force multi-row bins
+    val big = (1L to 1000L).map(i => ("big", i, ((i * 37) % 991).toDouble))
+    val dup = (1L to 40L).map(i => ("dup", i, 5.0))
+    val tiny = (1L to 7L).map(i => ("tiny", i, (100 - i).toDouble))
+    val one = Seq(("one", 1L, 3.0))
+    val df = (big ++ dup ++ tiny ++ one).toDF("g", "tie", "v")
+    val want = FeatureOps.withRankFeatures(df, Seq("g"), "v", "tie")
+      .select($"g", $"tie", $"pct_rank", $"bucket_rank")
+      .as[(String, Long, Double, Int)].collect().sortBy(r => (r._1, r._2))
+    val got = FeatureOps.withRankFeaturesScalable(df, Seq("g"), "v", "tie", bins = 8)
+      .select($"g", $"tie", $"pct_rank", $"bucket_rank")
+      .as[(String, Long, Double, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("withRankFeaturesScalable plan: the full-data window is partitioned by (group, bin), never group alone") {
+    val df = (1L to 500L).toDF("id").select(
+      ($"id" % 3).as("g"), $"id", (($"id" * 53) % 499).cast("double").as("v"))
+    val plan = FeatureOps.withRankFeaturesScalable(df, Seq("g"), "v", "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__bin"), "bin column must reach the physical plan")
+    val winParts = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\], \\[".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    val fullDataWins = winParts.filterNot(_.contains("__bin"))
+    // the only windows without __bin run over the tiny (group × bin) histogram
+    assert(winParts.exists(_.contains("__bin")), s"expected a (group, bin) window in:\n$plan")
+    assert(fullDataWins.size <= 2, s"histogram offset/total windows only, got $winParts")
+  }
+
   test("rollingStats matches a hand-built trailing window") {
     val df = Seq(
       (1L, 0L, 1.0), (1L, 50L, 2.0), (1L, 100L, 4.0), (1L, 1000L, 8.0)
