@@ -490,11 +490,15 @@ object TextOps {
     * weighting next to [[bm25Scores]].
     *
     * Scale shape: tokenize → explode → one `(doc, term)` hash aggregation
-    * (map-side combinable); document frequency is a window over the SAME
-    * term-keyed frame, which AQE serves with one additional term-keyed
-    * exchange (no self-join, no distinct pass — `(doc, term)` rows ARE the
-    * df increments); the corpus size N rides a single-row broadcast
-    * carrier. Nothing here is vocabulary-bounded in driver memory.
+    * (map-side combinable); document frequency is a map-side-combinable
+    * `groupBy(term).count` joined back on the term key — NOT a
+    * `Window.partitionBy(term)`, which would buffer every row of a term in
+    * ONE task's window partition: a stopword term appears in ~every
+    * document, so the window form single-tasks (and spills) nearly the
+    * whole corpus at scale, while the join streams it and AQE splits any
+    * skewed term across tasks. The corpus size N rides a single-row
+    * broadcast carrier. Nothing here is vocabulary-bounded in driver
+    * memory.
     */
   def tfidf(
       docs: DataFrame,
@@ -504,9 +508,10 @@ object TextOps {
       .select(col(idCol), explode(tokenize(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val withDf = dt.withColumn(
-      "df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+    val dfreq = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val withDf = dt
+      .join(dfreq, Seq("term"))
+      .select(col(idCol), col("term"), col("tf"), col("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     withDf
       .crossJoin(broadcast(n))

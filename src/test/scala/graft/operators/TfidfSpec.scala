@@ -32,7 +32,12 @@ class TfidfSpec extends SparkSpec {
       .orderBy($"term").as[(Long, String, Long, Long, Double)].collect().map(_._2)
     assert(doc2.toSeq == Seq("banana", "cherry"))
     val plan = TextOps.tfidf(docs).queryExecution.executedPlan.toString
-    assert(!plan.contains("SortMergeJoin"), s"df must come from a window, not a self-join:\n$plan")
+    // df must be the map-side-combinable groupBy joined on term, never a
+    // Window.partitionBy(term): a stopword term would buffer ~the whole
+    // corpus in one task's window partition at scale.
+    assert(!plan.contains("Window"), s"df must come from groupBy+join, not a window:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"df count must be partial-aggregated map-side:\n$plan")
   }
 
   test("sparseCosineTopK ranks the lexically-closest corpus doc first via the term join") {
