@@ -106,20 +106,23 @@ object DatasetQueries {
     * (chromosome, position, studyId) order — deterministic because
     * positions are unique within (studyId, chromosome).
     *
-    * Computed scale-safely: rank within chromosome (a partitioned,
-    * parallel window) plus a broadcast per-chromosome row-count offset —
-    * the same total order as a single unpartitioned row_number() without
-    * ever funnelling all rows through one task. The only unpartitioned
-    * window left runs over the ~25-row chromosome count frame.
+    * Computed scale-safely with FeatureOps.withDistributedRank: the
+    * within-chromosome rank is quantile-bin-partitioned (no task ever
+    * holds more than ~chromosome/bins rows — a per-chromosome window
+    * would cap parallelism at ~25 AND buffer whole chromosomes per task),
+    * plus a broadcast per-chromosome row-count offset. The only
+    * unpartitioned window left runs over the ~25-row chromosome count
+    * frame.
     */
   def globalSortQ(s: SparkSession, d: String): DataFrame = {
     val ss = GenomicQueries.synthSumstats(s, d).df
-    val within = ss.select(
-      col("studyId"), col("chromosome"), col("position"),
-      row_number().over(
-        Window.partitionBy(col("chromosome"))
-          .orderBy(col("position"), col("studyId"))
-      ).as("chrom_rank"))
+    val within = graft.operators.FeatureOps
+      .withDistributedRank(
+        ss.select(col("studyId"), col("chromosome"), col("position")),
+        Seq("chromosome"), "position", "studyId")
+      .select(
+        col("studyId"), col("chromosome"), col("position"),
+        col("__rank").as("chrom_rank"))
     // Offsets via a bounded self-join on the ~25-row chromosome count frame
     // (a running-sum window here would be unpartitioned and trip Spark's
     // single-partition warning even though the frame is tiny).

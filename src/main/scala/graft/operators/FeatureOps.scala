@@ -68,6 +68,46 @@ object FeatureOps {
       bins: Int = 256
   ): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
+    val withRank = withDistributedRank(df, partitionCols, valueCol, tieCol, bins)
+    val n = col("__n")
+    val r = col("__rank")
+    val q = lit(buckets.toLong)
+    val bSize = floor(n / q).cast("long")
+    val padded = n % q
+    val thr = padded * (bSize + lit(1L))
+    withRank
+      .withColumn(
+        "pct_rank",
+        when(n === 1L, lit(0.0)).otherwise((r - 1L).cast("double") / (n - 1L).cast("double")))
+      .withColumn(
+        "bucket_rank",
+        when(r <= thr, floor((r - 1L).cast("double") / (bSize + 1L).cast("double")).cast("long") + 1L)
+          .otherwise(padded + floor((r - thr - 1L).cast("double") / bSize.cast("double")).cast("long") + 1L)
+          .cast("int"))
+      .select(df.columns.map(col) ++ Seq(col("pct_rank"), col("bucket_rank")): _*)
+  }
+
+  /** The distributed-rank core behind [[withRankFeaturesScalable]], exposed
+    * for any exact per-group rank over a low-cardinality group (e.g. the
+    * global-sort rank, grouped by ~25 chromosomes): appends `__rank`
+    * (1-based exact rank under `(valueCol asc, tieCol asc)` within each
+    * group) and `__n` (group row count). No task ever holds more than
+    * ~group/bins rows: per-group `percentile_approx` boundaries (tiny
+    * groups×bins frame) assign each row a monotone bin via the codegen
+    * binary-search [[graft.functions.SortedLowerBound]]; per-(group, bin)
+    * counts give exclusive cumulative offsets (windows over the TINY
+    * histogram only); the full data needs just a row_number within
+    * (group, bin) plus the broadcast offset. Ranks are exact and total:
+    * `tieCol` totalises the order, and equal values always share a bin
+    * since binning is monotone in `valueCol`.
+    */
+  def withDistributedRank(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      valueCol: String,
+      tieCol: String,
+      bins: Int = 256
+  ): DataFrame = {
     require(bins > 1, s"bins must be > 1: $bins")
     val g = partitionCols.map(col)
     val v = col(valueCol)
@@ -89,25 +129,9 @@ object FeatureOps {
       .withColumn("__n", sum("count").over(Window.partitionBy(g: _*)))
       .drop("count")
     val wLoc = Window.partitionBy(g :+ col("__bin"): _*).orderBy(v.asc, col(tieCol).asc)
-    val withRank = binned
+    binned
       .join(broadcast(offs), partitionCols :+ "__bin", "left")
       .withColumn("__rank", row_number().over(wLoc).cast("long") + col("__off"))
-    val n = col("__n")
-    val r = col("__rank")
-    val q = lit(buckets.toLong)
-    val bSize = floor(n / q).cast("long")
-    val padded = n % q
-    val thr = padded * (bSize + lit(1L))
-    withRank
-      .withColumn(
-        "pct_rank",
-        when(n === 1L, lit(0.0)).otherwise((r - 1L).cast("double") / (n - 1L).cast("double")))
-      .withColumn(
-        "bucket_rank",
-        when(r <= thr, floor((r - 1L).cast("double") / (bSize + 1L).cast("double")).cast("long") + 1L)
-          .otherwise(padded + floor((r - thr - 1L).cast("double") / bSize.cast("double")).cast("long") + 1L)
-          .cast("int"))
-      .select(df.columns.map(col) ++ Seq(col("pct_rank"), col("bucket_rank")): _*)
   }
 
   /** Rolling statistics over a trailing time window per key
