@@ -108,16 +108,8 @@ object FeatureOps {
       tieCol: String,
       bins: Int = 256
   ): DataFrame = {
-    require(bins > 1, s"bins must be > 1: $bins")
     val g = partitionCols.map(col)
-    val v = col(valueCol)
-    val probs = array((1 until bins).map(i => lit(i.toDouble / bins)): _*)
-    val bnds = df.groupBy(g: _*)
-      .agg(percentile_approx(v, probs, lit(10000)).as("__bnds"))
-    val binned = df
-      .join(broadcast(bnds), partitionCols, "left")
-      .withColumn("__bin", graft.functions.expressions.sorted_lower_bound(col("__bnds"), v))
-      .drop("__bnds")
+    val binned = binByQuantiles(df, partitionCols, valueCol, bins)
     val wOff = Window.partitionBy(g: _*).orderBy(col("__bin"))
     val offs = binned
       .groupBy(g :+ col("__bin"): _*).count()
@@ -128,10 +120,83 @@ object FeatureOps {
           lit(0L)))
       .withColumn("__n", sum("count").over(Window.partitionBy(g: _*)))
       .drop("count")
-    val wLoc = Window.partitionBy(g :+ col("__bin"): _*).orderBy(v.asc, col(tieCol).asc)
+    val wLoc =
+      Window.partitionBy(g :+ col("__bin"): _*).orderBy(col(valueCol).asc, col(tieCol).asc)
     binned
       .join(broadcast(offs), partitionCols :+ "__bin", "left")
       .withColumn("__rank", row_number().over(wLoc).cast("long") + col("__off"))
+  }
+
+  /** Shared first phase of the distributed rank / prefix sum: quantile-bin
+    * `orderCol` per group and REPARTITION by (group, bin). Both downstream
+    * consumers — the tiny per-(group, bin) histogram and the full-data
+    * within-bin window — require exactly this clustering, so neither adds
+    * its own full-data exchange on top (measured: q_seq_pack 1.86 → 1.19 s
+    * at sf0.1 vs aggregating pre-shuffle); column pruning keeps the
+    * histogram branch's shuffle narrow. The boundaries pass prunes to
+    * (group, orderCol) — it never pays for other columns. Callers summing
+    * an EXPENSIVE derived column (e.g. a tokenize) should materialise it
+    * upstream if scanning the source twice is costlier than storing it.
+    */
+  private def binByQuantiles(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderCol: String,
+      bins: Int
+  ): DataFrame = {
+    require(bins > 1, s"bins must be > 1: $bins")
+    val g = partitionCols.map(col)
+    val o = col(orderCol)
+    val probs = array((1 until bins).map(i => lit(i.toDouble / bins)): _*)
+    val bnds = df.groupBy(g: _*)
+      .agg(percentile_approx(o, probs, lit(10000)).as("__bnds"))
+    df.join(broadcast(bnds), partitionCols, "left")
+      .withColumn("__bin", graft.functions.expressions.sorted_lower_bound(col("__bnds"), o))
+      .drop("__bnds")
+      .repartition(g :+ col("__bin"): _*)
+  }
+
+  /** Distributed exact prefix sum — the running-total sibling of
+    * [[withDistributedRank]] for LOW-CARDINALITY groups, where
+    * `sum().over(Window.partitionBy(group).orderBy(order))` serialises each
+    * group through one task. Appends `cumCol` = the inclusive running sum
+    * of `valueCol` under `orderCol asc` within each group, computed with
+    * no task holding more than ~group/bins rows: quantile-bin the order
+    * key (codegen binary search), pre-aggregate per-(group, bin) sums
+    * (tiny), convert to exclusive bin offsets (window over the tiny
+    * histogram only), then a bounded within-bin running sum plus the
+    * broadcast offset.
+    *
+    * `orderCol` must be numeric (quantile-binnable) and unique within its
+    * group — the same totality contract as the ROWS-frame window form.
+    */
+  def withDistributedRunningSum(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      bins: Int = 256,
+      cumCol: String = "__cum"
+  ): DataFrame = {
+    val g = partitionCols.map(col)
+    val o = col(orderCol)
+    val binned = binByQuantiles(df, partitionCols, orderCol, bins)
+    val wOff = Window.partitionBy(g: _*).orderBy(col("__bin"))
+    val offs = binned
+      .groupBy(g :+ col("__bin"): _*)
+      .agg(sum(col(valueCol)).as("__binsum"))
+      .withColumn(
+        "__suboff",
+        coalesce(
+          sum("__binsum").over(wOff.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__binsum")
+    val wLoc = Window.partitionBy(g :+ col("__bin"): _*).orderBy(o.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .join(broadcast(offs), partitionCols :+ "__bin", "left")
+      .withColumn(cumCol, sum(col(valueCol)).over(wLoc) + col("__suboff"))
+      .drop("__bin", "__suboff")
   }
 
   /** Rolling statistics over a trailing time window per key

@@ -224,11 +224,15 @@ object TextPipeline {
   /** Pack documents into fixed-token-budget training sequences: documents
     * are binned by the running token-count within each stratum (greedy
     * first-fit in id order), emitting one row per (stratum, sequence) with
-    * the member ids and token total. Packing is windowed WITHIN a stratum
-    * (source by default) — a deliberate scale choice: a single global
-    * running sum would serialise the corpus through one partition, while
-    * per-stratum windows parallelise across strata exactly like the
-    * production sharding (pack per shard, never globally).
+    * the member ids and token total.
+    *
+    * Scale shape: the running token-count is a DISTRIBUTED prefix sum
+    * (FeatureOps.withDistributedRunningSum) when the id is numeric — a
+    * `Window.partitionBy(stratum)` running sum would serialise each
+    * stratum through one task, and strata are few (a handful of sources).
+    * Non-numeric ids (not quantile-binnable) fall back to the per-stratum
+    * window, which still parallelises across strata like per-shard
+    * packing.
     */
   def packSequences(
       docs: DataFrame,
@@ -236,15 +240,23 @@ object TextPipeline {
       strataCol: String = "source",
       idCol: String = "doc_id"
   ): DataFrame = {
-    // Explicit ROWS frame: the default RANGE frame makes orderBy-peers share
-    // one cumulative value, diverging from the per-row running sum if ids tie.
-    val w = Window.partitionBy(strataCol).orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val sized = docs
       .withColumn("n_tokens", size(TextOps.tokenize(col("text"))))
       // documents larger than the budget occupy a sequence alone
       .withColumn("n_clamped", least(col("n_tokens"), lit(tokenBudget)))
-      .withColumn("cum", sum(col("n_clamped")).over(w))
+    val withCum =
+      if (sized.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        graft.operators.FeatureOps
+          .withDistributedRunningSum(sized, Seq(strataCol), idCol, "n_clamped", cumCol = "cum")
+      else {
+        // Explicit ROWS frame: the default RANGE frame makes orderBy-peers
+        // share one cumulative value, diverging from the per-row running
+        // sum if ids tie.
+        val w = Window.partitionBy(strataCol).orderBy(idCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sized.withColumn("cum", sum(col("n_clamped")).over(w))
+      }
+    withCum
       .withColumn("seq_no", ceil(col("cum") / tokenBudget.toDouble).cast("long"))
       .groupBy(col(strataCol), col("seq_no"))
       .agg(

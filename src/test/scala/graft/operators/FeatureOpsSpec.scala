@@ -58,6 +58,19 @@ class FeatureOpsSpec extends SparkSpec {
     assert(fullDataWins.size <= 2, s"histogram offset/total windows only, got $winParts")
   }
 
+  test("withDistributedRunningSum matches the ROWS-frame window prefix sum") {
+    import org.apache.spark.sql.expressions.Window
+    val df = ((1L to 500L).map(i => (s"s${i % 3}", i, (i % 7 + 1))) :+ (("solo", 9999L, 5L)))
+      .toDF("g", "id", "v")
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum($"v").over(w))
+      .select($"g", $"id", $"cum").as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val got = FeatureOps.withDistributedRunningSum(df, Seq("g"), "id", "v", bins = 8, cumCol = "cum")
+      .select($"g", $"id", $"cum").as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("rollingStats matches a hand-built trailing window") {
     val df = Seq(
       (1L, 0L, 1.0), (1L, 50L, 2.0), (1L, 100L, 4.0), (1L, 1000L, 8.0)
