@@ -247,26 +247,45 @@ object EqtlCatalogue {
     * (eqtl_catalogue/finemapping.py:204-263).
     */
   def fromSusieResults(processed: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val leadW = Window.partitionBy(
-      col("dataset_id"), col("molecular_trait_id"), col("region"), col("credibleSetIndex"))
+    val keys = Seq("dataset_id", "molecular_trait_id", "region", "credibleSetIndex")
+    val rest = processed.columns.filterNot(keys.contains)
+    // Lead = first row under (posteriorProbability desc nulls-last,
+    // variantId asc): min_by over a composite struct key (struct ordering is
+    // lexicographic; the leading isNull boolean reproduces desc's nulls-last).
+    val leadKey = struct(
+      col("posteriorProbability").isNull,
+      negate(col("posteriorProbability")),
+      col("variantId"))
+    val locusEntry = struct(
+      col("variantId"), col("posteriorProbability"),
+      col("pValueMantissa"), col("pValueExponent"),
+      col("logBF"), col("beta"), col("standardError"))
+    // One partial-aggregable groupBy replaces the former two-pass window
+    // (row_number + when(isLead, collect_list().over(w))): WindowExec
+    // materialises array-valued window columns into EVERY frame row before
+    // the when() guard — O(credibleSet²) copies (same trap as the q_clump
+    // round-12 fix). The locus array is sorted to the window form's
+    // (pip desc, variantId asc) scan order, which consumers pin (locus[0]
+    // is the lead).
+    val cmp = (l: Column, r: Column) => {
+      val lk = l.getField("posteriorProbability")
+      val rk = r.getField("posteriorProbability")
+      when(lk.isNull && rk.isNotNull, 1)
+        .when(lk.isNotNull && rk.isNull, -1)
+        .when(lk > rk, -1).when(lk < rk, 1)
+        .when(l.getField("variantId") < r.getField("variantId"), -1)
+        .when(l.getField("variantId") > r.getField("variantId"), 1)
+        .otherwise(0)
+    }
     processed
-      .withColumn(
-        "isLead",
-        row_number().over(
-          leadW.orderBy(col("posteriorProbability").desc, col("variantId").asc)) === 1)
-      .withColumn(
-        "locus",
-        when(
-          col("isLead"),
-          collect_list(
-            struct(
-              col("variantId"), col("posteriorProbability"),
-              col("pValueMantissa"), col("pValueExponent"),
-              col("logBF"), col("beta"), col("standardError")))
-            .over(leadW)))
-      .filter(col("isLead"))
-      .drop("isLead")
+      .groupBy(keys.map(col): _*)
+      .agg(
+        min_by(struct(rest.map(col).toSeq: _*), leadKey).as("_lead"),
+        array_sort(collect_list(locusEntry), cmp).as("locus"))
+      .select(
+        processed.columns.map(c =>
+          if (keys.contains(c)) col(c) else col(s"_lead.$c").as(c)).toSeq
+          :+ col("locus"): _*)
       .withColumn(
         "studyLocusId",
         graft.datasets.StudyLocus.assignStudyLocusId(
