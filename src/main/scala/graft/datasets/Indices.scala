@@ -143,7 +143,12 @@ object PqtlStudyIndex {
       .withColumn("geneId", coalesce(col("geneIdFromSource"), col("geneId")))
       .withColumn(
         "ambiguousGeneIdMapping",
-        size(collect_set(col("geneId")).over(Window.partitionBy("geneSymbol"))) > 1)
+        // >1 distinct non-null geneId ⇔ min ≠ max: constant window state,
+        // no per-row set array over the symbol group.
+        coalesce(
+          min(col("geneId")).over(Window.partitionBy("geneSymbol")) =!=
+            max(col("geneId")).over(Window.partitionBy("geneSymbol")),
+          lit(false)))
     val out = outCols :+ "geneId"
     val nonAmbiguous = symAnnotated
       .filter(!col("ambiguousGeneIdMapping"))

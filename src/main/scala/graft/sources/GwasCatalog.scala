@@ -171,8 +171,9 @@ object GwasCatalog {
     */
   def flagMappingsToRetain(associationId: Column, filterColumn: Column): Column = {
     val w = Window.partitionBy(associationId)
-    val anyTrue = when(array_contains(collect_set(filterColumn).over(w), true), lit(true))
-      .otherwise(lit(false))
+    // "any row flagged true" as a max over the boolean — constant window
+    // state instead of a collect_set array copied into every row.
+    val anyTrue = coalesce(max(filterColumn).over(w), lit(false))
     when(anyTrue && !filterColumn, lit(false)).otherwise(lit(true))
   }
 

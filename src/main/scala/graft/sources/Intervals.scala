@@ -115,7 +115,11 @@ object Intervals {
         "qualityControls",
         graft.core.GDataset.updateQualityFlag(
           col("qualityControls"),
-          size(collect_set(col("intervalType")).over(w)) > 1,
+          // >1 distinct non-null type ⇔ min ≠ max: constant window state per
+          // row instead of a whole-partition set array copied into each row.
+          coalesce(
+            min(col("intervalType")).over(w) =!= max(col("intervalType")).over(w),
+            lit(false)),
           AmbiguousIntervalTypeFlag))
   }
 
@@ -135,7 +139,9 @@ object Intervals {
       "qualityControls",
       graft.core.GDataset.updateQualityFlag(
         qcCol(df),
-        size(array_distinct(collect_list(col("score")).over(w))) > 1,
+        // >1 distinct non-null score ⇔ min ≠ max (Spark orders NaN = NaN):
+        // no per-row array materialisation over the group.
+        coalesce(min(col("score")).over(w) =!= max(col("score")).over(w), lit(false)),
         AmbiguousScoreFlag))
   }
 
