@@ -62,17 +62,22 @@ object L2gGoldStandard {
   def filterUniqueAssociations(goldStandard: DataFrame, overlaps: DataFrame): DataFrame = {
     val squared = squareOverlaps(
       overlaps.select("leftStudyLocusId", "rightStudyLocusId", "tagVariantId"))
-    val slSameGene =
-      collect_set(col("studyLocusId")).over(Window.partitionBy(col("geneId")))
+    // ">1 study locus claims this gene" ⇔ min ≠ max over the gene window:
+    // constant per-row state instead of a per-gene set array carried
+    // through the overlap join.
+    val geneW = Window.partitionBy(col("geneId"))
+    val slSameGene = coalesce(
+      min(col("studyLocusId")).over(geneW) =!= max(col("studyLocusId")).over(geneW),
+      lit(false))
     goldStandard
-      .withColumn("sl_same_gene", slSameGene)
+      .withColumn("gene_is_shared", slSameGene)
       .join(
         squared,
         goldStandard("studyLocusId") === squared("leftStudyLocusId") &&
           goldStandard("variantId") === squared("tagVariantId"),
         "left")
       .withColumn("overlaps", squared("tagVariantId").isNotNull)
-      .filter(!(size(col("sl_same_gene")) > 1 && col("overlaps")))
+      .filter(!(col("gene_is_shared") && col("overlaps")))
       .select(goldStandard.columns.map(goldStandard(_)): _*)
       .distinct()
   }
