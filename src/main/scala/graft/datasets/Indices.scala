@@ -94,21 +94,25 @@ final case class TargetIndex(df: DataFrame) extends GDataset[TargetIndex] {
     require(
       includeParChr == "X" || includeParChr == "Y",
       s"include_par_chr must be either 'X' or 'Y', got $includeParChr")
-    import org.apache.spark.sql.expressions.Window
     val base = df
       .select(
         col("id").as("geneId"),
         F.explode(col("proteinIds")).as("p"),
         col("canonicalTranscript.chromosome").as("chromosome"))
       .select(col("geneId"), col("p.id").as("proteinId"), col("chromosome"))
-    val isPar = F.concat_ws(
-      ",",
-      F.sort_array(
-        F.collect_set(col("chromosome")).over(Window.partitionBy("proteinId")))
-    ) === "X,Y"
+    // PAR protein = its chromosome set is exactly {X, Y}: a tiny
+    // map-side-combinable aggregate joined back on the protein key (the PAR
+    // side is a handful of proteins → broadcastable), instead of a
+    // whole-partition window sorting the LUT and copying the set array into
+    // every row.
+    val parProteins = base
+      .groupBy(col("proteinId"))
+      .agg(F.concat_ws(",", F.sort_array(F.collect_set(col("chromosome")))).as("chromSet"))
+      .filter(col("chromSet") === "X,Y")
+      .select(col("proteinId"), F.lit(true).as("isPAR"))
     base
-      .withColumn("isPAR", isPar)
-      .filter(!(col("isPAR") && !col("chromosome").isin(includeParChr)))
+      .join(F.broadcast(parProteins), Seq("proteinId"), "left")
+      .filter(!(F.coalesce(col("isPAR"), F.lit(false)) && !col("chromosome").isin(includeParChr)))
       .drop("isPAR", "chromosome")
   }
 }
