@@ -12,6 +12,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Fixture-scale scan split (see GSession.local): MB-size fixture
+      // files under the default 128 MB packing put a whole fact table in
+      // ~2 scan tasks; 8 MB splits engage all cores at sf0.1-sf1.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

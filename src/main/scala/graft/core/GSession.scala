@@ -188,6 +188,15 @@ object GSession {
       .appName("graft")
       .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // Local fixture files are single-digit MBs, not the 128 MB-1 GB of
+      // production tables; under the default 128 MB packing + 4 MB open
+      // cost a whole fact table lands in ~2 scan tasks and every
+      // pre-shuffle stage runs 2-wide on a 32-core machine (measured:
+      // q_coloc 30 s → 20 s at sf1 from this split alone). Size the split
+      // to the fixture scale so local scans engage all cores — the same
+      // thing the defaults already do for production-size files.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

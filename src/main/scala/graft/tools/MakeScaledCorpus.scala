@@ -62,8 +62,15 @@ object MakeScaledCorpus {
     def scaled(t: String)(perCopy: (DataFrame, Int) => DataFrame): Unit = {
       val base = rd(t)
       val union = (0 until copies).map(c => perCopy(base, c)).reduce(_ unionByName _)
-      union.write.mode("overwrite").parquet(s"$out/$t.parquet")
-      System.err.println(s"[corpus] $t ×$copies")
+      // Layout realism: the source tables are single files, so the bare
+      // union would write `copies` large files and the default 128 MB scan
+      // packing would read a 100 MB fact table with ~2 tasks — a generator
+      // artifact, not a property of scaled data. Real tables at this size
+      // ship many splittable files; spread each table across the machine's
+      // parallelism so scans parallelise under CLUSTER-DEFAULT configs.
+      val files = math.max(copies, spark.sparkContext.defaultParallelism)
+      union.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      System.err.println(s"[corpus] $t ×$copies ($files files)")
     }
 
     def shift(df: DataFrame, c: Int, offs: (String, Long)*): DataFrame =
