@@ -59,18 +59,22 @@ object MakeScaledCorpus {
     val docOff = offsetFor(rd("documents"), "doc_id", 1000)
     val vecOff = offsetFor(rd("embeddings"), "vec_id", 1000)
 
-    def scaled(t: String)(perCopy: (DataFrame, Int) => DataFrame): Unit = {
+    def scaled(t: String, key: String)(perCopy: (DataFrame, Int) => DataFrame): Unit = {
       val base = rd(t)
       val union = (0 until copies).map(c => perCopy(base, c)).reduce(_ unionByName _)
       // Layout realism: the source tables are single files, so the bare
       // union would write `copies` large files and the default 128 MB scan
       // packing would read a 100 MB fact table with ~2 tasks — a generator
-      // artifact, not a property of scaled data. Real tables at this size
-      // ship many splittable files; spread each table across the machine's
-      // parallelism so scans parallelise under CLUSTER-DEFAULT configs.
+      // artifact, not a property of scaled data. Real ingested tables ship
+      // many splittable files CLUSTERED on their key; range-repartition on
+      // the primary key keeps that clustering (encoding/compression and
+      // min/max pruning intact — round-robin cost +18% file size and broke
+      // partial-agg locality) while spreading each table across the
+      // machine's parallelism.
       val files = math.max(copies, spark.sparkContext.defaultParallelism)
-      union.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
-      System.err.println(s"[corpus] $t ×$copies ($files files)")
+      union.repartitionByRange(files, col(key))
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      System.err.println(s"[corpus] $t ×$copies ($files files by $key)")
     }
 
     def shift(df: DataFrame, c: Int, offs: (String, Long)*): DataFrame =
@@ -78,21 +82,21 @@ object MakeScaledCorpus {
         d.withColumn(k, col(k) + lit(c * off))
       }
 
-    scaled("lineitem")((df, c) =>
+    scaled("lineitem", "l_orderkey")((df, c) =>
       shift(df, c, "l_orderkey" -> ordOff, "l_partkey" -> partOff, "l_suppkey" -> suppOff))
-    scaled("orders")((df, c) => shift(df, c, "o_orderkey" -> ordOff, "o_custkey" -> custOff))
-    scaled("customer")((df, c) => shift(df, c, "c_custkey" -> custOff))
-    scaled("supplier")((df, c) => shift(df, c, "s_suppkey" -> suppOff))
-    scaled("part")((df, c) => shift(df, c, "p_partkey" -> partOff))
-    scaled("events")((df, c) => shift(df, c, "event_id" -> evOff, "user_id" -> userOff))
-    scaled("documents") { (df, c) =>
+    scaled("orders", "o_orderkey")((df, c) => shift(df, c, "o_orderkey" -> ordOff, "o_custkey" -> custOff))
+    scaled("customer", "c_custkey")((df, c) => shift(df, c, "c_custkey" -> custOff))
+    scaled("supplier", "s_suppkey")((df, c) => shift(df, c, "s_suppkey" -> suppOff))
+    scaled("part", "p_partkey")((df, c) => shift(df, c, "p_partkey" -> partOff))
+    scaled("events", "event_id")((df, c) => shift(df, c, "event_id" -> evOff, "user_id" -> userOff))
+    scaled("documents", "doc_id") { (df, c) =>
       val d = shift(df, c, "doc_id" -> docOff)
       // per-copy token suffix: every shingle/gram becomes copy-unique, so
       // dedup finds a 10× vocabulary, not 10× duplicates (copy 0 = original)
       if (c == 0) d
       else d.withColumn("text", regexp_replace(col("text"), "(\\w+)", s"$$1z$c"))
     }
-    scaled("embeddings") { (df, c) =>
+    scaled("embeddings", "vec_id") { (df, c) =>
       val d = shift(df, c, "vec_id" -> vecOff)
       if (c == 0) d
       else {
