@@ -1,6 +1,5 @@
 package graft.sources
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -28,10 +27,12 @@ import graft.operators.CredibleSets
   *   - `studyLocusId = md5(studyId, variantId, finemappingMethod)` (:522-527)
   *     and the locus gets 95%/99% credible-set flags (:532).
   *
-  * Scale note: the summary join, the lead-variant window, and the locus
-  * `collect_list` all key on the same composite (studyId, region,
-  * credibleSetIndex), so one shuffle partitioning is reused across all three
-  * stages. Where the reference falls back to Hail for block-gzipped inputs
+  * Scale note: after the summary join, the lead pick and the locus collect
+  * are ONE aggregate on the composite key (studyId, region,
+  * credibleSetIndex) — min_by for the lead row, collect_list for the locus —
+  * so the heavy per-variant parse is paid once and the only exchange is the
+  * map-side-combinable aggregation shuffle.
+  * Where the reference falls back to Hail for block-gzipped inputs
   * (finemapping.py:275-295), [[BgzfCodec]] lets this engine read `.bgz`
   * splittably in Spark directly.
   */
@@ -155,21 +156,26 @@ object FinnGenFinemapping {
         key,
         "inner")
 
-    val topLoci = DfOps
-      .getTopRankedInWindow(
-        joined,
-        Window
-          .partitionBy(key.map(col): _*)
-          .orderBy(desc("posteriorProbability")))
-      .select(
-        "variantId", "chromosome", "position", "studyId", "beta",
-        "pValueMantissa", "pValueExponent", "effectAlleleFrequencyFromSource",
-        "standardError", "region", "credibleSetIndex", "finemappingMethod",
-        "credibleSetlog10BF", "purityMeanR2", "purityMinR2")
-
-    val locus = joined
+    // One aggregate does both the lead pick (min_by under pip desc nulls-last,
+    // variantId tiebreak) and the locus collect. The former two-branch plan —
+    // a top-1 window and a collect groupBy, each recomputing processSnps +
+    // the summary join, re-joined on the key afterwards — paid the heavy
+    // p-value/typed parse TWICE plus a window sort plus a third join.
+    // annotateCredibleSets re-sorts the locus internally, so collect order
+    // is free.
+    val leadCols = Seq(
+      "variantId", "chromosome", "position", "beta",
+      "pValueMantissa", "pValueExponent", "effectAlleleFrequencyFromSource",
+      "standardError", "finemappingMethod",
+      "credibleSetlog10BF", "purityMeanR2", "purityMinR2")
+    val leadKey = struct(
+      col("posteriorProbability").isNull,
+      negate(col("posteriorProbability")),
+      col("variantId"))
+    val assembled = joined
       .groupBy(key.map(col): _*)
       .agg(
+        min_by(struct(leadCols.map(col): _*), leadKey).as("_lead"),
         collect_list(
           struct(
             col("variantId").cast(StringType).as("variantId"),
@@ -181,9 +187,9 @@ object FinnGenFinemapping {
             col("beta").cast(DoubleType).as("beta"),
             col("standardError").cast(DoubleType).as("standardError")
           )).as("locus"))
-
-    val assembled = locus
-      .join(topLoci, key)
+      .select(
+        key.map(col) ++ leadCols.map(c => col(s"_lead.$c").as(c))
+          :+ col("locus"): _*)
       .withColumn(
         "locusStart",
         split(split(col("region"), ":").getItem(1), "-").getItem(0).cast(IntegerType))
