@@ -81,7 +81,6 @@ object Bench {
     val total = timings.values.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":${jstr(sfDir)}}"""
-    println(json)
     // Durable machine-readable artifact: stdout passes through sbt + the
     // driver's tail buffer, which has truncated the head of the line on
     // full-suite runs (BENCH_r07 kept only the last ~70 of 126 timings) —
@@ -97,6 +96,22 @@ object Bench {
       case e: Exception =>
         System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // The one stdout JSON line must fit the driver's ~3 KB log-tail buffer
+    // or it arrives decapitated and parses to null (BENCH_r11/r12): report
+    // the slowest K queries inline (the regression signal), the full map in
+    // the artifact file above. Printed LAST so the tail keeps it whole.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val slowK = 40
+    val slowest = timings.toSeq.sortBy(-_._2).take(slowK)
+    val qsCompact = slowest
+      .map { case (k, v) => s"${jstr(k)}:${f3(v)}" }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsCompact$errJson,""" +
+        s""""n_queries":${timings.size},"queries_reported":${slowest.size},""" +
+        s""""queries_full":${jstr(outFile)},"sf":${jstr(sfDir)}}"""
+    println(compact)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -181,7 +181,10 @@ object GSession {
     * available parallelism in local mode (NOT the 200 default, which is a
     * cluster setting).
     */
-  def local(cores: Int = Runtime.getRuntime.availableProcessors()): GSession = {
+  def local(
+      cores: Int = Runtime.getRuntime.availableProcessors(),
+      maxPartitionBytes: String = "8m",
+      openCostInBytes: String = "1m"): GSession = {
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")
@@ -194,9 +197,11 @@ object GSession {
       // pre-shuffle stage runs 2-wide on a 32-core machine (measured:
       // q_coloc 30 s → 20 s at sf1 from this split alone). Size the split
       // to the fixture scale so local scans engage all cores — the same
-      // thing the defaults already do for production-size files.
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.files.openCostInBytes", "1m")
+      // thing the defaults already do for production-size files. Both are
+      // parameters: a local run against genuinely large data should pass
+      // e.g. maxPartitionBytes = "128m" to avoid a ~16x task-count blowup.
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+      .config("spark.sql.files.openCostInBytes", openCostInBytes)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -105,7 +105,11 @@ final case class TargetIndex(df: DataFrame) extends GDataset[TargetIndex] {
     // side is a handful of proteins → broadcastable), instead of a
     // whole-partition window sorting the LUT and copying the set array into
     // every row.
+    // Null proteinIds can never match the left join below (SQL null-key
+    // semantics), so they'd silently pass the PAR filter; drop them from
+    // the aggregate explicitly — a null-id "protein" has no PAR identity.
     val parProteins = base
+      .filter(col("proteinId").isNotNull)
       .groupBy(col("proteinId"))
       .agg(F.concat_ws(",", F.sort_array(F.collect_set(col("chromosome")))).as("chromSet"))
       .filter(col("chromSet") === "X,Y")

@@ -45,6 +45,10 @@ object StudyDeconvolution {
         scalarCols.map(c => min(col(c)).as(c)) ++
         (if (others.isEmpty) Nil
          else Seq(min_by(struct(others.map(col): _*), pickKey).as("_carried")))
+    // Degenerate call (no array/scalar cols on a studyId-only frame) has
+    // nothing to merge: fall back to a plain dedup instead of agg() with an
+    // empty list.
+    if (aggs.isEmpty) return studies.dropDuplicates("studyId")
     val grouped = studies.groupBy(col("studyId")).agg(aggs.head, aggs.tail: _*)
     grouped.select(
       studies.columns.map { c =>

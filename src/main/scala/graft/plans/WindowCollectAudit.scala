@@ -26,7 +26,7 @@ object WindowCollectAudit {
       node.expressions.foreach { e =>
         e.foreach {
           case WindowExpression(agg: AggregateExpression, spec)
-              if isCollect(agg) && isWholePartition(spec.frameSpecification) =>
+              if isCollect(agg) && isWholePartition(spec) =>
             out += s"whole-partition ${agg.aggregateFunction.prettyName} window " +
               s"(same array copied into every group row): ${e.sql.take(160)}"
           case _ => ()
@@ -42,9 +42,14 @@ object WindowCollectAudit {
       case _                              => false
     }
 
-  private def isWholePartition(frame: Expression): Boolean = frame match {
-    case SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing) => true
-    case UnspecifiedFrame => true // no orderBy → resolves to the whole partition
-    case _ => false
-  }
+  private def isWholePartition(spec: WindowSpecDefinition): Boolean =
+    spec.frameSpecification match {
+      case SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing) => true
+      // UnspecifiedFrame resolves to the whole partition ONLY without an
+      // orderBy; with one it resolves to the running
+      // UnboundedPreceding→CurrentRow frame this audit exempts. Matching
+      // the orderSpec here keeps the audit correct on unresolved plans too.
+      case UnspecifiedFrame => spec.orderSpec.isEmpty
+      case _ => false
+    }
 }

@@ -252,8 +252,14 @@ object EqtlCatalogue {
     // Lead = first row under (posteriorProbability desc nulls-last,
     // variantId asc): min_by over a composite struct key (struct ordering is
     // lexicographic; the leading isNull boolean reproduces desc's nulls-last).
+    // The !isnan term keeps NaN pips consistent with both desc-window
+    // semantics and the locus comparator below (Spark orders NaN as the
+    // LARGEST double, so a NaN pip is the lead): negate(NaN) = NaN would
+    // otherwise sort LAST in this ascending key, breaking the
+    // "locus[0] is the lead" invariant consumers pin.
     val leadKey = struct(
       col("posteriorProbability").isNull,
+      !coalesce(isnan(col("posteriorProbability")), lit(false)),
       negate(col("posteriorProbability")),
       col("variantId"))
     val locusEntry = struct(

@@ -168,8 +168,12 @@ object FinnGenFinemapping {
       "pValueMantissa", "pValueExponent", "effectAlleleFrequencyFromSource",
       "standardError", "finemappingMethod",
       "credibleSetlog10BF", "purityMeanR2", "purityMinR2")
+    // !isnan term: Spark orders NaN as the largest double (desc-window
+    // semantics make a NaN pip the lead), but negate(NaN) = NaN would sort
+    // LAST in this ascending min_by key — keep the two consistent.
     val leadKey = struct(
       col("posteriorProbability").isNull,
+      !coalesce(isnan(col("posteriorProbability")), lit(false)),
       negate(col("posteriorProbability")),
       col("variantId"))
     val assembled = joined

@@ -45,6 +45,14 @@ class StudyDeconvolutionSpec extends SparkSpec {
     assert(got === Array("srcA"))
   }
 
+  test("degenerate call (no array/scalar/other columns) degrades to a dedup") {
+    val ids = studies.select("studyId")
+    val got = StudyDeconvolution
+      .deconvolute(ids, arrayCols = Nil, scalarCols = Nil)
+      .orderBy("studyId").as[String].collect()
+    assert(got === Array("s1", "s2", "s3"))
+  }
+
   test("deconvolute output schema and column order match the input") {
     val got = StudyDeconvolution
       .deconvolute(studies, arrayCols = Seq("traits"), scalarCols = Seq("nSamples"))

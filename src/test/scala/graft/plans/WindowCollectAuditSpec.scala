@@ -39,6 +39,25 @@ class WindowCollectAuditSpec extends SparkSpec {
     assert(violations(ok).isEmpty, violations(ok).mkString("; "))
   }
 
+  test("UnspecifiedFrame + orderBy (pre-resolution running frame) passes, without orderBy is flagged") {
+    // A still-unresolved frame resolves to UnboundedPreceding→CurrentRow
+    // when an orderBy is present (the exempt running frame) and to the
+    // whole partition otherwise — the audit must not misflag the former.
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectSet, Complete}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val child = df.queryExecution.analyzed
+    val Seq(k, v) = child.output.toSeq
+    val agg = AggregateExpression(CollectSet(v), Complete, isDistinct = false)
+    def plan(order: Seq[SortOrder]) = Project(
+      Seq(Alias(WindowExpression(agg, WindowSpecDefinition(Seq(k), order, UnspecifiedFrame)), "s")()),
+      child)
+    val vRunning = WindowCollectAudit.audit(plan(Seq(SortOrder(v, Ascending))))
+    val vWhole = WindowCollectAudit.audit(plan(Nil))
+    assert(vRunning.isEmpty, vRunning.mkString("; "))
+    assert(vWhole.nonEmpty)
+  }
+
   test("min/max and row_number whole-partition windows pass") {
     val ok = df
       .withColumn("mn", min(col("v")).over(Window.partitionBy("k")))

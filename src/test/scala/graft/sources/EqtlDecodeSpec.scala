@@ -172,6 +172,27 @@ class EqtlDecodeSpec extends SparkSpec {
     assert(out(1)._1 === "1_300_A_G" && out(1)._5 === 1)
   }
 
+  test("fromSusieResults: NaN pip is the lead AND locus[0] (desc-window NaN-largest semantics)") {
+    import spark.implicits._
+    // Spark orders NaN as the largest double, so under the former
+    // (pip desc) window a NaN-pip row was the lead; the min_by key and the
+    // locus comparator must both agree (lead == locus[0] invariant).
+    val processed = Seq(
+      ("D1", "T1", "r1", 1, "1_100_A_C", Double.NaN, 9.0, -9, 3.0, 0.5, 0.05, "S1", "SuSie"),
+      ("D1", "T1", "r1", 1, "1_200_G_T", 0.9, 8.0, -8, 2.0, 0.4, 0.04, "S1", "SuSie"),
+      ("D1", "T1", "r1", 1, "1_300_A_G", 0.1, 7.0, -7, 1.0, 0.3, 0.03, "S1", "SuSie")
+    ).toDF("dataset_id", "molecular_trait_id", "region", "credibleSetIndex",
+      "variantId", "posteriorProbability", "pValueMantissa", "pValueExponent",
+      "logBF", "beta", "standardError", "studyId", "finemappingMethod")
+    val out = EqtlCatalogue.fromSusieResults(processed)
+      .selectExpr("variantId", "locus[0].variantId AS first", "size(locus) AS n")
+      .as[(String, String, Int)].collect()
+    assert(out.length === 1)
+    assert(out.head._1 === "1_100_A_C", "NaN pip must win the lead pick")
+    assert(out.head._2 === "1_100_A_C", "locus[0] must equal the lead")
+    assert(out.head._3 === 3)
+  }
+
   test("deCODE manifest parse, study-id parts and aptamer-annotated index") {
     import spark.implicits._
     val listing = Seq(
