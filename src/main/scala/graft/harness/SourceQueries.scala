@@ -873,35 +873,51 @@ object SourceQueries {
     * URI-derived study id, the mantissa/exponent p-value split, and the
     * position/zero-beta filters.
     */
+  // FIXTURE cache: the TSV corpus is a deterministic function of the sf dir,
+  // but generating it collects ~46k keys and gzips on the driver — which
+  // used to run INSIDE every timed bench attempt, charging the reader under
+  // test with fixture-construction cost (round-12 verdict: q_eqtl_sumstats'
+  // ×5.0 sf1 ratio was fixture-bound). Memoise per sf dir so the fixture is
+  // pre-materialised like the parquet tables and the benched cost is the
+  // reader's.
+  private val eqtlSsFixtures =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def eqtlSumstatsFixture(s: SparkSession, d: String): String =
+    eqtlSsFixtures.getOrElseUpdate(d, {
+      import graft.sources.EqtlCatalogue
+      val ks = lineitem(s, d)
+        .select((col("l_orderkey") * 8 + col("l_linenumber")).as("k"))
+        .filter(col("k") % 13 === 0)
+        .orderBy("k").collect().map(_.getLong(0))
+      def line(k: Long): String = {
+        val chrom = (k % 22 + 1).toString
+        val pos = if (k % 19 == 0) "" else (k % 5000000).toString
+        Seq(
+          s"T${k % 300}", chrom, pos, "A", "G", s"chr${chrom}_${pos}_A_G",
+          "10", ((k % 50 + 1) / 100.0).toString, s"${k % 9 + 1}.${k % 10}E-${k % 30 + 2}",
+          ((k % 21 - 10) / 10.0).toString, ((k % 13 + 1) / 100.0).toString,
+          "SNP", "5", "20", "0.9", s"O${k % 300}", s"ENSG${k % 80}", "1.5", "."
+        ).mkString("\t")
+      }
+      val header = EqtlCatalogue.rawSummaryStatsSchema.fieldNames.mkString("\t")
+      val dir = java.nio.file.Files.createTempDirectory("graft-eqtl-ss")
+      val sub = dir.resolve("imported/GTEx_V8/ge")
+      java.nio.file.Files.createDirectories(sub)
+      for ((group, par) <- Seq(("Adipose_Subcutaneous", 0L), ("Liver", 1L))) {
+        val out = new java.util.zip.GZIPOutputStream(
+          java.nio.file.Files.newOutputStream(sub.resolve(s"$group.tsv.gz")))
+        val body = (header +: ks.filter(k => (k / 13) % 2 == par).map(line).toSeq)
+          .mkString("\n")
+        out.write(body.getBytes("UTF-8"))
+        out.close()
+      }
+      sub.resolve("*.tsv.gz").toString
+    })
+
   def eqtlSumstats(s: SparkSession, d: String): DataFrame = {
     import graft.sources.EqtlCatalogue
-    val ks = lineitem(s, d)
-      .select((col("l_orderkey") * 8 + col("l_linenumber")).as("k"))
-      .filter(col("k") % 13 === 0)
-      .orderBy("k").collect().map(_.getLong(0))
-    def line(k: Long): String = {
-      val chrom = (k % 22 + 1).toString
-      val pos = if (k % 19 == 0) "" else (k % 5000000).toString
-      Seq(
-        s"T${k % 300}", chrom, pos, "A", "G", s"chr${chrom}_${pos}_A_G",
-        "10", ((k % 50 + 1) / 100.0).toString, s"${k % 9 + 1}.${k % 10}E-${k % 30 + 2}",
-        ((k % 21 - 10) / 10.0).toString, ((k % 13 + 1) / 100.0).toString,
-        "SNP", "5", "20", "0.9", s"O${k % 300}", s"ENSG${k % 80}", "1.5", "."
-      ).mkString("\t")
-    }
-    val header = EqtlCatalogue.rawSummaryStatsSchema.fieldNames.mkString("\t")
-    val dir = java.nio.file.Files.createTempDirectory("graft-eqtl-ss")
-    val sub = dir.resolve("imported/GTEx_V8/ge")
-    java.nio.file.Files.createDirectories(sub)
-    for ((group, par) <- Seq(("Adipose_Subcutaneous", 0L), ("Liver", 1L))) {
-      val out = new java.util.zip.GZIPOutputStream(
-        java.nio.file.Files.newOutputStream(sub.resolve(s"$group.tsv.gz")))
-      val body = (header +: ks.filter(k => (k / 13) % 2 == par).map(line).toSeq)
-        .mkString("\n")
-      out.write(body.getBytes("UTF-8"))
-      out.close()
-    }
-    val raw = EqtlCatalogue.readSummaryStats(s, sub.resolve("*.tsv.gz").toString)
+    val raw = EqtlCatalogue.readSummaryStats(s, eqtlSumstatsFixture(s, d))
     EqtlCatalogue.summaryStatsFromSource(raw)
       .select(
         col("studyId"), col("variantId"), col("chromosome"), col("position"),
