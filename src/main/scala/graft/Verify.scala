@@ -32,7 +32,7 @@ object Verify {
     // Optional extra args: restrict to a subset of query names (local iteration).
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    var builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // Fixture-scale scan split (see GSession.local).
@@ -42,7 +42,16 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as nanos-since-epoch long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Robustness-sweep hook: semicolon-separated k=v pairs override any
+    // default above (codegen off, AQE off, shuffle.partitions=1/200 — the
+    // oracle answers must not depend on the plan configuration).
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
+      _.split(";").iterator.map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder = builder.config(k, v)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

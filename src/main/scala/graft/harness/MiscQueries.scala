@@ -214,8 +214,80 @@ object MiscQueries {
           .select(lit("grp").as("level"), col("grp").as("key"), col("distinct_approx")))
   }
 
+  /** Deterministic planted image container: a pure function of doc_id so
+    * the DuckDB oracle can recompute every metadata field arithmetically.
+    * doc_id % 4 selects the format — a real PNG (signature + IHDR + IEND),
+    * a real JPEG (SOI + APP0 + COM + SOF0 + EOI, exercising the marker
+    * walk), a real BMP (54-byte header), or a raw byte blob (stub path).
+    */
+  private[harness] def imageFixtureBytes(k: Long): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val w = (k % 317 + 1).toInt
+    val h = (k % 211 + 1).toInt
+    (k % 4).toInt match {
+      case 0 => // PNG: colorType cycles gray/rgb/palette/gray+a/rgba
+        val ct = Array(0, 2, 3, 4, 6)((k % 5).toInt)
+        val depth = if (ct == 3) 8 else if (k % 2 == 0) 8 else 16
+        val bb = ByteBuffer.allocate(45)
+        bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+        bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+          .putInt(w).putInt(h).put(depth.toByte).put(ct.toByte)
+          .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+          .putInt(0)                                 // CRC (not validated)
+        bb.putInt(0).put("IEND".getBytes("US-ASCII")).putInt(0)
+        bb.array()
+      case 1 => // JPEG: APP0 + COM segments precede the SOF0 frame header
+        val n = if (k % 2 == 0) 3 else 1
+        val bb = ByteBuffer.allocate(47 + 3 * n)
+        bb.put(0xff.toByte).put(0xd8.toByte) // SOI
+        bb.put(0xff.toByte).put(0xe0.toByte).putShort(16)
+          .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+          .put(1.toByte).put(1.toByte).put(0.toByte)
+          .putShort(1).putShort(1).put(0.toByte).put(0.toByte)
+        bb.put(0xff.toByte).put(0xfe.toByte).putShort(13)
+          .put("graft-cmt01".getBytes("US-ASCII")) // COM payload, 11 bytes
+        bb.put(0xff.toByte).put(0xc0.toByte).putShort((8 + 3 * n).toShort)
+          .put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(n.toByte)
+        (1 to n).foreach(i =>
+          bb.put(i.toByte).put(0x11.toByte).put(0.toByte))
+        bb.put(0xff.toByte).put(0xd9.toByte) // EOI
+        bb.array()
+      case 2 => // BMP: 14-byte file header + 40-byte BITMAPINFOHEADER
+        val bb = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+        bb.put('B'.toByte).put('M'.toByte).putInt(54)
+          .putShort(0).putShort(0).putInt(54)
+        bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        bb.array() // trailing header fields stay zero
+      case _ => // raw blob → stub metadata path
+        Array.fill((k % 50 + 1).toInt)('x'.toByte)
+    }
+  }
+
+  /** Image-container metadata over planted PNG/JPEG/BMP/raw payloads
+    * ([[graft.operators.Multimodal.imageMeta]]): format detection plus
+    * dimensions / channels / per-channel bit depth from pure header parses
+    * (PNG IHDR, JPEG SOF0 behind APP0+COM markers, BMP info header). The
+    * oracle recomputes every field arithmetically from doc_id.
+    */
+  def imageMetaQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false))))
+    val media = documents(s, d).select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(0)
+        Row(k, "image/planted", imageFixtureBytes(k))
+      }
+    }(enc)
+    Multimodal.imageMeta(media)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_rollup" -> (hllRollupQ _),
+    "q_image_meta" -> (imageMetaQ _),
     "q_funnel" -> (funnelQ _),
     "q_retention" -> (retentionQ _),
     "q_finemap" -> (finemap _),
@@ -242,6 +314,37 @@ object MiscQueries {
 
   val oracles: Map[String, String] = Map(
     "q_finemap" -> resourceSql("q_finemap_sf001_oracle.sql"),
+    // Every field of the planted-container metadata is a pure function of
+    // doc_id (see imageFixtureBytes): the oracle recomputes the expected
+    // parse results arithmetically — an independent formulation of the
+    // format spec, not of the parser.
+    "q_image_meta" ->
+      """WITH m AS (SELECT doc_id,
+        |    doc_id % 4 AS f,
+        |    CAST(doc_id % 317 + 1 AS INTEGER) AS w,
+        |    CAST(doc_id % 211 + 1 AS INTEGER) AS h,
+        |    doc_id % 50 + 1 AS n,
+        |    doc_id % 5 AS ct,
+        |    doc_id % 2 AS par
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'bmp'
+        |    ELSE 'stub' END AS format,
+        |  CASE WHEN f = 3 THEN CAST(16 + n % 64 AS INTEGER) ELSE w END AS width,
+        |  CASE WHEN f = 3 THEN CAST(16 + (n * 7) % 64 AS INTEGER) ELSE h END AS height,
+        |  CAST(CASE
+        |    WHEN f = 0 THEN CASE ct WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
+        |      WHEN 3 THEN 2 ELSE 4 END
+        |    WHEN f = 1 THEN CASE WHEN par = 0 THEN 3 ELSE 1 END
+        |    ELSE 3 END AS INTEGER) AS channels,
+        |  CAST(CASE
+        |    WHEN f = 0 THEN CASE WHEN ct = 2 THEN 8 WHEN par = 0 THEN 8 ELSE 16 END
+        |    ELSE 8 END AS INTEGER) AS bit_depth,
+        |  CAST(CASE f WHEN 0 THEN 45
+        |    WHEN 1 THEN 47 + 3 * (CASE WHEN par = 0 THEN 3 ELSE 1 END)
+        |    WHEN 2 THEN 54
+        |    ELSE n END AS INTEGER) AS n_bytes
+        |FROM m""".stripMargin,
     // q_pics needs the normal survival function, unavailable in DuckDB; the
     // oracle is the pinned deterministic sf0.01 output (scipy-verified in
     // PicsSpec), valid at the driver's correctness SF only.

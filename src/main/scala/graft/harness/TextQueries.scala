@@ -219,6 +219,60 @@ object TextQueries {
   def bpeCount(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_bpe"))
 
+  /** Hand-authored merges table in the public merges.txt format — small
+    * enough that every merge SEQUENCE below is hand-computed in the oracle:
+    *   hello   → [hello]            (he→ll→hell→hello, 1 token)
+    *   " world"→ [Ġworld]           (wo→wor→worl→world, then Ġ+world merges)
+    *   " lower"→ [Ġ, l, ower]       (ow wins over lo: rank 2 < 7)
+    *   " newer"→ [Ġ, new, er]       (er fires before ne: rank 3 < 10)
+    *   " hello"→ [Ġhello]
+    */
+  private val bpeMergesTxt =
+    """#version: 0.2 (graft hand-authored)
+      |h e
+      |l l
+      |o w
+      |e r
+      |he ll
+      |hell o
+      |ow er
+      |l o
+      |lo w
+      |n e
+      |ne w
+      |w o
+      |wo r
+      |wor l
+      |worl d
+      |Ġ world
+      |Ġ hello""".stripMargin
+
+  /** Real merges-table BPE ([[graft.functions.Bpe]]): GPT-2 pre-tokenizer
+    * regex, byte→unicode alphabet, iterated lowest-rank merges, the table a
+    * plan-constant inside whole-stage codegen. Texts are built from a
+    * closed 5-word vocabulary chosen by doc_id arithmetic so the oracle
+    * can reproduce both the token COUNT and the exact SYMBOL SEQUENCE of
+    * every document by hand-computed CASE arithmetic — an independent
+    * derivation from the merge rules, not from the encoder.
+    */
+  def bpeTokens(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Bpe
+    val ranks = Bpe.loadMergesFromString(bpeMergesTxt)
+    val k = col("doc_id")
+    val vocab = array(lit(" world"), lit(" lower"), lit(" newer"), lit(" hello"))
+    def pick(j: Int) = element_at(vocab, ((k + j) % 4 + 1).cast("int"))
+    val nWords = k % 3 + 1
+    val text = concat(
+      lit("hello") +: (1 to 3).map(j =>
+        when(lit(j) <= nWords, pick(j)).otherwise(lit(""))): _*)
+    documents(s, d)
+      .select(col("doc_id"), text.as("text"))
+      .select(
+        col("doc_id"),
+        Bpe.tokenCount(col("text"), ranks).as("n_bpe"),
+        concat_ws("|", Bpe.tokens(col("text"), ranks)).as("toks"))
+  }
+
   /** Exact cosine top-5 for query vectors (vec_id < 20), brute force over a
     * broadcast query set.
     */
@@ -631,6 +685,7 @@ object TextQueries {
     "q_lang_id" -> (langIdQuery _),
     "q_fingerprint" -> (fingerprintQuery _),
     "q_bpe_count" -> (bpeCount _),
+    "q_bpe_tokens" -> (bpeTokens _),
     "q_cosine_topk" -> (cosineTopK _),
     "q_ann_lsh" -> (annLsh _),
     "q_embed_dedup" -> (embedDedup _),
@@ -1235,6 +1290,27 @@ object TextQueries {
     "q_bpe_count" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe
         |FROM documents""".stripMargin,
+    // Hand-computed merge sequences (see bpeMergesTxt scaladoc): each of the
+    // five vocabulary words has a known token count and symbol sequence
+    // under the authored table; the oracle rebuilds both by CASE arithmetic
+    // from doc_id — independent of the encoder implementation.
+    "q_bpe_tokens" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 3 + 1 AS nw,
+        |    (doc_id + 1) % 4 AS w1, (doc_id + 2) % 4 AS w2, (doc_id + 3) % 4 AS w3
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(1
+        |    + (CASE w1 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 3 ELSE 1 END)
+        |    + (CASE WHEN nw >= 2 THEN CASE w2 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 3 ELSE 1 END ELSE 0 END)
+        |    + (CASE WHEN nw >= 3 THEN CASE w3 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 3 ELSE 1 END ELSE 0 END)
+        |    AS INTEGER) AS n_bpe,
+        |  'hello'
+        |    || (CASE w1 WHEN 0 THEN '|Ġworld' WHEN 1 THEN '|Ġ|l|ower' WHEN 2 THEN '|Ġ|new|er' ELSE '|Ġhello' END)
+        |    || (CASE WHEN nw >= 2 THEN CASE w2 WHEN 0 THEN '|Ġworld' WHEN 1 THEN '|Ġ|l|ower' WHEN 2 THEN '|Ġ|new|er' ELSE '|Ġhello' END ELSE '' END)
+        |    || (CASE WHEN nw >= 3 THEN CASE w3 WHEN 0 THEN '|Ġworld' WHEN 1 THEN '|Ġ|l|ower' WHEN 2 THEN '|Ġ|new|er' ELSE '|Ġhello' END ELSE '' END)
+        |    AS toks
+        |FROM m""".stripMargin,
     "q_cosine_topk" ->
       """WITH cand AS (
         |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,

@@ -82,11 +82,115 @@ object Multimodal {
         } yield (w, h, 3)
       } else None
 
-    def dimensions(content: Array[Byte]): (Int, Int, Int) =
-      parseBmp(content).orElse(parsePpm(content)).getOrElse {
-        val n = content.length
-        (16 + n % 64, 16 + (n * 7) % 64, 3)
+    private def beInt(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    private def beShort(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+    /** PNG: 8-byte signature then the (spec-mandated first) IHDR chunk —
+      * width/height as big-endian ints at offsets 16/20, bit depth at 24,
+      * color type at 25. Pure header parse, no codec: the IDAT pixel data is
+      * never touched. Returns (width, height, channels, bitDepth).
+      */
+    def parsePng(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      if (b.length >= 26 && sig.indices.forall(i => b(i) == sig(i)) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+        val w = beInt(b, 16)
+        val h = beInt(b, 20)
+        val depth = b(24) & 0xff
+        val channels = (b(25) & 0xff) match {
+          case 0 => 1 // grayscale
+          case 2 => 3 // truecolor
+          case 3 => 1 // palette index
+          case 4 => 2 // gray + alpha
+          case 6 => 4 // truecolor + alpha
+          case _ => -1
+        }
+        if (w > 0 && h > 0 && channels > 0 &&
+          Set(1, 2, 4, 8, 16).contains(depth)) Some((w, h, channels, depth))
+        else None
+      } else None
+    }
+
+    /** JPEG: SOI then a marker walk (big-endian segment lengths; RSTn/TEM
+      * are standalone) to the first frame header SOF0-SOF15 (excluding
+      * DHT/JPG/DAC pseudo-markers) — sample precision, height, width,
+      * component count live at fixed offsets inside it. Stops at SOS/EOI.
+      * Returns (width, height, channels, bitDepth).
+      */
+    def parseJpeg(b: Array[Byte]): Option[(Int, Int, Int, Int)] =
+      if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        var i = 2
+        while (i + 1 < b.length) {
+          if ((b(i) & 0xff) != 0xff) return None // desynced: not a marker
+          // fill bytes: 0xFF may repeat before the marker id
+          var j = i
+          while (j + 1 < b.length && (b(j + 1) & 0xff) == 0xff) j += 1
+          val m = b(j + 1) & 0xff
+          if (m == 0xd9 || m == 0xda) return None // EOI / SOS before any SOF
+          if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { // standalone
+            i = j + 2
+          } else {
+            if (j + 4 > b.length) return None
+            val len = beShort(b, j + 2)
+            if (len < 2) return None
+            val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+            if (isSof) {
+              if (j + 10 > b.length || len < 8) return None
+              val precision = b(j + 4) & 0xff
+              val h = beShort(b, j + 5)
+              val w = beShort(b, j + 7)
+              val ncomp = b(j + 9) & 0xff
+              return if (w > 0 && h > 0 && ncomp > 0 && ncomp <= 4 && precision >= 2)
+                Some((w, h, ncomp, precision))
+              else None
+            }
+            i = j + 2 + len
+          }
+        }
+        None
+      } else None
+
+    /** PPM maxval (the third header int) → per-channel bit depth. */
+    private def ppmDepth(b: Array[Byte]): Int = {
+      // re-walk the ASCII header exactly like parsePpm
+      var i = 2
+      var seen = 0
+      var last = 255
+      while (i < b.length && seen < 3) {
+        while (i < b.length && (Character.isWhitespace(b(i)) || b(i) == '#')) {
+          if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+          else i += 1
+        }
+        val start = i
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+        if (i > start) { seen += 1; if (seen == 3) last = new String(b, start, i - start, "US-ASCII").toInt }
+        else return 8
       }
+      if (last < 256) 8 else 16
+    }
+
+    /** Full image metadata: (format, width, height, channels, bitDepth).
+      * Real header parses for PNG / JPEG / BMP / binary PPM; the
+      * deterministic stub shape for anything else (format "stub").
+      */
+    def imageInfo(content: Array[Byte]): (String, Int, Int, Int, Int) =
+      parsePng(content).map { case (w, h, c, d) => ("png", w, h, c, d) }
+        .orElse(parseJpeg(content).map { case (w, h, c, d) => ("jpeg", w, h, c, d) })
+        .orElse(parseBmp(content).map { case (w, h, c) => ("bmp", w, h, c, 8) })
+        .orElse(parsePpm(content).map { case (w, h, c) => ("ppm", w, h, c, ppmDepth(content)) })
+        .getOrElse {
+          val n = content.length
+          ("stub", 16 + n % 64, 16 + (n * 7) % 64, 3, 8)
+        }
+
+    def dimensions(content: Array[Byte]): (Int, Int, Int) = {
+      val (_, w, h, c, _) = imageInfo(content)
+      (w, h, c)
+    }
 
     /** WAV (RIFF/WAVE, PCM): walk the chunk list for `fmt ` (channels at
       * +2, sample rate at +4, bits-per-sample at +14) and `data` (payload
@@ -155,6 +259,37 @@ object Multimodal {
         val content = r.getAs[Array[Byte]]("content")
         val (w, h, c) = StubDecoder.dimensions(content)
         Row.fromSeq(r.toSeq ++ Seq(w, h, c, content.length))
+      }
+    }(enc)
+  }
+
+  /** Image-metadata row emitted by [[imageMeta]]. */
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bit_depth", IntegerType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false)
+  ))
+
+  /** Container-level image metadata (format, dimensions, channels, per-
+    * channel bit depth) from pure header parses — PNG IHDR, JPEG SOF,
+    * BMP BITMAPINFOHEADER, binary PPM; no pixel decode, so it runs at scan
+    * speed on arbitrarily large payloads. Same per-partition batched shape
+    * as [[decode]].
+    */
+  def imageMeta(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(imageMetaSchema)
+    // positional access: upstream mapPartitions rows carry no field schema
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val content = r.getAs[Array[Byte]](contentIdx)
+        val (fmt, w, h, c, d) = StubDecoder.imageInfo(content)
+        Row(r.getLong(idIdx), fmt, w, h, c, d, content.length)
       }
     }(enc)
   }

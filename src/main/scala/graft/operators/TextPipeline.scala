@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -238,10 +238,13 @@ object TextPipeline {
       docs: DataFrame,
       tokenBudget: Int,
       strataCol: String = "source",
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      // pluggable counter: pass e.g. `graft.functions.Bpe.tokenCount(_, ranks)`
+      // to pack by real BPE token counts instead of whitespace tokens
+      tokenCounter: Column => Column = t => size(TextOps.tokenize(t))
   ): DataFrame = {
     val sized = docs
-      .withColumn("n_tokens", size(TextOps.tokenize(col("text"))))
+      .withColumn("n_tokens", tokenCounter(col("text")))
       // documents larger than the budget occupy a sequence alone
       .withColumn("n_clamped", least(col("n_tokens"), lit(tokenBudget)))
     val withCum =

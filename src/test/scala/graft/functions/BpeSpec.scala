@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+
+  // The q_bpe_tokens table (harness/TextQueries.bpeMergesTxt) — kept in
+  // sync by the end-to-end oracle; here it pins the kernel directly.
+  private val mergesTxt =
+    """#version: 0.2 (graft hand-authored)
+      |h e
+      |l l
+      |o w
+      |e r
+      |he ll
+      |hell o
+      |ow er
+      |l o
+      |lo w
+      |n e
+      |ne w
+      |w o
+      |wo r
+      |wor l
+      |worl d
+      |Ġ world
+      |Ġ hello""".stripMargin
+
+  private lazy val ranks = Bpe.loadMergesFromString(mergesTxt)
+  private lazy val enc = new Bpe.Encoder(ranks)
+
+  test("loadMerges skips the #version header and ranks by line order") {
+    assert(ranks.size === 17)
+    assert(ranks.rank("h", "e") === 0)
+    assert(ranks.rank("worl", "d") === 14)
+    assert(ranks.rank("x", "y") === Int.MaxValue)
+  }
+
+  test("byte encoder maps space to Ġ (U+0120) and printables to themselves") {
+    assert(Bpe.byteEncoder(' '.toInt) === 'Ġ')
+    assert(Bpe.byteEncoder('a'.toInt) === 'a')
+    assert(Bpe.byteEncoder('!'.toInt) === '!')
+    assert(Bpe.byteEncoder(0) === 'Ā') // byte 0 is the first shifted value
+  }
+
+  test("hand-computed merge sequences (the q_bpe_tokens contract)") {
+    // hello: he → ll → hell → hello
+    assert(enc.encode("hello").toSeq === Seq("hello"))
+    // " world": wo → wor → worl → world → Ġworld
+    assert(enc.encode(" world").toSeq === Seq("Ġworld"))
+    // " lower": ow (rank 2) fires before lo (rank 7), stranding the l
+    assert(enc.encode(" lower").toSeq === Seq("Ġ", "l", "ower"))
+    // " newer": er (rank 3) fires before ne (rank 9)
+    assert(enc.encode(" newer").toSeq === Seq("Ġ", "new", "er"))
+    assert(enc.encode(" hello").toSeq === Seq("Ġhello"))
+    assert(enc.tokenCount("hello world lower newer") === 1 + 1 + 3 + 3)
+  }
+
+  test("pre-tokenizer splits contractions, digit runs and punctuation like GPT-2") {
+    // "don't stop 12 go!" → don | 't | Ġstop | Ġ12 | Ġgo | !
+    val m = Bpe.pretokenPattern.matcher("don't stop 12 go!")
+    val pre = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toSeq
+    assert(pre === Seq("don", "'t", " stop", " 12", " go", "!"))
+  }
+
+  test("merges apply to ALL occurrences of the chosen pair in one pass") {
+    // "hehe" → [h,e,h,e] → (h,e) rank 0 merges both at once → [he,he]
+    val out = Bpe.applyMerges(Array("h", "e", "h", "e"), ranks)
+    assert(out.toSeq === Seq("he", "he"))
+  }
+
+  test("train learns the most frequent pair first (classic BPE)") {
+    // pre-tokens: "ab", " ab"×2, " abc"×2 → (a,b) freq 5 merges first,
+    // then (Ġ,ab) freq 4 beats (ab,c) freq 2
+    val learned = Bpe.train(Iterator("ab ab ab abc abc"), numMerges = 2)
+    assert(learned.pairs.toSeq === Seq(("a", "b"), ("Ġ", "ab")))
+    val e2 = new Bpe.Encoder(learned)
+    assert(e2.encode("abc").toSeq === Seq("ab", "c"))
+    assert(e2.encode(" ab").toSeq === Seq("Ġab"))
+  }
+
+  test("column surface: codegen and interpreted paths agree") {
+    import spark.implicits._
+    val df = Seq("hello world", " lower newer", "don't", "").toDF("text")
+    def run(codegen: String): Seq[(Int, String)] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try df.select(
+        Bpe.tokenCount(col("text"), ranks).as("n"),
+        concat_ws("|", Bpe.tokens(col("text"), ranks)).as("t"))
+        .as[(Int, String)].collect().toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    val on = run("true")
+    val off = run("false")
+    assert(on === off)
+    assert(on.head === ((2, "hello|Ġworld")))
+    assert(on.last === ((0, "")))
+  }
+
+  test("tokenCount handles nulls (nullIntolerant) and UTF-8 multibyte input") {
+    import spark.implicits._
+    val got = Seq(Some("héllo"), None).toDF("text")
+      .select(Bpe.tokenCount(col("text"), ranks).as("n"))
+      .as[Option[Int]].collect().toSeq
+    // é is 2 UTF-8 bytes → 2 symbols; no merges bridge them → h,é1,é2,l+l,o
+    assert(got === Seq(Some(5), None))
+  }
+}

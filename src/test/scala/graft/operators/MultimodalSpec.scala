@@ -52,6 +52,79 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) === ((16 + 5 % 64, 16 + 35 % 64, 3))) // stub fallback
   }
 
+  private def pngBytes(w: Int, h: Int, depth: Int, colorType: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(45)
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+      .put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).putInt(0)
+    bb.putInt(0).put("IEND".getBytes("US-ASCII")).putInt(0)
+    bb.array()
+  }
+
+  private def jpegBytes(w: Int, h: Int, ncomp: Int, precision: Int = 8): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(47 + 3 * ncomp)
+    bb.put(0xff.toByte).put(0xd8.toByte)
+    bb.put(0xff.toByte).put(0xe0.toByte).putShort(16)
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(1.toByte).put(1.toByte).put(0.toByte)
+      .putShort(1).putShort(1).put(0.toByte).put(0.toByte)
+    bb.put(0xff.toByte).put(0xfe.toByte).putShort(13)
+      .put("comment-11b".getBytes("US-ASCII"))
+    bb.put(0xff.toByte).put(0xc0.toByte).putShort((8 + 3 * ncomp).toShort)
+      .put(precision.toByte).putShort(h.toShort).putShort(w.toShort).put(ncomp.toByte)
+    (1 to ncomp).foreach(i => bb.put(i.toByte).put(0x11.toByte).put(0.toByte))
+    bb.put(0xff.toByte).put(0xd9.toByte)
+    bb.array()
+  }
+
+  test("parsePng reads IHDR dimensions, bit depth and channels per color type") {
+    import Multimodal.StubDecoder._
+    assert(parsePng(pngBytes(640, 480, 8, 2)) === Some((640, 480, 3, 8)))
+    assert(parsePng(pngBytes(1, 1, 16, 6)) === Some((1, 1, 4, 16)))
+    assert(parsePng(pngBytes(100, 50, 8, 0)) === Some((100, 50, 1, 8)))
+    assert(parsePng(pngBytes(100, 50, 8, 3)) === Some((100, 50, 1, 8))) // palette
+    assert(parsePng(pngBytes(100, 50, 8, 4)) === Some((100, 50, 2, 8))) // gray+a
+    // invalid color type / bit depth / dimensions → None
+    assert(parsePng(pngBytes(100, 50, 8, 7)) === None)
+    assert(parsePng(pngBytes(100, 50, 3, 2)) === None)
+    assert(parsePng(pngBytes(0, 50, 8, 2)) === None)
+    // truncated signature / short buffer
+    assert(parsePng(pngBytes(640, 480, 8, 2).take(20)) === None)
+    assert(parsePng("notapng".getBytes) === None)
+  }
+
+  test("parseJpeg walks APP0/COM markers to SOF0 and survives adversarial input") {
+    import Multimodal.StubDecoder._
+    assert(parseJpeg(jpegBytes(320, 200, 3)) === Some((320, 200, 3, 8)))
+    assert(parseJpeg(jpegBytes(65535, 1, 1)) === Some((65535, 1, 1, 8)))
+    assert(parseJpeg(jpegBytes(320, 200, 3, precision = 12)) === Some((320, 200, 3, 12)))
+    // SOS/EOI before any SOF → None (dims genuinely absent)
+    assert(parseJpeg(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) === None)
+    // desynced stream (non-marker byte where a marker must be) → None
+    assert(parseJpeg(Array(0xff, 0xd8, 0x00, 0x01).map(_.toByte)) === None)
+    // segment length pointing past the buffer → None, no exception
+    assert(parseJpeg(Array(0xff, 0xd8, 0xff, 0xe0, 0x7f, 0xff).map(_.toByte)) === None)
+    assert(parseJpeg(jpegBytes(320, 200, 3).take(25)) === None)
+  }
+
+  test("imageMeta end-to-end over mixed planted containers") {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "image", pngBytes(12, 34, 16, 2), null),
+        Row(2L, "image", jpegBytes(56, 78, 1), null),
+        Row(3L, "blob", Array[Byte](9, 9, 9), null)),
+      Multimodal.mediaSchema)
+    val got = Multimodal.imageMeta(df)
+      .as[(Long, String, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "png", 12, 34, 3, 16, 45)))
+    assert(got(2L) === ((2L, "jpeg", 56, 78, 1, 8, 50)))
+    assert(got(3L) === ((3L, "stub", 16 + 3, 16 + 21, 3, 8, 3)))
+  }
+
   test("decodeAudio parses real WAV headers; stub for other payloads") {
     import org.apache.spark.sql.Row
     import spark.implicits._
