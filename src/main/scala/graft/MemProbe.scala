@@ -1,0 +1,105 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicLong, LongAdder}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Scale-wall probe: times named SparkEntry queries like Bench (noop sink,
+  * best-of-N) while recording the executor-memory evidence the timing alone
+  * hides — per-task peak execution memory, total memory/disk spill, shuffle
+  * write volume, and peak JVM heap (sampled). One JSON line per query.
+  *
+  * This is the round-13 instrument for "where does the first
+  * executor-memory / spill wall sit": exponents measured at sf0.1 → sf1 →
+  * sf10 say how the TIME grows; these counters say whether the plan is
+  * approaching a memory cliff (spill onset, task peaks nearing the
+  * per-task share of executor memory) before it shows up as wall-clock.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.MemProbe q_coloc q_clump …
+  */
+object MemProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val taskPeak = new AtomicLong(0L) // max per-task peak execution memory
+    val spillMem = new LongAdder
+    val spillDisk = new LongAdder
+    val shuffleWrite = new LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          taskPeak.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+          spillMem.add(m.memoryBytesSpilled)
+          spillDisk.add(m.diskBytesSpilled)
+          shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+
+    // JVM heap sampler (local mode: driver heap IS executor heap)
+    val heapPeak = new AtomicLong(0L)
+    val sampler = new Thread(() => {
+      val rt = Runtime.getRuntime
+      while (!Thread.currentThread().isInterrupted) {
+        heapPeak.getAndUpdate(p => math.max(p, rt.totalMemory() - rt.freeMemory()))
+        try Thread.sleep(50)
+        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q_coloc", "q_ecaviar", "q_coloc_pip", "q_clump", "q_eqtl_susie",
+        "q_setsim_join", "q_minhash", "q_near_dup")
+
+    spark.read.parquet(s"$sfDir/nation.parquet").count() // warm footers/codegen
+
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => System.err.println(s"[memprobe] unknown query $name")
+        case Some(fn) =>
+          var best = Double.MaxValue
+          var bestStats = (0L, 0L, 0L, 0L, 0L)
+          (1 to runs).foreach { _ =>
+            spark.catalog.clearCache()
+            System.gc()
+            taskPeak.set(0L); spillMem.reset(); spillDisk.reset(); shuffleWrite.reset()
+            heapPeak.set(0L)
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            if (sec < best) {
+              best = sec
+              bestStats = (taskPeak.get(), spillMem.sum(), spillDisk.sum(),
+                shuffleWrite.sum(), heapPeak.get())
+            }
+          }
+          val (pk, sm, sd, sw, hp) = bestStats
+          // raw stdout line — survives any log-tail truncation per query
+          // (println goes through the sbt logger; keep lines short)
+          println(
+            s"""{"query":"$name","sec":${"%.3f".formatLocal(java.util.Locale.ROOT, best)},""" +
+              s""""task_peak_exec_mb":${pk / 1048576},"spill_mem_mb":${sm / 1048576},""" +
+              s""""spill_disk_mb":${sd / 1048576},"shuffle_write_mb":${sw / 1048576},""" +
+              s""""heap_peak_mb":${hp / 1048576},"sf":"$sfDir"}""")
+      }
+    }
+    spark.stop()
+  }
+}
