@@ -86,17 +86,60 @@ class BpeSpec extends SparkSpec {
     val df = Seq("hello world", " lower newer", "don't", "").toDF("text")
     def run(codegen: String): Seq[(Int, String)] = {
       spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      // fallback=false makes a Janino compile failure THROW instead of
+      // silently running interpreted — the codegen leg really is codegen
+      spark.conf.set("spark.sql.codegen.fallback", "false")
       try df.select(
         Bpe.tokenCount(col("text"), ranks).as("n"),
         concat_ws("|", Bpe.tokens(col("text"), ranks)).as("t"))
         .as[(Int, String)].collect().toSeq
-      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+      }
     }
     val on = run("true")
     val off = run("false")
     assert(on === off)
     assert(on.head === ((2, "hello|Ġworld")))
     assert(on.last === ((0, "")))
+  }
+
+  test("BPE expressions stay inside the whole-stage-codegen span (no ScalaUDF)") {
+    // a real scan: a LocalRelation projection is constant-folded into a
+    // LocalTableScan before any codegen question arises
+    val df = spark.read.parquet(sf("documents"))
+      .select(Bpe.tokenCount(col("text"), ranks).as("n"))
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, df.queryExecution.executedPlan.toString)
+    val hasUdf = df.queryExecution.analyzed.expressions.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.ScalaUDF => true
+      case _ => false
+    })
+    assert(!hasUdf)
+  }
+
+  test("packSequences accepts the BPE counter (pluggable token counting)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world", "web"),
+      (2L, "hello world hello world", "web"),
+      (3L, " lower newer", "web")
+    ).toDF("doc_id", "text", "source")
+    val packed = graft.operators.TextPipeline
+      .packSequences(docs, tokenBudget = 4,
+        tokenCounter = t => Bpe.tokenCount(t, ranks))
+      .orderBy("seq_no")
+      .select("seq_no", "token_total")
+      .as[(Long, Long)].collect()
+    // BPE counts: doc1 "hello world" = 2; doc2 = hello|Ġworld|Ġhello|Ġworld
+    // = 4 (fills a sequence); doc3 " lower newer" = Ġ,l,ower,Ġ,new,er = 6 —
+    // over budget, clamped for packing, occupies its own sequence with the
+    // true total reported. Whitespace counting would give 2/4/2 and pack
+    // doc3 WITH doc1 — the counter demonstrably drives the packing.
+    assert(packed.toSeq === Seq((1L, 2L), (2L, 4L), (3L, 6L)))
   }
 
   test("tokenCount handles nulls (nullIntolerant) and UTF-8 multibyte input") {
