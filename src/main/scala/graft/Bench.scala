@@ -106,8 +106,14 @@ object Bench {
     val qsCompact = slowest
       .map { case (k, v) => s"${jstr(k)}:${f3(v)}" }
       .mkString("{", ",", "}")
+    // errors inline as names-only (full messages live in the artifact
+    // file): 200-char messages × many failures would blow the same tail
+    // budget the compact line exists to respect
+    val errCompact =
+      if (errors.isEmpty) ""
+      else "," + "\"errors\":" + errors.keys.map(jstr).mkString("[", ",", "]")
     val compact =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsCompact$errJson,""" +
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsCompact$errCompact,""" +
         s""""n_queries":${timings.size},"queries_reported":${slowest.size},""" +
         s""""queries_full":${jstr(outFile)},"sf":${jstr(sfDir)}}"""
     println(compact)
