@@ -586,9 +586,18 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
     val prefix = ranked
       .filter(col("_rank") <= col("_size") - ceil(lit(theta) * col("_size")) + lit(1))
-      .select(col("id"), col("term"))
+      .select(col("id"), col("term"), col("_size").as("sz"))
+    // Length filter AT candidate generation (PPJoin): Jaccard ≥ θ implies
+    // θ·max(|a|,|b|) ≤ min(|a|,|b|), and set sizes already ride on the
+    // prefix rows — pruning here shrinks the candidate distinct() AND the
+    // verification joins below, which ship full shingle-set arrays per
+    // surviving pair (the dominant spill at the sf10 probe: 11 GB at 256
+    // partitions before this filter).
     val candidates = prefix.as("a")
-      .join(prefix.as("b"), col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .join(prefix.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id") &&
+          greatest(col("a.sz"), col("b.sz")) * lit(theta) <=
+            least(col("a.sz"), col("b.sz")))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     val sets = toks.groupBy(col("id")).agg(collect_set(col("term")).as("ts"))
