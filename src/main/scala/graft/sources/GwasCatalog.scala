@@ -327,10 +327,18 @@ object GwasCatalog {
         lit(-math.log10(pValueCutoff)),
       SubsignificantFlag)
     val qc3 = updateQualityFlag(qc2, position.isNull || chromosome.isNull, NoGenomicLocationFlag)
+    // Null-safe part counts: `size(NULL)` is -1 with ANSI off (legacy
+    // sizeOfNull) but NULL with ANSI on, so a bare size(split(...)) makes
+    // this flag fire differently per config on rows with a null field —
+    // the one sensitivity the round-13 ANSI-off oracle sweep found. The
+    // when-guard pins the ANSI-on three-valued semantics (null term drops
+    // out of the OR; the other comparison can still fire) under every
+    // config.
+    def nParts(c: Column): Column = when(c.isNotNull, size(split(c, ";")))
     val qc4 = updateQualityFlag(
       qc3,
-      (size(split(chromosome, ";")) =!= size(split(position, ";"))) ||
-        (size(split(chromosome, ";")) =!= size(split(strongestSnpRiskAllele, ";"))),
+      (nParts(chromosome) =!= nParts(position)) ||
+        (nParts(chromosome) =!= nParts(strongestSnpRiskAllele)),
       InconsistencyFlag)
     val qc5 = updateQualityFlag(qc4, alternateAllele.isNull, NonMappedVariantFlag)
     updateQualityFlag(

@@ -10,8 +10,9 @@ declare -A CELLS=(
   [aqe_off]="spark.sql.adaptive.enabled=false"
   [shuffle_1]="spark.sql.shuffle.partitions=1"
   [shuffle_200]="spark.sql.shuffle.partitions=200"
+  [ansi_off]="spark.sql.ansi.enabled=false"
 )
-for cell in codegen_off aqe_off shuffle_1 shuffle_200; do
+for cell in codegen_off aqe_off shuffle_1 shuffle_200 ansi_off; do
   out=/tmp/verify_sweep_$cell
   rm -rf "$out"
   echo "=== cell $cell: ${CELLS[$cell]}"
