@@ -504,6 +504,37 @@ class SourcesSpec extends SparkSpec {
     assert(got(3) === "No mapping in GnomAd")
   }
 
+  test("qcAll inconsistency flag is ANSI-independent on null-field rows (round-13 sweep catch)") {
+    import spark.implicits._
+    // chromosome "1;2" with a SINGLE risk allele and a NULL position: the
+    // chrom-vs-risk count mismatch must fire (three-valued OR: the null
+    // position term drops out), and a null-position row with MATCHING
+    // counts must NOT fire — identically with ANSI on and off
+    // (size(NULL) is -1 under legacy sizeOfNull but NULL under ANSI).
+    val df = Seq(
+      ("rs1-A", Some("1;2"), None: Option[Int], Some("A"), Some("G"), 1.0f, -9),
+      ("rs1-A", Some("1"), None: Option[Int], Some("A"), Some("G"), 1.0f, -9)
+    ).toDF("risk", "chromosome", "position", "ref", "alt", "mantissa", "exponent")
+    def run(): Seq[Boolean] = df.select(
+      array_contains(GwasCatalog.qcAll(
+        qc = array().cast("array<string>"),
+        chromosome = col("chromosome"),
+        position = col("position"),
+        referenceAllele = col("ref"),
+        alternateAllele = col("alt"),
+        strongestSnpRiskAllele = col("risk"),
+        pValueMantissa = col("mantissa"),
+        pValueExponent = col("exponent")
+      ), "Variant inconsistency").as("f")).as[Boolean].collect().toSeq
+    val ansiOn = run()
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    val ansiOff =
+      try run()
+      finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    assert(ansiOn === Seq(true, false))
+    assert(ansiOff === ansiOn)
+  }
+
   test("Intervals.readBed normalises BED coordinates and parses gene ids") {
     import spark.implicits._
     val bed = writeFixture("e2g.bed", "chr1\t999\t2000\tENSG1|enh42\t0.75\nchrX\t0\t100\tENSG2\t0.5\n")
