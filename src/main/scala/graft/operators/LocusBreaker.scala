@@ -82,14 +82,37 @@ object LocusBreaker {
   ): DataFrame = {
     val smallLoci = lbc.filter(col("locusEnd") - col("locusStart") <= largeLociSize)
     val largeLoci = lbc.filter(col("locusEnd") - col("locusStart") > largeLociSize)
-    val largeLociWbc = wbc.alias("wbc")
+    // Bin-keyed range semi-join (same shape as IntervalJoin/the round-12
+    // locus_annotate fix): the bare (studyId, chromosome) equi prefix has
+    // only tens of distinct keys — study-count × chromosome-count — so at
+    // scale every key group pairs millions of positions against thousands
+    // of loci and per-key work grows quadratically with density (sf10
+    // probe: 138 s, exponent 1.16). Adding the position bin to the key
+    // makes key count track the position range instead; a locus explodes
+    // to the ≲ span/binWidth + 1 bins it touches, and semi semantics
+    // dedup for free.
+    val binWidth = largeLociSize.toLong.max(1L)
+    val ll = largeLoci
+      .select(col("studyId"), col("chromosome"), col("locusStart"), col("locusEnd"))
+      .withColumn(
+        "_bin",
+        explode(
+          sequence(
+            floor(col("locusStart") / binWidth).cast("long"),
+            floor(col("locusEnd") / binWidth).cast("long"))))
+      .alias("ll")
+    val largeLociWbc = wbc
+      .withColumn("_bin", floor(col("position") / binWidth).cast("long"))
+      .alias("wbc")
       .join(
-        largeLoci.alias("ll"),
+        ll,
         col("wbc.studyId") === col("ll.studyId") &&
           col("wbc.chromosome") === col("ll.chromosome") &&
+          col("wbc._bin") === col("ll._bin") &&
           col("wbc.position").between(col("ll.locusStart"), col("ll.locusEnd")),
         "semi"
       )
+      .drop("_bin")
       .withColumn("locusStart", col("position") - largeLociSize / 2)
       .withColumn("locusEnd", col("position") + largeLociSize / 2)
     largeLociWbc.unionByName(smallLoci, allowMissingColumns = true)
