@@ -270,7 +270,11 @@ object TextQueries {
       .select(
         col("doc_id"),
         Bpe.tokenCount(col("text"), ranks).as("n_bpe"),
-        concat_ws("|", Bpe.tokens(col("text"), ranks)).as("toks"))
+        concat_ws("|", Bpe.tokens(col("text"), ranks)).as("toks"),
+        // ids under the deterministic vocab (byte value for base symbols,
+        // 256+rank for merged): hello=261 Ġworld=271 Ġ=32 l=108 ower=262
+        // new=266 er=259 Ġhello=272 — each hand-derivable from the table
+        concat_ws("|", Bpe.tokenIds(col("text"), ranks)).as("ids"))
   }
 
   /** Exact cosine top-5 for query vectors (vec_id < 20), brute force over a
@@ -1309,7 +1313,12 @@ object TextQueries {
         |    || (CASE w1 WHEN 0 THEN '|Ġworld' WHEN 1 THEN '|Ġ|l|ower' WHEN 2 THEN '|Ġ|new|er' ELSE '|Ġhello' END)
         |    || (CASE WHEN nw >= 2 THEN CASE w2 WHEN 0 THEN '|Ġworld' WHEN 1 THEN '|Ġ|l|ower' WHEN 2 THEN '|Ġ|new|er' ELSE '|Ġhello' END ELSE '' END)
         |    || (CASE WHEN nw >= 3 THEN CASE w3 WHEN 0 THEN '|Ġworld' WHEN 1 THEN '|Ġ|l|ower' WHEN 2 THEN '|Ġ|new|er' ELSE '|Ġhello' END ELSE '' END)
-        |    AS toks
+        |    AS toks,
+        |  '261'
+        |    || (CASE w1 WHEN 0 THEN '|271' WHEN 1 THEN '|32|108|262' WHEN 2 THEN '|32|266|259' ELSE '|272' END)
+        |    || (CASE WHEN nw >= 2 THEN CASE w2 WHEN 0 THEN '|271' WHEN 1 THEN '|32|108|262' WHEN 2 THEN '|32|266|259' ELSE '|272' END ELSE '' END)
+        |    || (CASE WHEN nw >= 3 THEN CASE w3 WHEN 0 THEN '|271' WHEN 1 THEN '|32|108|262' WHEN 2 THEN '|32|266|259' ELSE '|272' END ELSE '' END)
+        |    AS ids
         |FROM m""".stripMargin,
     "q_cosine_topk" ->
       """WITH cand AS (

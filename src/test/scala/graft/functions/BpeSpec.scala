@@ -142,6 +142,19 @@ class BpeSpec extends SparkSpec {
     assert(packed.toSeq === Seq((1L, 2L), (2L, 4L), (3L, 6L)))
   }
 
+  test("deterministic vocab: byte ids for base symbols, 256+rank for merged") {
+    import spark.implicits._
+    val v = Bpe.vocab(ranks)
+    assert(v.get("Ġ") === 32)   // space byte
+    assert(v.get("l") === 'l'.toInt)
+    assert(v.get("hello") === 256 + 5) // created by merge rank 5 (hell o)
+    assert(v.get("Ġworld") === 256 + 15)
+    val ids = Seq("hello lower").toDF("text")
+      .select(concat_ws("|", Bpe.tokenIds(col("text"), ranks)).as("ids"))
+      .as[String].head()
+    assert(ids === "261|32|108|262")
+  }
+
   test("tokenCount handles nulls (nullIntolerant) and UTF-8 multibyte input") {
     import spark.implicits._
     val got = Seq(Some("héllo"), None).toDF("text")
