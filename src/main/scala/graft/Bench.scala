@@ -9,9 +9,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    // Shuffle partitions default to core count (right for MB-scale local
+    // fixtures); at bigger local SFs pass SPARK_GRAFT_SHUFFLE_PARTITIONS —
+    // a fixed 32-way layout carries 100x per-task state at sf10 and spills
+    // (measured: q_coloc 251 s / 25 GB spill at p32 vs 135 s / zero at
+    // p256), exactly the knob a real deployment sizes with data volume.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       // Fixture-scale scan split (see GSession.local): MB-size fixture
       // files under the default 128 MB packing put a whole fact table in
       // ~2 scan tasks; 8 MB splits engage all cores at sf0.1-sf1.
