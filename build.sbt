@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach the real stdout UNWRAPPED: the default
+// LoggedOutput strategy prefixes every line with "[info] ", which defeats
+// the driver's JSON-tail parse of Bench's final line (BENCH_r11-r13 all
+// arrived as `[info] {...}` -> "parsed": null). StdoutOutput inherits the
+// parent process's stdout/stderr file descriptors directly.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / excludeLintKeys += outputStrategy
+// ...and suppress the trailing "[success] Total time: ..." line so the
+// bare JSON stays the LAST line the driver's 3 KB tail sees.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

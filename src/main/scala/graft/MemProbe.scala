@@ -29,11 +29,20 @@ object MemProbe {
     // (or AQE's initialPartitionNum) before touching the plan.
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Scan-split override: the 8 MB default is fixture-scale sizing (engage
+    // all cores on MB-size files); at sf10-scale probes it inflates scan
+    // task counts ~16× vs the 128 MB production default, which skews the
+    // very scale evidence this probe collects. Probe runs that argue about
+    // production behaviour should set SPARK_GRAFT_MAX_PARTITION_BYTES=128m.
+    val maxPartitionBytes =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
+    val openCostInBytes =
+      sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "1m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+      .config("spark.sql.files.openCostInBytes", openCostInBytes)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -47,8 +47,11 @@ object Verify {
     // oracle answers must not depend on the plan configuration).
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
       _.split(";").iterator.map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder = builder.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => builder = builder.config(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not key=value")
+        }
       }
     }
     val spark = builder.getOrCreate()
