@@ -216,15 +216,18 @@ object MiscQueries {
 
   /** Deterministic planted image container: a pure function of doc_id so
     * the DuckDB oracle can recompute every metadata field arithmetically.
-    * doc_id % 4 selects the format — a real PNG (signature + IHDR + IEND),
+    * doc_id % 6 selects the format — a real PNG (signature + IHDR + IEND),
     * a real JPEG (SOI + APP0 + COM + SOF0 + EOI, exercising the marker
-    * walk), a real BMP (54-byte header), or a raw byte blob (stub path).
+    * walk), a real BMP (54-byte header), a raw byte blob (stub path), a
+    * real GIF (signature + Logical Screen Descriptor + trailer), or a real
+    * WebP (RIFF/WEBP with doc_id%3 cycling the VP8 / VP8L / VP8X
+    * bitstream headers).
     */
   private[harness] def imageFixtureBytes(k: Long): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
     val w = (k % 317 + 1).toInt
     val h = (k % 211 + 1).toInt
-    (k % 4).toInt match {
+    (k % 6).toInt match {
       case 0 => // PNG: colorType cycles gray/rgb/palette/gray+a/rgba
         val ct = Array(0, 2, 3, 4, 6)((k % 5).toInt)
         val depth = if (ct == 3) 8 else if (k % 2 == 0) 8 else 16
@@ -258,16 +261,57 @@ object MiscQueries {
           .putShort(0).putShort(0).putInt(54)
         bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
         bb.array() // trailing header fields stay zero
-      case _ => // raw blob → stub metadata path
+      case 3 => // raw blob → stub metadata path
         Array.fill((k % 50 + 1).toInt)('x'.toByte)
+      case 4 => // GIF: signature + Logical Screen Descriptor + trailer
+        val depth = (k % 8 + 1).toInt // colour resolution bits, 1..8
+        val ver = if (k % 2 == 0) '9' else '7'
+        val bb = ByteBuffer.allocate(14).order(ByteOrder.LITTLE_ENDIAN)
+        bb.put(s"GIF8${ver}a".getBytes("US-ASCII"))
+          .putShort(w.toShort).putShort(h.toShort)
+          // packed: GCT flag | colour resolution (depth-1) | GCT size 7
+          .put((0x80 | ((depth - 1) << 4) | 0x07).toByte)
+          .put(0.toByte).put(0.toByte) // bg colour index, aspect ratio
+          .put(0x3b.toByte)            // trailer
+        bb.array()
+      case _ => // WebP: RIFF/WEBP, k%3 cycles VP8 (lossy) / VP8L / VP8X
+        val alpha = k % 2 == 0
+        val (fourcc, payload) = (k % 3).toInt match {
+          case 0 => // VP8: 3-byte frame tag, keyframe start code, 14-bit dims
+            val p = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+            p.put(0.toByte).put(0.toByte).put(0.toByte)
+              .put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte)
+              .putShort(w.toShort).putShort(h.toShort)
+            ("VP8 ", p.array())
+          case 1 => // VP8L: 0x2F then width-1 | height-1<<14 | alpha<<28
+            val bits = (w - 1) | ((h - 1) << 14) | ((if (alpha) 1 else 0) << 28)
+            val p = ByteBuffer.allocate(5).order(ByteOrder.LITTLE_ENDIAN)
+            p.put(0x2f.toByte).putInt(bits)
+            ("VP8L", p.array())
+          case _ => // VP8X: flags (alpha bit 0x10), 24-bit canvas dims minus one
+            val p = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+            p.put((if (alpha) 0x10 else 0x00).toByte)
+              .put(0.toByte).put(0.toByte).put(0.toByte)
+              .put((w - 1).toByte).put(((w - 1) >> 8).toByte).put(((w - 1) >> 16).toByte)
+              .put((h - 1).toByte).put(((h - 1) >> 8).toByte).put(((h - 1) >> 16).toByte)
+            ("VP8X", p.array())
+        }
+        val bb = ByteBuffer.allocate(20 + payload.length)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + payload.length)
+          .put("WEBP".getBytes("US-ASCII"))
+          .put(fourcc.getBytes("US-ASCII")).putInt(payload.length)
+          .put(payload)
+        bb.array()
     }
   }
 
-  /** Image-container metadata over planted PNG/JPEG/BMP/raw payloads
-    * ([[graft.operators.Multimodal.imageMeta]]): format detection plus
-    * dimensions / channels / per-channel bit depth from pure header parses
-    * (PNG IHDR, JPEG SOF0 behind APP0+COM markers, BMP info header). The
-    * oracle recomputes every field arithmetically from doc_id.
+  /** Image-container metadata over planted PNG/JPEG/BMP/raw/GIF/WebP
+    * payloads ([[graft.operators.Multimodal.imageMeta]]): format detection
+    * plus dimensions / channels / per-channel bit depth from pure header
+    * parses (PNG IHDR, JPEG SOF0 behind APP0+COM markers, BMP info header,
+    * GIF Logical Screen Descriptor, WebP VP8/VP8L/VP8X bitstream headers).
+    * The oracle recomputes every field arithmetically from doc_id.
     */
   def imageMetaQ(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
@@ -320,30 +364,38 @@ object MiscQueries {
     // format spec, not of the parser.
     "q_image_meta" ->
       """WITH m AS (SELECT doc_id,
-        |    doc_id % 4 AS f,
+        |    doc_id % 6 AS f,
         |    CAST(doc_id % 317 + 1 AS INTEGER) AS w,
         |    CAST(doc_id % 211 + 1 AS INTEGER) AS h,
         |    doc_id % 50 + 1 AS n,
         |    doc_id % 5 AS ct,
-        |    doc_id % 2 AS par
+        |    doc_id % 2 AS par,
+        |    doc_id % 3 AS wv,
+        |    doc_id % 8 AS gd
         |  FROM documents)
         |SELECT doc_id AS media_id,
         |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'bmp'
-        |    ELSE 'stub' END AS format,
+        |    WHEN 3 THEN 'stub' WHEN 4 THEN 'gif' ELSE 'webp' END AS format,
         |  CASE WHEN f = 3 THEN CAST(16 + n % 64 AS INTEGER) ELSE w END AS width,
         |  CASE WHEN f = 3 THEN CAST(16 + (n * 7) % 64 AS INTEGER) ELSE h END AS height,
         |  CAST(CASE
         |    WHEN f = 0 THEN CASE ct WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
         |      WHEN 3 THEN 2 ELSE 4 END
         |    WHEN f = 1 THEN CASE WHEN par = 0 THEN 3 ELSE 1 END
+        |    WHEN f = 4 THEN 1
+        |    WHEN f = 5 THEN CASE WHEN wv = 0 THEN 3
+        |      WHEN par = 0 THEN 4 ELSE 3 END
         |    ELSE 3 END AS INTEGER) AS channels,
         |  CAST(CASE
         |    WHEN f = 0 THEN CASE WHEN ct = 2 THEN 8 WHEN par = 0 THEN 8 ELSE 16 END
+        |    WHEN f = 4 THEN gd + 1
         |    ELSE 8 END AS INTEGER) AS bit_depth,
         |  CAST(CASE f WHEN 0 THEN 45
         |    WHEN 1 THEN 47 + 3 * (CASE WHEN par = 0 THEN 3 ELSE 1 END)
         |    WHEN 2 THEN 54
-        |    ELSE n END AS INTEGER) AS n_bytes
+        |    WHEN 3 THEN n
+        |    WHEN 4 THEN 14
+        |    ELSE CASE WHEN wv = 1 THEN 25 ELSE 30 END END AS INTEGER) AS n_bytes
         |FROM m""".stripMargin,
     // q_pics needs the normal survival function, unavailable in DuckDB; the
     // oracle is the pinned deterministic sf0.01 output (scipy-verified in

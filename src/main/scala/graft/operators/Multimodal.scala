@@ -173,13 +173,71 @@ object Multimodal {
       if (last < 256) 8 else 16
     }
 
+    private def leShort(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    /** GIF: 6-byte "GIF87a"/"GIF89a" signature, then the Logical Screen
+      * Descriptor — canvas width/height as little-endian u16 at offsets
+      * 6/8, packed fields at 10 (bits 4-6: color resolution = significant
+      * bits per primary minus one). GIF pixels are palette indices, so
+      * channels = 1, matching the PNG color-type-3 convention above.
+      * Returns (width, height, channels, bitDepth).
+      */
+    def parseGif(b: Array[Byte]): Option[(Int, Int, Int, Int)] =
+      if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+        val w = leShort(b, 6)
+        val h = leShort(b, 8)
+        val depth = ((b(10) >> 4) & 7) + 1
+        if (w > 0 && h > 0) Some((w, h, 1, depth)) else None
+      } else None
+
+    /** WebP: RIFF container ("RIFF" + size + "WEBP"), first chunk fourcc
+      * selects the bitstream — "VP8 " lossy (9D 01 2A keyframe start code,
+      * then 14-bit little-endian width/height), "VP8L" lossless (0x2F
+      * signature, then a 32-bit field packing width-1 [14 bits],
+      * height-1 [14 bits], alpha [1 bit]), "VP8X" extended (alpha flag bit
+      * 0x10, 24-bit little-endian canvas width/height minus one). Payload
+      * starts at offset 20 (12-byte RIFF header + 8-byte chunk header).
+      * Returns (width, height, channels, bitDepth); lossy VP8 carries no
+      * alpha plane, so channels = 3 there.
+      */
+    def parseWebp(b: Array[Byte]): Option[(Int, Int, Int, Int)] =
+      if (b.length >= 25 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+        new String(b, 12, 4, "US-ASCII") match {
+          case "VP8 " if b.length >= 30 &&
+            (b(23) & 0xff) == 0x9d && (b(24) & 0xff) == 0x01 &&
+            (b(25) & 0xff) == 0x2a =>
+            val w = leShort(b, 26) & 0x3fff
+            val h = leShort(b, 28) & 0x3fff
+            if (w > 0 && h > 0) Some((w, h, 3, 8)) else None
+          case "VP8L" if b.length >= 25 && (b(20) & 0xff) == 0x2f =>
+            val bits = leInt(b, 21)
+            val w = (bits & 0x3fff) + 1
+            val h = ((bits >>> 14) & 0x3fff) + 1
+            val alpha = (bits >>> 28) & 1
+            Some((w, h, 3 + alpha, 8))
+          case "VP8X" if b.length >= 30 =>
+            val alpha = if ((b(20) & 0x10) != 0) 1 else 0
+            val w = ((b(24) & 0xff) | ((b(25) & 0xff) << 8) |
+              ((b(26) & 0xff) << 16)) + 1
+            val h = ((b(27) & 0xff) | ((b(28) & 0xff) << 8) |
+              ((b(29) & 0xff) << 16)) + 1
+            Some((w, h, 3 + alpha, 8))
+          case _ => None
+        }
+      } else None
+
     /** Full image metadata: (format, width, height, channels, bitDepth).
-      * Real header parses for PNG / JPEG / BMP / binary PPM; the
-      * deterministic stub shape for anything else (format "stub").
+      * Real header parses for PNG / JPEG / GIF / WebP / BMP / binary PPM;
+      * the deterministic stub shape for anything else (format "stub").
       */
     def imageInfo(content: Array[Byte]): (String, Int, Int, Int, Int) =
       parsePng(content).map { case (w, h, c, d) => ("png", w, h, c, d) }
         .orElse(parseJpeg(content).map { case (w, h, c, d) => ("jpeg", w, h, c, d) })
+        .orElse(parseGif(content).map { case (w, h, c, d) => ("gif", w, h, c, d) })
+        .orElse(parseWebp(content).map { case (w, h, c, d) => ("webp", w, h, c, d) })
         .orElse(parseBmp(content).map { case (w, h, c) => ("bmp", w, h, c, 8) })
         .orElse(parsePpm(content).map { case (w, h, c) => ("ppm", w, h, c, ppmDepth(content)) })
         .getOrElse {

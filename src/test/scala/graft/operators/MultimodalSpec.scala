@@ -108,6 +108,78 @@ class MultimodalSpec extends SparkSpec {
     assert(parseJpeg(jpegBytes(320, 200, 3).take(25)) === None)
   }
 
+  test("parseGif reads the Logical Screen Descriptor; rejects non-GIF input") {
+    import Multimodal.StubDecoder._
+    def gif(w: Int, h: Int, colorRes: Int, ver: Char = '9'): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(14)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(s"GIF8${ver}a".getBytes("US-ASCII"))
+        .putShort(w.toShort).putShort(h.toShort)
+        .put((0x80 | ((colorRes - 1) << 4) | 0x07).toByte)
+        .put(0.toByte).put(0.toByte).put(0x3b.toByte)
+      bb.array()
+    }
+    assert(parseGif(gif(320, 200, 8)) === Some((320, 200, 1, 8)))
+    assert(parseGif(gif(1, 1, 1, ver = '7')) === Some((1, 1, 1, 1)))
+    assert(parseGif(gif(65500, 3, 5)) === Some((65500, 3, 1, 5)))
+    assert(parseGif(gif(0, 200, 8)) === None) // zero width
+    assert(parseGif(gif(320, 200, 8).take(10)) === None) // truncated LSD
+    assert(parseGif("GIF88a".getBytes ++ new Array[Byte](8)) === None)
+    assert(parseGif("notagif".getBytes) === None)
+  }
+
+  test("parseWebp reads VP8 / VP8L / VP8X headers; rejects WAV and garbage") {
+    import Multimodal.StubDecoder._
+    def riff(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(20 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + payload.length)
+        .put("WEBP".getBytes("US-ASCII"))
+        .put(fourcc.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      bb.array()
+    }
+    def vp8(w: Int, h: Int): Array[Byte] = {
+      val p = java.nio.ByteBuffer.allocate(10)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      p.put(0.toByte).put(0.toByte).put(0.toByte)
+        .put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte)
+        .putShort(w.toShort).putShort(h.toShort)
+      riff("VP8 ", p.array())
+    }
+    def vp8l(w: Int, h: Int, alpha: Boolean): Array[Byte] = {
+      val bits = (w - 1) | ((h - 1) << 14) | ((if (alpha) 1 else 0) << 28)
+      val p = java.nio.ByteBuffer.allocate(5)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      p.put(0x2f.toByte).putInt(bits)
+      riff("VP8L", p.array())
+    }
+    def vp8x(w: Int, h: Int, alpha: Boolean): Array[Byte] = {
+      val p = java.nio.ByteBuffer.allocate(10)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      p.put((if (alpha) 0x10 else 0x00).toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+        .put((w - 1).toByte).put(((w - 1) >> 8).toByte).put(((w - 1) >> 16).toByte)
+        .put((h - 1).toByte).put(((h - 1) >> 8).toByte).put(((h - 1) >> 16).toByte)
+      riff("VP8X", p.array())
+    }
+    assert(parseWebp(vp8(640, 480)) === Some((640, 480, 3, 8)))
+    assert(parseWebp(vp8l(12, 34, alpha = false)) === Some((12, 34, 3, 8)))
+    assert(parseWebp(vp8l(16383, 16383, alpha = true)) ===
+      Some((16383, 16383, 4, 8)))
+    assert(parseWebp(vp8x(70000, 2, alpha = false)) === Some((70000, 2, 3, 8)))
+    assert(parseWebp(vp8x(1, 1, alpha = true)) === Some((1, 1, 4, 8)))
+    // VP8 payload without the keyframe start code → None
+    assert(parseWebp(riff("VP8 ", new Array[Byte](10))) === None)
+    // unknown first chunk fourcc → None
+    assert(parseWebp(riff("ALPH", new Array[Byte](10))) === None)
+    // RIFF/WAVE must not be claimed as an image
+    val wavish = riff("VP8 ", vp8(2, 2).drop(20))
+    wavish(8) = 'A'.toByte // RIFF...AEBP — not WEBP
+    assert(parseWebp(wavish) === None)
+    assert(parseWebp(vp8(640, 480).take(24)) === None) // truncated
+    assert(parseWebp("noawebp".getBytes) === None)
+  }
+
   test("imageMeta end-to-end over mixed planted containers") {
     import org.apache.spark.sql.Row
     import spark.implicits._
