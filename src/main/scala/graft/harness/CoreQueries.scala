@@ -653,6 +653,28 @@ object CoreQueries {
   def scd2(s: SparkSession, d: String): DataFrame =
     scd2History(s, d).withColumn("o_totalprice", round(col("o_totalprice"), 6))
 
+  /** Streaming-SCD2 semantics under oracle (streaming/StreamingOps.scala
+    * scd2VersionFoldTwin — the batch twin the live `scd2Stream` fold is
+    * pinned to in StreamingOpsSpec): a deterministic CDC change log derived
+    * from orders (key = orderkey%1000, change index i = orderkey div 1000,
+    * so ts strictly increases within each key) folds into SCD2 version
+    * rows. The i div 2 payload/value pairing plants genuine no-op upserts;
+    * the %5 / %7 rules plant deletes, including consecutive ones.
+    */
+  def scd2StreamTwin(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey") % 1000
+    val i = floor(col("o_orderkey") / 1000).cast("long")
+    val i2 = floor(i / 2).cast("long")
+    val changes = orders(s, d).select(
+      concat(lit("k"), k.cast("string")).as("key"),
+      when((k + i) % 5 === 0 || (k + i) % 7 === 0, "delete")
+        .otherwise("upsert").as("op"),
+      concat(lit("p"), (i2 % 3).cast("string")).as("payload"),
+      (i2 % 4).cast("double").as("value"),
+      col("o_orderkey").as("ts"))
+    graft.streaming.StreamingOps.scd2VersionFoldTwin(changes)
+  }
+
   /** Point-in-time join (operators/Scd2.joinAsOf): lineitem facts carry a
     * timestamp 50 + 50·linenumber (spanning before / between / after the
     * two snapshot batches) and must each see the dimension version valid
@@ -706,6 +728,7 @@ object CoreQueries {
     "q_stratified_sample" -> (stratifiedSample _),
     "q_weighted_sample" -> (weightedSample _),
     "q_scd2" -> (scd2 _),
+    "q_scd2_stream_twin" -> (scd2StreamTwin _),
     "q_scd2_asof" -> (scd2AsOf _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_hist_quantile" -> (histQuantile _),
@@ -954,6 +977,29 @@ object CoreQueries {
         |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 6) AS o_totalprice,
         |  valid_from, valid_to, is_current
         |FROM hist""".stripMargin,
+    "q_scd2_stream_twin" ->
+      """WITH ch AS (
+        |  SELECT 'k' || CAST(o_orderkey % 1000 AS VARCHAR) AS key,
+        |    CASE WHEN ((o_orderkey % 1000) + (o_orderkey // 1000)) % 5 = 0
+        |           OR ((o_orderkey % 1000) + (o_orderkey // 1000)) % 7 = 0
+        |         THEN 'delete' ELSE 'upsert' END AS op,
+        |    'p' || CAST(((o_orderkey // 1000) // 2) % 3 AS VARCHAR) AS payload,
+        |    CAST(((o_orderkey // 1000) // 2) % 4 AS DOUBLE) AS value,
+        |    o_orderkey AS ts
+        |  FROM orders),
+        |p AS (SELECT *, lag(op) OVER w AS pop, lag(payload) OVER w AS ppay,
+        |    lag(value) OVER w AS pval
+        |  FROM ch WINDOW w AS (PARTITION BY key ORDER BY ts, op)),
+        |m AS (SELECT *,
+        |    (op = 'upsert' AND (pop IS NULL OR pop = 'delete'
+        |      OR ppay <> payload OR pval <> value)) AS opens,
+        |    (op = 'delete' AND pop = 'upsert') AS closes
+        |  FROM p),
+        |mk AS (SELECT *, lead(ts) OVER (PARTITION BY key ORDER BY ts, op) AS valid_to
+        |  FROM m WHERE opens OR closes)
+        |SELECT key, payload, value, ts AS valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM mk WHERE opens""".stripMargin,
     "q_scd2_asof" ->
       s"""WITH $Scd2HistSql,
         |facts AS (SELECT l_orderkey AS o_orderkey, l_linenumber,

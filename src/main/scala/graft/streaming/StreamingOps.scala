@@ -451,6 +451,48 @@ object StreamingOps {
       }
   }
 
+  /** Batch relational twin of [[scd2Stream]]'s version fold — the oracle
+    * surface for the streaming SCD2 semantics (same pattern as
+    * [[annTopKStreamTwin]]): given the full CDC change log as a static
+    * frame (`key`, `op` ∈ upsert|delete, `payload`, `value`, `ts`), produce
+    * exactly the version table a sink reconstructs from the stream by
+    * keeping the latest row per (key, valid_from).
+    *
+    * The sequential fold is expressible with two windows because the open
+    * version after processing row i−1 is a function of row i−1 ALONE: an
+    * upsert leaves (payload, value) of row i−1 open (whether it opened a
+    * version or was an unchanged no-op — the values are identical either
+    * way), a delete leaves nothing open. So a row opens a version iff it is
+    * an upsert whose raw lag differs (or was a delete / start-of-key), a
+    * delete closes one iff its raw lag was an upsert, and each version's
+    * valid_to is the next opener-or-closer's ts. Shuffles once on `key`;
+    * both windows share that partitioning.
+    */
+  def scd2VersionFoldTwin(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("key").orderBy(col("ts"), col("op"))
+    val marked = changes
+      .withColumn(
+        "prev", lag(struct(col("op"), col("payload"), col("value")), 1).over(byKey))
+      .withColumn(
+        "opens",
+        col("op") === "upsert" && (col("prev").isNull ||
+          col("prev.op") === "delete" ||
+          col("prev.payload") =!= col("payload") ||
+          col("prev.value") =!= col("value")))
+      // prev-null deletes fall out as SQL null here, which the marker
+      // filter drops — a delete with nothing open is a no-op, like the fold
+      .withColumn("closes", col("op") === "delete" && col("prev.op") === "upsert")
+    marked
+      .filter(col("opens") || col("closes"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byKey))
+      .filter(col("opens"))
+      .select(
+        col("key"), col("payload"), col("value"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   final case class FunnelEvent(userId: Long, eventType: String, t: Long)
   final case class FunnelState(slots: List[Option[Long]])
   final case class FunnelProgress(

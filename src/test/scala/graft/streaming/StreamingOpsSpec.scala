@@ -493,6 +493,61 @@ class StreamingOpsSpec extends SparkSpec {
     assert(live == batch, s"stream fold diverged:\nlive=$live\nbatch=$batch")
   }
 
+  test("scd2VersionFoldTwin matches the live stream on the adversarial op mix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.Scd2Change
+    // every fold edge in one change log: no-op upserts (same payload+value),
+    // value-only change, delete, re-open after delete with the SAME values,
+    // delete-as-first-op, consecutive deletes, equal-ts delete+upsert
+    val batch1 = Seq(
+      Scd2Change("a", "upsert", "pa", 1.0, 100L),
+      Scd2Change("b", "upsert", "pb", 2.0, 100L),
+      Scd2Change("e", "delete", "pe", 0.0, 100L), // delete with nothing open
+      Scd2Change("f", "upsert", "pf", 5.0, 100L))
+    val batch2 = Seq(
+      Scd2Change("a", "upsert", "pa", 1.0, 200L), // unchanged → no-op
+      Scd2Change("b", "upsert", "pb", 9.0, 200L), // value-only change
+      Scd2Change("e", "upsert", "pe", 4.0, 200L), // open after no-op delete
+      Scd2Change("f", "delete", "pf", 0.0, 200L),
+      // equal-ts pair: delete sorts before upsert → close then re-open at 250
+      Scd2Change("a", "delete", "", 0.0, 250L),
+      Scd2Change("a", "upsert", "pa", 1.0, 250L))
+    val batch3 = Seq(
+      Scd2Change("f", "delete", "pf", 0.0, 300L), // consecutive delete → no-op
+      Scd2Change("e", "upsert", "pe2", 4.0, 300L), // payload-only change
+      Scd2Change("a", "upsert", "pa", 1.0, 300L)) // unchanged after re-open
+
+    val input = MemoryStream[Scd2Change]
+    val q = StreamingOps.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2_stream_twin_pin")
+      .outputMode(OutputMode.Append)
+      .start()
+    Seq(batch1, batch2, batch3).foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val live = spark.sql(
+      """SELECT key, payload, value, valid_from, valid_to, is_current FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key, valid_from
+        |    ORDER BY CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END ASC) AS rk
+        |  FROM scd2_stream_twin_pin) WHERE rk = 1""".stripMargin)
+      .as[(String, String, Double, Long, Option[Long], Boolean)].collect().toSet
+
+    val twin = StreamingOps
+      .scd2VersionFoldTwin((batch1 ++ batch2 ++ batch3).toDF())
+      .as[(String, String, Double, Long, Option[Long], Boolean)].collect().toSet
+    assert(live == twin, s"twin diverged:\nlive=$live\ntwin=$twin")
+    // spot-check the fold edges directly on the twin
+    assert(twin.contains(("a", "pa", 1.0, 100L, Some(250L), false))) // survived the no-op
+    assert(twin.contains(("a", "pa", 1.0, 250L, None, true))) // re-opened at the tie ts
+    assert(twin.contains(("f", "pf", 5.0, 100L, Some(200L), false)))
+    assert(!twin.exists(v => v._1 == "f" && v._4 >= 200L)) // consecutive delete no-op
+    assert(twin.contains(("e", "pe", 4.0, 200L, Some(300L), false)))
+    assert(twin.contains(("e", "pe2", 4.0, 300L, None, true)))
+  }
+
   test("stream-stream attribution join matches the batch time-range join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
