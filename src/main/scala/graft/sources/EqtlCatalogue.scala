@@ -84,13 +84,15 @@ object EqtlCatalogue {
     * `imported/<project>/...` path segment, QTL group from the
     * `<group>.tsv.gz` file name, suffixed with the gene
     * (summary_stats.py:24-47 `_full_study_id_regexp`), e.g.
-    * `GTEx_V8_Adipose_Subcutaneous_ENSG00000225630`.
+    * `GTEx_V8_Adipose_Subcutaneous_ENSG00000225630`. Also accepts the
+    * engine's splittable `.tsv.bgz` twin ([[BgzfCodec]]) so catalogues
+    * recompressed block-gzip keep identical study ids.
     */
   def fullStudyId(uri: Column, geneId: Column): Column =
     concat(
       regexp_extract(uri, "imported/([^/]+)/.*", 1),
       lit("_"),
-      regexp_extract(uri, "([^/]+)\\.tsv\\.gz", 1),
+      regexp_extract(uri, "([^/]+)\\.tsv\\.b?gz", 1),
       lit("_"),
       geneId)
 
