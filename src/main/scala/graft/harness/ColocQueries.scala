@@ -426,9 +426,9 @@ object ColocQueries {
          |FROM mb FULL JOIN gl USING (studyId) FULL JOIN vc USING (studyId)""".stripMargin
     ,
     // q_pz_test needs the chi² survival function, unavailable in DuckDB, so
-    // its oracle is a pinned golden: the 10-row sf0.01 output (deterministic
+    // its oracle is a pinned golden: the 10-row output (deterministic
     // synthetic sumstats), verified against scipy in SumstatQCSpec, dumped
-    // as a VALUES literal. Valid at the driver's correctness SF (0.01) only.
-    "q_pz_test" -> MiscQueries.resourceSql("q_pz_test_sf001_oracle.sql")
+    // as SF-dispatched VALUES blocks for sf0.001/0.01/0.1 (MakeGoldens).
+    "q_pz_test" -> MiscQueries.resourceSql("q_pz_test_oracle.sql")
   )
 }

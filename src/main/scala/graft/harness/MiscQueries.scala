@@ -343,12 +343,15 @@ object MiscQueries {
     "q_asof_bucketed" -> (asofBucketedQ _)
   )
 
-  /** Pinned-golden oracle for q_finemap: the generator is a pure function
-    * of (locusIdx, varIdx) over a fully-covered 40×60 grid, so the
-    * fine-mapper's 259-row output is identical at every sf ≥ 0.01; the
-    * values were verified against FinucaneLab CSV goldens in
-    * FineMapperSpec/SusieInfSpec and dumped as a VALUES literal. This turns
-    * the driver's `no_oracle` into a real row/schema/hash check.
+  /** Pinned-golden oracles (tools/MakeGoldens.scala): kernels with no
+    * DuckDB counterpart (SuSiE-inf, normal sf, chi² isf, Datasketches HLL)
+    * get per-SF VALUES blocks dispatched by a corpus-size predicate inside
+    * one static SQL string — the oracle passes at sf0.001 AND sf0.01 (and
+    * sf0.1 for the 10-row outputs), not only the driver's correctness SF.
+    * q_finemap's generator is a pure function of (locusIdx, varIdx) over a
+    * 40×60 grid fully covered at every sf ≥ 0.01, so its big block is
+    * unbounded above; kernel values are verified against FinucaneLab /
+    * scipy goldens in FineMapperSpec, SusieInfSpec, PicsSpec, SumstatQCSpec.
     */
   private[harness] def resourceSql(name: String): String = {
     val in = getClass.getResourceAsStream(s"/goldens/$name")
@@ -357,7 +360,7 @@ object MiscQueries {
   }
 
   val oracles: Map[String, String] = Map(
-    "q_finemap" -> resourceSql("q_finemap_sf001_oracle.sql"),
+    "q_finemap" -> resourceSql("q_finemap_oracle.sql"),
     // Every field of the planted-container metadata is a pure function of
     // doc_id (see imageFixtureBytes): the oracle recomputes the expected
     // parse results arithmetically — an independent formulation of the
@@ -398,9 +401,9 @@ object MiscQueries {
         |    ELSE CASE WHEN wv = 1 THEN 25 ELSE 30 END END AS INTEGER) AS n_bytes
         |FROM m""".stripMargin,
     // q_pics needs the normal survival function, unavailable in DuckDB; the
-    // oracle is the pinned deterministic sf0.01 output (scipy-verified in
-    // PicsSpec), valid at the driver's correctness SF only.
-    "q_pics" -> resourceSql("q_pics_sf001_oracle.sql"),
+    // oracle is the pinned deterministic output (scipy-verified in
+    // PicsSpec), SF-dispatched sf0.001 + sf0.01 blocks (MakeGoldens).
+    "q_pics" -> resourceSql("q_pics_oracle.sql"),
     "q_minmax" ->
       """WITH w AS (SELECT event_id, value,
         |    min(value) OVER (PARTITION BY event_type) AS mn,
@@ -450,18 +453,12 @@ object MiscQueries {
         |    FROM events WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, l.t, l.value, r.t AS asofTime, r.view_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t <= r.t""".stripMargin,
-    // Pinned golden at sf0.01 (Datasketches HLL register-max merge is
-    // order- and partitioning-insensitive, so the estimate is a pure
-    // function of the input multiset + lgK). Exact distincts for context:
-    // coarse A/B ≈ 23 000; grp ≈ 7 000 — estimates sit inside the 5% band
-    // pinned in SketchOpsSpec.
-    "q_hll_rollup" ->
-      """SELECT * FROM (VALUES
-        |  ('coarse', 'A', CAST(22254 AS BIGINT)), ('coarse', 'B', 22468),
-        |  ('grp', '0', 7053), ('grp', '1', 6899), ('grp', '2', 6873),
-        |  ('grp', '3', 6899), ('grp', '4', 6869), ('grp', '5', 6873),
-        |  ('grp', '6', 6879), ('grp', '7', 6968))
-        |  AS t(level, key, distinct_approx)""".stripMargin,
+    // Pinned golden (Datasketches HLL register-max merge is order- and
+    // partitioning-insensitive, so the estimate is a pure function of the
+    // input multiset + lgK), SF-dispatched sf0.001/0.01/0.1 blocks
+    // (MakeGoldens). Estimates sit inside the 5% band pinned in
+    // SketchOpsSpec.
+    "q_hll_rollup" -> resourceSql("q_hll_rollup_oracle.sql"),
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
         |    WHERE event_type IN ('view', 'click', 'purchase')),
