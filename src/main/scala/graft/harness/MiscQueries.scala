@@ -216,18 +216,20 @@ object MiscQueries {
 
   /** Deterministic planted image container: a pure function of doc_id so
     * the DuckDB oracle can recompute every metadata field arithmetically.
-    * doc_id % 6 selects the format — a real PNG (signature + IHDR + IEND),
+    * doc_id % 7 selects the format — a real PNG (signature + IHDR + IEND),
     * a real JPEG (SOI + APP0 + COM + SOF0 + EOI, exercising the marker
     * walk), a real BMP (54-byte header), a raw byte blob (stub path), a
-    * real GIF (signature + Logical Screen Descriptor + trailer), or a real
+    * real GIF (signature + Logical Screen Descriptor + trailer), a real
     * WebP (RIFF/WEBP with doc_id%3 cycling the VP8 / VP8L / VP8X
-    * bitstream headers).
+    * bitstream headers), or a real TIFF (doc_id%2 cycling little/big
+    * endian headers, IFD0 with width/length/bits/samples tags and an
+    * out-of-line BitsPerSample array for multi-channel rows).
     */
   private[harness] def imageFixtureBytes(k: Long): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
     val w = (k % 317 + 1).toInt
     val h = (k % 211 + 1).toInt
-    (k % 6).toInt match {
+    (k % 7).toInt match {
       case 0 => // PNG: colorType cycles gray/rgb/palette/gray+a/rgba
         val ct = Array(0, 2, 3, 4, 6)((k % 5).toInt)
         val depth = if (ct == 3) 8 else if (k % 2 == 0) 8 else 16
@@ -273,6 +275,28 @@ object MiscQueries {
           .put((0x80 | ((depth - 1) << 4) | 0x07).toByte)
           .put(0.toByte).put(0.toByte) // bg colour index, aspect ratio
           .put(0x3b.toByte)            // trailer
+        bb.array()
+      case 6 => // TIFF: II/MM header, IFD0 with the four dim/depth tags
+        val ch = (k % 3 + 1).toInt
+        val depth = if (k % 5 == 0) 16 else 8
+        val le = k % 2 == 0
+        val arrOff = 62 // 8 header + 2 count + 4×12 entries + 4 next-IFD
+        val bb = ByteBuffer.allocate(arrOff + (if (ch > 1) 2 * ch else 0))
+          .order(if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+        bb.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+          .putShort(42).putInt(8) // magic + IFD0 offset
+        bb.putShort(4) // entry count; tags ascending per spec
+        def entry(tag: Int, cnt: Int, shortVal: Int, longVal: Int): Unit = {
+          bb.putShort(tag.toShort).putShort(3).putInt(cnt) // type 3 = SHORT
+          if (cnt == 1) bb.putShort(shortVal.toShort).putShort(0)
+          else bb.putInt(longVal) // offset to the out-of-line SHORT array
+        }
+        entry(256, 1, w, 0)
+        entry(257, 1, h, 0)
+        if (ch == 1) entry(258, 1, depth, 0) else entry(258, ch, 0, arrOff)
+        entry(277, 1, ch, 0)
+        bb.putInt(0) // no next IFD
+        if (ch > 1) (1 to ch).foreach(_ => bb.putShort(depth.toShort))
         bb.array()
       case _ => // WebP: RIFF/WEBP, k%3 cycles VP8 (lossy) / VP8L / VP8X
         val alpha = k % 2 == 0
@@ -329,9 +353,77 @@ object MiscQueries {
     Multimodal.imageMeta(media)
   }
 
+  /** Deterministic planted audio container, a pure function of doc_id:
+    * doc_id % 3 selects a real PCM WAV (RIFF chunk walk), a real FLAC
+    * (fLaC magic + 34-byte STREAMINFO with the 20/3/5/36-bit packed
+    * field), or a raw blob (stub path).
+    */
+  private[harness] def audioFixtureBytes(k: Long): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    (k % 3).toInt match {
+      case 0 => // PCM WAV: fmt (rate/channels/bits) + data (frame count)
+        val rate = (8000 + (k % 4) * 8000).toInt
+        val ch = (k % 2 + 1).toInt
+        val frames = (k % 50 + 1).toInt
+        val dataBytes = frames * ch * 2
+        val bb = ByteBuffer.allocate(44 + dataBytes)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(ch.toShort).putInt(rate)
+          .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+        bb.array()
+      case 1 => // FLAC: last-block STREAMINFO only, zeroed md5
+        val rate = (16000 + (k % 5) * 8000).toInt
+        val ch = (k % 2 + 1).toInt
+        val bps = 16
+        val total = k % 100000
+        val bb = ByteBuffer.allocate(42)
+        bb.put("fLaC".getBytes("US-ASCII"))
+          .put(0x80.toByte) // last-metadata-block flag + type 0
+          .put(0.toByte).put(0.toByte).put(34.toByte) // block length
+          .putShort(4096).putShort(4096) // min/max block size
+          .put(0.toByte).put(0.toByte).put(0.toByte) // min frame size
+          .put(0.toByte).put(0.toByte).put(0.toByte) // max frame size
+        bb.put((rate >> 12).toByte).put(((rate >> 4) & 0xff).toByte)
+          .put((((rate & 0xf) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)).toByte)
+          .put(((((bps - 1) & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte)
+          .put(((total >> 24) & 0xff).toByte).put(((total >> 16) & 0xff).toByte)
+          .put(((total >> 8) & 0xff).toByte).put((total & 0xff).toByte)
+        bb.array() // 16 md5 bytes stay zero
+      case _ => // raw blob → stub metadata path
+        Array.fill((k % 50 + 1).toInt)('a'.toByte)
+    }
+  }
+
+  /** Audio-container metadata over planted WAV/FLAC/raw payloads
+    * ([[graft.operators.Multimodal.audioMeta]]): format detection plus
+    * sample rate / channels / frame count from pure header parses (WAV
+    * RIFF chunk walk, FLAC STREAMINFO packed field). The oracle recomputes
+    * every field arithmetically from doc_id.
+    */
+  def audioMetaQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false))))
+    val media = documents(s, d).select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(0)
+        Row(k, "audio/planted", audioFixtureBytes(k))
+      }
+    }(enc)
+    Multimodal.audioMeta(media)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_rollup" -> (hllRollupQ _),
     "q_image_meta" -> (imageMetaQ _),
+    "q_audio_meta" -> (audioMetaQ _),
     "q_funnel" -> (funnelQ _),
     "q_retention" -> (retentionQ _),
     "q_finemap" -> (finemap _),
@@ -367,18 +459,21 @@ object MiscQueries {
     // format spec, not of the parser.
     "q_image_meta" ->
       """WITH m AS (SELECT doc_id,
-        |    doc_id % 6 AS f,
+        |    doc_id % 7 AS f,
         |    CAST(doc_id % 317 + 1 AS INTEGER) AS w,
         |    CAST(doc_id % 211 + 1 AS INTEGER) AS h,
         |    doc_id % 50 + 1 AS n,
         |    doc_id % 5 AS ct,
         |    doc_id % 2 AS par,
         |    doc_id % 3 AS wv,
-        |    doc_id % 8 AS gd
+        |    doc_id % 8 AS gd,
+        |    doc_id % 3 + 1 AS tc,
+        |    doc_id % 5 AS td
         |  FROM documents)
         |SELECT doc_id AS media_id,
         |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'bmp'
-        |    WHEN 3 THEN 'stub' WHEN 4 THEN 'gif' ELSE 'webp' END AS format,
+        |    WHEN 3 THEN 'stub' WHEN 4 THEN 'gif' WHEN 5 THEN 'webp'
+        |    ELSE 'tiff' END AS format,
         |  CASE WHEN f = 3 THEN CAST(16 + n % 64 AS INTEGER) ELSE w END AS width,
         |  CASE WHEN f = 3 THEN CAST(16 + (n * 7) % 64 AS INTEGER) ELSE h END AS height,
         |  CAST(CASE
@@ -388,17 +483,43 @@ object MiscQueries {
         |    WHEN f = 4 THEN 1
         |    WHEN f = 5 THEN CASE WHEN wv = 0 THEN 3
         |      WHEN par = 0 THEN 4 ELSE 3 END
+        |    WHEN f = 6 THEN tc
         |    ELSE 3 END AS INTEGER) AS channels,
         |  CAST(CASE
         |    WHEN f = 0 THEN CASE WHEN ct = 2 THEN 8 WHEN par = 0 THEN 8 ELSE 16 END
         |    WHEN f = 4 THEN gd + 1
+        |    WHEN f = 6 THEN CASE WHEN td = 0 THEN 16 ELSE 8 END
         |    ELSE 8 END AS INTEGER) AS bit_depth,
         |  CAST(CASE f WHEN 0 THEN 45
         |    WHEN 1 THEN 47 + 3 * (CASE WHEN par = 0 THEN 3 ELSE 1 END)
         |    WHEN 2 THEN 54
         |    WHEN 3 THEN n
         |    WHEN 4 THEN 14
-        |    ELSE CASE WHEN wv = 1 THEN 25 ELSE 30 END END AS INTEGER) AS n_bytes
+        |    WHEN 5 THEN CASE WHEN wv = 1 THEN 25 ELSE 30 END
+        |    ELSE 62 + CASE WHEN tc = 1 THEN 0 ELSE 2 * tc END
+        |    END AS INTEGER) AS n_bytes
+        |FROM m""".stripMargin,
+    // Every field of the planted audio metadata is a pure function of
+    // doc_id (see audioFixtureBytes) — the oracle recomputes the expected
+    // WAV/FLAC/stub parses arithmetically.
+    "q_audio_meta" ->
+      """WITH m AS (SELECT doc_id,
+        |    doc_id % 3 AS f,
+        |    CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+        |    doc_id % 50 + 1 AS n
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE f WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' ELSE 'stub' END AS format,
+        |  CAST(CASE f WHEN 0 THEN 8000 + (doc_id % 4) * 8000
+        |    WHEN 1 THEN 16000 + (doc_id % 5) * 8000
+        |    ELSE 16000 END AS INTEGER) AS sample_rate,
+        |  CASE WHEN f = 2 THEN 1 ELSE ch END AS channels,
+        |  CAST(CASE f WHEN 0 THEN n
+        |    WHEN 1 THEN doc_id % 100000
+        |    ELSE n // 2 END AS BIGINT) AS n_frames,
+        |  CAST(CASE f WHEN 0 THEN 44 + n * ch * 2
+        |    WHEN 1 THEN 42
+        |    ELSE n END AS INTEGER) AS n_bytes
         |FROM m""".stripMargin,
     // q_pics needs the normal survival function, unavailable in DuckDB; the
     // oracle is the pinned deterministic output (scipy-verified in

@@ -229,15 +229,78 @@ object Multimodal {
         }
       } else None
 
+    /** TIFF: 8-byte header ("II"+42 little-endian or "MM"+42 big-endian,
+      * then the IFD0 offset), then a walk of IFD0's 12-byte entries for
+      * ImageWidth (256), ImageLength (257), BitsPerSample (258;
+      * count > 1 means the value field holds an offset to the per-channel
+      * SHORT array — all channels share one depth here, the first entry is
+      * read) and SamplesPerPixel (277). SHORT values sit in the FIRST two
+      * bytes of the 4-byte value field in both byte orders. Spec defaults
+      * apply when a tag is absent: SamplesPerPixel 1, BitsPerSample 1
+      * (bilevel). Returns (width, height, channels, bitDepth).
+      */
+    def parseTiff(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      val le = b.length >= 8 && b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0
+      val be = b.length >= 8 && b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42
+      if (!le && !be) None
+      else {
+        def u16(off: Int): Int =
+          if (le) leShort(b, off) else beShort(b, off)
+        def u32(off: Int): Int =
+          if (le) leInt(b, off) else beInt(b, off)
+        val ifd = u32(4)
+        if (ifd < 0 || ifd + 2 > b.length) None
+        else {
+          val n = u16(ifd)
+          var w = -1; var h = -1; var spp = 1; var bps = 1
+          var i = 0
+          var ok = true
+          while (i < n && ok) {
+            val e = ifd + 2 + i * 12
+            if (e + 12 > b.length) ok = false
+            else {
+              val tag = u16(e)
+              val typ = u16(e + 2)
+              val cnt = u32(e + 4)
+              def inline: Int = typ match {
+                case 3 => u16(e + 8) // SHORT
+                case 4 => u32(e + 8) // LONG
+                case _ => -1
+              }
+              tag match {
+                case 256 => w = inline
+                case 257 => h = inline
+                case 277 => spp = inline
+                case 258 =>
+                  bps =
+                    if (cnt == 1) inline
+                    else {
+                      val off = u32(e + 8)
+                      if (off >= 0 && off + 2 <= b.length) u16(off) else -1
+                    }
+                case _ =>
+              }
+              i += 1
+            }
+          }
+          if (ok && w > 0 && h > 0 && spp > 0 && bps > 0)
+            Some((w, h, spp, bps))
+          else None
+        }
+      }
+    }
+
     /** Full image metadata: (format, width, height, channels, bitDepth).
-      * Real header parses for PNG / JPEG / GIF / WebP / BMP / binary PPM;
-      * the deterministic stub shape for anything else (format "stub").
+      * Real header parses for PNG / JPEG / GIF / WebP / TIFF / BMP /
+      * binary PPM; the deterministic stub shape for anything else
+      * (format "stub").
       */
     def imageInfo(content: Array[Byte]): (String, Int, Int, Int, Int) =
       parsePng(content).map { case (w, h, c, d) => ("png", w, h, c, d) }
         .orElse(parseJpeg(content).map { case (w, h, c, d) => ("jpeg", w, h, c, d) })
         .orElse(parseGif(content).map { case (w, h, c, d) => ("gif", w, h, c, d) })
         .orElse(parseWebp(content).map { case (w, h, c, d) => ("webp", w, h, c, d) })
+        .orElse(parseTiff(content).map { case (w, h, c, d) => ("tiff", w, h, c, d) })
         .orElse(parseBmp(content).map { case (w, h, c) => ("bmp", w, h, c, 8) })
         .orElse(parsePpm(content).map { case (w, h, c) => ("ppm", w, h, c, ppmDepth(content)) })
         .getOrElse {
@@ -284,11 +347,43 @@ object Multimodal {
         else None
       } else None
 
-    /** Audio metadata: real for WAV payloads, deterministic pseudo-values
-      * otherwise (16 kHz mono, 16-bit → nFrames = bytes/2).
+    /** FLAC: "fLaC" magic then the spec-mandated first metadata block,
+      * STREAMINFO (type 0, 34 bytes). The packed field at offsets 18-25
+      * carries sample rate (20 bits), channels−1 (3 bits), bits-per-
+      * sample−1 (5 bits) and total samples (36 bits). Pure header parse —
+      * the frame stream is never touched. Returns
+      * (sampleRate, channels, totalSamples).
+      */
+    def parseFlac(b: Array[Byte]): Option[(Int, Int, Long)] =
+      if (b.length >= 42 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+        b(3) == 'C' && (b(4) & 0x7f) == 0 && // first block must be STREAMINFO
+        (((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)) == 34) {
+        val rate = ((b(18) & 0xff) << 12) | ((b(19) & 0xff) << 4) |
+          ((b(20) & 0xff) >> 4)
+        val channels = ((b(20) >> 1) & 0x7) + 1
+        val bps = (((b(20) & 0x1) << 4) | ((b(21) & 0xff) >> 4)) + 1
+        val totalSamples = ((b(21) & 0xfL) << 32) |
+          ((b(22) & 0xffL) << 24) | ((b(23) & 0xffL) << 16) |
+          ((b(24) & 0xffL) << 8) | (b(25) & 0xffL)
+        if (rate > 0 && bps >= 4) Some((rate, channels, totalSamples))
+        else None
+      } else None
+
+    /** Audio metadata: real for WAV and FLAC payloads, deterministic
+      * pseudo-values otherwise (16 kHz mono, 16-bit → nFrames = bytes/2).
       */
     def audioInfo(content: Array[Byte]): (Int, Int, Long) =
-      parseWav(content).getOrElse((16000, 1, content.length.toLong / 2))
+      parseWav(content)
+        .orElse(parseFlac(content))
+        .getOrElse((16000, 1, content.length.toLong / 2))
+
+    /** Audio metadata plus the detected container:
+      * (format, sampleRate, channels, nFrames).
+      */
+    def audioMetaInfo(content: Array[Byte]): (String, Int, Int, Long) =
+      parseWav(content).map { case (r, c, f) => ("wav", r, c, f) }
+        .orElse(parseFlac(content).map { case (r, c, f) => ("flac", r, c, f) })
+        .getOrElse(("stub", 16000, 1, content.length.toLong / 2))
 
     /** Deterministic fake embedding: a rolling byte checksum folded into
       * `dims` buckets — stands in for a vision encoder's output shape.
@@ -348,6 +443,35 @@ object Multimodal {
         val content = r.getAs[Array[Byte]](contentIdx)
         val (fmt, w, h, c, d) = StubDecoder.imageInfo(content)
         Row(r.getLong(idIdx), fmt, w, h, c, d, content.length)
+      }
+    }(enc)
+  }
+
+  /** Audio-metadata row emitted by [[audioMeta]]. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false)
+  ))
+
+  /** Container-level audio metadata (format, sample rate, channels, frame
+    * count) from pure header parses — WAV RIFF chunk walk, FLAC STREAMINFO;
+    * no sample decode, so it runs at scan speed on arbitrarily large
+    * payloads. The audio twin of [[imageMeta]], same per-partition batched
+    * shape.
+    */
+  def audioMeta(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(audioMetaSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val content = r.getAs[Array[Byte]](contentIdx)
+        val (fmt, rate, ch, frames) = StubDecoder.audioMetaInfo(content)
+        Row(r.getLong(idIdx), fmt, rate, ch, frames, content.length)
       }
     }(enc)
   }

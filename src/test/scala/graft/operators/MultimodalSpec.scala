@@ -180,6 +180,105 @@ class MultimodalSpec extends SparkSpec {
     assert(parseWebp("noawebp".getBytes) === None)
   }
 
+  private def tiffBytes(
+      w: Int, h: Int, ch: Int, depth: Int, le: Boolean): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val arrOff = 62
+    val bb = ByteBuffer.allocate(arrOff + (if (ch > 1) 2 * ch else 0))
+      .order(if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    bb.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+      .putShort(42).putInt(8)
+    bb.putShort(4)
+    def entry(tag: Int, cnt: Int, shortVal: Int, longVal: Int): Unit = {
+      bb.putShort(tag.toShort).putShort(3).putInt(cnt)
+      if (cnt == 1) bb.putShort(shortVal.toShort).putShort(0)
+      else bb.putInt(longVal)
+    }
+    entry(256, 1, w, 0); entry(257, 1, h, 0)
+    if (ch == 1) entry(258, 1, depth, 0) else entry(258, ch, 0, arrOff)
+    entry(277, 1, ch, 0)
+    bb.putInt(0)
+    if (ch > 1) (1 to ch).foreach(_ => bb.putShort(depth.toShort))
+    bb.array()
+  }
+
+  test("parseTiff walks IFD0 in both byte orders; defaults and garbage handled") {
+    import Multimodal.StubDecoder._
+    assert(parseTiff(tiffBytes(320, 200, 3, 8, le = true)) === Some((320, 200, 3, 8)))
+    assert(parseTiff(tiffBytes(320, 200, 3, 8, le = false)) === Some((320, 200, 3, 8)))
+    assert(parseTiff(tiffBytes(1, 1, 1, 16, le = true)) === Some((1, 1, 1, 16)))
+    assert(parseTiff(tiffBytes(65535, 2, 2, 16, le = false)) ===
+      Some((65535, 2, 2, 16)))
+    // missing BitsPerSample/SamplesPerPixel take the spec defaults (1, 1):
+    // hand-build an IFD carrying only width/length
+    val bb = java.nio.ByteBuffer.allocate(8 + 2 + 24 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("II".getBytes).putShort(42).putInt(8).putShort(2)
+      .putShort(256).putShort(3).putInt(1).putShort(12).putShort(0)
+      .putShort(257).putShort(3).putInt(1).putShort(34).putShort(0)
+      .putInt(0)
+    assert(parseTiff(bb.array()) === Some((12, 34, 1, 1)))
+    // IFD offset past the buffer → None, no exception
+    val bad = tiffBytes(12, 34, 1, 8, le = true).clone()
+    bad(4) = 0x7f.toByte
+    assert(parseTiff(bad) === None)
+    assert(parseTiff(tiffBytes(320, 200, 3, 8, le = true).take(20)) === None)
+    assert(parseTiff("II+notiff".getBytes) === None)
+  }
+
+  private def flacBytes(rate: Int, ch: Int, bps: Int, total: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(42)
+    bb.put("fLaC".getBytes("US-ASCII"))
+      .put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte)
+      .putShort(4096).putShort(4096)
+      .put(new Array[Byte](6))
+    bb.put((rate >> 12).toByte).put(((rate >> 4) & 0xff).toByte)
+      .put((((rate & 0xf) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)).toByte)
+      .put(((((bps - 1) & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte)
+      .put(((total >> 24) & 0xff).toByte).put(((total >> 16) & 0xff).toByte)
+      .put(((total >> 8) & 0xff).toByte).put((total & 0xff).toByte)
+    bb.array()
+  }
+
+  test("parseFlac reads the STREAMINFO packed field; rejects non-FLAC input") {
+    import Multimodal.StubDecoder._
+    assert(parseFlac(flacBytes(44100, 2, 16, 100L)) === Some((44100, 2, 100L)))
+    assert(parseFlac(flacBytes(8000, 1, 16, 0L)) === Some((8000, 1, 0L)))
+    // 20-bit rate ceiling and a >32-bit total-sample count survive the pack
+    assert(parseFlac(flacBytes(655350, 8, 32, 0x2FFFFFFFFL)) ===
+      Some((655350, 8, 0x2FFFFFFFFL)))
+    assert(parseFlac(flacBytes(44100, 2, 16, 100L).take(30)) === None)
+    // first metadata block not STREAMINFO (type 4 = VORBIS_COMMENT) → None
+    val wrongType = flacBytes(44100, 2, 16, 100L).clone()
+    wrongType(4) = 0x84.toByte
+    assert(parseFlac(wrongType) === None)
+    assert(parseFlac("fLaX-not-flac".getBytes) === None)
+  }
+
+  test("audioMeta end-to-end: wav + flac + stub formats") {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    // minimal WAV reused from the decodeAudio test shape
+    val nDataBytes = 400
+    val buf = java.nio.ByteBuffer.allocate(44 + nDataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + nDataBytes).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+      .put("data".getBytes).putInt(nDataBytes)
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "audio", buf.array(), null),
+        Row(2L, "audio", flacBytes(32000, 1, 16, 77L), null),
+        Row(3L, "blob", Array[Byte](1, 2, 3, 4, 5), null)),
+      Multimodal.mediaSchema)
+    val got = Multimodal.audioMeta(df)
+      .as[(Long, String, Int, Int, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "wav", 44100, 2, 100L, 444)))
+    assert(got(2L) === ((2L, "flac", 32000, 1, 77L, 42)))
+    assert(got(3L) === ((3L, "stub", 16000, 1, 2L, 5)))
+  }
+
   test("imageMeta end-to-end over mixed planted containers") {
     import org.apache.spark.sql.Row
     import spark.implicits._
