@@ -675,6 +675,21 @@ object CoreQueries {
     graft.streaming.StreamingOps.scd2VersionFoldTwin(changes)
   }
 
+  /** Streaming incremental-aggregate semantics under oracle (streaming/
+    * StreamingOps.scala incrementalAggFoldTwin — the batch twin the live
+    * `incrementalAggStream` fold is pinned to in StreamingOpsSpec): an
+    * add/remove change log derived from orders folds to final per-key
+    * count/sum state in one signed, map-side-combinable aggregation.
+    */
+  def incrAggStreamTwin(s: SparkSession, d: String): DataFrame = {
+    val changes = orders(s, d).select(
+      concat(lit("k"), (col("o_orderkey") % 2000).cast("string")).as("key"),
+      when(col("o_orderkey") % 11 === 0, "remove").otherwise("add").as("op"),
+      col("o_totalprice").as("value"))
+    graft.streaming.StreamingOps.incrementalAggFoldTwin(changes)
+      .withColumn("sum", round(col("sum"), 2))
+  }
+
   /** Point-in-time join (operators/Scd2.joinAsOf): lineitem facts carry a
     * timestamp 50 + 50·linenumber (spanning before / between / after the
     * two snapshot batches) and must each see the dimension version valid
@@ -729,6 +744,7 @@ object CoreQueries {
     "q_weighted_sample" -> (weightedSample _),
     "q_scd2" -> (scd2 _),
     "q_scd2_stream_twin" -> (scd2StreamTwin _),
+    "q_incr_agg_stream_twin" -> (incrAggStreamTwin _),
     "q_scd2_asof" -> (scd2AsOf _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_hist_quantile" -> (histQuantile _),
@@ -977,6 +993,14 @@ object CoreQueries {
         |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 6) AS o_totalprice,
         |  valid_from, valid_to, is_current
         |FROM hist""".stripMargin,
+    "q_incr_agg_stream_twin" ->
+      """WITH ch AS (SELECT 'k' || CAST(o_orderkey % 2000 AS VARCHAR) AS key,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN -1 ELSE 1 END AS sign,
+        |    o_totalprice AS value
+        |  FROM orders)
+        |SELECT key, CAST(sum(sign) AS BIGINT) AS cnt,
+        |  round(sum(sign * value), 2) AS sum
+        |FROM ch GROUP BY key""".stripMargin,
     "q_scd2_stream_twin" ->
       """WITH ch AS (
         |  SELECT 'k' || CAST(o_orderkey % 1000 AS VARCHAR) AS key,

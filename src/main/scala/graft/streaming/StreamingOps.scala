@@ -407,6 +407,23 @@ object StreamingOps {
       }
   }
 
+  /** Batch relational twin of [[incrementalAggStream]]'s state fold — the
+    * oracle surface for the streaming incremental-aggregate semantics
+    * (the [[scd2VersionFoldTwin]] pattern): given the full change log as a
+    * static frame (`key`, `op` ∈ add|remove, `value`), produce the final
+    * per-key state a sink reconstructs by keeping the latest AggRow per
+    * key. The fold is order-free (count/sum are abelian), so the twin is
+    * one map-side-combinable signed aggregation.
+    */
+  def incrementalAggFoldTwin(changes: DataFrame): DataFrame = {
+    val sign = when(col("op") === "remove", lit(-1L)).otherwise(lit(1L))
+    changes
+      .groupBy("key")
+      .agg(
+        sum(sign).as("cnt"),
+        sum(sign.cast("double") * col("value")).as("sum"))
+  }
+
   final case class Scd2Change(key: String, op: String, payload: String, value: Double, ts: Long)
   final case class VersionState(payload: String, value: Double, from: Long)
   final case class VersionRow(

@@ -449,6 +449,20 @@ class StreamingOpsSpec extends SparkSpec {
       Seq("key")).as[(String, Long, Double)].collect().toSet
     assert(batch == Set(("a", 2L, 6.0), ("b", 1L, 3.0), ("d", 1L, 7.0)))
     assert(batch.subsetOf(emitted), "final states must all have been emitted live")
+
+    // relational fold twin (the oracle surface): one signed aggregation
+    // over the full change log == the live stream's final per-key states
+    // (count/sum are abelian, so the fold is order-free)
+    val twin = StreamingOps.incrementalAggFoldTwin(
+      Seq(
+        ("a", "add", 1.0), ("a", "add", 2.0), ("b", "add", 3.0),
+        ("c", "add", 4.0), ("a", "remove", 2.0), ("a", "add", 5.0),
+        ("c", "remove", 4.0), ("d", "add", 7.0)).toDF("key", "op", "value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(twin == Set(
+      ("a", 2L, 6.0), ("b", 1L, 3.0), ("c", 0L, 0.0), ("d", 1L, 7.0)))
+    assert(twin.subsetOf(emitted),
+      "every twin final state must match a live emission")
   }
 
   test("streaming SCD2 fold matches the batch Scd2 snapshot application") {
