@@ -674,7 +674,40 @@ object TextQueries {
       |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << (p % 6) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM dots GROUP BY 1, 2)""".stripMargin
 
+  /** URL canonicalization (functions/UrlOps.scala — the normalization step
+    * upstream of crawl-corpus dedup): deterministic messy URLs derived from
+    * doc_id (mixed-case scheme/host, www prefixes, default/explicit ports,
+    * duplicate slashes, trailing slashes, tracking params in varying
+    * positions, fragments) canonicalized with pure codegen string
+    * primitives. The oracle re-parses the same URLs with DuckDB's regex +
+    * list functions — an independent formulation of the canonical form.
+    */
+  def urlCanon(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.UrlOps
+    val k = col("doc_id")
+    val url = concat(
+      when(k % 3 === 0, "HTTPS").otherwise("http"), lit("://"),
+      when(k % 2 === 0, "WWW.").otherwise(lit("")),
+      lit("site"), (k % 40).cast("string"), lit(".example.COM"),
+      when(k % 4 === 0, ":80").when(k % 4 === 1, ":443")
+        .when(k % 4 === 2, ":8080").otherwise(lit("")),
+      when(k % 5 === 0, lit("")).otherwise(concat(
+        lit("/a//b"), (k % 7).cast("string"),
+        when(k % 2 === 0, "/").otherwise(lit("")))),
+      when(k % 3 === 0, concat(
+        lit("?utm_source=x&id="), (k % 97).cast("string"), lit("&b=2")))
+        .when(k % 3 === 1, "?b=2&a=1&fbclid=zz").otherwise(lit("")),
+      when(k % 2 === 0, "#frag").otherwise(lit("")))
+    documents(s, d).select(
+      k.as("doc_id"),
+      UrlOps.scheme(url).as("scheme"),
+      UrlOps.host(url).as("host"),
+      UrlOps.canonicalQuery(url).as("query_canon"),
+      UrlOps.canonicalize(url).as("canonical"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_canon" -> (urlCanon _),
     "q_minhash" -> (minhash _),
     "q_lsh_pairs" -> (lshPairs _),
     "q_near_dup" -> (nearDup _),
@@ -758,6 +791,46 @@ object TextQueries {
       |f AS (SELECT doc_id, pos FROM g JOIN c USING (h))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+        |    || 'site' || CAST(doc_id % 40 AS VARCHAR) || '.example.COM'
+        |    || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+        |        WHEN 2 THEN ':8080' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ''
+        |        ELSE '/a//b' || CAST(doc_id % 7 AS VARCHAR)
+        |          || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) END)
+        |    || (CASE doc_id % 3
+        |        WHEN 0 THEN '?utm_source=x&id=' || CAST(doc_id % 97 AS VARCHAR) || '&b=2'
+        |        WHEN 1 THEN '?b=2&a=1&fbclid=zz' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url, '://([^/?#:]+)', 1)), '^www\.', '') AS host,
+        |    coalesce(regexp_extract(url, '://[^/?#:]+:([0-9]+)', 1), '') AS port,
+        |    coalesce(regexp_extract(url, '://[^/?#]+([^?#]*)', 1), '') AS rawpath,
+        |    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS rawquery
+        |  FROM u),
+        |q AS (SELECT *,
+        |    coalesce(array_to_string(list_sort(list_filter(string_split(rawquery, '&'),
+        |      x -> x <> '' AND NOT starts_with(string_split(x, '=')[1], 'utm_')
+        |        AND string_split(x, '=')[1] NOT IN ('fbclid', 'gclid', 'msclkid'))),
+        |      '&'), '') AS query_canon,
+        |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |         OR (scheme = 'https' AND port = '443')
+        |      THEN '' ELSE ':' || port END AS portpart,
+        |    CASE WHEN regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'), '/$', '') = ''
+        |      THEN '/'
+        |      ELSE regexp_replace(regexp_replace(rawpath, '/{2,}', '/', 'g'), '/$', '')
+        |    END AS pathnorm
+        |  FROM p)
+        |SELECT doc_id, scheme, host, query_canon,
+        |  scheme || '://' || host || portpart || pathnorm
+        |    || (CASE WHEN query_canon = '' THEN '' ELSE '?' || query_canon END)
+        |    AS canonical
+        |FROM q""".stripMargin,
     "q_dup_spans" ->
       s"""WITH $DupGramSql,
          |isl AS (SELECT doc_id, pos,
