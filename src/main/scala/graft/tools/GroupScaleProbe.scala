@@ -200,6 +200,24 @@ object GroupScaleProbe {
       (cs, lbf, meta)
     }
 
+    // --- documents: corpus ×n with copy-UNIQUE token vocabulary --------
+    // (ScaleProbe's docsUnique model: per-copy token prefix, so shingle /
+    // MinHash vocabularies are disjoint across copies — bucket COUNT grows
+    // ×n, per-bucket occupancy and the true duplicate rate stay fixed, the
+    // honest corpus-growth shape for the dedup family)
+    def docsUnique(n: Int): DataFrame = {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      grown(docs, n) { c =>
+        Seq(
+          (col("doc_id") + c * lit(1000000000L)).as("doc_id"),
+          concat_ws(" ",
+            transform(split(trim(col("text")), "\\s+"),
+              t => concat(lit("c"), c.cast(StringType), lit("_"), t)))
+            .as("text"))
+      }
+    }
+
     // materialise inputs so synthesis is not in the timed path, clustered
     // on the group key like real ingested tables (MakeScaledCorpus layout)
     def write(df: DataFrame, name: String, key: String): Unit = {
@@ -208,13 +226,23 @@ object GroupScaleProbe {
         .write.mode("overwrite").parquet(s"$workDir/$name.parquet")
       System.err.println(s"[groupscale] wrote $name")
     }
+    val wanted =
+      if (only.isEmpty) Set("clump", "locus_annotate", "coloc", "coloc_pip",
+        "eqtl_susie", "setsim_join", "minhash", "near_dup")
+      else only
     for (n <- Seq(1, copies)) {
-      write(sumstats(n), s"gsumstats$n", "studyId")
-      write(credsets(n), s"credsets$n", "studyLocusId")
-      val (cs, lbf, meta) = eqtlInputs(n)
-      write(cs, s"eqtlcs$n", "molecular_trait_id")
-      write(lbf, s"eqtllbf$n", "molecular_trait_id")
-      write(meta, s"eqtlmeta$n", "dataset_id")
+      if (Set("clump", "locus_annotate").exists(wanted))
+        write(sumstats(n), s"gsumstats$n", "studyId")
+      if (Set("coloc", "coloc_pip").exists(wanted))
+        write(credsets(n), s"credsets$n", "studyLocusId")
+      if (wanted("eqtl_susie")) {
+        val (cs, lbf, meta) = eqtlInputs(n)
+        write(cs, s"eqtlcs$n", "molecular_trait_id")
+        write(lbf, s"eqtllbf$n", "molecular_trait_id")
+        write(meta, s"eqtlmeta$n", "dataset_id")
+      }
+      if (Set("setsim_join", "minhash", "near_dup").exists(wanted))
+        write(docsUnique(n), s"docsu$n", "doc_id")
     }
 
     def rd(name: String, n: Int) =
@@ -244,7 +272,14 @@ object GroupScaleProbe {
       "eqtl_susie" -> (() =>
         EqtlCatalogue.fromSusieResults(
           EqtlCatalogue.parseSusieResults(
-            rd("eqtlcs", n), rd("eqtllbf", n), rd("eqtlmeta", n))))
+            rd("eqtlcs", n), rd("eqtllbf", n), rd("eqtlmeta", n)))),
+      "setsim_join" -> (() =>
+        graft.operators.Dedup.setSimilarityJoin(
+          rd("docsu", n), theta = 0.8, shingle = 3)),
+      "minhash" -> (() =>
+        graft.operators.Dedup.signatures(rd("docsu", n))),
+      "near_dup" -> (() =>
+        graft.operators.Dedup.verifiedPairs(rd("docsu", n)))
     )
 
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
