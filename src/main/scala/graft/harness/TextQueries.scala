@@ -144,6 +144,17 @@ object TextQueries {
       .setSimilarityJoin(docsParallel(s, d), theta = 0.8, shingle = 3)
       .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"))
 
+  /** Asymmetric containment self-join (operators/Dedup.containmentJoin —
+    * quote/excerpt detection): |S(a)∩S(b)| / |S(a)| ≥ 0.8 over the same
+    * 3-shingle sets as q_setsim_join, ordered pairs both directions.
+    */
+  def containmentJoinQ(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .containmentJoin(docsParallel(s, d), theta = 0.8, shingle = 3)
+      .select(
+        col("inner_doc"), col("outer_doc"),
+        round(col("containment"), 6).as("containment"))
+
   /** Keyword extraction: top-3 smoothed-TF-IDF terms per document
     * (operators/TextOps.topTfidfTerms).
     */
@@ -749,6 +760,7 @@ object TextQueries {
     "q_bm25" -> (bm25Query _),
     "q_tfidf" -> (tfidfQuery _),
     "q_setsim_join" -> (setSimJoin _),
+    "q_containment_join" -> (containmentJoinQ _),
     "q_sparse_topk" -> (sparseTopK _),
     "q_incr_near_dup" -> (incrNearDup _),
     "q_gram" -> (gramQuery _),
@@ -970,6 +982,23 @@ object TextQueries {
         |  JOIN sz sa ON inter.doc_a = sa.doc_id
         |  JOIN sz sb ON inter.doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, round(jacc, 6) AS jacc FROM j WHERE jacc >= 0.8""".stripMargin,
+    // brute-force formulation on purpose (no prefix filter): every ordered
+    // pair's intersection over the contained side's set size
+    "q_containment_join" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles FROM tk),
+        |tok AS (SELECT DISTINCT doc_id, unnest(shingles) AS term FROM shl),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+        |    CAST(count(*) AS BIGINT) AS i
+        |  FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (SELECT inner_doc, outer_doc, CAST(i AS DOUBLE) / sa.n AS containment
+        |  FROM inter JOIN sz sa ON inter.inner_doc = sa.doc_id)
+        |SELECT inner_doc, outer_doc, round(containment, 6) AS containment
+        |FROM c WHERE containment >= 0.8""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

@@ -609,4 +609,67 @@ object Dedup {
       .filter(col("jacc") >= theta)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
   }
+
+  /** EXACT threshold containment self-join (asymmetric: |A∩B| / |A| ≥ θ —
+    * "document a is θ-contained in document b", the quote / subset /
+    * excerpt-detection variant the symmetric Jaccard join cannot express:
+    * a short quote inside a long page has low Jaccard but containment 1).
+    *
+    * Same prefix-filter machinery as [[setSimilarityJoin]], adapted to the
+    * asymmetric bound: containment ≥ θ forces |A∩B| ≥ ⌈θ·|A|⌉, so at most
+    * `|A| − ⌈θ·|A|⌉` of A's elements miss B and A's rarity-ordered prefix
+    * of length `|A| − ⌈θ·|A|⌉ + 1` must collide with SOME element of B.
+    * The container side cannot be prefix-filtered (containment puts no
+    * bound on |B|), so candidates join contained-side prefixes against the
+    * full term postings — rarity-first prefixes keep hot-term postings
+    * structurally unlikely as candidate keys, and there is no PPJoin
+    * length filter here BY SEMANTICS (a 5-shingle quote legitimately
+    * matches a 5000-shingle page). Verification is exact via
+    * `array_intersect`. No false negatives.
+    *
+    * @return `(inner_doc, outer_doc, containment)` for all ordered pairs
+    *         with |S(inner) ∩ S(outer)| / |S(inner)| ≥ theta
+    */
+  def containmentJoin(
+      docs: DataFrame,
+      theta: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingle: Int = 3
+  ): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, s"theta out of (0,1]: $theta")
+    val elems =
+      if (shingle <= 1) TextOps.tokenize(lower(col(textCol)))
+      else TextOps.shingles(TextOps.tokenize(col(textCol)), shingle)
+    val toks = docs
+      .select(col(idCol).as("id"), explode(elems).as("term"))
+      .distinct()
+    val df = toks.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val ranked = toks
+      .join(df, Seq("term"))
+      .withColumn(
+        "_rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id"))
+            .orderBy(col("_df").asc, col("term").asc)))
+      .withColumn("_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+    val prefix = ranked
+      .filter(col("_rank") <= col("_size") - ceil(lit(theta) * col("_size")) + lit(1))
+      .select(col("id"), col("term"))
+    val candidates = prefix.as("a")
+      .join(toks.as("b"),
+        col("a.term") === col("b.term") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("inner_doc"), col("b.id").as("outer_doc"))
+      .distinct()
+    val sets = toks.groupBy(col("id")).agg(collect_set(col("term")).as("ts"))
+    candidates
+      .join(sets.select(col("id").as("inner_doc"), col("ts").as("ta")), Seq("inner_doc"))
+      .join(sets.select(col("id").as("outer_doc"), col("ts").as("tb")), Seq("outer_doc"))
+      .withColumn("_i", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+      .withColumn("containment", col("_i") / size(col("ta")))
+      .filter(col("containment") >= theta)
+      .select(col("inner_doc"), col("outer_doc"), col("containment"))
+  }
 }

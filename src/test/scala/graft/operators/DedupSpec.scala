@@ -255,6 +255,44 @@ class DedupSpec extends SparkSpec {
     assert(want.size == 20, s"planted 20 near-dup pairs, found ${want.size}")
   }
 
+  test("containmentJoin finds exactly the brute-force containment pairs, incl. low-Jaccard quotes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // pages p: 200 tokens; quotes q: tokens 50..79 of page p — containment
+    // of quote-in-page = 1.0 while Jaccard ≈ 0.14 (the pair the symmetric
+    // join must NOT and the containment join MUST find); unrelated docs
+    // are shingle-disjoint
+    val docs = ((0 until 6).map { p =>
+      (p.toLong, (0 until 200).map(j => s"p${p}_$j").mkString(" "))
+    } ++ (0 until 6).map { p =>
+      (100L + p, (50 until 80).map(j => s"p${p}_$j").mkString(" "))
+    } ++ Seq((900L, (0 until 50).map(j => s"z$j").mkString(" "))))
+      .toDF("doc_id", "text").repartition(5)
+
+    val got = Dedup.containmentJoin(docs, theta = 0.8, shingle = 3)
+      .as[(Long, Long, Double)].collect()
+    val gotPairs = got.map(r => (r._1, r._2)).toSet
+
+    val sets = docs.select($"doc_id",
+        TextOps.shingles(TextOps.tokenize($"text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().map { case (id, sh) => id -> sh.toSet }
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      c = (sa intersect sb).size.toDouble / sa.size if c >= 0.8
+    } yield (a, b)).toSet
+    assert(gotPairs == want)
+    // each quote is contained in its page with containment exactly 1.0,
+    // and never the reverse (page in quote) nor in any other page
+    (0 until 6).foreach { p =>
+      assert(gotPairs.contains((100L + p, p.toLong)))
+      assert(!gotPairs.contains((p.toLong, 100L + p)))
+    }
+    assert(got.filter(r => r._1 >= 100 && r._1 < 200).forall(_._3 == 1.0))
+    // ...while the symmetric Jaccard join at the same theta finds none
+    val sym = Dedup.setSimilarityJoin(docs, theta = 0.8, shingle = 3).count()
+    assert(sym == 0, s"quote/page pairs must be invisible to Jaccard: $sym")
+  }
+
   test("incrementalNearDup pairs the new batch against the reference only") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
