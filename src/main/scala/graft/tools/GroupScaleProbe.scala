@@ -228,7 +228,7 @@ object GroupScaleProbe {
     }
     val wanted =
       if (only.isEmpty) Set("clump", "locus_annotate", "coloc", "coloc_pip",
-        "eqtl_susie", "setsim_join", "minhash", "near_dup")
+        "eqtl_susie", "setsim_join", "minhash", "near_dup", "containment")
       else only
     for (n <- Seq(1, copies)) {
       if (Set("clump", "locus_annotate").exists(wanted))
@@ -241,7 +241,7 @@ object GroupScaleProbe {
         write(lbf, s"eqtllbf$n", "molecular_trait_id")
         write(meta, s"eqtlmeta$n", "dataset_id")
       }
-      if (Set("setsim_join", "minhash", "near_dup").exists(wanted))
+      if (Set("setsim_join", "minhash", "near_dup", "containment").exists(wanted))
         write(docsUnique(n), s"docsu$n", "doc_id")
     }
 
@@ -279,7 +279,10 @@ object GroupScaleProbe {
       "minhash" -> (() =>
         graft.operators.Dedup.signatures(rd("docsu", n))),
       "near_dup" -> (() =>
-        graft.operators.Dedup.verifiedPairs(rd("docsu", n)))
+        graft.operators.Dedup.verifiedPairs(rd("docsu", n))),
+      "containment" -> (() =>
+        graft.operators.Dedup.containmentJoin(
+          rd("docsu", n), theta = 0.8, shingle = 3))
     )
 
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
