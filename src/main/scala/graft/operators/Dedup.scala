@@ -584,8 +584,15 @@ object Dedup {
             .orderBy(col("_df").asc, col("term").asc)))
       .withColumn("_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+    // ceil over a tiny negative epsilon: for thetas whose closest double
+    // sits ABOVE the decimal value (e.g. 0.07*100 → 7.000000000000001,
+    // ceil 8) a plain ceil would shorten the prefix below the sound bound
+    // and could miss an exact-boundary pair — the epsilon can only ever
+    // LENGTHEN the prefix (more candidates, never fewer), so the
+    // no-false-negatives contract holds for every representable theta.
     val prefix = ranked
-      .filter(col("_rank") <= col("_size") - ceil(lit(theta) * col("_size")) + lit(1))
+      .filter(col("_rank") <=
+        col("_size") - ceil(lit(theta) * col("_size") - lit(1e-9)) + lit(1))
       .select(col("id"), col("term"), col("_size").as("sz"))
     // Length filter AT candidate generation (PPJoin): Jaccard ≥ θ implies
     // θ·max(|a|,|b|) ≤ min(|a|,|b|), and set sizes already ride on the
@@ -624,8 +631,21 @@ object Dedup {
     * full term postings — rarity-first prefixes keep hot-term postings
     * structurally unlikely as candidate keys, and there is no PPJoin
     * length filter here BY SEMANTICS (a 5-shingle quote legitimately
-    * matches a 5000-shingle page). Verification is exact via
-    * `array_intersect`. No false negatives.
+    * matches a 5000-shingle page). No false negatives.
+    *
+    * Verification is exact but RELATIONAL: |A∩B| is counted by joining the
+    * candidate pairs back through the (id, term) postings — expand each
+    * pair by the contained side's postings, equi-join on (outer_doc, term)
+    * to keep only terms the container also has, count per pair, then join
+    * the tiny per-id size table for the denominator. No token-set arrays
+    * ever ride a shuffle (the previous array formulation shipped BOTH full
+    * `collect_set`s per candidate pair and spilled 28.8 GB at the 100×
+    * group-growth probe; every row here is three scalar columns).
+    * Shuffle width for the postings-keyed joins is derived from the
+    * measured postings volume (one count over the persisted postings, ~1M
+    * rows per partition, AQE coalesces any overshoot) instead of the
+    * session default — the caller no longer has to size partitions to
+    * corpus volume by hand.
     *
     * @return `(inner_doc, outer_doc, containment)` for all ordered pairs
     *         with |S(inner) ∩ S(outer)| / |S(inner)| ≥ theta
@@ -641,9 +661,17 @@ object Dedup {
     val elems =
       if (shingle <= 1) TextOps.tokenize(lower(col(textCol)))
       else TextOps.shingles(TextOps.tokenize(col(textCol)), shingle)
-    val toks = docs
+    // postings feed candidate generation AND both verification joins —
+    // persist once, and the count below both materialises the cache and
+    // measures the volume the shuffle width is derived from
+    val toks = persistOnce(docs
       .select(col(idCol).as("id"), explode(elems).as("term"))
-      .distinct()
+      .distinct())
+    val nPostings = toks.count()
+    val sessionParts =
+      toks.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = math.min(
+      4096L, math.max(sessionParts.toLong, nPostings / 1000000L + 1L)).toInt
     val df = toks.groupBy(col("term")).agg(count(lit(1)).as("_df"))
     val ranked = toks
       .join(df, Seq("term"))
@@ -655,20 +683,38 @@ object Dedup {
             .orderBy(col("_df").asc, col("term").asc)))
       .withColumn("_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+    // epsilon before ceil: see setSimilarityJoin — a double theta rounding
+    // ABOVE its decimal value must lengthen the prefix, never shorten it
     val prefix = ranked
-      .filter(col("_rank") <= col("_size") - ceil(lit(theta) * col("_size")) + lit(1))
+      .filter(col("_rank") <=
+        col("_size") - ceil(lit(theta) * col("_size") - lit(1e-9)) + lit(1))
       .select(col("id"), col("term"))
-    val candidates = prefix.as("a")
-      .join(toks.as("b"),
+    val candidates = prefix.repartition(parts, col("term")).as("a")
+      .join(toks.repartition(parts, col("term")).as("b"),
         col("a.term") === col("b.term") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("inner_doc"), col("b.id").as("outer_doc"))
       .distinct()
-    val sets = toks.groupBy(col("id")).agg(collect_set(col("term")).as("ts"))
-    candidates
-      .join(sets.select(col("id").as("inner_doc"), col("ts").as("ta")), Seq("inner_doc"))
-      .join(sets.select(col("id").as("outer_doc"), col("ts").as("tb")), Seq("outer_doc"))
-      .withColumn("_i", size(array_intersect(col("ta"), col("tb"))).cast("double"))
-      .withColumn("containment", col("_i") / size(col("ta")))
+    // |A∩B| per pair: expand candidates by the contained side's postings
+    // (one narrow row per (pair, term-of-A)), keep rows whose term the
+    // container also posts, count. Postings are distinct per (id, term) so
+    // the inner join counts each shared term exactly once.
+    val interCnt = candidates
+      .repartition(parts, col("inner_doc"))
+      .join(
+        toks.select(col("id").as("inner_doc"), col("term"))
+          .repartition(parts, col("inner_doc")),
+        Seq("inner_doc"))
+      .repartition(parts, col("outer_doc"), col("term"))
+      .join(
+        toks.select(col("id").as("outer_doc"), col("term"))
+          .repartition(parts, col("outer_doc"), col("term")),
+        Seq("outer_doc", "term"))
+      .groupBy(col("inner_doc"), col("outer_doc"))
+      .agg(count(lit(1)).as("_i"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    interCnt
+      .join(sizes.select(col("id").as("inner_doc"), col("sz")), Seq("inner_doc"))
+      .withColumn("containment", col("_i").cast("double") / col("sz"))
       .filter(col("containment") >= theta)
       .select(col("inner_doc"), col("outer_doc"), col("containment"))
   }

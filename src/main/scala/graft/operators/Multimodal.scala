@@ -249,7 +249,10 @@ object Multimodal {
         def u32(off: Int): Int =
           if (le) leInt(b, off) else beInt(b, off)
         val ifd = u32(4)
-        if (ifd < 0 || ifd + 2 > b.length) None
+        // bounds in Long: a crafted offset near Int.MaxValue overflows
+        // `ifd + 2` to negative and would sail past an Int comparison
+        // straight into an ArrayIndexOutOfBounds in u16
+        if (ifd < 0 || ifd.toLong + 2 > b.length) None
         else {
           val n = u16(ifd)
           var w = -1; var h = -1; var spp = 1; var bps = 1
@@ -257,7 +260,7 @@ object Multimodal {
           var ok = true
           while (i < n && ok) {
             val e = ifd + 2 + i * 12
-            if (e + 12 > b.length) ok = false
+            if (e.toLong + 12 > b.length) ok = false
             else {
               val tag = u16(e)
               val typ = u16(e + 2)
@@ -276,7 +279,7 @@ object Multimodal {
                     if (cnt == 1) inline
                     else {
                       val off = u32(e + 8)
-                      if (off >= 0 && off + 2 <= b.length) u16(off) else -1
+                      if (off >= 0 && off.toLong + 2 <= b.length) u16(off) else -1
                     }
                 case _ =>
               }

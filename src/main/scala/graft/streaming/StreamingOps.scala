@@ -493,10 +493,14 @@ object StreamingOps {
         "prev", lag(struct(col("op"), col("payload"), col("value")), 1).over(byKey))
       .withColumn(
         "opens",
+        // null-safe change detection: a CDC upsert carrying a NULL payload
+        // or value must still open a version (plain =!= evaluates to SQL
+        // NULL and would silently drop the row; scd2Stream's Scala == fold
+        // treats nulls as ordinary values, and the twin must match it)
         col("op") === "upsert" && (col("prev").isNull ||
           col("prev.op") === "delete" ||
-          col("prev.payload") =!= col("payload") ||
-          col("prev.value") =!= col("value")))
+          !(col("prev.payload") <=> col("payload")) ||
+          !(col("prev.value") <=> col("value"))))
       // prev-null deletes fall out as SQL null here, which the marker
       // filter drops — a delete with nothing open is a no-op, like the fold
       .withColumn("closes", col("op") === "delete" && col("prev.op") === "upsert")

@@ -293,6 +293,29 @@ class DedupSpec extends SparkSpec {
     assert(sym == 0, s"quote/page pairs must be invisible to Jaccard: $sym")
   }
 
+  test("containmentJoin prefix bound survives theta doubles that round above the decimal") {
+    import spark.implicits._
+    // theta = 0.07: the nearest double is 0.07000…000666, so 0.07*100
+    // evaluates to 7.000000000000001 and a plain ceil gives 8 — one prefix
+    // slot too few. Craft the exact miss: A has 100 distinct tokens, the 7
+    // shared with B all have df=2 and therefore sort LAST in the
+    // rarity-ordered prefix; a 93-token prefix holds only the unshared
+    // tokens and the boundary pair (containment exactly 7/100 = theta)
+    // vanishes. The epsilon-ceil bound (94) must keep it.
+    val aTokens = (0 until 93).map(i => f"u$i%02d") ++ (0 until 7).map(i => s"s$i")
+    val bTokens = (0 until 7).map(i => s"s$i") ++ (0 until 100).map(i => f"b$i%02d")
+    val docs = Seq(
+      (1L, aTokens.mkString(" ")),
+      (2L, bTokens.mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(docs, theta = 0.07, shingle = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    // A-in-B sits exactly on the threshold and must be found; B-in-A is
+    // 7/107 < theta and must not
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 2L)), s"got $got")
+    assert(got.head._3 == 7.0 / 100)
+  }
+
   test("incrementalNearDup pairs the new batch against the reference only") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -222,6 +222,21 @@ class MultimodalSpec extends SparkSpec {
     val bad = tiffBytes(12, 34, 1, 8, le = true).clone()
     bad(4) = 0x7f.toByte
     assert(parseTiff(bad) === None)
+    // IFD offset near Int.MaxValue: `ifd + 2` overflows Int — the bounds
+    // check must run in Long and fall through, not throw out of u16
+    val ovf = tiffBytes(12, 34, 1, 8, le = true).clone()
+    ovf(4) = 0xfe.toByte; ovf(5) = 0xff.toByte
+    ovf(6) = 0xff.toByte; ovf(7) = 0x7f.toByte
+    assert(parseTiff(ovf) === None)
+    // same overflow on an out-of-line BitsPerSample offset: multi-channel
+    // layout (cnt > 1) with the value field forced to 0x7FFFFFFE → depth
+    // unreadable → None, no exception
+    val bpsOvf = tiffBytes(12, 34, 3, 8, le = true).clone()
+    val bpsEntry = (0 until 4).map(i => 8 + 2 + i * 12)
+      .find(e => (bpsOvf(e) & 0xff) + ((bpsOvf(e + 1) & 0xff) << 8) == 258).get
+    bpsOvf(bpsEntry + 8) = 0xfe.toByte; bpsOvf(bpsEntry + 9) = 0xff.toByte
+    bpsOvf(bpsEntry + 10) = 0xff.toByte; bpsOvf(bpsEntry + 11) = 0x7f.toByte
+    assert(parseTiff(bpsOvf) === None)
     assert(parseTiff(tiffBytes(320, 200, 3, 8, le = true).take(20)) === None)
     assert(parseTiff("II+notiff".getBytes) === None)
   }

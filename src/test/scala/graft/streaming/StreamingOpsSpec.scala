@@ -562,6 +562,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(twin.contains(("e", "pe2", 4.0, 300L, None, true)))
   }
 
+  test("scd2VersionFoldTwin opens versions across NULL payloads (null-safe change detection)") {
+    import spark.implicits._
+    // null-bearing change log: p1 → NULL is a payload change and must open
+    // a version; NULL → NULL is a no-op; NULL → p2 re-opens. Plain =!=
+    // evaluates to SQL NULL on these rows and silently dropped them.
+    val changes = Seq(
+      ("k", "upsert", Option("p1"), 1.0, 100L),
+      ("k", "upsert", Option.empty[String], 1.0, 200L),
+      ("k", "upsert", Option.empty[String], 1.0, 300L), // unchanged → no-op
+      ("k", "upsert", Option("p2"), 1.0, 400L)
+    ).toDF("key", "op", "payload", "value", "ts")
+    val got = StreamingOps.scd2VersionFoldTwin(changes)
+      .as[(String, Option[String], Double, Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(got == Set(
+      ("k", Some("p1"), 1.0, 100L, Some(200L), false),
+      ("k", None, 1.0, 200L, Some(400L), false),
+      ("k", Some("p2"), 1.0, 400L, None, true)))
+  }
+
   test("stream-stream attribution join matches the batch time-range join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
