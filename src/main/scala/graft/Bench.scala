@@ -107,6 +107,9 @@ object Bench {
     // or it arrives decapitated and parses to null (BENCH_r11/r12): report
     // the slowest K queries inline (the regression signal), the full map in
     // the artifact file above. Printed LAST so the tail keeps it whole.
+    // The truncated map is named `slowest_queries` — NOT `queries` — so a
+    // reader can't mistake the top-K for the full surface; the complete
+    // per-query map lives under `queries` in the artifact file only.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val slowK = 40
     val slowest = timings.toSeq.sortBy(-_._2).take(slowK)
@@ -120,7 +123,7 @@ object Bench {
       if (errors.isEmpty) ""
       else "," + "\"errors\":" + errors.keys.map(jstr).mkString("[", ",", "]")
     val compact =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsCompact$errCompact,""" +
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","slowest_queries":$qsCompact$errCompact,""" +
         s""""n_queries":${timings.size},"queries_reported":${slowest.size},""" +
         s""""queries_full":${jstr(outFile)},"sf":${jstr(sfDir)}}"""
     println(compact)

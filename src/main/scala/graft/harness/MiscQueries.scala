@@ -130,6 +130,102 @@ object MiscQueries {
         round(col("pip"), 6).as("pip"))
   }
 
+  /** Distributed CARMA shotgun search ([[graft.operators.Carma.carmaLoci]]):
+    * 12 loci × 20 variants, AR(1) LD (r = 0.85^|i−j|), z decaying from one
+    * causal variant per locus plus one deliberately LD-discordant variant
+    * (a negative z amid high-LD positive neighbours — the shape the
+    * Bayes-factor outlier test exists for). z and r are pure functions of
+    * (locusIdx, varIdx), so the generator is idempotent under the sparse /
+    * duplicated orderkeys of any scale factor; the seeded search makes the
+    * output a pure function of the inputs. Oracle: pinned SF-dispatched
+    * golden (tools/MakeGoldens); kernel-level reference parity lives in
+    * CarmaSpec (PIP correlation + recovered outliers, the reference's own
+    * test criterion).
+    */
+  def carmaQ(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .select(
+        (col("o_orderkey") % 12).cast(IntegerType).as("locusIdx"),
+        (floor(col("o_orderkey") / 12) % 20).cast(IntegerType).as("varIdx")
+      )
+      .distinct()
+    val causal = (col("locusIdx") * 5) % 20
+    val discord = (col("locusIdx") * 7 + 11) % 20
+    val sumstats = base.select(
+      col("locusIdx"),
+      col("varIdx"),
+      concat(lit("CL"), col("locusIdx").cast(StringType)).as("studyLocusId"),
+      concat(lit("v"), lpad(col("varIdx").cast(StringType), 2, "0")).as("variantId"),
+      when(col("varIdx") === discord, lit(-2.5)).otherwise(
+        lit(6.5) * pow(lit(0.85), abs(col("varIdx") - causal)) +
+          lit(0.25) * sin(col("varIdx") * 1.3 + col("locusIdx"))).as("z")
+    )
+    val ld = sumstats.alias("a")
+      .join(
+        sumstats.alias("b"),
+        col("a.locusIdx") === col("b.locusIdx") && col("a.varIdx") < col("b.varIdx")
+      )
+      .select(
+        col("a.studyLocusId").as("studyLocusId"),
+        col("a.variantId").as("vi"),
+        col("b.variantId").as("vj"),
+        pow(lit(0.85), col("b.varIdx") - col("a.varIdx")).as("r")
+      )
+    graft.operators.Carma.carmaLoci(
+      s, sumstats.select(col("studyLocusId"), col("variantId"), col("z")), ld)
+      .select(col("studyLocusId"), col("variantId"),
+        round(col("pip"), 6).as("pip"), col("isOutlier"))
+  }
+
+  /** Distributed RAISS imputation ([[graft.operators.Raiss.imputeLoci]]):
+    * 30 loci × 40 variants on an AR(1) LD grid (r = 0.9^|i−j|), every
+    * fourth variant withheld as the unknown set to impute from its typed
+    * neighbours. Same pure-function-of-keys generator discipline as
+    * q_carma/q_finemap; oracle is the pinned SF-dispatched golden, with
+    * scipy-pinned kernel parity in RaissSpec.
+    */
+  def raissQ(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .select(
+        (col("o_orderkey") % 30).cast(IntegerType).as("locusIdx"),
+        (floor(col("o_orderkey") / 30) % 40).cast(IntegerType).as("varIdx")
+      )
+      .distinct()
+    val causal = (col("locusIdx") * 3) % 40
+    val all = base.select(
+      col("locusIdx"),
+      col("varIdx"),
+      concat(lit("RL"), col("locusIdx").cast(StringType)).as("studyLocusId"),
+      concat(lit("v"), lpad(col("varIdx").cast(StringType), 2, "0")).as("variantId"),
+      (lit(5.8) * pow(lit(0.9), abs(col("varIdx") - causal)) +
+        lit(0.2) * sin(col("varIdx") * 0.7 + col("locusIdx"))).as("z"),
+      (col("varIdx") % 4 === 3).as("isUnknown")
+    )
+    val ld = all.alias("a")
+      .join(
+        all.alias("b"),
+        col("a.locusIdx") === col("b.locusIdx") && col("a.varIdx") < col("b.varIdx")
+      )
+      .select(
+        col("a.studyLocusId").as("studyLocusId"),
+        col("a.variantId").as("vi"),
+        col("b.variantId").as("vj"),
+        pow(lit(0.9), col("b.varIdx") - col("a.varIdx")).as("r")
+      )
+    graft.operators.Raiss.imputeLoci(
+      s,
+      all.filter(!col("isUnknown"))
+        .select(col("studyLocusId"), col("variantId"), col("z")),
+      all.filter(col("isUnknown")).select(col("studyLocusId"), col("variantId")),
+      ld)
+      .select(
+        col("studyLocusId"), col("variantId"),
+        round(col("mu"), 6).as("mu"),
+        round(col("variance"), 6).as("variance"),
+        round(col("ldScore"), 6).as("ldScore"),
+        round(col("imputationR2"), 6).as("imputationR2"))
+  }
+
   /** Click and view event streams for the as-of join pair: integral event
     * time in epoch micros (ts is TIMESTAMP_NTZ since the 2026-08-13
     * testdata regeneration — cast through TimestampType, session tz UTC;
@@ -427,6 +523,8 @@ object MiscQueries {
     "q_funnel" -> (funnelQ _),
     "q_retention" -> (retentionQ _),
     "q_finemap" -> (finemap _),
+    "q_carma" -> (carmaQ _),
+    "q_raiss" -> (raissQ _),
     "q_pics" -> (pics _),
     "q_minmax" -> (minmax _),
     "q_deconvolute" -> (deconvolute _),
@@ -453,6 +551,8 @@ object MiscQueries {
 
   val oracles: Map[String, String] = Map(
     "q_finemap" -> resourceSql("q_finemap_oracle.sql"),
+    "q_carma" -> resourceSql("q_carma_oracle.sql"),
+    "q_raiss" -> resourceSql("q_raiss_oracle.sql"),
     // Every field of the planted-container metadata is a pure function of
     // doc_id (see imageFixtureBytes): the oracle recomputes the expected
     // parse results arithmetically — an independent formulation of the

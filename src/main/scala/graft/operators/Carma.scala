@@ -6,6 +6,9 @@ import breeze.numerics.lgamma
 import scala.collection.mutable
 import scala.util.Random
 
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** CARMA spike-and-slab fine-mapping with outlier detection
   * (reference: method/carma.py:17-919, itself a port of the published CARMA
   * method). Shotgun stochastic search over causal configurations with
@@ -343,5 +346,73 @@ object Carma {
       i += 1
     }
     Result(pipFunc(models, p, numCausal), models, conditional)
+  }
+
+  /** Distributed CARMA orchestration: loci fan out across the cluster on
+    * the FineMapper.finemapLoci pattern — sumstats and long-form LD
+    * co-shuffle once on studyLocusId, each group builds its local z vector
+    * + LD matrix and runs the seeded shotgun search inside
+    * `flatMapGroups`. Per-task memory is bounded by the locus-size cap
+    * (the reference caps CARMA loci well below SuSiE's 500 — the swap
+    * neighbourhood is O(|S|·p) configs per step, each a small-matrix
+    * det/inv). The search is seeded per call, so output is a pure function
+    * of the inputs — the property the pinned-golden oracle relies on.
+    *
+    * @param sumstats rows (studyLocusId, variantId, z)
+    * @param ldLong   long-form LD (studyLocusId, vi, vj, r), either or
+    *                 both triangle orders (mirrored here)
+    * @return one row per variant: (studyLocusId, variantId, pip,
+    *         isOutlier) — isOutlier marks variants CARMA's Bayes-factor
+    *         test removed from the model space
+    */
+  def carmaLoci(
+      spark: SparkSession,
+      sumstats: DataFrame,
+      ldLong: DataFrame,
+      maxVariants: Int = 200,
+      tau: Double = 0.04,
+      numCausal: Int = 10,
+      outlierSwitch: Boolean = true,
+      seed: Long = 2024
+  ): DataFrame = {
+    import spark.implicits._
+    val zRows = sumstats
+      .select(col("studyLocusId"), col("variantId"), col("z").cast("double"))
+      .as[(String, String, Double)]
+      .map { case (locus, v, z) => (locus, ("z", v, v, z)) }
+    val ldRows = ldLong
+      .select(col("studyLocusId"), col("vi"), col("vj"), col("r").cast("double"))
+      .as[(String, String, String, Double)]
+      .map { case (locus, vi, vj, r) => (locus, ("ld", vi, vj, r)) }
+    zRows
+      .union(ldRows)
+      .groupByKey(_._1)
+      .flatMapGroups { (locus, rows) =>
+        val zs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+        val lds = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+        rows.foreach {
+          case (_, ("z", v, _, z)) => zs(v) = z
+          case (_, (_, vi, vj, r)) => lds += ((vi, vj, r))
+        }
+        if (zs.isEmpty || zs.size > maxVariants) Iterator.empty
+        else {
+          val variants = zs.keys.toArray.sorted
+          val index = variants.zipWithIndex.toMap
+          val p = variants.length
+          val z = DenseVector(variants.map(zs))
+          val ld = DenseMatrix.eye[Double](p)
+          lds.foreach { case (vi, vj, r) =>
+            for (a <- index.get(vi); b <- index.get(vj)) { ld(a, b) = r; ld(b, a) = r }
+          }
+          val res = spikeSlabNoEm(
+            z, ld, tau = tau, numCausal = numCausal,
+            outlierSwitch = outlierSwitch, seed = seed)
+          val outliers = res.outliers.toSet
+          variants.iterator.zipWithIndex.map { case (v, j) =>
+            (locus, v, res.pips(j), outliers.contains(j))
+          }
+        }
+      }
+      .toDF("studyLocusId", "variantId", "pip", "isOutlier")
   }
 }

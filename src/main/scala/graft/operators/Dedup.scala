@@ -17,9 +17,13 @@ object Dedup {
     * a structurally-equal plan would log a CacheManager warning and cache
     * nothing new.
     */
-  private def persistOnce(df: DataFrame): DataFrame =
+  private def persistOnce(
+      df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  ): DataFrame =
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.persist(level)
     else df
 
   /** Per-document signature table: doc id, shingle set, band hashes.
@@ -663,10 +667,16 @@ object Dedup {
       else TextOps.shingles(TextOps.tokenize(col(textCol)), shingle)
     // postings feed candidate generation AND both verification joins —
     // persist once, and the count below both materialises the cache and
-    // measures the volume the shuffle width is derived from
-    val toks = persistOnce(docs
-      .select(col(idCol).as("id"), explode(elems).as("term"))
-      .distinct())
+    // measures the volume the shuffle width is derived from. DISK_ONLY,
+    // not MEMORY_AND_DISK: a corpus-sized postings cache in the memory
+    // store pins the unified pool down to the non-evictable storage floor
+    // and starves every concurrent shuffle writer (measured at the 100×
+    // group-growth probe: ShuffleInMemorySorter could not acquire 32 KB
+    // even to SPILL); disk-backed blocks cost one local read per reuse and
+    // leave the whole execution pool to the joins.
+    val toks = persistOnce(
+      docs.select(col(idCol).as("id"), explode(elems).as("term")).distinct(),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nPostings = toks.count()
     val sessionParts =
       toks.sparkSession.sessionState.conf.numShufflePartitions

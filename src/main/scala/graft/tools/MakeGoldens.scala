@@ -98,10 +98,24 @@ object MakeGoldens {
         "sf0.01" -> "BETWEEN 7500 AND 74999")),
       ("q_finemap", "orders", Seq(
         "sf0.001" -> "< 7500",
-        "sf0.01" -> ">= 7500")))
+        "sf0.01" -> ">= 7500")),
+      // CARMA / RAISS outputs are small (≤ p·loci rows) at every SF, so all
+      // three corpora get a block — unlike q_pics there is no SF where the
+      // literal would blow up
+      ("q_carma", "orders", Seq(
+        "sf0.001" -> "< 7500",
+        "sf0.01" -> "BETWEEN 7500 AND 74999",
+        "sf0.1" -> "BETWEEN 75000 AND 749999")),
+      ("q_raiss", "orders", Seq(
+        "sf0.001" -> "< 7500",
+        "sf0.01" -> "BETWEEN 7500 AND 74999",
+        "sf0.1" -> "BETWEEN 75000 AND 749999")))
 
+    // optional third+ args: regenerate only the named queries (a kernel
+    // change should not churn the other goldens' files)
+    val only = args.drop(2).toSet
     Files.createDirectories(Paths.get(outDir))
-    specs.foreach { case (q, table, sfs) =>
+    specs.filter(s => only.isEmpty || only(s._1)).foreach { case (q, table, sfs) =>
       val fn = graft.SparkEntry.queries(q)
       val blocks = sfs.map { case (sf, pred) =>
         val df = fn(spark, s"$base/$sf")
