@@ -450,13 +450,17 @@ object MiscQueries {
   }
 
   /** Deterministic planted audio container, a pure function of doc_id:
-    * doc_id % 3 selects a real PCM WAV (RIFF chunk walk), a real FLAC
+    * doc_id % 5 selects a real PCM WAV (RIFF chunk walk), a real FLAC
     * (fLaC magic + 34-byte STREAMINFO with the 20/3/5/36-bit packed
-    * field), or a raw blob (stub path).
+    * field), a raw blob (stub path), a real MP3 (MPEG1 Layer III frame
+    * header; even ids carry a Xing frame count after the 32-byte stereo
+    * side info, odd ids an ID3v2-prefixed mono frame with a VBRI header),
+    * or a real Ogg Vorbis (BOS identification header + EOS page whose
+    * granule position carries the total sample count).
     */
   private[harness] def audioFixtureBytes(k: Long): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
-    (k % 3).toInt match {
+    (k % 5).toInt match {
       case 0 => // PCM WAV: fmt (rate/channels/bits) + data (frame count)
         val rate = (8000 + (k % 4) * 8000).toInt
         val ch = (k % 2 + 1).toInt
@@ -489,16 +493,68 @@ object MiscQueries {
           .put(((total >> 24) & 0xff).toByte).put(((total >> 16) & 0xff).toByte)
           .put(((total >> 8) & 0xff).toByte).put((total & 0xff).toByte)
         bb.array() // 16 md5 bytes stay zero
-      case _ => // raw blob → stub metadata path
+      case 2 => // raw blob → stub metadata path
         Array.fill((k % 50 + 1).toInt)('a'.toByte)
+      case 3 => // MP3: MPEG1 Layer III header + Xing (even k) / ID3+VBRI (odd)
+        val sri = (k % 3).toInt // 44100 / 48000 / 32000
+        val frames = (k % 9999 + 1).toInt
+        if (k % 2 == 0) { // joint-stereo frame, Xing after 32-byte side info
+          val bb = ByteBuffer.allocate(48)
+          bb.put(0xff.toByte).put(0xfb.toByte) // sync + MPEG1 + Layer III
+            .put((0x90 | (sri << 2)).toByte) // bitrate idx 9, no padding
+            .put(0x40.toByte) // joint stereo
+          bb.position(4 + 32) // zeroed side info
+          bb.put("Xing".getBytes("US-ASCII"))
+            .putInt(1) // flags: frames field present (big-endian)
+            .putInt(frames)
+          bb.array()
+        } else { // ID3v2-prefixed mono frame with a VBRI header at +36
+          val tagSize = ((k % 7) * 3).toInt // synchsafe, < 128
+          val bb = ByteBuffer.allocate(10 + tagSize + 54)
+          bb.put("ID3".getBytes("US-ASCII"))
+            .put(3.toByte).put(0.toByte).put(0.toByte) // version + flags
+            .put(0.toByte).put(0.toByte).put(0.toByte).put(tagSize.toByte)
+          bb.position(10 + tagSize)
+          val o = bb.position()
+          bb.put(0xff.toByte).put(0xfb.toByte)
+            .put((0x90 | (sri << 2)).toByte)
+            .put(0xc0.toByte) // mono
+          bb.position(o + 36) // VBRI sits 32 bytes after the 4-byte header
+          bb.put("VBRI".getBytes("US-ASCII"))
+            .putShort(1).putShort(0).putShort(0) // version, delay, quality
+            .putInt(0) // total bytes (unused here)
+            .putInt(frames)
+          bb.array()
+        }
+      case _ => // Ogg Vorbis: BOS page w/ identification header + EOS page
+        val ch = (k % 2 + 1).toInt
+        val rate = (8000 + (k % 6) * 8000).toInt
+        val total = k % 100000
+        val bb = ByteBuffer.allocate(58 + 28).order(ByteOrder.LITTLE_ENDIAN)
+        bb.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(0x02.toByte)
+          .putLong(0L) // granule
+          .putInt(1).putInt(0).putInt(0) // serial, page seq, crc (unchecked)
+          .put(1.toByte).put(30.toByte) // one 30-byte segment
+        bb.put(0x01.toByte).put("vorbis".getBytes("US-ASCII"))
+          .putInt(0) // vorbis version
+          .put(ch.toByte).putInt(rate)
+          .putInt(0).putInt(0).putInt(0) // bitrate max / nominal / min
+          .put(0xb8.toByte).put(0x01.toByte) // blocksizes + framing bit
+        bb.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(0x04.toByte)
+          .putLong(total) // EOS granule = total PCM samples
+          .putInt(1).putInt(1).putInt(0)
+          .put(1.toByte).put(0.toByte) // one empty segment
+        bb.array()
     }
   }
 
-  /** Audio-container metadata over planted WAV/FLAC/raw payloads
+  /** Audio-container metadata over planted WAV/FLAC/raw/MP3/Ogg payloads
     * ([[graft.operators.Multimodal.audioMeta]]): format detection plus
     * sample rate / channels / frame count from pure header parses (WAV
-    * RIFF chunk walk, FLAC STREAMINFO packed field). The oracle recomputes
-    * every field arithmetically from doc_id.
+    * RIFF chunk walk, FLAC STREAMINFO packed field, MPEG frame header +
+    * Xing/VBRI frame counts behind an ID3v2 skip, Ogg Vorbis identification
+    * header + last-page granule position). The oracle recomputes every
+    * field arithmetically from doc_id.
     */
   def audioMetaQ(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
@@ -516,7 +572,61 @@ object MiscQueries {
     Multimodal.audioMeta(media)
   }
 
+  /** Streaming-funnel semantics under oracle: the live
+    * [[graft.streaming.StreamingOps.funnelStream]] fold (the monotone
+    * per-user k-slot state machine in `mapGroupsWithState`) executed in
+    * BATCH mode — Spark runs the same state function once per key over the
+    * key's full time-ordered event set with empty initial state, which is
+    * exactly the single-batch delivery StreamingOpsSpec pins the live
+    * stream's final rows to. The slot list is projected to columns so the
+    * DuckDB oracle (sequential stage minima with a strict-progress bound)
+    * can hash-compare field by field.
+    */
+  def funnelStreamTwin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsMicros(s, d).select(
+      col("user_id").as("userId"), col("event_type").as("eventType"), col("t"))
+      .as[graft.streaming.StreamingOps.FunnelEvent]
+    graft.streaming.StreamingOps
+      .funnelStream(ev, Seq("view", "click", "purchase"))
+      .toDF()
+      .select(
+        col("userId").as("user_id"),
+        col("stageReached").as("stage_reached"),
+        element_at(col("stageTs"), 1).as("stage_ts_1"),
+        element_at(col("stageTs"), 2).as("stage_ts_2"),
+        element_at(col("stageTs"), 3).as("stage_ts_3"))
+  }
+
+  /** Streaming attribution-join semantics under oracle: the live
+    * [[graft.streaming.StreamingOps.attributionJoinStream]] watermarked
+    * stream-stream time-range join executed on STATIC frames — Catalyst's
+    * EliminateEventTimeWatermark strips the watermark nodes over batch
+    * children, leaving exactly the time-range join a backfill of the live
+    * pipeline would run (StreamingOpsSpec pins the live MemoryStream run,
+    * late-data expiry included, to this same frame). Views attribute to
+    * each same-user click within the preceding hour.
+    */
+  def attribStreamTwin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    val ev = events(s, d).select(
+      col("user_id"), col("ts").cast(TimestampType).as("ts"),
+      col("value"), col("event_type"))
+    graft.streaming.StreamingOps
+      .attributionJoinStream(
+        ev.filter(col("event_type") === "view").drop("event_type"),
+        ev.filter(col("event_type") === "click").drop("event_type"),
+        window = "1 hour", watermark = "30 minutes")
+      .select(
+        col("user_id"),
+        unix_micros(col("view_ts")).as("view_t"),
+        unix_micros(col("conv_ts")).as("conv_t"),
+        col("view_value"), col("conv_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_stream_twin" -> (funnelStreamTwin _),
+    "q_attrib_stream_twin" -> (attribStreamTwin _),
     "q_hll_rollup" -> (hllRollupQ _),
     "q_image_meta" -> (imageMetaQ _),
     "q_audio_meta" -> (audioMetaQ _),
@@ -604,21 +714,32 @@ object MiscQueries {
     // WAV/FLAC/stub parses arithmetically.
     "q_audio_meta" ->
       """WITH m AS (SELECT doc_id,
-        |    doc_id % 3 AS f,
+        |    doc_id % 5 AS f,
         |    CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
         |    doc_id % 50 + 1 AS n
         |  FROM documents)
         |SELECT doc_id AS media_id,
-        |  CASE f WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' ELSE 'stub' END AS format,
+        |  CASE f WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'stub'
+        |    WHEN 3 THEN 'mp3' ELSE 'ogg' END AS format,
         |  CAST(CASE f WHEN 0 THEN 8000 + (doc_id % 4) * 8000
         |    WHEN 1 THEN 16000 + (doc_id % 5) * 8000
+        |    WHEN 3 THEN CASE doc_id % 3 WHEN 0 THEN 44100
+        |      WHEN 1 THEN 48000 ELSE 32000 END
+        |    WHEN 4 THEN 8000 + (doc_id % 6) * 8000
         |    ELSE 16000 END AS INTEGER) AS sample_rate,
-        |  CASE WHEN f = 2 THEN 1 ELSE ch END AS channels,
+        |  CASE f WHEN 2 THEN 1
+        |    WHEN 3 THEN CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
+        |    ELSE ch END AS channels,
         |  CAST(CASE f WHEN 0 THEN n
         |    WHEN 1 THEN doc_id % 100000
+        |    WHEN 3 THEN (doc_id % 9999 + 1) * 1152
+        |    WHEN 4 THEN doc_id % 100000
         |    ELSE n // 2 END AS BIGINT) AS n_frames,
         |  CAST(CASE f WHEN 0 THEN 44 + n * ch * 2
         |    WHEN 1 THEN 42
+        |    WHEN 3 THEN CASE WHEN doc_id % 2 = 0 THEN 48
+        |      ELSE 64 + (doc_id % 7) * 3 END
+        |    WHEN 4 THEN 86
         |    ELSE n END AS INTEGER) AS n_bytes
         |FROM m""".stripMargin,
     // q_pics needs the normal survival function, unavailable in DuckDB; the
@@ -695,6 +816,32 @@ object MiscQueries {
         |  t1 AS stage_ts_1, t2 AS stage_ts_2, t3 AS stage_ts_3
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)""".stripMargin,
+    // Same relational formulation as q_funnel but over the STREAMING fold
+    // (funnelUpdate, the mapGroupsWithState state machine run in batch
+    // mode): sequential per-stage minima under a strict t > prev bound.
+    "q_funnel_stream_twin" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+        |    WHERE event_type IN ('view', 'click', 'purchase')),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+        |    WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+        |    WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage_reached,
+        |  t1 AS stage_ts_1, t2 AS stage_ts_2, t3 AS stage_ts_3
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)""".stripMargin,
+    // The attribution stream's backfill semantics: plain time-range join,
+    // each view pairs with same-user clicks in the following hour.
+    "q_attrib_stream_twin" ->
+      """SELECT c.user_id, epoch_us(v.ts) AS view_t, epoch_us(c.ts) AS conv_t,
+        |  v.value AS view_value, c.value AS conv_value
+        |FROM events c JOIN events v ON c.user_id = v.user_id
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR""".stripMargin,
     "q_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS period FROM events),
         |g AS (SELECT user_id, min(period) AS cohort FROM e GROUP BY 1),

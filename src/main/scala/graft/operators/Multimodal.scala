@@ -372,12 +372,138 @@ object Multimodal {
         else None
       } else None
 
+    /** MPEG-1/2/2.5 Layer I-III sample-rate tables, indexed by the header's
+      * 2-bit version field (0 = MPEG2.5, 2 = MPEG2, 3 = MPEG1; 1 reserved).
+      */
+    private val Mp3Rates: Map[Int, Array[Int]] = Map(
+      3 -> Array(44100, 48000, 32000),
+      2 -> Array(22050, 24000, 16000),
+      0 -> Array(11025, 12000, 8000))
+
+    /** MPEG-1 Layer III bitrate table (kbps), indexed by the 4-bit bitrate
+      * field — used only for the CBR frame-count estimate when neither a
+      * Xing/Info nor a VBRI header is present. MPEG-2/2.5 Layer III column.
+      */
+    private val Mp3BitrateV1L3 =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val Mp3BitrateV2L3 =
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+    /** MP3 (MPEG audio, Layer III): optional ID3v2 skip (synchsafe size),
+      * then the 4-byte frame header — version / sample-rate index / channel
+      * mode. The total sample count comes from the VBR headers when present
+      * (Xing/Info after the version+mode-sized side info, VBRI at the fixed
+      * +36 offset — both big-endian frame counts), else from the CBR
+      * estimate payload/frameLength. Pure header parse: the MDCT bitstream
+      * is never touched. Returns (sampleRate, channels, totalSamples).
+      */
+    def parseMp3(b: Array[Byte]): Option[(Int, Int, Long)] = {
+      val off: Long =
+        if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+          10L + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+            ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)).toLong
+        else 0L
+      // Long guard: a crafted synchsafe size near 2^28 must not overflow
+      if (off + 4 > b.length) None
+      else {
+        val o = off.toInt
+        val sync = (b(o) & 0xff) == 0xff && (b(o + 1) & 0xe0) == 0xe0
+        val version = (b(o + 1) >> 3) & 0x3
+        val layer = (b(o + 1) >> 1) & 0x3 // 1 = Layer III
+        val bri = (b(o + 2) >> 4) & 0xf
+        val sri = (b(o + 2) >> 2) & 0x3
+        val padding = (b(o + 2) >> 1) & 0x1
+        val mode = (b(o + 3) >> 6) & 0x3 // 3 = mono
+        if (!sync || layer != 1 || sri == 3 || !Mp3Rates.contains(version)) None
+        else {
+          val rate = Mp3Rates(version)(sri)
+          val channels = if (mode == 3) 1 else 2
+          val samplesPerFrame = if (version == 3) 1152L else 576L
+          def tagAt(p: Int, t: String): Boolean =
+            p >= 0 && p.toLong + t.length <= b.length &&
+              t.indices.forall(i => b(p + i) == t.charAt(i))
+          // Xing/Info sits after the side info, whose size is a function of
+          // version and channel mode (MPEG1: 17 mono / 32 stereo; MPEG2/2.5:
+          // 9 / 17); flags bit 0 = the frames field is present.
+          val sideInfo =
+            if (version == 3) { if (mode == 3) 17 else 32 }
+            else { if (mode == 3) 9 else 17 }
+          val xo = o + 4 + sideInfo
+          val xingFrames =
+            if ((tagAt(xo, "Xing") || tagAt(xo, "Info")) &&
+              xo + 12 <= b.length && (beInt(b, xo + 4) & 1) == 1)
+              Some(beInt(b, xo + 8).toLong & 0xffffffffL)
+            else None
+          // VBRI (Fraunhofer): fixed 32 bytes after the header; the frame
+          // count is the big-endian int at +14.
+          val vo = o + 36
+          val vbriFrames =
+            if (tagAt(vo, "VBRI") && vo + 18 <= b.length)
+              Some(beInt(b, vo + 14).toLong & 0xffffffffL)
+            else None
+          val frames = xingFrames.orElse(vbriFrames).orElse {
+            // CBR estimate: frameLen = coef·bitrate/rate (+padding), count
+            // whole frames in the payload after the tag prefix.
+            val table = if (version == 3) Mp3BitrateV1L3 else Mp3BitrateV2L3
+            val kbps = table(bri)
+            if (kbps == 0) None
+            else {
+              val coef = if (version == 3) 144000L else 72000L
+              val frameLen = coef * kbps / rate + padding
+              Some((b.length - o) / frameLen)
+            }
+          }
+          frames.map(f => (rate, channels, f * samplesPerFrame))
+        }
+      }
+    }
+
+    /** Ogg Vorbis: the BOS page ("OggS", version 0, header-type BOS bit)
+      * carries the Vorbis identification header as its first packet
+      * (0x01 "vorbis", channels u8 at +11, sample rate u32 LE at +12); the
+      * stream's total PCM sample count is the granule position of the LAST
+      * page — found by scanning backwards for the final "OggS" capture
+      * pattern, exactly how players compute duration without decoding.
+      * Page headers only, no packet decode. Returns
+      * (sampleRate, channels, totalSamples).
+      */
+    def parseOgg(b: Array[Byte]): Option[(Int, Int, Long)] =
+      if (b.length >= 58 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
+        b(3) == 'S' && b(4) == 0 && (b(5) & 0x02) != 0) {
+        val nSegs = b(26) & 0xff
+        val packetStart = 27 + nSegs
+        if (packetStart + 16 > b.length || nSegs < 1) None
+        else if (b(packetStart) == 0x01 && b(packetStart + 1) == 'v' &&
+          b(packetStart + 2) == 'o' && b(packetStart + 3) == 'r' &&
+          b(packetStart + 4) == 'b' && b(packetStart + 5) == 'i' &&
+          b(packetStart + 6) == 's') {
+          val channels = b(packetStart + 11) & 0xff
+          val rate = leInt(b, packetStart + 12)
+          // last page's granule position = total PCM samples
+          var i = b.length - 14 // need 6 header bytes + 8 granule bytes
+          var granule = -1L
+          while (i >= 0 && granule < 0) {
+            if (b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' &&
+              b(i + 3) == 'S' && b(i + 4) == 0) {
+              granule = (0 until 8).map(k =>
+                (b(i + 6 + k) & 0xffL) << (8 * k)).reduce(_ | _)
+            }
+            i -= 1
+          }
+          if (rate > 0 && channels > 0 && granule >= 0)
+            Some((rate, channels, granule))
+          else None
+        } else None
+      } else None
+
     /** Audio metadata: real for WAV and FLAC payloads, deterministic
       * pseudo-values otherwise (16 kHz mono, 16-bit → nFrames = bytes/2).
       */
     def audioInfo(content: Array[Byte]): (Int, Int, Long) =
       parseWav(content)
         .orElse(parseFlac(content))
+        .orElse(parseMp3(content))
+        .orElse(parseOgg(content))
         .getOrElse((16000, 1, content.length.toLong / 2))
 
     /** Audio metadata plus the detected container:
@@ -386,6 +512,8 @@ object Multimodal {
     def audioMetaInfo(content: Array[Byte]): (String, Int, Int, Long) =
       parseWav(content).map { case (r, c, f) => ("wav", r, c, f) }
         .orElse(parseFlac(content).map { case (r, c, f) => ("flac", r, c, f) })
+        .orElse(parseMp3(content).map { case (r, c, f) => ("mp3", r, c, f) })
+        .orElse(parseOgg(content).map { case (r, c, f) => ("ogg", r, c, f) })
         .getOrElse(("stub", 16000, 1, content.length.toLong / 2))
 
     /** Deterministic fake embedding: a rolling byte checksum folded into

@@ -270,6 +270,112 @@ class MultimodalSpec extends SparkSpec {
     assert(parseFlac("fLaX-not-flac".getBytes) === None)
   }
 
+  private def mp3Xing(sri: Int, frames: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(48)
+    bb.put(0xff.toByte).put(0xfb.toByte)
+      .put((0x90 | (sri << 2)).toByte).put(0x40.toByte)
+    bb.position(36)
+    bb.put("Xing".getBytes("US-ASCII")).putInt(1).putInt(frames)
+    bb.array()
+  }
+
+  private def mp3Vbri(tagSize: Int, frames: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(10 + tagSize + 54)
+    bb.put("ID3".getBytes("US-ASCII")).put(3.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).put(tagSize.toByte)
+    bb.position(10 + tagSize)
+    val o = bb.position()
+    bb.put(0xff.toByte).put(0xfb.toByte).put(0x90.toByte).put(0xc0.toByte)
+    bb.position(o + 36)
+    bb.put("VBRI".getBytes("US-ASCII")).putShort(1).putShort(0).putShort(0)
+      .putInt(0).putInt(frames)
+    bb.array()
+  }
+
+  private def oggVorbis(rate: Int, ch: Int, granule: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(86)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(0x02.toByte)
+      .putLong(0L).putInt(1).putInt(0).putInt(0)
+      .put(1.toByte).put(30.toByte)
+    bb.put(0x01.toByte).put("vorbis".getBytes("US-ASCII")).putInt(0)
+      .put(ch.toByte).putInt(rate).putInt(0).putInt(0).putInt(0)
+      .put(0xb8.toByte).put(0x01.toByte)
+    bb.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(0x04.toByte)
+      .putLong(granule).putInt(1).putInt(1).putInt(0)
+      .put(1.toByte).put(0.toByte)
+    bb.array()
+  }
+
+  test("parseMp3 reads the MPEG header + Xing/VBRI counts; CBR estimate; rejects garbage") {
+    import Multimodal.StubDecoder._
+    // Xing after the 32-byte MPEG1-stereo side info; 1152 samples/frame
+    assert(parseMp3(mp3Xing(0, 100)) === Some((44100, 2, 115200L)))
+    assert(parseMp3(mp3Xing(1, 1)) === Some((48000, 2, 1152L)))
+    assert(parseMp3(mp3Xing(2, 9999)) === Some((32000, 2, 9999L * 1152)))
+    // ID3v2 synchsafe skip → mono frame → VBRI at the fixed +36 offset
+    assert(parseMp3(mp3Vbri(0, 7)) === Some((44100, 1, 7L * 1152)))
+    assert(parseMp3(mp3Vbri(100, 7)) === Some((44100, 1, 7L * 1152)))
+    // no VBR header → CBR estimate: 128 kbps @ 44100 → 417-byte frames
+    val cbr = new Array[Byte](417 * 3)
+    Array(0xff, 0xfb, 0x90, 0x40).zipWithIndex.foreach { case (v, i) =>
+      cbr(i) = v.toByte
+    }
+    assert(parseMp3(cbr) === Some((44100, 2, 3L * 1152)))
+    // MPEG2 (version bits 10): half-rate table, 576 samples per frame
+    val v2 = mp3Xing(0, 10)
+    v2(1) = 0xf3.toByte // sync + MPEG2 + Layer III
+    // MPEG2 stereo side info = 17 bytes → the Xing tag planted at +36 is
+    // not found and the free-bitrate path can't estimate → None is wrong;
+    // bri=9 → 96 kbps, frameLen = 72000*96/22050 = 313 → 48/313 = 0 frames
+    assert(parseMp3(v2) === Some((22050, 2, 0L)))
+    // free bitrate (bri = 0) and no VBR header → no estimate possible
+    val free = Array(0xff.toByte, 0xfb.toByte, 0x00.toByte, 0x40.toByte)
+    assert(parseMp3(free) === None)
+    // reserved sample-rate index / Layer I / garbage / truncation → None
+    val badSri = Array(0xff.toByte, 0xfb.toByte, 0x9c.toByte, 0x40.toByte)
+    assert(parseMp3(badSri) === None)
+    val layer1 = Array(0xff.toByte, 0xff.toByte, 0x90.toByte, 0x40.toByte)
+    assert(parseMp3(layer1) === None)
+    assert(parseMp3("not audio at all".getBytes) === None)
+    assert(parseMp3(Array[Byte]('I', 'D', '3')) === None)
+    // ID3 size pointing past the end must not throw
+    val idOnly = mp3Vbri(0, 7).take(10)
+    assert(parseMp3(idOnly) === None)
+  }
+
+  test("parseOgg reads the Vorbis id header and last-page granule; rejects non-Vorbis") {
+    import Multimodal.StubDecoder._
+    assert(parseOgg(oggVorbis(44100, 2, 123456L)) === Some((44100, 2, 123456L)))
+    assert(parseOgg(oggVorbis(8000, 1, 0L)) === Some((8000, 1, 0L)))
+    // non-BOS first page → None
+    val nonBos = oggVorbis(44100, 2, 5L).clone()
+    nonBos(5) = 0x00.toByte
+    assert(parseOgg(nonBos) === None)
+    // an Opus stream (different id packet magic) must not parse as Vorbis
+    val opus = oggVorbis(44100, 2, 5L).clone()
+    opus(28) = 'O'.toByte // first packet byte != 0x01
+    assert(parseOgg(opus) === None)
+    assert(parseOgg(oggVorbis(44100, 2, 5L).take(40)) === None)
+    assert(parseOgg("OggS but truncated".getBytes) === None)
+  }
+
+  test("audioMeta end-to-end: mp3 + ogg formats route through the real parsers") {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "audio", mp3Xing(1, 50), null),
+        Row(2L, "audio", mp3Vbri(21, 3), null),
+        Row(3L, "audio", oggVorbis(16000, 1, 999L), null)),
+      Multimodal.mediaSchema)
+    val got = Multimodal.audioMeta(df)
+      .as[(Long, String, Int, Int, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "mp3", 48000, 2, 57600L, 48)))
+    assert(got(2L) === ((2L, "mp3", 44100, 1, 3456L, 85)))
+    assert(got(3L) === ((3L, "ogg", 16000, 1, 999L, 86)))
+  }
+
   test("audioMeta end-to-end: wav + flac + stub formats") {
     import org.apache.spark.sql.Row
     import spark.implicits._

@@ -364,6 +364,47 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == batch && batch == Map(1L -> 3, 2L -> 1, 3L -> 0))
   }
 
+  test("funnelStream in batch mode equals the batch operator (q_funnel_stream_twin surface)") {
+    import spark.implicits._
+    import StreamingOps.FunnelEvent
+    val stages = Seq("view", "click", "purchase")
+    // same-timestamp ties, repeats, out-of-stage events, empty-stage users
+    val evs = Seq(
+      FunnelEvent(1L, "view", 2L), FunnelEvent(1L, "click", 2L),
+      FunnelEvent(1L, "click", 3L), FunnelEvent(1L, "purchase", 3L),
+      FunnelEvent(1L, "purchase", 9L),
+      FunnelEvent(2L, "purchase", 1L), FunnelEvent(2L, "view", 2L),
+      FunnelEvent(3L, "signup", 1L), FunnelEvent(3L, "view", 4L))
+    // batch execution of the STREAMING fold: mapGroupsWithState runs the
+    // same state function once per key with empty initial state — the
+    // exact code path q_funnel_stream_twin puts under the DuckDB oracle
+    val viaState = StreamingOps.funnelStream(evs.toDS(), stages)
+      .select("userId", "stageReached").as[(Long, Int)].collect().toMap
+    val viaFold = graft.operators.EventAnalytics
+      .funnelStages(evs.toDF("u", "y", "t"), "u", "y", "t", stages)
+      .select("u", "stage_reached").as[(Long, Int)].collect().toMap
+    assert(viaState == viaFold)
+    // click at t=2 can't fill stage 2 (view also at t=2: strict progress);
+    // purchase at t=3 can't ride the t=3 click either → reached 3 only at 9
+    assert(viaState == Map(1L -> 3, 2L -> 1, 3L -> 1))
+  }
+
+  test("attributionJoinStream on static frames is the batch range join (q_attrib_stream_twin surface)") {
+    import spark.implicits._
+    // EliminateEventTimeWatermark strips the watermark nodes over batch
+    // children: the SAME operator body runs as a plain time-range join —
+    // the backfill path q_attrib_stream_twin puts under the DuckDB oracle
+    val bv = Seq((1L, ts(0), 1.0), (1L, ts(50), 2.0), (2L, ts(0), 3.0))
+      .toDF("user_id", "ts", "value")
+    val bc = Seq((1L, ts(55), 10.0), (2L, ts(90), 20.0))
+      .toDF("user_id", "ts", "value")
+    val got = StreamingOps.attributionJoinStream(bv, bc, window = "1 hour")
+      .select("user_id", "view_value", "conv_value")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(!StreamingOps.attributionJoinStream(bv, bc).isStreaming)
+    assert(got == Set((1L, 1.0, 10.0), (1L, 2.0, 10.0)))
+  }
+
   test("streaming funnel state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
