@@ -304,7 +304,14 @@ object GroupScaleProbe {
           bestStats = (taskPeak.get(), spillDisk.sum(), shuffleWrite.sum())
         }
       }
-      val rows = fn().count() // untimed: output volume for the µs/row column
+      // untimed: output volume for the µs/row column. SPARK_GRAFT_PROBE_COUNT=0
+      // skips this second full execution (reported as -1) — at 1000× the
+      // count run would double a multi-hour probe, and for the group-growth
+      // corpus the output volume is exact by construction anyway (per-copy
+      // content identical + disjoint vocabulary → rowsN = N · rows1).
+      val rows =
+        if (sys.env.getOrElse("SPARK_GRAFT_PROBE_COUNT", "1") == "0") -1L
+        else fn().count()
       val (pk, sd, sw) = bestStats
       val obs = Obs(best, rows, pk / 1048576, sd / 1048576, sw / 1048576)
       System.err.println(
