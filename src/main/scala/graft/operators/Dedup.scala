@@ -651,6 +651,21 @@ object Dedup {
     * session default — the caller no longer has to size partitions to
     * corpus volume by hand.
     *
+    * The two verification joins come in two physical shapes, picked by the
+    * measured candidate count:
+    *   - **candidates ≤ `maxBroadcastPairs`** (the common case — candidate
+    *     pairs are prefix-filtered survivors, orders of magnitude fewer
+    *     than postings): the pair table is BROADCAST and both verification
+    *     sides are the same explicit term-hash repartition of the postings
+    *     (ReuseExchange plans them as one physical exchange). The expand
+    *     join (broadcast) preserves that partitioning and the container
+    *     join's keys contain `term` on both sides, so the whole
+    *     verification runs WITHOUT A SINGLE EXCHANGE of the expanded rows
+    *     — only the map-side-combined per-pair counts shuffle.
+    *   - **larger candidate sets** fall back to the shuffle chain above,
+    *     whose per-task state is bounded by the volume-derived partition
+    *     width (the zero-spill shape verified at the 100× group probe).
+    *
     * @return `(inner_doc, outer_doc, containment)` for all ordered pairs
     *         with |S(inner) ∩ S(outer)| / |S(inner)| ≥ theta
     */
@@ -659,7 +674,8 @@ object Dedup {
       theta: Double,
       idCol: String = "doc_id",
       textCol: String = "text",
-      shingle: Int = 3
+      shingle: Int = 3,
+      maxBroadcastPairs: Long = 2000000L
   ): DataFrame = {
     require(theta > 0.0 && theta <= 1.0, s"theta out of (0,1]: $theta")
     val elems =
@@ -699,28 +715,63 @@ object Dedup {
       .filter(col("_rank") <=
         col("_size") - ceil(lit(theta) * col("_size") - lit(1e-9)) + lit(1))
       .select(col("id"), col("term"))
-    val candidates = prefix.repartition(parts, col("term")).as("a")
-      .join(toks.repartition(parts, col("term")).as("b"),
-        col("a.term") === col("b.term") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("inner_doc"), col("b.id").as("outer_doc"))
-      .distinct()
+    val candidates = persistOnce(
+      prefix.repartition(parts, col("term")).as("a")
+        .join(toks.repartition(parts, col("term")).as("b"),
+          col("a.term") === col("b.term") && col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("inner_doc"), col("b.id").as("outer_doc"))
+        .distinct(),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val nPairs = candidates.count()
     // |A∩B| per pair: expand candidates by the contained side's postings
     // (one narrow row per (pair, term-of-A)), keep rows whose term the
     // container also posts, count. Postings are distinct per (id, term) so
     // the inner join counts each shared term exactly once.
-    val interCnt = candidates
-      .repartition(parts, col("inner_doc"))
-      .join(
-        toks.select(col("id").as("inner_doc"), col("term"))
-          .repartition(parts, col("inner_doc")),
-        Seq("inner_doc"))
-      .repartition(parts, col("outer_doc"), col("term"))
-      .join(
-        toks.select(col("id").as("outer_doc"), col("term"))
-          .repartition(parts, col("outer_doc"), col("term")),
-        Seq("outer_doc", "term"))
-      .groupBy(col("inner_doc"), col("outer_doc"))
-      .agg(count(lit(1)).as("_i"))
+    val interCnt = if (nPairs <= maxBroadcastPairs) {
+      // folded shape: broadcast pairs; the expand join (broadcast)
+      // preserves the streamed side's explicit HashPartitioning(term),
+      // `term` is one of the container join's keys on BOTH sides, and the
+      // two term-repartition subtrees are structurally identical so
+      // ReuseExchange plans them as ONE physical postings exchange — the
+      // expanded rows themselves never shuffle, and the shuffle_hash hint
+      // builds on the (per-partition bounded) postings side so they are
+      // never sorted either. Subset-key co-partitioning (both sides
+      // clustered on `term` alone for the (outer_doc, term) join) is a
+      // supported-but-default-off planner feature; the enabling conf is
+      // scoped to the eager cache build below and restored after — the
+      // per-pair count table is at most `nPairs` rows, so materialising
+      // it here is free compared to one avoided 10^9-row exchange.
+      val session = docs.sparkSession
+      val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
+      val prev = session.conf.getOption(coPartKey)
+      session.conf.set(coPartKey, "false")
+      try {
+        val counts = persistOnce(
+          containmentIntersectionFolded(toks, candidates, parts),
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        counts.count()
+        counts
+      } finally {
+        prev match {
+          case Some(v) => session.conf.set(coPartKey, v)
+          case None    => session.conf.unset(coPartKey)
+        }
+      }
+    } else {
+      candidates
+        .repartition(parts, col("inner_doc"))
+        .join(
+          toks.select(col("id").as("inner_doc"), col("term"))
+            .repartition(parts, col("inner_doc")),
+          Seq("inner_doc"))
+        .repartition(parts, col("outer_doc"), col("term"))
+        .join(
+          toks.select(col("id").as("outer_doc"), col("term"))
+            .repartition(parts, col("outer_doc"), col("term")),
+          Seq("outer_doc", "term"))
+        .groupBy(col("inner_doc"), col("outer_doc"))
+        .agg(count(lit(1)).as("_i"))
+    }
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     interCnt
       .join(sizes.select(col("id").as("inner_doc"), col("sz")), Seq("inner_doc"))
@@ -728,4 +779,29 @@ object Dedup {
       .filter(col("containment") >= theta)
       .select(col("inner_doc"), col("outer_doc"), col("containment"))
   }
+
+  /** The folded per-pair intersection-count shape used by
+    * [[containmentJoin]]'s broadcast path, exposed for plan pinning: with
+    * subset-key co-partitioning enabled, the expanded (pair, term) rows
+    * flow from the broadcast expand join straight into a shuffled-hash
+    * container join with no exchange and no sort between them.
+    *
+    * @param toks distinct `(id, term)` postings
+    * @param candidates `(inner_doc, outer_doc)` pairs, broadcast-sized
+    */
+  private[graft] def containmentIntersectionFolded(
+      toks: DataFrame,
+      candidates: DataFrame,
+      parts: Int
+  ): DataFrame =
+    toks.repartition(parts, col("term"))
+      .select(col("id").as("inner_doc"), col("term"))
+      .join(broadcast(candidates), Seq("inner_doc"))
+      .join(
+        toks.repartition(parts, col("term"))
+          .select(col("id").as("outer_doc"), col("term"))
+          .hint("shuffle_hash"),
+        Seq("outer_doc", "term"))
+      .groupBy(col("inner_doc"), col("outer_doc"))
+      .agg(count(lit(1)).as("_i"))
 }

@@ -336,4 +336,51 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected native window group limit:\n$p")
     assert(p.contains("Partial"), s"expected the PARTIAL pre-shuffle prune:\n$p")
   }
+
+  test("containment folded verification: expanded rows hit the container join with no exchange and no sort") {
+    // the broadcast path of containmentJoin scopes
+    // requireAllClusterKeysForCoPartition=false around this exact shape;
+    // pin that under that conf the (outer_doc, term) join accepts the
+    // term-only co-partitioning (broadcast expand join preserves it) and
+    // plans a shuffled-hash build on the postings side — the 10^9-row
+    // expanded stream must never exchange or sort.
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    // the folded join must survive without broadcastable postings
+    val bcast = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val toks = docs.select(
+        col("doc_id").as("id"),
+        explode(graft.operators.TextOps.shingles(
+          graft.operators.TextOps.tokenize(col("text")), 3)).as("term"))
+        .distinct()
+      val cand = toks.select(
+        col("id").as("inner_doc"), (col("id") + 1).as("outer_doc")).distinct()
+      val p = plan(graft.operators.Dedup
+        .containmentIntersectionFolded(toks, cand, parts = 4))
+      assert(p.contains("ShuffledHashJoin"), s"expected SHJ container join:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"expected broadcast expand join:\n$p")
+      val shj = p.indexOf("ShuffledHashJoin")
+      val bhj = p.indexOf("BroadcastHashJoin")
+      assert(shj >= 0 && bhj > shj, "expand join must feed the container join")
+      val between = p.substring(shj, bhj)
+      assert(!between.contains("Exchange"),
+        s"expanded rows must not re-shuffle between the joins:\n$p")
+      assert(!between.contains("Sort"),
+        s"expanded rows must not sort between the joins:\n$p")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      bcast match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
