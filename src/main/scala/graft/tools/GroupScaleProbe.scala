@@ -281,8 +281,15 @@ object GroupScaleProbe {
       "near_dup" -> (() =>
         graft.operators.Dedup.verifiedPairs(rd("docsu", n))),
       "containment" -> (() =>
+        // SPARK_GRAFT_CONTAINMENT_BC_PAIRS raises the operator's folded-
+        // path gate for probe runs that size the driver heap to match
+        // (the shipped default stays 2M) — lets the probe measure BOTH
+        // physical shapes at scale
         graft.operators.Dedup.containmentJoin(
-          rd("docsu", n), theta = 0.8, shingle = 3))
+          rd("docsu", n), theta = 0.8, shingle = 3,
+          maxBroadcastPairs = sys.env
+            .get("SPARK_GRAFT_CONTAINMENT_BC_PAIRS")
+            .map(_.toLong).getOrElse(2000000L)))
     )
 
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
