@@ -254,17 +254,28 @@ object TextOps {
       .select(col(idCol), col("p.prev").as("prev"), col("p.cur").as("cur"))
     val bi = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("cnt_bi"))
     val ctx = bi.groupBy("prev").agg(sum("cnt_bi").cast("double").as("cnt_ctx"))
-    pairs
-      .join(bi, Seq("prev", "cur"))
+    // fold the LM first: compute one neglogp per BIGRAM TYPE with
+    // LM-sized joins, then touch the corpus-sized pair stream exactly
+    // once. The pre-fold form joined the pair stream through bi, ctx and
+    // lm in sequence — three full-stream shuffle joins; at the sf10
+    // density corpus that was wall exponent 1.89 on a linear output.
+    // The scores join and bi's own groupBy hash on the same (prev, cur)
+    // keys, so ReuseExchange plans a single pair-stream exchange for both.
+    val scores = bi
       .join(ctx, Seq("prev"))
       .join(lm.withColumnRenamed("token", "cur"), Seq("cur"))
       .crossJoin(total)
+      .select(
+        col("prev"), col("cur"),
+        (-log(
+          lit(lambda) * (col("cnt_bi") / col("cnt_ctx"))
+            + lit(1.0 - lambda) * (col("cnt") / col("total")))).as("neglogp"))
+    pairs
+      .join(scores, Seq("prev", "cur"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        avg(-log(
-          lit(lambda) * (col("cnt_bi") / col("cnt_ctx"))
-            + lit(1.0 - lambda) * (col("cnt") / col("total")))).as("avg_neglogp"))
+        avg(col("neglogp")).as("avg_neglogp"))
   }
 
   /** Per-group token-distribution divergence: `KL(p_group ‖ p_corpus)` of
