@@ -652,8 +652,10 @@ object Dedup {
     * corpus volume by hand.
     *
     * The two verification joins come in two physical shapes, picked by the
-    * measured candidate count:
-    *   - **candidates ≤ `maxBroadcastPairs`** (the common case — candidate
+    * measured candidate volume IN BYTES, not rows (2M pairs of long string
+    * doc ids can dwarf 2M pairs of ints — the same stats job that counts
+    * the pairs also measures their mean id width):
+    *   - **broadcast-sized candidate sets** (the common case — candidate
     *     pairs are prefix-filtered survivors, orders of magnitude fewer
     *     than postings): the pair table is BROADCAST and both verification
     *     sides are the same explicit term-hash repartition of the postings
@@ -661,11 +663,43 @@ object Dedup {
     *     join (broadcast) preserves that partitioning and the container
     *     join's keys contain `term` on both sides, so the whole
     *     verification runs WITHOUT A SINGLE EXCHANGE of the expanded rows
-    *     — only the map-side-combined per-pair counts shuffle.
+    *     — only the map-side-combined per-pair counts shuffle. The gate is
+    *     auto-derived from the JVM heap (an eighth of `Runtime.maxMemory`,
+    *     clamped to [256 MB, 2 GB] — the floor keeps the shipped 2M-pair
+    *     behaviour for ordinary ids, the cap stays under Spark's broadcast
+    *     limits and a 4 GB executor's comfort bound) compared against
+    *     `nPairs × (48 + avg id chars)` estimated broadcast bytes.
     *   - **larger candidate sets** fall back to the shuffle chain above,
     *     whose per-task state is bounded by the volume-derived partition
     *     width (the zero-spill shape verified at the 100× group probe).
     *
+    * Concurrency: the folded path needs subset-key co-partitioning
+    * (`spark.sql.requireAllClusterKeysForCoPartition=false`), a
+    * session-level planner conf. The set/restore pair is serialised under
+    * a JVM-global lock so concurrent `containmentJoin` calls can never
+    * restore each other's value, but the conf is still SESSION-scoped
+    * while the per-pair counts materialise inside the lock: an unrelated
+    * query planned concurrently on the same session during that window is
+    * planned with subset-key co-partitioning ENABLED (pre-Spark-3.3
+    * default semantics — a planner admissibility relaxation, never a
+    * correctness change, but it can pick a different exchange layout).
+    * Callers sharing one session across query threads who cannot accept
+    * that should force the fallback shape with `maxBroadcastPairs = -1`.
+    *
+    * Cache lifecycle: the corpus-sized postings and candidate caches are
+    * unpersisted before this returns — both physical shapes eagerly
+    * materialise the per-pair intersection counts and the per-doc size
+    * table, and the returned frame reads only those two persisted
+    * relations (≤ one narrow row per candidate pair / per doc). Repeated
+    * invocations in a long-lived session therefore do not accumulate
+    * corpus-sized disk caches.
+    *
+    * @param maxBroadcastPairs physical-shape override: 0 (default) derives
+    *        the broadcast gate from measured candidate bytes vs the JVM
+    *        heap as described above; a positive value forces the legacy
+    *        row-count gate (fold iff `nPairs <=` it — byte safety is then
+    *        the caller's responsibility, e.g. probes that sized the heap
+    *        to match); any negative value forces the shuffle fallback.
     * @return `(inner_doc, outer_doc, containment)` for all ordered pairs
     *         with |S(inner) ∩ S(outer)| / |S(inner)| ≥ theta
     */
@@ -675,7 +709,7 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       shingle: Int = 3,
-      maxBroadcastPairs: Long = 2000000L
+      maxBroadcastPairs: Long = 0L
   ): DataFrame = {
     require(theta > 0.0 && theta <= 1.0, s"theta out of (0,1]: $theta")
     val elems =
@@ -722,12 +756,32 @@ object Dedup {
         .select(col("a.id").as("inner_doc"), col("b.id").as("outer_doc"))
         .distinct(),
       org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val nPairs = candidates.count()
+    // one stats job materialises the candidate cache AND measures both
+    // gate inputs: pair count and mean id width (ids cast to string — the
+    // broadcast carries their serialized bytes whatever the type)
+    val stats = candidates.agg(
+      count(lit(1)).as("_n"),
+      avg(length(col("inner_doc").cast("string")) +
+        length(col("outer_doc").cast("string"))).as("_w")).head()
+    val nPairs = stats.getLong(0)
+    val avgIdChars = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+    // per-pair broadcast cost: UnsafeRow 8B null bitset + 2×8B string
+    // field offsets + id bytes (word-rounded) + HashedRelation entry
+    // overhead — ~48B fixed plus the measured id bytes
+    val estPairBytes = (nPairs.toDouble * (48.0 + avgIdChars)).toLong
+    val heapBudget = math.max(256L << 20,
+      math.min(Runtime.getRuntime.maxMemory() / 8, 2L << 30))
+    val fold =
+      if (maxBroadcastPairs > 0L) nPairs <= maxBroadcastPairs
+      else if (maxBroadcastPairs < 0L) false
+      else estPairBytes <= heapBudget
     // |A∩B| per pair: expand candidates by the contained side's postings
     // (one narrow row per (pair, term-of-A)), keep rows whose term the
     // container also posts, count. Postings are distinct per (id, term) so
-    // the inner join counts each shared term exactly once.
-    val interCnt = if (nPairs <= maxBroadcastPairs) {
+    // the inner join counts each shared term exactly once. Both shapes are
+    // materialised EAGERLY (persist + count) so the corpus-sized postings
+    // and candidate caches can be released before returning.
+    val interCnt = if (fold) {
       // folded shape: broadcast pairs; the expand join (broadcast)
       // preserves the streamed side's explicit HashPartitioning(term),
       // `term` is one of the container join's keys on BOTH sides, and the
@@ -738,47 +792,69 @@ object Dedup {
       // never sorted either. Subset-key co-partitioning (both sides
       // clustered on `term` alone for the (outer_doc, term) join) is a
       // supported-but-default-off planner feature; the enabling conf is
-      // scoped to the eager cache build below and restored after — the
-      // per-pair count table is at most `nPairs` rows, so materialising
-      // it here is free compared to one avoided 10^9-row exchange.
+      // session-scoped, so the set/build/restore runs under a JVM-global
+      // lock (see the scaladoc concurrency note) — the per-pair count
+      // table is at most `nPairs` rows, so materialising it inside the
+      // lock is free compared to one avoided 10^9-row exchange.
       val session = docs.sparkSession
       val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
-      val prev = session.conf.getOption(coPartKey)
-      session.conf.set(coPartKey, "false")
-      try {
-        val counts = persistOnce(
-          containmentIntersectionFolded(toks, candidates, parts),
-          org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        counts.count()
-        counts
-      } finally {
-        prev match {
-          case Some(v) => session.conf.set(coPartKey, v)
-          case None    => session.conf.unset(coPartKey)
+      coPartitionConfLock.synchronized {
+        val prev = session.conf.getOption(coPartKey)
+        session.conf.set(coPartKey, "false")
+        try {
+          val counts = persistOnce(
+            containmentIntersectionFolded(toks, candidates, parts),
+            org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          counts.count()
+          counts
+        } finally {
+          prev match {
+            case Some(v) => session.conf.set(coPartKey, v)
+            case None    => session.conf.unset(coPartKey)
+          }
         }
       }
     } else {
-      candidates
-        .repartition(parts, col("inner_doc"))
-        .join(
-          toks.select(col("id").as("inner_doc"), col("term"))
-            .repartition(parts, col("inner_doc")),
-          Seq("inner_doc"))
-        .repartition(parts, col("outer_doc"), col("term"))
-        .join(
-          toks.select(col("id").as("outer_doc"), col("term"))
-            .repartition(parts, col("outer_doc"), col("term")),
-          Seq("outer_doc", "term"))
-        .groupBy(col("inner_doc"), col("outer_doc"))
-        .agg(count(lit(1)).as("_i"))
+      val counts = persistOnce(
+        candidates
+          .repartition(parts, col("inner_doc"))
+          .join(
+            toks.select(col("id").as("inner_doc"), col("term"))
+              .repartition(parts, col("inner_doc")),
+            Seq("inner_doc"))
+          .repartition(parts, col("outer_doc"), col("term"))
+          .join(
+            toks.select(col("id").as("outer_doc"), col("term"))
+              .repartition(parts, col("outer_doc"), col("term")),
+            Seq("outer_doc", "term"))
+          .groupBy(col("inner_doc"), col("outer_doc"))
+          .agg(count(lit(1)).as("_i")),
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      counts.count()
+      counts
     }
-    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // per-doc sizes: one narrow row per document — materialise, then free
+    // the corpus-sized caches; the returned plan reads only interCnt+sizes
+    val sizes = persistOnce(
+      toks.groupBy(col("id")).agg(count(lit(1)).as("sz")))
+    sizes.count()
+    candidates.unpersist()
+    toks.unpersist()
     interCnt
       .join(sizes.select(col("id").as("inner_doc"), col("sz")), Seq("inner_doc"))
       .withColumn("containment", col("_i").cast("double") / col("sz"))
       .filter(col("containment") >= theta)
       .select(col("inner_doc"), col("outer_doc"), col("containment"))
   }
+
+  /** Serialises [[containmentJoin]]'s folded-path set/restore of the
+    * session-scoped `spark.sql.requireAllClusterKeysForCoPartition` conf:
+    * without it two concurrent folded materialisations could interleave
+    * and restore each other's (already-mutated) value. JVM-global because
+    * the conf key is per-session but sessions can share threads; the op is
+    * rare and the critical section is exactly one eager cache build.
+    */
+  private val coPartitionConfLock = new Object
 
   /** The folded per-pair intersection-count shape used by
     * [[containmentJoin]]'s broadcast path, exposed for plan pinning: with

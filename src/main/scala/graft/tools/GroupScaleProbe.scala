@@ -58,6 +58,14 @@ object GroupScaleProbe {
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // parsed at startup (not inside the lazy query closure) so a typo
+    // fails the run immediately with the env var named, not a bare
+    // NumberFormatException mid-probe
+    val containmentBcPairs = sys.env
+      .get("SPARK_GRAFT_CONTAINMENT_BC_PAIRS")
+      .map(v => scala.util.Try(v.toLong).getOrElse(sys.error(
+        s"SPARK_GRAFT_CONTAINMENT_BC_PAIRS not a long: '$v'")))
+      .getOrElse(0L)
     val bigPartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256")
     // Production-default scan split unless overridden: this probe argues
@@ -281,15 +289,14 @@ object GroupScaleProbe {
       "near_dup" -> (() =>
         graft.operators.Dedup.verifiedPairs(rd("docsu", n))),
       "containment" -> (() =>
-        // SPARK_GRAFT_CONTAINMENT_BC_PAIRS raises the operator's folded-
-        // path gate for probe runs that size the driver heap to match
-        // (the shipped default stays 2M) — lets the probe measure BOTH
-        // physical shapes at scale
+        // SPARK_GRAFT_CONTAINMENT_BC_PAIRS overrides the operator's
+        // folded-path gate for probe runs (positive = legacy row gate,
+        // negative = force the shuffle fallback, 0/unset = the shipped
+        // auto byte-derived gate; parsed fail-fast at startup above) —
+        // lets the probe measure BOTH physical shapes at scale
         graft.operators.Dedup.containmentJoin(
           rd("docsu", n), theta = 0.8, shingle = 3,
-          maxBroadcastPairs = sys.env
-            .get("SPARK_GRAFT_CONTAINMENT_BC_PAIRS")
-            .map(_.toLong).getOrElse(2000000L)))
+          maxBroadcastPairs = containmentBcPairs))
     )
 
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -293,6 +293,27 @@ class DedupSpec extends SparkSpec {
     assert(sym == 0, s"quote/page pairs must be invisible to Jaccard: $sym")
   }
 
+  test("containmentJoin physical shapes agree: auto byte gate, forced row gate, forced fallback") {
+    import spark.implicits._
+    // the gate only picks a physical verification shape — all three
+    // settings (auto byte-derived, legacy positive row gate, negative =
+    // forced shuffle fallback) must return identical pair sets and scores
+    val docs = ((0 until 4).map { p =>
+      (p.toLong, (0 until 120).map(j => s"g${p}_$j").mkString(" "))
+    } ++ (0 until 4).map { p =>
+      (50L + p, (30 until 60).map(j => s"g${p}_$j").mkString(" "))
+    }).toDF("doc_id", "text").repartition(3)
+    def run(gate: Long) =
+      Dedup.containmentJoin(docs, theta = 0.8, shingle = 3,
+        maxBroadcastPairs = gate)
+        .as[(Long, Long, Double)].collect().toSet
+    val auto = run(0L)
+    assert(auto == run(1000000L), "auto vs row gate")
+    assert(auto == run(-1L), "auto vs forced fallback")
+    assert(auto.map(p => (p._1, p._2)) ==
+      (0 until 4).map(p => (50L + p, p.toLong)).toSet)
+  }
+
   test("containmentJoin prefix bound survives theta doubles that round above the decimal") {
     import spark.implicits._
     // theta = 0.07: the nearest double is 0.07000…000666, so 0.07*100
