@@ -40,6 +40,64 @@ object Bench {
     // Warm the session (parquet footer reads, codegen) outside the timings.
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
+    // ---- host-drift control set (round 16) -------------------------------
+    // In-suite totals have swung ±40% with host state across judge rounds
+    // (r14 median ratio 0.84, r15 median 1.35 on identical plans), forcing
+    // manual solo re-runs to adjudicate regressions. Three shape-diverse
+    // control queries — q_golden_record (scan + window), q_neglog_pval
+    // (codegen expression chain), q_md5_id (hash + aggregate) — are timed
+    // solo best-of-3 FIRST, in this still-fresh JVM, before the suite can
+    // pollute the heap/code cache. `drift_factor` is the geometric mean of
+    // measured/reference, where the references are pinned quiet-host solo
+    // values per SF (BASELINE.md "Bench drift normalization"): a reader
+    // divides any observed per-query ratio by `drift_factor` before calling
+    // it a regression. Controls are skipped when benching an explicit
+    // query subset (bisecting runs want speed, not normalization).
+    val controlNames = Seq("q_golden_record", "q_neglog_pval", "q_md5_id")
+    val controlRefs: Map[String, Map[String, Double]] = Map(
+      // medians of 3 fresh-JVM SPARK_GRAFT_CONTROL_ONLY runs, local[32],
+      // quiet host, 2026-08-16 (BASELINE.md "Bench drift normalization")
+      "sf0.1" -> Map(
+        "q_golden_record" -> 0.534, "q_neglog_pval" -> 1.842,
+        "q_md5_id" -> 0.160),
+      "sf1" -> Map(
+        "q_golden_record" -> 0.773, "q_neglog_pval" -> 1.157,
+        "q_md5_id" -> 0.241),
+      "sf10" -> Map(
+        "q_golden_record" -> 1.467, "q_neglog_pval" -> 8.018,
+        "q_md5_id" -> 0.282))
+    val control = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // SPARK_GRAFT_FORCE_CONTROL=1 runs the controls even for a subset bench
+    // (emission-path testing); default: full-suite runs only.
+    val wantControl = args.isEmpty ||
+      sys.env.get("SPARK_GRAFT_FORCE_CONTROL").contains("1")
+    if (wantControl) controlNames.foreach { name =>
+      System.err.println(s"[bench] control $name")
+      val fn = SparkEntry.queries(name)
+      control(name) = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val sfName = new java.io.File(sfDir).getName
+    val driftFactor: Option[Double] =
+      controlRefs.get(sfName).filter(_ => control.nonEmpty).map { refs =>
+        val ratios = control.map { case (n, t) => t / refs(n) }
+        math.exp(ratios.map(math.log).sum / ratios.size)
+      }
+    // Reference (re-)measurement mode: print the control timings and stop —
+    // run a few times on a quiet host, pin the medians into controlRefs.
+    if (sys.env.get("SPARK_GRAFT_CONTROL_ONLY").contains("1")) {
+      println(control.map { case (k, v) => s"${jstr(k)}:$v" }
+        .mkString("{\"control\":{", ",", s"},\"sf\":${jstr(sfName)}}"))
+      spark.stop()
+      return
+    }
+    // -----------------------------------------------------------------------
+
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Best-of-N (SPARK_GRAFT_BENCH_RUNS, default 2): min over N attempts.
@@ -86,8 +144,13 @@ object Bench {
         .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString("{", ",", "}")
     val total = timings.values.sum
+    val controlJson =
+      if (control.isEmpty) ""
+      else "," + "\"control\":" + control
+        .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}") +
+        driftFactor.map(d => s""","drift_factor":$d""").getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$controlJson,"sf":${jstr(sfDir)}}"""
     // Durable machine-readable artifact: stdout passes through sbt + the
     // driver's tail buffer, which has truncated the head of the line on
     // full-suite runs (BENCH_r07 kept only the last ~70 of 126 timings) —
@@ -122,8 +185,13 @@ object Bench {
     val errCompact =
       if (errors.isEmpty) ""
       else "," + "\"errors\":" + errors.keys.map(jstr).mkString("[", ",", "]")
+    val controlCompact =
+      if (control.isEmpty) ""
+      else "," + "\"control\":" + control
+        .map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}") +
+        driftFactor.map(d => s""","drift_factor":${f3(d)}""").getOrElse("")
     val compact =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","slowest_queries":$qsCompact$errCompact,""" +
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec"$controlCompact,"slowest_queries":$qsCompact$errCompact,""" +
         s""""n_queries":${timings.size},"queries_reported":${slowest.size},""" +
         s""""queries_full":${jstr(outFile)},"sf":${jstr(sfDir)}}"""
     println(compact)
