@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.DfOps
-import graft.operators.{FineMapper, Multimodal, Pics, StudyDeconvolution}
+import graft.operators.{Dedup, FineMapper, Multimodal, Pics, StudyDeconvolution}
 
 /** Oracle-checked queries for PICS fine-mapping, min-max/neighbourhood
   * normalisation, and study deconvolution.
@@ -321,6 +321,94 @@ object MiscQueries {
     * endian headers, IFD0 with width/length/bits/samples tags and an
     * out-of-line BitsPerSample array for multi-channel rows).
     */
+  /** Deterministic luma in [1, 254] — never 0 or 255, so the planted
+    * bit-flip below can always force a gradient comparison either way.
+    */
+  private def phashLuma(seed: String, r: Int, c: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$r:$c".getBytes("UTF-8"))
+    1 + ((d(0) & 0xff) % 254)
+  }
+
+  /** 24-bit gray BMP: 54-byte header, bottom-up rows padded to 4 bytes. */
+  private def phashBmp(px: Array[Array[Int]]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val h = px.length
+    val w = px(0).length
+    val stride = (w * 3 + 3) & ~3
+    val size = 54 + stride * h
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var r = h - 1
+    while (r >= 0) {
+      var c = 0
+      while (c < w) {
+        val v = px(r)(c).toByte
+        bb.put(v).put(v).put(v)
+        c += 1
+      }
+      var p = w * 3
+      while (p < stride) { bb.put(0.toByte); p += 1 }
+      r -= 1
+    }
+    bb.array()
+  }
+
+  /** Binary PPM "P6": ASCII header, top-down RGB, no padding. */
+  private def phashPpm(px: Array[Array[Int]]): Array[Byte] = {
+    val h = px.length
+    val w = px(0).length
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = header.length
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val v = px(r)(c).toByte
+        out(i) = v; out(i + 1) = v; out(i + 2) = v
+        i += 3
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Pixel-level image fixture for the perceptual-hash join, 9×8 gray
+    * (the dHash grid size, so the area-mean downsample is the identity
+    * and every planted bit is arithmetically controlled). Groups of 3:
+    *   - doc 3g   → the group's base pattern as a BMP;
+    *   - doc 3g+1 → the SAME pixels as a PPM — a format-crossing
+    *     duplicate byte-level dedup cannot see (dHash Hamming 0) — and
+    *     for odd g the last pixel of row 0 is adjusted to flip exactly
+    *     dHash bit (0,7) (the only comparison that pixel feeds), making
+    *     the pair's Hamming exactly g % 2;
+    *   - doc 3g+2 → an independent per-doc pattern (no planted partner).
+    * md5-derived pixels keep unrelated dHashes ~32 bits apart, so the
+    * expected pair set is the arithmetic function the DuckDB oracle
+    * recomputes (verified stray-free at sf0.001/0.01/0.1).
+    */
+  private[harness] def phashFixtureBytes(k: Long): Array[Byte] = {
+    val g = k / 3
+    val base = Array.tabulate(8, 9)((r, c) => phashLuma(s"ph$g", r, c))
+    (k % 3).toInt match {
+      case 0 => phashBmp(base)
+      case 1 =>
+        val px = base.map(_.clone())
+        if (g % 2 == 1)
+          px(0)(8) = if (px(0)(7) < px(0)(8)) 0 else 255
+        phashPpm(px)
+      case _ =>
+        phashBmp(Array.tabulate(8, 9)((r, c) => phashLuma(s"solo$k", r, c)))
+    }
+  }
+
   private[harness] def imageFixtureBytes(k: Long): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
     val w = (k % 317 + 1).toInt
@@ -624,11 +712,35 @@ object MiscQueries {
         col("view_value"), col("conv_value"))
   }
 
+  /** Content-level image near-dup over the pixel fixtures: the planted
+    * format-crossing duplicates (BMP vs PPM of one image) must surface at
+    * their arithmetically-controlled Hamming distances.
+    */
+  def imagePHashQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false))))
+    val media = documents(s, d).select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(0)
+        Row(k, phashFixtureBytes(k))
+      }
+    }(enc)
+    Dedup.imagePHashPairs(media, maxHamming = 2)
+      .select(
+        col("l_doc").as("doc_a"),
+        col("r_doc").as("doc_b"),
+        col("hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel_stream_twin" -> (funnelStreamTwin _),
     "q_attrib_stream_twin" -> (attribStreamTwin _),
     "q_hll_rollup" -> (hllRollupQ _),
     "q_image_meta" -> (imageMetaQ _),
+    "q_image_phash" -> (imagePHashQ _),
     "q_audio_meta" -> (audioMetaQ _),
     "q_funnel" -> (funnelQ _),
     "q_retention" -> (retentionQ _),
@@ -663,6 +775,18 @@ object MiscQueries {
     "q_finemap" -> resourceSql("q_finemap_oracle.sql"),
     "q_carma" -> resourceSql("q_carma_oracle.sql"),
     "q_raiss" -> resourceSql("q_raiss_oracle.sql"),
+    // The planted perceptual-dup structure is a pure function of doc_id
+    // (see phashFixtureBytes): docs 3g and 3g+1 are one image in two
+    // containers, Hamming exactly g % 2 by the controlled bit flip; solo
+    // docs have md5-independent patterns (~32 bits away — verified
+    // stray-free at all three SFs). The oracle recomputes that expected
+    // pair set arithmetically, fully independent of the decode/hash/join.
+    "q_image_phash" ->
+      """SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+        |       CAST(((d1.doc_id // 3) % 2) AS INTEGER) AS hamming
+        |FROM documents d1
+        |JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        |WHERE d1.doc_id % 3 = 0""".stripMargin,
     // Every field of the planted-container metadata is a pure function of
     // doc_id (see imageFixtureBytes): the oracle recomputes the expected
     // parse results arithmetically — an independent formulation of the

@@ -230,6 +230,82 @@ object Dedup {
       .select(col("l_doc"), col("r_doc"), col("hamming"))
   }
 
+  /** Per-image 64-bit perceptual-hash signature table `(idCol, dhash)`
+    * over an opaque-binary media frame ([[Multimodal.dHash64]]: decode →
+    * 9×8 area-mean luma grid → horizontal gradient bits). Rows whose
+    * content is not a decodable uncompressed bitmap are SKIPPED, not
+    * hashed as garbage — at 100 TB a corrupt shard must not seed a
+    * near-dup cluster. Per-partition batched like the Multimodal family;
+    * the id column keeps its input type.
+    */
+  def imageDHashes(
+      media: DataFrame,
+      idCol: String = "media_id",
+      contentCol: String = "content"
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex(contentCol)
+    val outSchema = StructType(Seq(
+      media.schema(idCol),
+      StructField("dhash", LongType, nullable = false)))
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Multimodal.dHash64(r.getAs[Array[Byte]](contentIdx))
+          .map(hv => Row(r.get(idIdx), hv))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** EXACT content-level image near-duplicate join: all pairs whose dHash
+    * Hamming distance ≤ `maxHamming`, found via multi-index banding
+    * (Norouzi et al. 2012's pigeonhole: split the 64-bit hash into
+    * `bands` equal slices — two hashes within Hamming `maxHamming <
+    * bands` MUST agree exactly on at least one slice), so candidate
+    * generation is an equi-join on (band, band_val) buckets, NEVER
+    * all-pairs, with the same hot-bucket cap + loud-drop discipline as
+    * the text families. Verification is `bit_count(xor)` — codegen, no
+    * arrays on the shuffle. The image analogue of
+    * [[simhashCandidatePairs]]: byte-level dedup cannot see the same
+    * pixels re-encoded across containers; the dHash is computed from the
+    * DECODED plane, so a BMP and a PPM of one image land at Hamming 0.
+    *
+    * @return `(l_doc, r_doc, hamming)` with l_doc < r_doc
+    */
+  def imagePHashPairs(
+      media: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      idCol: String = "media_id",
+      contentCol: String = "content",
+      maxBucketSize: Int = DefaultMaxBucketSize
+  ): DataFrame = {
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands: $maxHamming / $bands")
+    require(64 % bands == 0, s"bands must divide 64: $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sh = persistOnce(imageDHashes(media, idCol, contentCol))
+    val banded = sh.select(
+      col(idCol),
+      posexplode(
+        array((0 until bands).map(b =>
+          // logical shift: the top band of a 64-bit hash must not smear
+          // the sign bit the way an arithmetic shift would
+          shiftrightunsigned(col("dhash"), b * width)
+            .bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "band_val")))
+    val pairs = cappedBandPairs(
+      banded, idCol, Seq("band", "band_val"), maxBucketSize, "imagePHashPairs")
+    pairs
+      .join(sh.select(col(idCol).as("l_doc"), col("dhash").as("_lh")), Seq("l_doc"))
+      .join(sh.select(col(idCol).as("r_doc"), col("dhash").as("_rh")), Seq("r_doc"))
+      .withColumn("hamming", bit_count(col("_lh").bitwiseXOR(col("_rh"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("l_doc"), col("r_doc"), col("hamming"))
+  }
+
   /** Shared guarded banded self-join: distinct (l_doc, r_doc) pairs of ids
     * co-bucketed on `keys`, with oversized buckets capped to their
     * lowest-id representatives (dropped docs still pair AGAINST the

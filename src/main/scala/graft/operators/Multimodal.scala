@@ -578,6 +578,172 @@ object Multimodal {
     }(enc)
   }
 
+  /** Row-major top-down 8-bit grayscale decode of the two genuinely
+    * uncompressed image containers — 24-bit BMP (BITMAPINFOHEADER,
+    * bottom-up rows unless biHeight < 0, each row padded to a 4-byte
+    * boundary, BGR byte order, pixel-array offset from the file header)
+    * and binary PPM "P6" with maxval < 256 (RGB, top-down, no padding).
+    * Luma = (299·R + 587·G + 114·B) / 1000 in integer arithmetic (BT.601
+    * weights, exact for gray pixels). Returns (width, height, luma
+    * row-major top-down) or None for any other container or a truncated
+    * payload — the perceptual-hash operators SKIP such rows rather than
+    * hash garbage (compressed formats would slot in at the same seam
+    * with a codec library, exactly like [[decode]]'s contract).
+    */
+  def grayPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def leInt(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    StubDecoder.parseBmp(b) match {
+      case Some((w, h, 3)) =>
+        val off = leInt(10)
+        val topDown = leInt(22) < 0
+        val stride = (w * 3 + 3) & ~3
+        if (off < 54 || off.toLong + stride.toLong * h > b.length) None
+        else {
+          val out = new Array[Int](w * h)
+          var r = 0
+          while (r < h) {
+            val srcRow = if (topDown) r else h - 1 - r
+            var i = off + srcRow * stride
+            var c = 0
+            while (c < w) {
+              val bl = b(i) & 0xff
+              val gr = b(i + 1) & 0xff
+              val rd = b(i + 2) & 0xff
+              out(r * w + c) = (299 * rd + 587 * gr + 114 * bl) / 1000
+              c += 1
+              i += 3
+            }
+            r += 1
+          }
+          Some((w, h, out))
+        }
+      case _ =>
+        StubDecoder.parsePpm(b) match {
+          case Some((w, h, _)) =>
+            // re-walk the ASCII header for the pixel-data offset: three
+            // ints, '#' comments to end-of-line, then EXACTLY ONE
+            // whitespace byte before the binary payload (PPM spec)
+            var i = 2
+            var seen = 0
+            var maxval = 255
+            while (i < b.length && seen < 3) {
+              while (i < b.length &&
+                (Character.isWhitespace(b(i)) || b(i) == '#')) {
+                if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+                else i += 1
+              }
+              val start = i
+              while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+              if (i > start) {
+                seen += 1
+                if (seen == 3)
+                  maxval = new String(b, start, i - start, "US-ASCII").toInt
+              } else return None
+            }
+            val off = i + 1 // the single post-maxval whitespace byte
+            if (seen < 3 || maxval > 255 ||
+              off.toLong + 3L * w * h > b.length) None
+            else {
+              val out = new Array[Int](w * h)
+              var k = 0
+              var j = off
+              while (k < w * h) {
+                val rd = b(j) & 0xff
+                val gr = b(j + 1) & 0xff
+                val bl = b(j + 2) & 0xff
+                out(k) = (299 * rd + 587 * gr + 114 * bl) / 1000
+                k += 1
+                j += 3
+              }
+              Some((w, h, out))
+            }
+          case _ => None
+        }
+    }
+  }
+
+  /** Area-mean downsample of a decoded luma plane to a gw×gh grid: cell
+    * (r,c) is the integer mean over pixel block rows [r·h/gh, (r+1)·h/gh)
+    * × cols [c·w/gw, (c+1)·w/gw). Deterministic integer arithmetic — no
+    * float resampling, so two decodes of the same pixels always hash
+    * identically. None when the image is smaller than the grid.
+    */
+  private def lumaGrid(
+      w: Int, h: Int, px: Array[Int], gw: Int, gh: Int): Option[Array[Int]] =
+    if (w < gw || h < gh) None
+    else Some {
+      val g = new Array[Int](gw * gh)
+      var r = 0
+      while (r < gh) {
+        val r0 = r * h / gh
+        val r1 = (r + 1) * h / gh
+        var c = 0
+        while (c < gw) {
+          val c0 = c * w / gw
+          val c1 = (c + 1) * w / gw
+          var s = 0
+          var i = r0
+          while (i < r1) {
+            var j = c0
+            while (j < c1) { s += px(i * w + j); j += 1 }
+            i += 1
+          }
+          g(r * gw + c) = s / ((r1 - r0) * (c1 - c0))
+          c += 1
+        }
+        r += 1
+      }
+      g
+    }
+
+  /** 64-bit difference hash (dHash): [[grayPixels]] → 9×8 area-mean luma
+    * grid → bit (r,c) set iff grid(r,c) < grid(r,c+1) (8 horizontal
+    * gradient comparisons × 8 rows). Content-level — the same pixels
+    * stored as BMP and as PPM hash IDENTICALLY, which is exactly what
+    * byte-level dedup cannot see. None for undecodable or sub-grid
+    * payloads.
+    */
+  def dHash64(b: Array[Byte]): Option[Long] =
+    grayPixels(b).flatMap { case (w, h, px) =>
+      lumaGrid(w, h, px, 9, 8).map { g =>
+        var bits = 0L
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (g(r * 9 + c) < g(r * 9 + c + 1)) bits |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        bits
+      }
+    }
+
+  /** 64-bit average hash (aHash): 8×8 area-mean luma grid, bit k set iff
+    * cell k exceeds the integer grid mean. Coarser than [[dHash64]]
+    * (global threshold vs local gradients) but cheap and
+    * illumination-shift tolerant; same exactness/skip contract.
+    */
+  def aHash64(b: Array[Byte]): Option[Long] =
+    grayPixels(b).flatMap { case (w, h, px) =>
+      lumaGrid(w, h, px, 8, 8).map { g =>
+        var sum = 0L
+        var k = 0
+        while (k < 64) { sum += g(k); k += 1 }
+        val mean = sum / 64
+        var bits = 0L
+        k = 0
+        while (k < 64) {
+          if (g(k) > mean) bits |= 1L << k
+          k += 1
+        }
+        bits
+      }
+    }
+
   /** Audio-metadata row emitted by [[audioMeta]]. */
   val audioMetaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

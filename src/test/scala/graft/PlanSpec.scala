@@ -337,6 +337,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Partial"), s"expected the PARTIAL pre-shuffle prune:\n$p")
   }
 
+  test("q_image_phash candidate generation is a banded equi join, never all-pairs") {
+    // the exact-Hamming image join must reach the pair set through the
+    // (band, band_val) bucket equi-join — an all-pairs plan is the 100 TB
+    // failure mode the banding exists to avoid
+    val p = plan(graft.harness.MiscQueries.imagePHashQ(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"all-pairs image join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidate join must stay equi-keyed on the band buckets:\n$p")
+  }
+
   test("containment folded verification: expanded rows hit the container join with no exchange and no sort") {
     // the broadcast path of containmentJoin scopes
     // requireAllClusterKeysForCoPartition=false around this exact shape;

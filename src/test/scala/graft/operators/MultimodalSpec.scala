@@ -494,6 +494,98 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_._2 % 2 == 0))
   }
 
+  // -- pixel decode + perceptual hashes --------------------------------
+
+  /** Independent BMP writer (bottom-up unless topDown, 4-byte padded, BGR,
+    * gray) — a separate formulation of the format from both the decoder
+    * and the harness fixture generator.
+    */
+  private def grayBmp(px: Array[Array[Int]], topDown: Boolean = false): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val h = px.length
+    val w = px(0).length
+    val stride = (w * 3 + 3) & ~3
+    val bb = ByteBuffer.allocate(54 + stride * h).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(0).putInt(0).putInt(0).putInt(0)
+    val rowOrder = if (topDown) 0 until h else (h - 1) to 0 by -1
+    rowOrder.foreach { r =>
+      px(r).foreach { v => bb.put(v.toByte).put(v.toByte).put(v.toByte) }
+      (w * 3 until stride).foreach(_ => bb.put(0.toByte))
+    }
+    bb.array()
+  }
+
+  private def grayPpm(px: Array[Array[Int]]): Array[Byte] = {
+    val h = px.length
+    val w = px(0).length
+    val header = s"P6\n# c\n$w $h\n255\n".getBytes("US-ASCII")
+    header ++ px.flatMap(_.flatMap(v => Seq(v.toByte, v.toByte, v.toByte)))
+  }
+
+  test("grayPixels: BMP bottom-up, BMP top-down and PPM decode to the same plane") {
+    // 5 wide forces real row padding (15 → stride 16); distinct per-cell
+    // values catch any row/column transposition or flip
+    val px = Array.tabulate(3, 5)((r, c) => 10 * r + c + 7)
+    val want = px.flatten.toSeq
+    Seq(grayBmp(px), grayBmp(px, topDown = true), grayPpm(px)).foreach { bytes =>
+      val Some((w, h, luma)) = Multimodal.grayPixels(bytes)
+      assert((w, h) === (5, 3))
+      assert(luma.toSeq === want, s"container ${bytes.take(2).toSeq}")
+    }
+  }
+
+  test("grayPixels: luma applies BT.601 integer weights to color pixels") {
+    val header = "P6\n1 1\n255\n".getBytes("US-ASCII")
+    val bytes = header ++ Array[Byte](200.toByte, 100, 50)
+    val Some((_, _, luma)) = Multimodal.grayPixels(bytes)
+    assert(luma.toSeq === Seq((299 * 200 + 587 * 100 + 114 * 50) / 1000))
+  }
+
+  test("grayPixels: truncated payloads and other containers return None") {
+    val px = Array.tabulate(3, 5)((r, c) => r + c)
+    assert(Multimodal.grayPixels(grayBmp(px).dropRight(1)).isEmpty)
+    assert(Multimodal.grayPixels(grayPpm(px).dropRight(1)).isEmpty)
+    assert(Multimodal.grayPixels("P6\n5 3\n70000\n".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.grayPixels(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.grayPixels(Array.empty[Byte]).isEmpty)
+  }
+
+  test("dHash64: gradient bits match a brute-force 9×8 area-mean downsample") {
+    // 18×16 image: every dHash grid cell is a 2×2 pixel block — the
+    // downsample is exercised for real, and the expectation recomputed
+    // here from first principles
+    val px = Array.tabulate(16, 18)((r, c) => (r * 31 + c * 17 + 3) % 251)
+    val grid = Array.tabulate(8, 9) { (gr, gc) =>
+      val vals = for (r <- 2 * gr until 2 * gr + 2; c <- 2 * gc until 2 * gc + 2)
+        yield px(r)(c)
+      vals.sum / 4
+    }
+    var want = 0L
+    for (r <- 0 until 8; c <- 0 until 8)
+      if (grid(r)(c) < grid(r)(c + 1)) want |= 1L << (r * 8 + c)
+    assert(Multimodal.dHash64(grayBmp(px)) === Some(want))
+    // format crossing: identical pixels in the other container, same hash
+    assert(Multimodal.dHash64(grayPpm(px)) === Some(want))
+    // sub-grid images cannot be hashed
+    assert(Multimodal.dHash64(grayBmp(Array.tabulate(8, 8)((r, c) => r + c))).isEmpty)
+  }
+
+  test("aHash64: mean-threshold bits, and both hashes survive a 64th set bit") {
+    // top half dark, bottom half bright → aHash = 32 high bits set
+    val px = Array.tabulate(8, 8)((r, _) => if (r < 4) 10 else 200)
+    assert(Multimodal.aHash64(grayBmp(px)) === Some(0xFFFFFFFF00000000L))
+    // a hash with bit 63 set must round-trip as a NEGATIVE long — guards
+    // the unsigned band-split downstream
+    val desc = Array.tabulate(8, 9)((_, c) => 250 - 25 * c)
+    assert(Multimodal.dHash64(grayBmp(desc)) === Some(0L))
+    val asc = Array.tabulate(8, 9)((_, c) => 5 + 25 * c)
+    assert(Multimodal.dHash64(grayBmp(asc)) === Some(-1L))
+  }
+
   test("resize emits fixed-size payloads with updated dimension columns") {
     import spark.implicits._
     val resized = Multimodal.resize(Multimodal.decode(media), width = 8, height = 4)
