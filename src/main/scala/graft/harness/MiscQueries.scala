@@ -735,8 +735,26 @@ object MiscQueries {
         col("hamming"))
   }
 
+  /** Compact checksum twin of [[pics]], closing the one SF-dispatch golden
+    * hole (q_pics at sf0.1 would be a ~300k-row VALUES literal — the r14
+    * adjudication): per-variant tag count plus integer-µ sums of the
+    * 6dp-rounded posteriors. The variant key space is fixed (mod 97 / mod
+    * 89 ids), so the output is ≤186 rows at EVERY scale factor and sf0.1
+    * gets a real pinned golden. Integer sums of floor(pp·1e6) are
+    * order-independent — no distributed-double-summation nondeterminism,
+    * and the DuckDB side is a pure BIGINT literal comparison.
+    */
+  def picsChecksum(s: SparkSession, d: String): DataFrame =
+    pics(s, d)
+      .groupBy(col("variantId"))
+      .agg(
+        count(lit(1)).as("n_tags"),
+        sum(floor(col("pp") * 1e6).cast("long")).as("pp_sum_micro"),
+        sum(floor(col("se") * 1e6).cast("long")).as("se_sum_micro"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel_stream_twin" -> (funnelStreamTwin _),
+    "q_pics_checksum" -> (picsChecksum _),
     "q_attrib_stream_twin" -> (attribStreamTwin _),
     "q_hll_rollup" -> (hllRollupQ _),
     "q_image_meta" -> (imageMetaQ _),
@@ -773,6 +791,7 @@ object MiscQueries {
 
   val oracles: Map[String, String] = Map(
     "q_finemap" -> resourceSql("q_finemap_oracle.sql"),
+    "q_pics_checksum" -> resourceSql("q_pics_checksum_oracle.sql"),
     "q_carma" -> resourceSql("q_carma_oracle.sql"),
     "q_raiss" -> resourceSql("q_raiss_oracle.sql"),
     // The planted perceptual-dup structure is a pure function of doc_id

@@ -96,6 +96,13 @@ object MakeGoldens {
       ("q_pics", "orders", Seq(
         "sf0.001" -> "< 7500",
         "sf0.01" -> "BETWEEN 7500 AND 74999")),
+      // the compact checksum twin has a fixed ≤186-row variant key space,
+      // so unlike q_pics itself it gets a block at all three SFs — this is
+      // what closes the sf0.1 golden hole (round-16, VERDICT r15 ask 6)
+      ("q_pics_checksum", "orders", Seq(
+        "sf0.001" -> "< 7500",
+        "sf0.01" -> "BETWEEN 7500 AND 74999",
+        "sf0.1" -> "BETWEEN 75000 AND 749999")),
       ("q_finemap", "orders", Seq(
         "sf0.001" -> "< 7500",
         "sf0.01" -> ">= 7500")),

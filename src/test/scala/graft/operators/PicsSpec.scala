@@ -43,6 +43,26 @@ class PicsSpec extends SparkSpec {
     assert(got === 0)
   }
 
+  test("picsChecksum is the exact integer-µ rollup of the q_pics output") {
+    import spark.implicits._
+    // the checksum query (the sf0.1 golden carrier) must stay the pure
+    // per-variant aggregate of q_pics — recompute it driver-side from the
+    // collected q_pics rows and compare value-exactly; integer sums make
+    // this deterministic regardless of aggregation order
+    val d = "/root/testdata/sf0.001"
+    val full = graft.harness.MiscQueries.pics(spark, d)
+      .as[(String, String, Double, Double)].collect()
+    val want = full.groupBy(_._2).map { case (v, rows) =>
+      (v, rows.length.toLong,
+        rows.map(r => math.floor(r._3 * 1e6).toLong).sum,
+        rows.map(r => math.floor(r._4 * 1e6).toLong).sum)
+    }.toSet
+    val got = graft.harness.MiscQueries.picsChecksum(spark, d)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.size <= 186, "variant key space must stay golden-compact")
+  }
+
   test("kernel helpers match reference doctests") {
     import spark.implicits._
     val one = Seq(1).toDF("x")
