@@ -741,10 +741,14 @@ object Dedup {
     *     verification runs WITHOUT A SINGLE EXCHANGE of the expanded rows
     *     — only the map-side-combined per-pair counts shuffle. The gate is
     *     auto-derived from the JVM heap (an eighth of `Runtime.maxMemory`,
-    *     clamped to [256 MB, 2 GB] — the floor keeps the shipped 2M-pair
-    *     behaviour for ordinary ids, the cap stays under Spark's broadcast
-    *     limits and a 4 GB executor's comfort bound) compared against
-    *     `nPairs × (48 + avg id chars)` estimated broadcast bytes.
+    *     clamped to [384 MB, 6 GB] — the floor keeps the shipped 2M-pair
+    *     behaviour for ordinary ids, the cap is ¾ of Spark's 8 GB
+    *     broadcast hard limit; on a 4 GB executor the heap/8 term yields
+    *     a 512 MB budget, so small executors flip to the shuffle
+    *     fallback long before the cap binds) compared against
+    *     `nPairs × (128 + avg id chars)` estimated broadcast bytes (the
+    *     per-pair constant is measured, see ContainmentBcProbe /
+    *     BASELINE.md round-16 curve).
     *   - **larger candidate sets** fall back to the shuffle chain above,
     *     whose per-task state is bounded by the volume-derived partition
     *     width (the zero-spill shape verified at the 100× group probe).
@@ -841,16 +845,36 @@ object Dedup {
         length(col("outer_doc").cast("string"))).as("_w")).head()
     val nPairs = stats.getLong(0)
     val avgIdChars = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
-    // per-pair broadcast cost: UnsafeRow 8B null bitset + 2×8B string
-    // field offsets + id bytes (word-rounded) + HashedRelation entry
-    // overhead — ~48B fixed plus the measured id bytes
-    val estPairBytes = (nPairs.toDouble * (48.0 + avgIdChars)).toLong
-    val heapBudget = math.max(256L << 20,
-      math.min(Runtime.getRuntime.maxMemory() / 8, 2L << 30))
+    // per-pair broadcast cost: MEASURED, not derived — ContainmentBcProbe
+    // (BASELINE.md round-16 curve) put the BroadcastExchange dataSize at
+    // 132-167 B/pair for 24 id chars (1M-32M pairs), i.e. ~108 B/pair
+    // amortized fixed cost (UnsafeRow layout + HashedRelation entries) on
+    // top of the id bytes; 128 keeps headroom for the small-n end. The
+    // same probe showed task peak ≈ broadcast size + ~80 MB, so this
+    // budget bounds executor pressure directly.
+    val estPairBytes = (nPairs.toDouble * (128.0 + avgIdChars)).toLong
+    // floor 384 MB keeps the de-facto 2M-pair floor for ordinary ids
+    // (2M × ~150 B); cap 6 GB = ¾ of Spark's 8 GB broadcast hard limit
+    // (probe-verified clean through the 32M-pair / 4.2 GB cell: zero
+    // spill on a 64 GB heap). heap/8 is the binding bound below 48 GB
+    // heaps, so a 4 GB executor still gets a 512 MB budget and flips to
+    // the shuffle fallback long before the cap matters — the cap only
+    // protects big-memory hosts from brushing the engine limit.
+    val heapBudget = math.max(384L << 20,
+      math.min(Runtime.getRuntime.maxMemory() / 8, 6L << 30))
     val fold =
       if (maxBroadcastPairs > 0L) nPairs <= maxBroadcastPairs
       else if (maxBroadcastPairs < 0L) false
       else estPairBytes <= heapBudget
+    // always state the physical decision and its inputs — at deployment
+    // scale the two shapes differ by an order of magnitude in shuffle
+    // volume, and a silent gate is undiagnosable from the plan alone
+    log.warn(
+      s"containmentJoin: $nPairs candidate pairs, avg id chars " +
+        f"$avgIdChars%.1f, est broadcast ${estPairBytes >> 20} MB vs " +
+        s"budget ${heapBudget >> 20} MB (override=$maxBroadcastPairs) -> " +
+        (if (fold) "FOLDED broadcast verification"
+         else "shuffle-fallback verification"))
     // |A∩B| per pair: expand candidates by the contained side's postings
     // (one narrow row per (pair, term-of-A)), keep rows whose term the
     // container also posts, count. Postings are distinct per (id, term) so

@@ -75,7 +75,9 @@ object ContainmentBcProbe {
         format_string("doc%09d", (col("id") % nDocs + col("id") % 16 + 1) % nDocs)
           .as("outer_doc"))
       val avgIdChars = 24.0 // 12 + 12, fixed-width by construction
-      val estBytes = (p.toDouble * (48.0 + avgIdChars)).toLong
+      // mirror the gate model in Dedup.containmentJoin (128 B/pair fixed
+      // cost + id bytes, calibrated from this probe's own r16 curve)
+      val estBytes = (p.toDouble * (128.0 + avgIdChars)).toLong
       spark.catalog.clearCache()
       System.gc()
       taskPeak.set(0L); spillDisk.reset(); shuffleWrite.reset()
