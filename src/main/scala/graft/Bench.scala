@@ -6,6 +6,26 @@ import org.apache.spark.sql.SparkSession
   * `err` entry instead of masquerading as a fast run.
   */
 object Bench {
+  /** Host-drift control queries (timed solo best-of-3 first in the fresh
+    * JVM) and their pinned quiet-host references per SF dir basename —
+    * medians of 3 SPARK_GRAFT_CONTROL_ONLY=1 runs, local[32], 2026-08-16
+    * (BASELINE.md "Bench drift normalization"). Object-level so BenchSpec
+    * can pin that every control name exists in the query surface — a
+    * rename must fail at test time, not mid-bench.
+    */
+  val controlNames: Seq[String] =
+    Seq("q_golden_record", "q_neglog_pval", "q_md5_id")
+  val controlRefs: Map[String, Map[String, Double]] = Map(
+    "sf0.1" -> Map(
+      "q_golden_record" -> 0.534, "q_neglog_pval" -> 1.842,
+      "q_md5_id" -> 0.160),
+    "sf1" -> Map(
+      "q_golden_record" -> 0.773, "q_neglog_pval" -> 1.157,
+      "q_md5_id" -> 0.241),
+    "sf10" -> Map(
+      "q_golden_record" -> 1.467, "q_neglog_pval" -> 8.018,
+      "q_md5_id" -> 0.282))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
@@ -53,19 +73,6 @@ object Bench {
     // divides any observed per-query ratio by `drift_factor` before calling
     // it a regression. Controls are skipped when benching an explicit
     // query subset (bisecting runs want speed, not normalization).
-    val controlNames = Seq("q_golden_record", "q_neglog_pval", "q_md5_id")
-    val controlRefs: Map[String, Map[String, Double]] = Map(
-      // medians of 3 fresh-JVM SPARK_GRAFT_CONTROL_ONLY runs, local[32],
-      // quiet host, 2026-08-16 (BASELINE.md "Bench drift normalization")
-      "sf0.1" -> Map(
-        "q_golden_record" -> 0.534, "q_neglog_pval" -> 1.842,
-        "q_md5_id" -> 0.160),
-      "sf1" -> Map(
-        "q_golden_record" -> 0.773, "q_neglog_pval" -> 1.157,
-        "q_md5_id" -> 0.241),
-      "sf10" -> Map(
-        "q_golden_record" -> 1.467, "q_neglog_pval" -> 8.018,
-        "q_md5_id" -> 0.282))
     val control = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // SPARK_GRAFT_FORCE_CONTROL=1 runs the controls even for a subset bench
     // (emission-path testing); default: full-suite runs only.

@@ -39,4 +39,18 @@ class VerifySpec extends SparkSpec {
     assert(dumped.count() == 2)
     assert(!dumped.columns.contains("_error"))
   }
+
+  test("Bench control set stays wired to the query surface and the pinned refs") {
+    // the host-drift controls run by NAME at bench time — a rename in the
+    // harness must fail here, not mid-bench on the driver's round run
+    Bench.controlNames.foreach { n =>
+      assert(SparkEntry.queries.contains(n), s"control query missing: $n")
+    }
+    // every pinned reference row covers exactly the control names, so the
+    // drift geomean never silently averages over a partial set
+    Bench.controlRefs.foreach { case (sf, refs) =>
+      assert(refs.keySet == Bench.controlNames.toSet, s"refs mismatch at $sf")
+      refs.values.foreach(v => assert(v > 0.0))
+    }
+  }
 }
