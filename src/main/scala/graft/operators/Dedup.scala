@@ -740,12 +740,17 @@ object Dedup {
     *     join's keys contain `term` on both sides, so the whole
     *     verification runs WITHOUT A SINGLE EXCHANGE of the expanded rows
     *     — only the map-side-combined per-pair counts shuffle. The gate is
-    *     auto-derived from the JVM heap (an eighth of `Runtime.maxMemory`,
-    *     clamped to [384 MB, 6 GB] — the floor keeps the shipped 2M-pair
-    *     behaviour for ordinary ids, the cap is ¾ of Spark's 8 GB
-    *     broadcast hard limit; on a 4 GB executor the heap/8 term yields
-    *     a 512 MB budget, so small executors flip to the shuffle
-    *     fallback long before the cap binds) compared against
+    *     auto-derived from the SMALLEST heap the broadcast must fit in:
+    *     the driver JVM's `Runtime.maxMemory`, further min'd with the
+    *     parsed `spark.executor.memory` when the master is non-local
+    *     (broadcast residency lands on EVERY executor — a big driver
+    *     must not admit a broadcast into small executors; absent the
+    *     conf, Spark's 1g executor default is assumed). An eighth of
+    *     that, clamped to [384 MB, 6 GB] — the floor keeps the shipped
+    *     2M-pair behaviour for ordinary ids, the cap is ¾ of Spark's
+    *     8 GB broadcast hard limit; on a 4 GB executor the heap/8 term
+    *     yields a 512 MB budget, so small executors flip to the shuffle
+    *     fallback long before the cap binds — compared against
     *     `nPairs × (128 + avg id chars)` estimated broadcast bytes (the
     *     per-pair constant is measured, see ContainmentBcProbe /
     *     BASELINE.md round-16 curve).
@@ -755,16 +760,16 @@ object Dedup {
     *
     * Concurrency: the folded path needs subset-key co-partitioning
     * (`spark.sql.requireAllClusterKeysForCoPartition=false`), a
-    * session-level planner conf. The set/restore pair is serialised under
-    * a JVM-global lock so concurrent `containmentJoin` calls can never
-    * restore each other's value, but the conf is still SESSION-scoped
-    * while the per-pair counts materialise inside the lock: an unrelated
-    * query planned concurrently on the same session during that window is
-    * planned with subset-key co-partitioning ENABLED (pre-Spark-3.3
-    * default semantics — a planner admissibility relaxation, never a
-    * correctness change, but it can pick a different exchange layout).
-    * Callers sharing one session across query threads who cannot accept
-    * that should force the fallback shape with `maxBroadcastPairs = -1`.
+    * session-level planner conf. It is planned and materialised on a
+    * CLONED `SparkSession.newSession()` — isolated `SQLConf`, shared
+    * `SparkContext` / cache manager — so the caller's session conf is
+    * NEVER touched: an unrelated query planned concurrently on the same
+    * session keeps its default co-partitioning semantics at every
+    * instant (pinned by ConcurrencySpec). The caller's modifiable SQL
+    * confs are copied onto the clone first, so plan-shape settings
+    * (AQE, codegen, shuffle width) carry over; the persisted per-pair
+    * count table is re-bound to the caller's session through the shared
+    * cache before returning.
     *
     * Cache lifecycle: the corpus-sized postings and candidate caches are
     * unpersisted before this returns — both physical shapes eagerly
@@ -853,6 +858,22 @@ object Dedup {
     // same probe showed task peak ≈ broadcast size + ~80 MB, so this
     // budget bounds executor pressure directly.
     val estPairBytes = (nPairs.toDouble * (128.0 + avgIdChars)).toLong
+    // the broadcast must fit EVERY heap it lands in: the driver builds it
+    // (Runtime.maxMemory) but each executor holds a full copy, so on a
+    // non-local master the budget also bounds by the parsed
+    // spark.executor.memory (Spark's 1g default when unset — a large
+    // driver must never admit a multi-GB broadcast into small executors).
+    // Local mode: driver == executor, the JVM heap is the whole story.
+    val sc = docs.sparkSession.sparkContext
+    val minHeap = {
+      val driver = Runtime.getRuntime.maxMemory()
+      if (sc.isLocal) driver
+      else math.min(
+        driver,
+        sc.getConf.getOption("spark.executor.memory")
+          .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+          .getOrElse(1L << 30))
+    }
     // floor 384 MB keeps the de-facto 2M-pair floor for ordinary ids
     // (2M × ~150 B); cap 6 GB = ¾ of Spark's 8 GB broadcast hard limit
     // (probe-verified clean through the 32M-pair / 4.2 GB cell: zero
@@ -860,8 +881,7 @@ object Dedup {
     // heaps, so a 4 GB executor still gets a 512 MB budget and flips to
     // the shuffle fallback long before the cap matters — the cap only
     // protects big-memory hosts from brushing the engine limit.
-    val heapBudget = math.max(384L << 20,
-      math.min(Runtime.getRuntime.maxMemory() / 8, 6L << 30))
+    val heapBudget = math.max(384L << 20, math.min(minHeap / 8, 6L << 30))
     val fold =
       if (maxBroadcastPairs > 0L) nPairs <= maxBroadcastPairs
       else if (maxBroadcastPairs < 0L) false
@@ -892,27 +912,47 @@ object Dedup {
       // never sorted either. Subset-key co-partitioning (both sides
       // clustered on `term` alone for the (outer_doc, term) join) is a
       // supported-but-default-off planner feature; the enabling conf is
-      // session-scoped, so the set/build/restore runs under a JVM-global
-      // lock (see the scaladoc concurrency note) — the per-pair count
-      // table is at most `nPairs` rows, so materialising it inside the
-      // lock is free compared to one avoided 10^9-row exchange.
+      // SESSION-scoped, so the count materialisation is planned on a
+      // cloned newSession() — isolated SQLConf, shared SparkContext /
+      // cache manager — and the caller's session conf is never touched
+      // (see the scaladoc concurrency note). The clone sees the caller's
+      // persisted postings/candidates through GLOBAL temp views (session
+      // temp views are per-session; the cache manager substitutes the
+      // persisted relations when the view plans resolve), and the
+      // materialised count table is re-bound to the caller's session the
+      // same way before returning.
       val session = docs.sparkSession
-      val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
-      coPartitionConfLock.synchronized {
-        val prev = session.conf.getOption(coPartKey)
-        session.conf.set(coPartKey, "false")
-        try {
-          val counts = persistOnce(
-            containmentIntersectionFolded(toks, candidates, parts),
-            org.apache.spark.storage.StorageLevel.DISK_ONLY)
-          counts.count()
-          counts
-        } finally {
-          prev match {
-            case Some(v) => session.conf.set(coPartKey, v)
-            case None    => session.conf.unset(coPartKey)
-          }
-        }
+      val iso = session.newSession()
+      // carry the caller's plan-shape settings (AQE, codegen, shuffle
+      // width, ANSI …) onto the clone — newSession() starts from the
+      // SparkConf initial values, not the caller's runtime conf
+      session.conf.getAll.foreach { case (k, v) =>
+        if (iso.conf.isModifiable(k) && !iso.conf.getOption(k).contains(v))
+          try iso.conf.set(k, v) catch { case _: Exception => () }
+      }
+      iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val gdb = session.conf
+        .getOption("spark.sql.globalTempDatabase").getOrElse("global_temp")
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val toksView = s"graft_cj_toks_$tag"
+      val candView = s"graft_cj_cands_$tag"
+      val cntView = s"graft_cj_counts_$tag"
+      try {
+        toks.createOrReplaceGlobalTempView(toksView)
+        candidates.createOrReplaceGlobalTempView(candView)
+        val counts = persistOnce(
+          containmentIntersectionFolded(
+            iso.table(s"$gdb.$toksView"), iso.table(s"$gdb.$candView"), parts),
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        counts.count() // materialised under the clone's relaxed planner conf
+        counts.createOrReplaceGlobalTempView(cntView)
+        // analysis is eager, so the returned Dataset keeps the resolved
+        // plan (and its cache hit) after the views are dropped below
+        session.table(s"$gdb.$cntView")
+      } finally {
+        session.catalog.dropGlobalTempView(toksView)
+        session.catalog.dropGlobalTempView(candView)
+        session.catalog.dropGlobalTempView(cntView)
       }
     } else {
       val counts = persistOnce(
@@ -946,15 +986,6 @@ object Dedup {
       .filter(col("containment") >= theta)
       .select(col("inner_doc"), col("outer_doc"), col("containment"))
   }
-
-  /** Serialises [[containmentJoin]]'s folded-path set/restore of the
-    * session-scoped `spark.sql.requireAllClusterKeysForCoPartition` conf:
-    * without it two concurrent folded materialisations could interleave
-    * and restore each other's (already-mutated) value. JVM-global because
-    * the conf key is per-session but sessions can share threads; the op is
-    * rare and the critical section is exactly one eager cache build.
-    */
-  private val coPartitionConfLock = new Object
 
   /** The folded per-pair intersection-count shape used by
     * [[containmentJoin]]'s broadcast path, exposed for plan pinning: with

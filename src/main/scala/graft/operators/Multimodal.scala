@@ -598,14 +598,22 @@ object Multimodal {
       case Some((w, h, 3)) =>
         val off = leInt(10)
         val topDown = leInt(22) < 0
-        val stride = (w * 3 + 3) & ~3
-        if (off < 54 || off.toLong + stride.toLong * h > b.length) None
+        // stride and the payload bound in LONG: parseBmp only requires
+        // w > 0, so an adversarial header width near 2^31/3 would make an
+        // Int `w * 3` wrap negative, pass the bound check, and then throw
+        // (NegativeArraySizeException / AIOOBE) — a corrupt shard must be
+        // SKIPPED, not kill the task (the WAV parser's bounded-advance
+        // discipline, applied here)
+        val stride = (w.toLong * 3 + 3) & ~3L
+        if (off < 54 || w.toLong * h > Int.MaxValue ||
+          off.toLong + stride * h > b.length) None
         else {
+          val strideI = stride.toInt // stride * h <= b.length fits Int
           val out = new Array[Int](w * h)
           var r = 0
           while (r < h) {
             val srcRow = if (topDown) r else h - 1 - r
-            var i = off + srcRow * stride
+            var i = off + srcRow * strideI
             var c = 0
             while (c < w) {
               val bl = b(i) & 0xff
@@ -683,14 +691,17 @@ object Multimodal {
         while (c < gw) {
           val c0 = c * w / gw
           val c1 = (c + 1) * w / gw
-          var s = 0
+          // Long accumulator: a legitimately decodable ~540M+ pixel image
+          // puts >8.4M pixels (×255) in one cell — an Int sum overflows
+          // SILENTLY there, corrupting a hash documented as EXACT
+          var s = 0L
           var i = r0
           while (i < r1) {
             var j = c0
             while (j < c1) { s += px(i * w + j); j += 1 }
             i += 1
           }
-          g(r * gw + c) = s / ((r1 - r0) * (c1 - c0))
+          g(r * gw + c) = (s / ((r1 - r0).toLong * (c1 - c0))).toInt
           c += 1
         }
         r += 1

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 /** Pair-count → broadcast-size / task-peak curve for the containment
   * join's FOLDED verification shape (VERDICT r15 ask 7): the folded path
   * trades shuffle for broadcast residency, so its ceiling is where the
-  * pair broadcast approaches the 2 GB comfort bound of a 4 GB executor.
+  * pair broadcast approaches the heap budget containmentJoin derives —
+  * min(driver heap, executor heap)/8 clamped to [384 MB, 6 GB].
   * This probe synthesizes candidate-pair tables of increasing size over
   * a fixed postings relation (realistic 12-char string doc ids; every
   * pair genuinely intersects, so the per-pair count aggregate carries
@@ -19,8 +20,10 @@ import org.apache.spark.sql.functions._
   *   - the MEASURED broadcast residency (block-manager memSize of the
   *     materialized broadcast blocks — what actually sits in every
   *     executor),
-  *   - the gate's byte ESTIMATE (`nPairs × (48 + avg id chars)`), so the
-  *     model in containmentJoin can be checked against reality,
+  *   - the gate's byte ESTIMATE (`nPairs × (128 + avg id chars)`, the
+  *     calibrated per-pair constant from this probe's round-16 curve:
+  *     132–167 B/pair measured at 24 id chars across 1M–32M pairs), so
+  *     the model in containmentJoin can be checked against reality,
   *   - max per-task peak execution memory, spill, shuffle write, wall.
   *
   * Usage: runMain graft.tools.ContainmentBcProbe [pairCounts,csv]
