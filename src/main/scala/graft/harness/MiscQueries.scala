@@ -409,6 +409,31 @@ object MiscQueries {
     }
   }
 
+  /** Pixel-level image fixture for the 128-bit perceptual-hash join,
+    * 17×8 gray (the dHash128 grid size, so the area-mean downsample is
+    * the identity). Same planted group-of-3 scheme as
+    * [[phashFixtureBytes]] with independent md5 streams (`pw`/`solo128`
+    * seeds): docs 3g/3g+1 are one image in two containers, odd-g twins
+    * flip exactly dHash128 bit (0,15) via the last pixel of row 0 —
+    * Hamming exactly g % 2; doc 3g+2 stands alone. Unrelated 128-bit
+    * hashes sit ~64 bits apart (verified stray-free at
+    * sf0.001/0.01/0.1), so the oracle is the same doc-id arithmetic.
+    */
+  private[harness] def phash128FixtureBytes(k: Long): Array[Byte] = {
+    val g = k / 3
+    val base = Array.tabulate(8, 17)((r, c) => phashLuma(s"pw$g", r, c))
+    (k % 3).toInt match {
+      case 0 => phashBmp(base)
+      case 1 =>
+        val px = base.map(_.clone())
+        if (g % 2 == 1)
+          px(0)(16) = if (px(0)(15) < px(0)(16)) 0 else 255
+        phashPpm(px)
+      case _ =>
+        phashBmp(Array.tabulate(8, 17)((r, c) => phashLuma(s"solo128$k", r, c)))
+    }
+  }
+
   private[harness] def imageFixtureBytes(k: Long): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
     val w = (k % 317 + 1).toInt
@@ -735,6 +760,31 @@ object MiscQueries {
         col("hamming"))
   }
 
+  /** 128-bit content-level image near-dup over the wide pixel fixtures —
+    * the banding-saturation widening path (32-bit bands at maxHamming 3):
+    * the same planted format-crossing duplicates must surface at their
+    * arithmetically-controlled Hamming distances through the
+    * [[graft.operators.Dedup.imagePHash128Pairs]] banded join.
+    */
+  def imagePHash128Q(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false))))
+    val media = documents(s, d).select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(0)
+        Row(k, phash128FixtureBytes(k))
+      }
+    }(enc)
+    Dedup.imagePHash128Pairs(media)
+      .select(
+        col("l_doc").as("doc_a"),
+        col("r_doc").as("doc_b"),
+        col("hamming"))
+  }
+
   /** Compact checksum twin of [[pics]], closing the one SF-dispatch golden
     * hole (q_pics at sf0.1 would be a ~300k-row VALUES literal — the r14
     * adjudication): per-variant tag count plus integer-µ sums of the
@@ -759,6 +809,7 @@ object MiscQueries {
     "q_hll_rollup" -> (hllRollupQ _),
     "q_image_meta" -> (imageMetaQ _),
     "q_image_phash" -> (imagePHashQ _),
+    "q_image_phash128" -> (imagePHash128Q _),
     "q_audio_meta" -> (audioMetaQ _),
     "q_funnel" -> (funnelQ _),
     "q_retention" -> (retentionQ _),
@@ -801,6 +852,15 @@ object MiscQueries {
     // stray-free at all three SFs). The oracle recomputes that expected
     // pair set arithmetically, fully independent of the decode/hash/join.
     "q_image_phash" ->
+      """SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+        |       CAST(((d1.doc_id // 3) % 2) AS INTEGER) AS hamming
+        |FROM documents d1
+        |JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        |WHERE d1.doc_id % 3 = 0""".stripMargin,
+    // Same planted arithmetic as q_image_phash over the independent
+    // 17×8 fixture stream (see phash128FixtureBytes): the 128-bit
+    // widening must find exactly the same doc-id pair structure.
+    "q_image_phash128" ->
       """SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
         |       CAST(((d1.doc_id // 3) % 2) AS INTEGER) AS hamming
         |FROM documents d1

@@ -306,6 +306,89 @@ object Dedup {
       .select(col("l_doc"), col("r_doc"), col("hamming"))
   }
 
+  /** Per-image 128-bit perceptual-hash signature table
+    * `(idCol, dhash0, dhash1)` ([[Multimodal.dHash128]]: decode → 17×8
+    * area-mean luma grid → 16 gradient bits × 8 rows, rows 0–3 in
+    * `dhash0`). Same skip-not-garbage and batching contract as
+    * [[imageDHashes]].
+    */
+  def imageDHashes128(
+      media: DataFrame,
+      idCol: String = "media_id",
+      contentCol: String = "content"
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex(contentCol)
+    val outSchema = StructType(Seq(
+      media.schema(idCol),
+      StructField("dhash0", LongType, nullable = false),
+      StructField("dhash1", LongType, nullable = false)))
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Multimodal.dHash128(r.getAs[Array[Byte]](contentIdx))
+          .map(ws => Row(r.get(idIdx), ws(0), ws(1)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** EXACT content-level image near-duplicate join over the 128-bit
+    * dHash — [[imagePHashPairs]] widened past the 64-bit banding
+    * saturation: with 16-bit bands the hot-bucket cap starts engaging
+    * near N ≈ 67M images (N/2^16 mean occupancy); the default here is
+    * four 32-BIT bands at maxHamming 3, pushing mean band-bucket
+    * occupancy below 1 until N ≈ 4.3e9 while keeping the identical
+    * pigeonhole recall guarantee (Hamming ≤ maxHamming < bands forces
+    * exact agreement on ≥1 contiguous band), the same hot-bucket cap +
+    * loud-drop discipline, and a codegen two-word `bit_count(xor)`
+    * verification — no arrays on the shuffle.
+    *
+    * @param bands must divide 128 with a band width that divides 64
+    *        (bands ∈ {2, 4, 8, 16, 32, 64, 128}), so every band is a
+    *        contiguous slice of one hash word
+    * @return `(l_doc, r_doc, hamming)` with l_doc < r_doc
+    */
+  def imagePHash128Pairs(
+      media: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      idCol: String = "media_id",
+      contentCol: String = "content",
+      maxBucketSize: Int = DefaultMaxBucketSize
+  ): DataFrame = {
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands: $maxHamming / $bands")
+    require(bands >= 2 && 128 % bands == 0 && 64 % (128 / bands) == 0,
+      s"bands must divide 128 with a width dividing 64: $bands")
+    val width = 128 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val perWord = 64 / width
+    val sh = persistOnce(imageDHashes128(media, idCol, contentCol))
+    val banded = sh.select(
+      col(idCol),
+      posexplode(
+        array((0 until bands).map { b =>
+          // logical shift: band values must not smear the word's sign bit
+          shiftrightunsigned(col(s"dhash${b / perWord}"), (b % perWord) * width)
+            .bitwiseAND(lit(mask))
+        }: _*))
+        .as(Seq("band", "band_val")))
+    val pairs = cappedBandPairs(
+      banded, idCol, Seq("band", "band_val"), maxBucketSize,
+      "imagePHash128Pairs")
+    pairs
+      .join(sh.select(col(idCol).as("l_doc"),
+        col("dhash0").as("_l0"), col("dhash1").as("_l1")), Seq("l_doc"))
+      .join(sh.select(col(idCol).as("r_doc"),
+        col("dhash0").as("_r0"), col("dhash1").as("_r1")), Seq("r_doc"))
+      .withColumn("hamming",
+        (bit_count(col("_l0").bitwiseXOR(col("_r0"))) +
+          bit_count(col("_l1").bitwiseXOR(col("_r1")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("l_doc"), col("r_doc"), col("hamming"))
+  }
+
   /** Shared guarded banded self-join: distinct (l_doc, r_doc) pairs of ids
     * co-bucketed on `keys`, with oversized buckets capped to their
     * lowest-id representatives (dropped docs still pair AGAINST the

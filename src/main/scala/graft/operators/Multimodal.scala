@@ -755,6 +755,35 @@ object Multimodal {
       }
     }
 
+  /** 128-bit difference hash: [[grayPixels]] → 17×8 area-mean luma grid →
+    * bit (r,c) set iff grid(r,c) < grid(r,c+1) (16 horizontal gradient
+    * comparisons × 8 rows). The wide twin of [[dHash64]] for corpora past
+    * the 64-bit banding saturation: at maxHamming 3 the banded join
+    * splits 128 bits into four 32-BIT bands (vs 16-bit at 64 bits), so
+    * band-value collisions between unrelated images stay negligible to
+    * ~10^9+ images instead of saturating near 67M. Packing: element 0
+    * carries rows 0–3 (bit (r%4)·16+c), element 1 rows 4–7 — band b of
+    * width 32 is a contiguous slice of the logical 128-bit value. Same
+    * exactness/skip contract as [[dHash64]].
+    */
+  def dHash128(b: Array[Byte]): Option[Array[Long]] =
+    grayPixels(b).flatMap { case (w, h, px) =>
+      lumaGrid(w, h, px, 17, 8).map { g =>
+        val words = new Array[Long](2)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 16) {
+            if (g(r * 17 + c) < g(r * 17 + c + 1))
+              words(r / 4) |= 1L << ((r % 4) * 16 + c)
+            c += 1
+          }
+          r += 1
+        }
+        words
+      }
+    }
+
   /** Audio-metadata row emitted by [[audioMeta]]. */
   val audioMetaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

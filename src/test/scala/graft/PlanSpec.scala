@@ -347,6 +347,16 @@ class PlanSpec extends SparkSpec {
       s"candidate join must stay equi-keyed on the band buckets:\n$p")
   }
 
+  test("q_image_phash128 candidate generation is a banded equi join, never all-pairs") {
+    // the widened 128-bit Hamming join must keep the same physical
+    // guarantee as the 64-bit one: candidates only through (band,
+    // band_val) bucket equi-joins
+    val p = plan(graft.harness.MiscQueries.imagePHash128Q(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"all-pairs image join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidate join must stay equi-keyed on the band buckets:\n$p")
+  }
+
   test("containment folded verification: expanded rows hit the container join with no exchange and no sort") {
     // the broadcast path of containmentJoin scopes
     // requireAllClusterKeysForCoPartition=false around this exact shape;

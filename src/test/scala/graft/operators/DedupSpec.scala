@@ -396,6 +396,68 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 40L && p._2 == 41L), "Hamming 4 must be out")
   }
 
+  test("imagePHash128Pairs finds exactly the brute-force Hamming pairs; 32-bit banding exact at the boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    // 17×8 gray BMPs (the dHash128 grid size → downsample is identity).
+    // For group g, doc 10g is a base pattern and doc 10g+1 the same
+    // image with the LAST pixel of rows 0..g-1 adjusted — pixel (r,16)
+    // feeds exactly dHash128 bit (r,15), so the planted pair's Hamming
+    // is exactly g: 0..3 must be found at maxHamming=3 (g=3 is the
+    // pigeonhole boundary for 4 bands), g=4 must not.
+    def bmp(px: Array[Array[Int]]): Array[Byte] = {
+      val stride = (17 * 3 + 3) & ~3 // 52
+      val bb = java.nio.ByteBuffer.allocate(54 + stride * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * 8)
+        .putShort(0).putShort(0).putInt(54)
+      bb.putInt(40).putInt(17).putInt(8).putShort(1).putShort(24)
+        .putInt(0).putInt(stride * 8).putInt(0).putInt(0).putInt(0).putInt(0)
+      (7 to 0 by -1).foreach { r =>
+        px(r).foreach(v => bb.put(v.toByte).put(v.toByte).put(v.toByte))
+        (17 * 3 until stride).foreach(_ => bb.put(0.toByte))
+      }
+      bb.array()
+    }
+    def luma(seed: Long, r: Int, c: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w$seed:$r:$c".getBytes("UTF-8"))
+      1 + ((d(0) & 0xff) % 254)
+    }
+    val images: Seq[(Long, Array[Byte])] = (0 until 5).flatMap { g =>
+      val base = Array.tabulate(8, 17)((r, c) => luma(g, r, c))
+      val twin = base.map(_.clone())
+      (0 until g).foreach { r =>
+        twin(r)(16) = if (twin(r)(15) < twin(r)(16)) 0 else 255
+      }
+      Seq((10L * g, bmp(base)), (10L * g + 1, bmp(twin)))
+    } :+ (999L, Array[Byte](1, 2, 3)) // undecodable row must be skipped
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false))))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(images.map { case (i, b) => Row(i, b) }, 3),
+      enc.schema)
+
+    val got = Dedup.imagePHash128Pairs(media, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+
+    // brute force over the scalar kernel: every decodable pair, exact xor
+    val hashes = images.flatMap { case (i, b) =>
+      Multimodal.dHash128(b).map(i -> _)
+    }
+    val want = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha(0) ^ hb(0)) +
+        java.lang.Long.bitCount(ha(1) ^ hb(1))
+      if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got === want)
+    (0 to 3).foreach(g => assert(got.contains((10L * g, 10L * g + 1, g)), s"g=$g"))
+    assert(!got.exists(p => p._1 == 40L && p._2 == 41L), "Hamming 4 must be out")
+  }
+
   test("incrementalNearDup pairs the new batch against the reference only") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -574,6 +574,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash64(grayBmp(Array.tabulate(8, 8)((r, c) => r + c))).isEmpty)
   }
 
+  test("dHash128: gradient bits match a brute-force 17×8 area-mean downsample") {
+    // 34×16 image: every dHash128 grid cell is a 2×2 pixel block — the
+    // wide downsample is exercised for real, and the expectation
+    // recomputed here from first principles with the documented packing
+    // (word r/4, bit (r%4)*16+c)
+    val px = Array.tabulate(16, 34)((r, c) => (r * 37 + c * 13 + 5) % 251)
+    val grid = Array.tabulate(8, 17) { (gr, gc) =>
+      val vals = for (r <- 2 * gr until 2 * gr + 2; c <- 2 * gc until 2 * gc + 2)
+        yield px(r)(c)
+      vals.sum / 4
+    }
+    val want = new Array[Long](2)
+    for (r <- 0 until 8; c <- 0 until 16)
+      if (grid(r)(c) < grid(r)(c + 1)) want(r / 4) |= 1L << ((r % 4) * 16 + c)
+    assert(Multimodal.dHash128(grayBmp(px)).map(_.toSeq) === Some(want.toSeq))
+    // format crossing: identical pixels in the other container, same hash
+    assert(Multimodal.dHash128(grayPpm(px)).map(_.toSeq) === Some(want.toSeq))
+    // sub-grid images cannot be hashed
+    assert(Multimodal.dHash128(grayBmp(Array.tabulate(8, 16)((r, c) => r + c))).isEmpty)
+    // word sign bits: monotone rows set every gradient bit — both words
+    // must round-trip as NEGATIVE longs for the unsigned band split
+    val asc = Array.tabulate(8, 17)((_, c) => 5 + 14 * c)
+    assert(Multimodal.dHash128(grayBmp(asc)).map(_.toSeq) ===
+      Some(Seq(0xFFFFFFFFFFFFFFFFL, 0xFFFFFFFFFFFFFFFFL)))
+  }
+
   test("aHash64: mean-threshold bits, and both hashes survive a 64th set bit") {
     // top half dark, bottom half bright → aHash = 32 high bits set
     val px = Array.tabulate(8, 8)((r, _) => if (r < 4) 10 else 200)
