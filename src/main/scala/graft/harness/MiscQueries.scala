@@ -434,6 +434,63 @@ object MiscQueries {
     }
   }
 
+  /** Mono 16-bit 16 kHz PCM WAV whose 65 constant-amplitude blocks (4
+    * frames each) REALISE a given 64-bit energy-gradient pattern: block 0
+    * at 1000, block k+1 at ±10 from block k per pattern bit k — so
+    * [[graft.operators.Multimodal.audioFingerprint64]] of the payload is
+    * exactly `pattern`. With `junk` the chunk list carries a JUNK chunk
+    * before fmt (a container-layout variant byte-level dedup cannot
+    * equate; the decoded samples are identical).
+    */
+  private def audioWavFromPattern(pattern: Long, junk: Boolean): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val amps = new Array[Int](65)
+    amps(0) = 1000
+    (0 until 64).foreach { k =>
+      amps(k + 1) = if (((pattern >>> k) & 1L) == 1L) amps(k) + 10 else amps(k) - 10
+    }
+    val dataBytes = 65 * 4 * 2
+    val junkBytes = if (junk) 8 + 4 else 0
+    val bb = ByteBuffer.allocate(44 + junkBytes + dataBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + junkBytes + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    if (junk)
+      bb.put("JUNK".getBytes("US-ASCII")).putInt(4).putInt(0)
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(16000)
+      .putInt(16000 * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    amps.foreach(a => (0 until 4).foreach(_ => bb.putShort(a.toShort)))
+    bb.array()
+  }
+
+  /** Deterministic planted audio-content fixture, a pure function of
+    * doc_id — the audio twin of [[phashFixtureBytes]]' group-of-3
+    * scheme: docs 3g and 3g+1 realise md5-derived envelope pattern
+    * p(g), the twin in a junk-chunk container layout and, for odd g,
+    * with pattern bit 63 flipped (the walk construction localises the
+    * flip to the last block) — fingerprint Hamming exactly g % 2, and
+    * EXACT sample equality exactly when g is even; doc 3g+2 realises an
+    * independent solo pattern (~32 bits from everything else, verified
+    * stray-free at sf0.001/0.01/0.1).
+    */
+  private[harness] def audioPhashFixtureBytes(k: Long): Array[Byte] = {
+    def pattern(seed: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(seed.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((acc, i) => acc | ((d(i) & 0xffL) << (8 * i)))
+    }
+    val g = k / 3
+    (k % 3).toInt match {
+      case 0 => audioWavFromPattern(pattern(s"au$g"), junk = false)
+      case 1 =>
+        val p = pattern(s"au$g") ^ ((g & 1L) << 63)
+        audioWavFromPattern(p, junk = true)
+      case _ => audioWavFromPattern(pattern(s"soloau$k"), junk = false)
+    }
+  }
+
   private[harness] def imageFixtureBytes(k: Long): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
     val w = (k % 317 + 1).toInt
@@ -785,6 +842,58 @@ object MiscQueries {
         col("hamming"))
   }
 
+  /** Content-level audio near-dup over the PCM fixtures: the planted
+    * container-crossing duplicates (same samples, junk-chunk layout)
+    * must surface at their arithmetically-controlled envelope Hamming
+    * distances through [[graft.operators.Dedup.audioPHashPairs]]'
+    * banded join.
+    */
+  def audioPHashQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false))))
+    val media = documents(s, d).select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(0)
+        Row(k, audioPhashFixtureBytes(k))
+      }
+    }(enc)
+    Dedup.audioPHashPairs(media)
+      .select(
+        col("l_doc").as("doc_a"),
+        col("r_doc").as("doc_b"),
+        col("hamming"))
+  }
+
+  /** Exact content-level audio dedup over the same PCM fixtures
+    * ([[graft.operators.Dedup.audioSampleHashes]]): pairs whose DECODED
+    * samples are identical — exactly the even-g planted twins, whose
+    * byte payloads DIFFER (junk-chunk layout), so byte-level equality
+    * would find nothing.
+    */
+  def audioExactQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false))))
+    val media = documents(s, d).select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(0)
+        Row(k, audioPhashFixtureBytes(k))
+      }
+    }(enc)
+    val h = Dedup.audioSampleHashes(media)
+    h.select(col("media_id").as("doc_a"), col("sample_hash"))
+      .join(
+        h.select(col("media_id").as("doc_b"), col("sample_hash")),
+        Seq("sample_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** Compact checksum twin of [[pics]], closing the one SF-dispatch golden
     * hole (q_pics at sf0.1 would be a ~300k-row VALUES literal — the r14
     * adjudication): per-variant tag count plus integer-µ sums of the
@@ -811,6 +920,8 @@ object MiscQueries {
     "q_image_phash" -> (imagePHashQ _),
     "q_image_phash128" -> (imagePHash128Q _),
     "q_audio_meta" -> (audioMetaQ _),
+    "q_audio_phash" -> (audioPHashQ _),
+    "q_audio_exact" -> (audioExactQ _),
     "q_funnel" -> (funnelQ _),
     "q_retention" -> (retentionQ _),
     "q_finemap" -> (finemap _),
@@ -912,6 +1023,23 @@ object MiscQueries {
         |    ELSE 62 + CASE WHEN tc = 1 THEN 0 ELSE 2 * tc END
         |    END AS INTEGER) AS n_bytes
         |FROM m""".stripMargin,
+    // Same planted arithmetic as q_image_phash over the PCM envelope
+    // fixtures (see audioPhashFixtureBytes): docs 3g/3g+1 are one
+    // recording in two container layouts, envelope Hamming g % 2.
+    "q_audio_phash" ->
+      """SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+        |       CAST(((d1.doc_id // 3) % 2) AS INTEGER) AS hamming
+        |FROM documents d1
+        |JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        |WHERE d1.doc_id % 3 = 0""".stripMargin,
+    // Decoded-sample equality holds exactly for the EVEN-g planted
+    // twins (odd g flips envelope bit 63 → the last block's amplitudes
+    // differ); byte equality holds for none (junk-chunk layout).
+    "q_audio_exact" ->
+      """SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
+        |FROM documents d1
+        |JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        |WHERE d1.doc_id % 3 = 0 AND (d1.doc_id // 3) % 2 = 0""".stripMargin,
     // Every field of the planted audio metadata is a pure function of
     // doc_id (see audioFixtureBytes) — the oracle recomputes the expected
     // WAV/FLAC/stub parses arithmetically.

@@ -280,27 +280,48 @@ object Dedup {
       idCol: String = "media_id",
       contentCol: String = "content",
       maxBucketSize: Int = DefaultMaxBucketSize
+  ): DataFrame =
+    banded64HammingPairs(
+      imageDHashes(media, idCol, contentCol), "dhash",
+      maxHamming, bands, idCol, maxBucketSize, "imagePHashPairs")
+
+  /** The shared exact banded 64-bit Hamming self-join behind
+    * [[imagePHashPairs]] and [[audioPHashPairs]]: Norouzi-style
+    * multi-index pigeonhole banding (two hashes within Hamming
+    * `maxHamming < bands` MUST agree exactly on one of `bands` equal
+    * slices) → (band, band_val) bucket equi-join with the hot-bucket
+    * cap + loud-drop discipline → codegen `bit_count(xor)`
+    * verification. Never all-pairs; no arrays on the shuffle.
+    */
+  private def banded64HammingPairs(
+      signatures: DataFrame,
+      hashCol: String,
+      maxHamming: Int,
+      bands: Int,
+      idCol: String,
+      maxBucketSize: Int,
+      what: String
   ): DataFrame = {
     require(maxHamming < bands,
       s"recall guarantee needs maxHamming < bands: $maxHamming / $bands")
     require(64 % bands == 0, s"bands must divide 64: $bands")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sh = persistOnce(imageDHashes(media, idCol, contentCol))
+    val sh = persistOnce(signatures)
     val banded = sh.select(
       col(idCol),
       posexplode(
         array((0 until bands).map(b =>
           // logical shift: the top band of a 64-bit hash must not smear
           // the sign bit the way an arithmetic shift would
-          shiftrightunsigned(col("dhash"), b * width)
+          shiftrightunsigned(col(hashCol), b * width)
             .bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "band_val")))
     val pairs = cappedBandPairs(
-      banded, idCol, Seq("band", "band_val"), maxBucketSize, "imagePHashPairs")
+      banded, idCol, Seq("band", "band_val"), maxBucketSize, what)
     pairs
-      .join(sh.select(col(idCol).as("l_doc"), col("dhash").as("_lh")), Seq("l_doc"))
-      .join(sh.select(col(idCol).as("r_doc"), col("dhash").as("_rh")), Seq("r_doc"))
+      .join(sh.select(col(idCol).as("l_doc"), col(hashCol).as("_lh")), Seq("l_doc"))
+      .join(sh.select(col(idCol).as("r_doc"), col(hashCol).as("_rh")), Seq("r_doc"))
       .withColumn("hamming", bit_count(col("_lh").bitwiseXOR(col("_rh"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("l_doc"), col("r_doc"), col("hamming"))
@@ -388,6 +409,84 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("l_doc"), col("r_doc"), col("hamming"))
   }
+
+  /** Per-recording 64-bit energy-envelope fingerprint table
+    * `(idCol, afp)` over an opaque-binary media frame
+    * ([[Multimodal.audioFingerprint64]]: PCM decode → mono mix → 65
+    * equal time blocks → energy gradient bits). Rows whose content is
+    * not decodable PCM (or is shorter than 65 frames) are SKIPPED, not
+    * hashed as garbage — the [[imageDHashes]] contract for audio.
+    */
+  def audioFingerprints(
+      media: DataFrame,
+      idCol: String = "media_id",
+      contentCol: String = "content"
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex(contentCol)
+    val outSchema = StructType(Seq(
+      media.schema(idCol),
+      StructField("afp", LongType, nullable = false)))
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Multimodal.audioFingerprint64(r.getAs[Array[Byte]](contentIdx))
+          .map(hv => Row(r.get(idIdx), hv))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Per-recording exact content-hash table `(idCol, sample_hash)`
+    * ([[Multimodal.audioContentHash64]]: FNV-1a 64 over rate, channels
+    * and every decoded sample): the exact-dedup complement of
+    * [[audioFingerprints]] — a hash-groupBy on `sample_hash` dedups
+    * decoded-identical recordings across container layouts with one
+    * map-side-combinable shuffle. Undecodable rows are skipped.
+    */
+  def audioSampleHashes(
+      media: DataFrame,
+      idCol: String = "media_id",
+      contentCol: String = "content"
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val idIdx = media.schema.fieldIndex(idCol)
+    val contentIdx = media.schema.fieldIndex(contentCol)
+    val outSchema = StructType(Seq(
+      media.schema(idCol),
+      StructField("sample_hash", LongType, nullable = false)))
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Multimodal.audioContentHash64(r.getAs[Array[Byte]](contentIdx))
+          .map(hv => Row(r.get(idIdx), hv))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** EXACT content-level audio near-duplicate join: all pairs whose
+    * energy-envelope fingerprints sit within Hamming `maxHamming`, via
+    * the same multi-index pigeonhole banding as [[imagePHashPairs]] —
+    * candidate generation is an equi-join on (band, band_val) buckets,
+    * NEVER all-pairs, hot buckets capped with logged drops,
+    * verification a codegen `bit_count(xor)`. Byte-level dedup cannot
+    * see one recording re-wrapped (chunk order, junk chunks, sample
+    * width); the fingerprint is computed from the DECODED samples, so
+    * those land at Hamming 0.
+    *
+    * @return `(l_doc, r_doc, hamming)` with l_doc < r_doc
+    */
+  def audioPHashPairs(
+      media: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      idCol: String = "media_id",
+      contentCol: String = "content",
+      maxBucketSize: Int = DefaultMaxBucketSize
+  ): DataFrame =
+    banded64HammingPairs(
+      audioFingerprints(media, idCol, contentCol), "afp",
+      maxHamming, bands, idCol, maxBucketSize, "audioPHashPairs")
 
   /** Shared guarded banded self-join: distinct (l_doc, r_doc) pairs of ids
     * co-bucketed on `keys`, with oversized buckets capped to their

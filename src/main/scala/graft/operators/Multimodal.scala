@@ -784,6 +784,143 @@ object Multimodal {
       }
     }
 
+  /** Decoded PCM samples from the one audio container decodable without a
+    * codec library — WAV (RIFF/WAVE, format tag 1, 8- or 16-bit PCM), the
+    * audio twin of [[grayPixels]]' BMP/PPM role (compressed codecs slot
+    * in at the same seam). Returns (sampleRate, channels, interleaved
+    * samples normalised to the signed 16-bit range: 8-bit unsigned
+    * storage decodes as `(v − 128) · 256`, so the same recording stored
+    * at either width decodes identically) or None for any other
+    * container, a non-PCM format tag, or a payload whose declared data
+    * chunk overruns the bytes actually present — content-hash operators
+    * SKIP such rows rather than hash garbage. Same bounded-advance Long
+    * chunk walk as the metadata parser: corrupt sizes end the walk, never
+    * throw.
+    */
+  def pcmSamples(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (!(b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+      b(11) == 'E')) return None
+    def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+    var i = 12
+    var fmtTag = -1
+    var rate = 0
+    var channels = 0
+    var bps = 0
+    var dataOff = -1
+    var dataBytes = -1L
+    while (i + 8 <= b.length && (fmtTag < 0 || dataOff < 0)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(i + 4).toLong & 0xffffffffL
+      if (id == "fmt " && i + 24 <= b.length) {
+        fmtTag = le16(i + 8)
+        channels = le16(i + 10)
+        rate = le32(i + 12)
+        bps = le16(i + 22)
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataBytes = size
+      }
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > b.length) b.length else next.toInt
+    }
+    if (fmtTag != 1 || rate <= 0 || channels <= 0 ||
+      (bps != 8 && bps != 16) || dataOff < 0 ||
+      dataOff.toLong + dataBytes > b.length) None
+    else {
+      val bytesPerSample = bps / 8
+      val frames = dataBytes / (channels.toLong * bytesPerSample)
+      val n = frames * channels
+      if (n > Int.MaxValue / 4) None // implausible for an in-row payload
+      else {
+        val out = new Array[Int](n.toInt)
+        var k = 0
+        var j = dataOff
+        if (bps == 16) {
+          while (k < out.length) {
+            out(k) = ((b(j) & 0xff) | (b(j + 1) << 8)).toShort.toInt
+            k += 1; j += 2
+          }
+        } else {
+          while (k < out.length) {
+            out(k) = ((b(j) & 0xff) - 128) * 256
+            k += 1; j += 1
+          }
+        }
+        Some((rate, channels, out))
+      }
+    }
+  }
+
+  /** 64-bit audio energy-envelope fingerprint (the audio dHash):
+    * [[pcmSamples]] → mono mix (integer mean across channels) → 65 equal
+    * time blocks (the [[lumaGrid]] boundary arithmetic in one dimension)
+    * → bit k set iff energy(block k) < energy(block k+1), energy = sum of
+    * squared samples in Long. Content-level: the same recording stored
+    * with different chunk layout, channel count or sample width
+    * fingerprints identically where byte-level dedup sees nothing.
+    * Deterministic integer arithmetic; None for undecodable payloads or
+    * recordings shorter than 65 frames.
+    */
+  def audioFingerprint64(b: Array[Byte]): Option[Long] =
+    pcmSamples(b).flatMap { case (_, channels, px) =>
+      val frames = px.length / channels
+      if (frames < 65) None
+      else Some {
+        val energy = new Array[Long](65)
+        var blk = 0
+        while (blk < 65) {
+          val f0 = blk.toLong * frames / 65
+          val f1 = (blk + 1).toLong * frames / 65
+          var e = 0L
+          var f = f0
+          while (f < f1) {
+            var ch = 0
+            var s = 0
+            while (ch < channels) { s += px(f.toInt * channels + ch); ch += 1 }
+            val mono = (s / channels).toLong
+            e += mono * mono
+            f += 1
+          }
+          energy(blk) = e
+          blk += 1
+        }
+        var bits = 0L
+        var k = 0
+        while (k < 64) {
+          if (energy(k) < energy(k + 1)) bits |= 1L << k
+          k += 1
+        }
+        bits
+      }
+    }
+
+  /** Exact content hash of the DECODED audio: FNV-1a 64 over the sample
+    * rate, channel count and every interleaved normalised sample from
+    * [[pcmSamples]]. Two WAVs of one recording hash identically whatever
+    * the container layout (chunk order, junk chunks, 8- vs 16-bit
+    * storage of the same levels) — the exact-dedup complement of
+    * [[audioFingerprint64]]'s near-dup envelope. None when undecodable.
+    */
+  def audioContentHash64(b: Array[Byte]): Option[Long] =
+    pcmSamples(b).map { case (rate, channels, px) =>
+      var h = 0xcbf29ce484222325L
+      def mix(v: Int): Unit = {
+        var i = 0
+        while (i < 4) {
+          h ^= (v >>> (8 * i)) & 0xff
+          h *= 0x100000001b3L
+          i += 1
+        }
+      }
+      mix(rate)
+      mix(channels)
+      var k = 0
+      while (k < px.length) { mix(px(k)); k += 1 }
+      h
+    }
+
   /** Audio-metadata row emitted by [[audioMeta]]. */
   val audioMetaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -357,6 +357,20 @@ class PlanSpec extends SparkSpec {
       s"candidate join must stay equi-keyed on the band buckets:\n$p")
   }
 
+  test("q_audio_phash candidate generation is a banded equi join; q_audio_exact joins on the content hash") {
+    // the audio envelope join shares the image banding machinery and its
+    // physical guarantee; the exact-dup join must be equi-keyed on the
+    // 64-bit sample hash
+    val p = plan(graft.harness.MiscQueries.audioPHashQ(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"all-pairs audio join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidate join must stay equi-keyed on the band buckets:\n$p")
+    val pe = plan(graft.harness.MiscQueries.audioExactQ(spark, sfDir))
+    assert(!pe.contains("CartesianProduct") &&
+      !pe.contains("BroadcastNestedLoopJoin"),
+      s"exact-dup join must stay equi-keyed on sample_hash:\n$pe")
+  }
+
   test("containment folded verification: expanded rows hit the container join with no exchange and no sort") {
     // the broadcast path of containmentJoin scopes
     // requireAllClusterKeysForCoPartition=false around this exact shape;

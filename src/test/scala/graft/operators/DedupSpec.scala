@@ -458,6 +458,81 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 40L && p._2 == 41L), "Hamming 4 must be out")
   }
 
+  test("audioPHashPairs finds exactly the brute-force Hamming pairs; sample-hash dedup sees through containers") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    // WAVs whose 65 constant-amplitude blocks REALISE a chosen 64-bit
+    // envelope pattern (walk: ±10 per bit) — so planted Hamming is exact
+    // bit arithmetic. For group g, doc 10g realises pattern p(g) and doc
+    // 10g+1 realises p(g) with g distinct bits flipped, in a junk-chunk
+    // container: Hamming exactly g; 0..3 in at maxHamming=3 (g=3 is the
+    // pigeonhole boundary at 4 bands), g=4 out. g=0's twin is also the
+    // exact-dup case: identical samples, different bytes.
+    def wavOf(pattern: Long, junk: Boolean): Array[Byte] = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      val amps = new Array[Int](65)
+      amps(0) = 1000
+      (0 until 64).foreach { k =>
+        amps(k + 1) =
+          if (((pattern >>> k) & 1L) == 1L) amps(k) + 10 else amps(k) - 10
+      }
+      val dataBytes = 65 * 2 * 2
+      val junkBytes = if (junk) 12 else 0
+      val bb = ByteBuffer.allocate(44 + junkBytes + dataBytes)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + junkBytes + dataBytes)
+        .put("WAVE".getBytes("US-ASCII"))
+      if (junk) bb.put("JUNK".getBytes("US-ASCII")).putInt(4).putInt(0)
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(16000)
+        .putInt(32000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      amps.foreach(a => { bb.putShort(a.toShort); bb.putShort(a.toShort) })
+      bb.array()
+    }
+    def pat(seed: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ap$seed".getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((acc, i) => acc | ((d(i) & 0xffL) << (8 * i)))
+    }
+    val recs: Seq[(Long, Array[Byte])] = (0 until 5).flatMap { g =>
+      val base = pat(g)
+      // flip g distinct bits spread across bands (bits 3, 19, 35, 51)
+      val twin = (0 until g).foldLeft(base)((p, j) => p ^ (1L << (3 + 16 * j)))
+      Seq((10L * g, wavOf(base, junk = false)), (10L * g + 1, wavOf(twin, junk = true)))
+    } :+ (999L, Array[Byte](1, 2, 3)) // undecodable row must be skipped
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false))))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(recs.map { case (i, b) => Row(i, b) }, 3),
+      enc.schema)
+
+    val got = Dedup.audioPHashPairs(media, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over the scalar kernel: every decodable pair, exact xor
+    val fps = recs.flatMap { case (i, b) =>
+      Multimodal.audioFingerprint64(b).map(i -> _)
+    }
+    val want = (for {
+      (a, ha) <- fps; (b, hb) <- fps if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got === want)
+    (0 to 3).foreach(g => assert(got.contains((10L * g, 10L * g + 1, g)), s"g=$g"))
+    assert(!got.exists(p => p._1 == 40L && p._2 == 41L), "Hamming 4 must be out")
+
+    // exact sample-hash dedup: the g=0 twins decode identically despite
+    // differing bytes; every other decodable pair differs
+    val hashes = Dedup.audioSampleHashes(media)
+      .as[(Long, Long)].collect().toMap
+    assert(hashes(0L) == hashes(1L), "container-crossing exact dup missed")
+    assert(!recs.exists { case (i, _) => i == 999L && hashes.contains(i) },
+      "undecodable row must be skipped")
+    assert(hashes(10L) != hashes(11L), "g=1 twins differ in the last block")
+  }
+
   test("incrementalNearDup pairs the new batch against the reference only") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -612,6 +612,85 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash64(grayBmp(asc)) === Some(-1L))
   }
 
+  /** Minimal WAV builder for the PCM-decode tests: 16-bit LE or 8-bit
+    * unsigned storage, optional JUNK chunk before fmt, optional declared
+    * data size override for truncation cases.
+    */
+  private def wav(
+      samples: Array[Int], channels: Int, bps: Int = 16,
+      junk: Boolean = false, fmtTag: Int = 1,
+      declaredDataBytes: Int = -1): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bytesPer = bps / 8
+    val dataBytes = samples.length * bytesPer
+    val declared = if (declaredDataBytes >= 0) declaredDataBytes else dataBytes
+    val junkBytes = if (junk) 12 else 0
+    val bb = ByteBuffer.allocate(44 + junkBytes + dataBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + junkBytes + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    if (junk) bb.put("JUNK".getBytes("US-ASCII")).putInt(4).putInt(0)
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(fmtTag.toShort).putShort(channels.toShort).putInt(16000)
+      .putInt(16000 * channels * bytesPer)
+      .putShort((channels * bytesPer).toShort).putShort(bps.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(declared)
+    if (bps == 16) samples.foreach(s => bb.putShort(s.toShort))
+    else samples.foreach(s => bb.put((s / 256 + 128).toByte))
+    bb.array()
+  }
+
+  test("pcmSamples: 16-bit/8-bit decode, stereo interleave, junk chunks; corrupt input skipped") {
+    def dec(b: Array[Byte]): Option[(Int, Int, Seq[Int])] =
+      Multimodal.pcmSamples(b).map { case (r, c, a) => (r, c, a.toSeq) }
+    val mono = Array(0, 100, -100, 32767, -32768, 7)
+    assert(dec(wav(mono, 1)) === Some((16000, 1, mono.toSeq)))
+    // container layout must not matter
+    assert(dec(wav(mono, 1, junk = true)) === Some((16000, 1, mono.toSeq)))
+    // stereo keeps the interleaved stream and the channel count
+    val stereo = Array(10, -10, 200, 400, -300, 100)
+    assert(dec(wav(stereo, 2)) === Some((16000, 2, stereo.toSeq)))
+    // 8-bit unsigned storage of the same levels decodes identically
+    val levels = Array(0, 256, -256, 2560, -32768, 32512)
+    assert(dec(wav(levels, 1, bps = 8)) === Some((16000, 1, levels.toSeq)))
+    // non-PCM format tag, truncated data chunk, other containers: None
+    assert(Multimodal.pcmSamples(wav(mono, 1, fmtTag = 3)).isEmpty)
+    assert(Multimodal.pcmSamples(
+      wav(mono, 1, declaredDataBytes = mono.length * 2 + 64)).isEmpty)
+    assert(Multimodal.pcmSamples(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.pcmSamples(
+      "fLaC".getBytes("US-ASCII") ++ new Array[Byte](60)).isEmpty)
+  }
+
+  test("audioFingerprint64 matches a first-principles envelope; content hash equates decoded-identical containers") {
+    // 130 mono frames → every envelope block is 2 frames; recompute the
+    // energies here from scratch with the same boundary arithmetic
+    val px = Array.tabulate(130)(i => ((i * 37 + 11) % 251) - 125)
+    val energy = Array.tabulate(65) { blk =>
+      val f0 = blk * 130 / 65
+      val f1 = (blk + 1) * 130 / 65
+      (f0 until f1).map(f => px(f).toLong * px(f)).sum
+    }
+    var want = 0L
+    (0 until 64).foreach(k => if (energy(k) < energy(k + 1)) want |= 1L << k)
+    assert(Multimodal.audioFingerprint64(wav(px, 1)) === Some(want))
+    // a stereo stream whose mono mix equals px fingerprints identically
+    val st = px.flatMap(v => Array(v + 1, v - 1))
+    assert(Multimodal.audioFingerprint64(wav(st, 2)) === Some(want))
+    // under 65 frames: no envelope
+    assert(Multimodal.audioFingerprint64(wav(px.take(64), 1)).isEmpty)
+    // exact content hash: container layout invariant, 8-bit storage of
+    // the same levels invariant, any sample change variant
+    val lv = Array(0, 256, -256, 2560, -32768, 32512)
+    val h = Multimodal.audioContentHash64(wav(lv, 1))
+    assert(h.isDefined)
+    assert(Multimodal.audioContentHash64(wav(lv, 1, junk = true)) === h)
+    assert(Multimodal.audioContentHash64(wav(lv, 1, bps = 8)) === h)
+    val lv2 = lv.clone(); lv2(3) += 256
+    assert(Multimodal.audioContentHash64(wav(lv2, 1)) !== h)
+    assert(Multimodal.audioContentHash64(Array[Byte](9, 9)).isEmpty)
+  }
+
   test("resize emits fixed-size payloads with updated dimension columns") {
     import spark.implicits._
     val resized = Multimodal.resize(Multimodal.decode(media), width = 8, height = 4)
