@@ -491,6 +491,68 @@ object MiscQueries {
     }
   }
 
+  /** Deterministic planted video container, a pure function of doc_id:
+    * doc_id % 4 selects a version-0 MP4 (u32 mvhd duration), a version-1
+    * MP4 (u64 mvhd duration, v1 tkhd), a raw blob (stub path), or a
+    * version-0 MP4 with `free` boxes planted at two levels (top level
+    * and inside moov) to exercise the walk's skipping. Brand, movie
+    * timescale, duration (always a whole (doc_id%50+1) seconds so the
+    * ms conversion is exact for every timescale), 16.16 presentation
+    * dims and the stsd codec fourcc are all doc_id arithmetic the
+    * oracle recomputes.
+    */
+  private[harness] def videoFixtureBytes(k: Long): Array[Byte] = {
+    import java.nio.ByteBuffer
+    val f = (k % 4).toInt
+    if (f == 2) return Array.fill((k % 50 + 1).toInt)('v'.toByte)
+    val v1 = f == 1
+    val brand = Seq("isom", "mp42", "avc1")((k % 3).toInt)
+    val ts = Seq(1000L, 600L, 90000L, 48000L, 25L)((k % 5).toInt)
+    val dur = ts * (k % 50 + 1)
+    val w = (k % 1920 + 16).toInt
+    val h = (k % 1080 + 16).toInt
+    val codec =
+      Seq("avc1", "hvc1", "vp09", "av01", "mp4v", "vp08", "hev1")((k % 7).toInt)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val mvhd = {
+      val bb = ByteBuffer.allocate(if (v1) 112 else 100)
+      bb.put((if (v1) 1 else 0).toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      if (v1) bb.putLong(0L).putLong(0L).putInt(ts.toInt).putLong(dur)
+      else bb.putInt(0).putInt(0).putInt(ts.toInt).putInt(dur.toInt)
+      bb.putInt(0x00010000).putShort(0x0100.toShort)
+      bb.array() // reserved/matrix/predefined/next-track stay zero
+    }
+    val tkhd = {
+      val bb = ByteBuffer.allocate(if (v1) 96 else 84)
+      bb.put((if (v1) 1 else 0).toByte).put(0.toByte).put(0.toByte).put(7.toByte)
+      if (v1) bb.putLong(0L).putLong(0L).putInt(1).putInt(0).putLong(dur)
+      else bb.putInt(0).putInt(0).putInt(1).putInt(0).putInt(dur.toInt)
+      bb.position(bb.position() + 8 + 2 + 2 + 2 + 2 + 36)
+      bb.putInt(w << 16).putInt(h << 16)
+      bb.array()
+    }
+    val stsdEntry = {
+      val bb = ByteBuffer.allocate(16)
+      bb.putInt(16).put(codec.getBytes("US-ASCII"))
+      bb.array()
+    }
+    val stsd = box("stsd", {
+      val hd = ByteBuffer.allocate(8); hd.putInt(0).putInt(1)
+      hd.array() ++ stsdEntry
+    })
+    val mdia = box("mdia", box("minf", box("stbl", stsd)))
+    val trak = box("trak", box("tkhd", tkhd) ++ mdia)
+    val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0))
+    if (f == 3) {
+      val free = box("free", Array[Byte](0, 0, 0, 0))
+      ftyp ++ free ++ box("moov", free ++ box("mvhd", mvhd) ++ trak)
+    } else ftyp ++ box("moov", box("mvhd", mvhd) ++ trak)
+  }
+
   private[harness] def imageFixtureBytes(k: Long): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
     val w = (k % 317 + 1).toInt
@@ -894,6 +956,29 @@ object MiscQueries {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  /** Video-container metadata over planted MP4/raw payloads
+    * ([[graft.operators.Multimodal.videoMeta]]): format detection plus
+    * brand / timescale / duration / dims / codec from the pure ISO-BMFF
+    * box walk (ftyp brand, v0/v1 mvhd, v0/v1 tkhd 16.16 dims, stsd
+    * first-entry fourcc, free-box skipping at two levels). The oracle
+    * recomputes every field arithmetically from doc_id.
+    */
+  def videoMetaQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false))))
+    val media = documents(s, d).select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(0)
+        Row(k, "video/planted", videoFixtureBytes(k))
+      }
+    }(enc)
+    Multimodal.videoMeta(media)
+  }
+
   /** Compact checksum twin of [[pics]], closing the one SF-dispatch golden
     * hole (q_pics at sf0.1 would be a ~300k-row VALUES literal — the r14
     * adjudication): per-variant tag count plus integer-µ sums of the
@@ -922,6 +1007,7 @@ object MiscQueries {
     "q_audio_meta" -> (audioMetaQ _),
     "q_audio_phash" -> (audioPHashQ _),
     "q_audio_exact" -> (audioExactQ _),
+    "q_video_meta" -> (videoMetaQ _),
     "q_funnel" -> (funnelQ _),
     "q_retention" -> (retentionQ _),
     "q_finemap" -> (finemap _),
@@ -1072,6 +1158,29 @@ object MiscQueries {
         |      ELSE 64 + (doc_id % 7) * 3 END
         |    WHEN 4 THEN 86
         |    ELSE n END AS INTEGER) AS n_bytes
+        |FROM m""".stripMargin,
+    // Every field of the planted video metadata is a pure function of
+    // doc_id (see videoFixtureBytes) — the oracle recomputes the expected
+    // MP4 box-walk results (brand, timescale, whole-second duration,
+    // 16.16 dims, stsd fourcc, per-branch byte size) arithmetically.
+    "q_video_meta" ->
+      """WITH m AS (SELECT doc_id, doc_id % 4 AS f, doc_id % 50 + 1 AS n
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN f = 2 THEN 'stub' ELSE 'mp4' END AS format,
+        |  CASE WHEN f = 2 THEN '' ELSE CASE doc_id % 3 WHEN 0 THEN 'isom'
+        |    WHEN 1 THEN 'mp42' ELSE 'avc1' END END AS brand,
+        |  CAST(CASE WHEN f = 2 THEN 0 ELSE CASE doc_id % 5 WHEN 0 THEN 1000
+        |    WHEN 1 THEN 600 WHEN 2 THEN 90000 WHEN 3 THEN 48000
+        |    ELSE 25 END END AS BIGINT) AS timescale,
+        |  CAST(CASE WHEN f = 2 THEN 0 ELSE n * 1000 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN f = 2 THEN 0 ELSE doc_id % 1920 + 16 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN f = 2 THEN 0 ELSE doc_id % 1080 + 16 END AS INTEGER) AS height,
+        |  CASE WHEN f = 2 THEN '' ELSE CASE doc_id % 7 WHEN 0 THEN 'avc1'
+        |    WHEN 1 THEN 'hvc1' WHEN 2 THEN 'vp09' WHEN 3 THEN 'av01'
+        |    WHEN 4 THEN 'mp4v' WHEN 5 THEN 'vp08' ELSE 'hev1' END END AS codec,
+        |  CAST(CASE f WHEN 0 THEN 288 WHEN 1 THEN 312 WHEN 2 THEN n
+        |    ELSE 312 END AS INTEGER) AS n_bytes
         |FROM m""".stripMargin,
     // q_pics needs the normal survival function, unavailable in DuckDB; the
     // oracle is the pinned deterministic output (scipy-verified in

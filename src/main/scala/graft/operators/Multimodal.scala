@@ -516,6 +516,113 @@ object Multimodal {
         .orElse(parseOgg(content).map { case (r, c, f) => ("ogg", r, c, f) })
         .getOrElse(("stub", 16000, 1, content.length.toLong / 2))
 
+    /** MP4/ISO-BMFF container metadata from a pure box walk — the video
+      * twin of the image/audio marker walks; no bitstream decode, so it
+      * runs at scan speed on arbitrarily large payloads. Walks top-level
+      * boxes for `ftyp` (major brand) and `moov`, then moov → `mvhd`
+      * (version 0: u32 timescale/duration; version 1: u32 timescale,
+      * u64 duration), moov → `trak` → `tkhd` (16.16 fixed width/height
+      * at version-dependent offsets; the first trak with nonzero
+      * presentation size wins — audio traks carry 0×0) and trak →
+      * `mdia` → `minf` → `stbl` → `stsd` (first sample-entry fourcc =
+      * codec). Box sizes are read as unsigned into Long (size 1 → u64
+      * largesize at +8, size 0 → to end of enclosing range); any size
+      * that is non-sensical (< 8, or past the enclosing range) ends
+      * that level's walk — a corrupt shard degrades to None / partial
+      * fields, never throws. Returns
+      * (brand, timescale, durationMs, width, height, codec); None
+      * unless both ftyp and mvhd parse.
+      */
+    def parseMp4(b: Array[Byte]): Option[(String, Long, Long, Int, Int, String)] = {
+      def u32(off: Int): Long =
+        ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+          ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+      def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+      def u16(off: Int): Int = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+      def fourcc(off: Int): String = new String(b, off, 4, "US-ASCII")
+      /** Children of [start, end): (type, payloadStart, payloadEnd). */
+      def boxes(start: Long, end: Long): Seq[(String, Long, Long)] = {
+        val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+        var i = start
+        var ok = true
+        while (ok && i + 8 <= end) {
+          val size0 = u32(i.toInt)
+          val tpe = fourcc(i.toInt + 4)
+          val (boxEnd, payloadStart) =
+            if (size0 == 0L) (end, i + 8) // box extends to the range end
+            else if (size0 == 1L) {
+              if (i + 16 > end) (end + 1, i + 16) // truncated largesize
+              else (i + u64(i.toInt + 8), i + 16)
+            } else (i + size0, i + 8)
+          if (size0 != 0L && size0 != 1L && size0 < 8L) ok = false // desync
+          else if (boxEnd > end || payloadStart > boxEnd) ok = false // overrun
+          else {
+            out += ((tpe, payloadStart, boxEnd))
+            i = boxEnd
+          }
+        }
+        out.toSeq
+      }
+      if (b.length < 16) return None
+      // sniff: the first box must be a known top-level type (ftyp
+      // canonically first) — cheap rejection of non-ISO-BMFF payloads
+      if (fourcc(4) != "ftyp") return None
+      val top = boxes(0L, b.length.toLong)
+      val brand = top.collectFirst {
+        case ("ftyp", s, e) if s + 4 <= e => fourcc(s.toInt)
+      }
+      val moov = top.collectFirst { case ("moov", s, e) => (s, e) }
+      val mvhd = moov.flatMap { case (s, e) =>
+        boxes(s, e).collectFirst {
+          case ("mvhd", ms, me) if ms + 4 <= me =>
+            val v = b(ms.toInt) & 0xff
+            if (v == 1 && ms + 4 + 28 <= me)
+              (u32(ms.toInt + 4 + 16), u64(ms.toInt + 4 + 20))
+            else if (v == 0 && ms + 4 + 16 <= me)
+              (u32(ms.toInt + 4 + 8), u32(ms.toInt + 4 + 12))
+            else (0L, 0L)
+        }
+      }
+      if (brand.isEmpty || mvhd.isEmpty) return None
+      val traks = moov.toSeq.flatMap { case (s, e) =>
+        boxes(s, e).collect { case ("trak", ts, te) => (ts, te) }
+      }
+      // first trak with a nonzero 16.16 presentation size (video)
+      val dims = traks.iterator.flatMap { case (ts, te) =>
+        boxes(ts, te).collectFirst {
+          case ("tkhd", hs, he) if hs + 4 <= he =>
+            val v = b(hs.toInt) & 0xff
+            val wOff = if (v == 1) hs + 4 + 84 else hs + 4 + 72
+            if (wOff + 8 <= he) (u16(wOff.toInt), u16(wOff.toInt + 4))
+            else (0, 0)
+        }.filter { case (w, h) => w > 0 && h > 0 }
+      }.toSeq.headOption.getOrElse((0, 0))
+      val codec = traks.iterator.flatMap { case (ts, te) =>
+        for {
+          (ms, me) <- boxes(ts, te).collectFirst { case ("mdia", x, y) => (x, y) }
+          (ns, ne) <- boxes(ms, me).collectFirst { case ("minf", x, y) => (x, y) }
+          (ss, se) <- boxes(ns, ne).collectFirst { case ("stbl", x, y) => (x, y) }
+          (ds, de) <- boxes(ss, se).collectFirst { case ("stsd", x, y) => (x, y) }
+          // stsd payload: ver/flags(4) + entry_count(4) + first entry
+          // (size(4) + fourcc(4) + …)
+          if ds + 16 <= de
+        } yield fourcc(ds.toInt + 12)
+      }.toSeq.headOption.getOrElse("")
+      val (timescale, duration) = mvhd.get
+      val durationMs =
+        if (timescale > 0) duration * 1000L / timescale else 0L
+      Some((brand.get, timescale, durationMs, dims._1, dims._2, codec))
+    }
+
+    /** Video metadata plus the detected container:
+      * (format, brand, timescale, durationMs, width, height, codec).
+      */
+    def videoMetaInfo(content: Array[Byte])
+        : (String, String, Long, Long, Int, Int, String) =
+      parseMp4(content)
+        .map { case (br, ts, ms, w, h, c) => ("mp4", br, ts, ms, w, h, c) }
+        .getOrElse(("stub", "", 0L, 0L, 0, 0, ""))
+
     /** Deterministic fake embedding: a rolling byte checksum folded into
       * `dims` buckets — stands in for a vision encoder's output shape.
       */
@@ -946,6 +1053,40 @@ object Multimodal {
         val content = r.getAs[Array[Byte]](contentIdx)
         val (fmt, rate, ch, frames) = StubDecoder.audioMetaInfo(content)
         Row(r.getLong(idIdx), fmt, rate, ch, frames, content.length)
+      }
+    }(enc)
+  }
+
+  /** Video-metadata row emitted by [[videoMeta]]. */
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("brand", StringType, nullable = false),
+    StructField("timescale", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("codec", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false)
+  ))
+
+  /** Container-level video metadata (major brand, movie timescale /
+    * duration, presentation dimensions, first sample-entry codec fourcc)
+    * from a pure MP4/ISO-BMFF box walk — the third modality of the
+    * [[imageMeta]] / [[audioMeta]] family, same per-partition batched
+    * shape, no bitstream decode, adversarial-input hardened (see
+    * [[StubDecoder.parseMp4]]).
+    */
+  def videoMeta(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(videoMetaSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val content = r.getAs[Array[Byte]](contentIdx)
+        val (fmt, brand, ts, ms, w, h, codec) =
+          StubDecoder.videoMetaInfo(content)
+        Row(r.getLong(idIdx), fmt, brand, ts, ms, w, h, codec, content.length)
       }
     }(enc)
   }

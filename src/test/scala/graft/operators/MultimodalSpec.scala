@@ -691,6 +691,125 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioContentHash64(Array[Byte](9, 9)).isEmpty)
   }
 
+  /** Minimal ISO-BMFF builder for the box-walk tests. */
+  private def mp4Box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+    bb.array()
+  }
+
+  private def mp4Fixture(
+      v1: Boolean, brand: String = "isom", ts: Long = 1000L,
+      dur: Long = 5000L, w: Int = 640, h: Int = 360,
+      codec: String = "avc1"): Array[Byte] = {
+    import java.nio.ByteBuffer
+    val mvhd = {
+      val bb = ByteBuffer.allocate(if (v1) 112 else 100)
+      bb.put((if (v1) 1 else 0).toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      if (v1) bb.putLong(0L).putLong(0L).putInt(ts.toInt).putLong(dur)
+      else bb.putInt(0).putInt(0).putInt(ts.toInt).putInt(dur.toInt)
+      bb.array()
+    }
+    val tkhd = {
+      val bb = ByteBuffer.allocate(if (v1) 96 else 84)
+      bb.put((if (v1) 1 else 0).toByte).put(0.toByte).put(0.toByte).put(7.toByte)
+      bb.position(if (v1) 4 + 84 else 4 + 72)
+      bb.putInt(w << 16).putInt(h << 16)
+      bb.array()
+    }
+    val stsd = mp4Box("stsd", {
+      val hd = ByteBuffer.allocate(8); hd.putInt(0).putInt(1)
+      hd.array() ++ { val e = ByteBuffer.allocate(16)
+        e.putInt(16).put(codec.getBytes("US-ASCII")); e.array() }
+    })
+    val mdia = mp4Box("mdia", mp4Box("minf", mp4Box("stbl", stsd)))
+    val trak = mp4Box("trak", mp4Box("tkhd", tkhd) ++ mdia)
+    mp4Box("ftyp", brand.getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0)) ++
+      mp4Box("moov", mp4Box("mvhd", mvhd) ++ trak)
+  }
+
+  test("parseMp4 walks ftyp/mvhd/tkhd/stsd in both versions; free boxes and audio traks skipped") {
+    import Multimodal.StubDecoder._
+    assert(parseMp4(mp4Fixture(v1 = false)) ===
+      Some(("isom", 1000L, 5000L, 640, 360, "avc1")))
+    assert(parseMp4(mp4Fixture(v1 = true, brand = "mp42", ts = 90000L,
+      dur = 90000L * 7, w = 1920, h = 1080, codec = "hvc1")) ===
+      Some(("mp42", 90000L, 7000L, 1920, 1080, "hvc1")))
+    // non-integer ms truncate deterministically (600 units at ts=1000 → 600 ms)
+    assert(parseMp4(mp4Fixture(v1 = false, dur = 601L)).get._3 === 601L)
+    // free boxes at two levels must be walked over, and a 0×0 (audio)
+    // trak before the video trak must not claim the dimensions
+    val base = mp4Fixture(v1 = false)
+    val ftypLen = 16
+    val free = mp4Box("free", Array[Byte](0, 0, 0, 0))
+    val audioTrak = mp4Box("trak", mp4Box("tkhd", {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.put(0.toByte).put(0.toByte).put(0.toByte).put(7.toByte)
+      bb.array() // width/height stay 0
+    }))
+    val moovPayload = base.drop(ftypLen + 8)
+    val rebuilt = base.take(ftypLen) ++ free ++
+      mp4Box("moov", free ++ audioTrak ++ moovPayload)
+    assert(parseMp4(rebuilt) === Some(("isom", 1000L, 5000L, 640, 360, "avc1")))
+  }
+
+  test("parseMp4 survives truncation, desync and largesize abuse (never throws)") {
+    import Multimodal.StubDecoder._
+    val good = mp4Fixture(v1 = false)
+    // every truncation point parses or degrades to None — no exceptions
+    (0 until good.length).foreach { n =>
+      parseMp4(good.take(n)) // must not throw
+    }
+    assert(parseMp4(good.take(20)).isEmpty) // ftyp alone: no mvhd
+    // size < 8 (desync) ends the walk before moov → None
+    val desync = good.clone()
+    val moovOff = 16
+    desync(moovOff) = 0; desync(moovOff + 1) = 0
+    desync(moovOff + 2) = 0; desync(moovOff + 3) = 2 // moov box size := 2
+    assert(parseMp4(desync).isEmpty)
+    // size pointing past the buffer → the level's walk ends, None
+    val overrun = good.clone()
+    overrun(moovOff) = 0x7f.toByte
+    assert(parseMp4(overrun).isEmpty)
+    // largesize (size==1) honoured: rewrap moov with a 16-byte header
+    val moovPayload = good.drop(moovOff + 8)
+    val bb = java.nio.ByteBuffer.allocate(16 + moovPayload.length)
+    bb.putInt(1).put("moov".getBytes("US-ASCII"))
+      .putLong(16L + moovPayload.length).put(moovPayload)
+    assert(parseMp4(good.take(moovOff) ++ bb.array()) ===
+      Some(("isom", 1000L, 5000L, 640, 360, "avc1")))
+    // largesize smaller than its own header → None, not a loop/throw
+    val badLarge = java.nio.ByteBuffer.allocate(16)
+    badLarge.putInt(1).put("moov".getBytes("US-ASCII")).putLong(4L)
+    assert(parseMp4(good.take(moovOff) ++ badLarge.array()).isEmpty)
+    // non-BMFF payloads
+    assert(parseMp4(Array[Byte](1, 2, 3)).isEmpty)
+    assert(parseMp4("RIFF....WAVE".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("videoMeta end-to-end over mixed planted containers") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "video", mp4Fixture(v1 = false)),
+        Row(2L, "video", mp4Fixture(v1 = true, codec = "av01")),
+        Row(3L, "blob", Array[Byte](9, 9, 9))),
+      schema)
+    val got = Multimodal.videoMeta(df)
+      .select("media_id", "format", "brand", "duration_ms", "width", "codec")
+      .as[(Long, String, String, Long, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "mp4", "isom", 5000L, 640, "avc1")))
+    assert(got(2L) === ((2L, "mp4", "isom", 5000L, 640, "av01")))
+    assert(got(3L) === ((3L, "stub", "", 0L, 0, "")))
+  }
+
   test("resize emits fixed-size payloads with updated dimension columns") {
     import spark.implicits._
     val resized = Multimodal.resize(Multimodal.decode(media), width = 8, height = 4)
