@@ -949,9 +949,10 @@ object Dedup {
     * session keeps its default co-partitioning semantics at every
     * instant (pinned by ConcurrencySpec). The caller's modifiable SQL
     * confs are copied onto the clone first, so plan-shape settings
-    * (AQE, codegen, shuffle width) carry over; the persisted per-pair
-    * count table is re-bound to the caller's session through the shared
-    * cache before returning.
+    * (AQE, codegen, shuffle width) carry over; the per-pair count table
+    * is ONE logical plan bound to both sessions (plan-identity cache
+    * sharing), registered + materialised on the clone and read by the
+    * caller-bound result.
     *
     * Cache lifecycle: the corpus-sized postings and candidate caches are
     * unpersisted before this returns — both physical shapes eagerly
@@ -1097,12 +1098,16 @@ object Dedup {
       // SESSION-scoped, so the count materialisation is planned on a
       // cloned newSession() — isolated SQLConf, shared SparkContext /
       // cache manager — and the caller's session conf is never touched
-      // (see the scaladoc concurrency note). The clone sees the caller's
-      // persisted postings/candidates through GLOBAL temp views (session
-      // temp views are per-session; the cache manager substitutes the
-      // persisted relations when the view plans resolve), and the
-      // materialised count table is re-bound to the caller's session the
-      // same way before returning.
+      // (see the scaladoc concurrency note). ONE logical plan, two
+      // session bindings: the iso-bound twin (GraftSqlBridge.ofRows over
+      // the SAME analyzed-plan object) registers and materialises the
+      // cache, compiling its physical plan under the clone's relaxed
+      // conf; the returned caller-bound frame reads that plan object
+      // directly, so the downstream cache substitution is a guaranteed
+      // plan-identity hit. (A view-based re-bind missed the match and
+      // silently recomputed the folded join — measured 2.5× solo at
+      // sf0.1 and 5.8× at the 100× probe — hence plan identity, not
+      // name-based round-tripping.)
       val session = docs.sparkSession
       val iso = session.newSession()
       // carry the caller's plan-shape settings (AQE, codegen, shuffle
@@ -1113,29 +1118,12 @@ object Dedup {
           try iso.conf.set(k, v) catch { case _: Exception => () }
       }
       iso.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      val gdb = session.conf
-        .getOption("spark.sql.globalTempDatabase").getOrElse("global_temp")
-      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
-      val toksView = s"graft_cj_toks_$tag"
-      val candView = s"graft_cj_cands_$tag"
-      val cntView = s"graft_cj_counts_$tag"
-      try {
-        toks.createOrReplaceGlobalTempView(toksView)
-        candidates.createOrReplaceGlobalTempView(candView)
-        val counts = persistOnce(
-          containmentIntersectionFolded(
-            iso.table(s"$gdb.$toksView"), iso.table(s"$gdb.$candView"), parts),
-          org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        counts.count() // materialised under the clone's relaxed planner conf
-        counts.createOrReplaceGlobalTempView(cntView)
-        // analysis is eager, so the returned Dataset keeps the resolved
-        // plan (and its cache hit) after the views are dropped below
-        session.table(s"$gdb.$cntView")
-      } finally {
-        session.catalog.dropGlobalTempView(toksView)
-        session.catalog.dropGlobalTempView(candView)
-        session.catalog.dropGlobalTempView(cntView)
-      }
+      val counts = containmentIntersectionFolded(toks, candidates, parts)
+      val isoCounts = org.apache.spark.sql.GraftSqlBridge
+        .ofRows(iso, counts.queryExecution.analyzed)
+      persistOnce(isoCounts, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        .count() // materialised under the clone's relaxed planner conf
+      counts
     } else {
       val counts = persistOnce(
         candidates
