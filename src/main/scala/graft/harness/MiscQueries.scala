@@ -380,12 +380,92 @@ object MiscQueries {
     out
   }
 
+  /** Real non-interlaced 8-bit PNG of a gray plane: value replicated
+    * across the color channels (alpha 255), so decoded luma equals the
+    * input exactly for every color type (the BT.601 weights sum to 1000).
+    * Row r carries filter type r % 5 (applied forward per RFC 2083), so a
+    * multi-row fixture exercises ALL FIVE defilter paths of
+    * [[graft.operators.Multimodal.grayPixels]] inside the oracle-checked
+    * query, not just in unit tests. Chunks carry real CRC32s; the zlib
+    * stream is split across two IDAT chunks to exercise chunk
+    * reassembly.
+    */
+  private def phashPng(px: Array[Array[Int]], colorType: Int): Array[Byte] = {
+    val h = px.length
+    val w = px(0).length
+    val ch = colorType match { case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4 }
+    val stride = w * ch
+    // reconstructed scanlines (no filter bytes yet)
+    val recon = Array.tabulate(h, stride) { (r, i) =>
+      val c = i / ch
+      val k = i % ch
+      val isAlpha = (colorType == 4 && k == 1) || (colorType == 6 && k == 3)
+      if (isAlpha) 255 else px(r)(c)
+    }
+    val raw = new Array[Byte](h * (1 + stride))
+    var r = 0
+    while (r < h) {
+      val ft = r % 5
+      raw(r * (1 + stride)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val x = recon(r)(i)
+        val a = if (i >= ch) recon(r)(i - ch) else 0
+        val u = if (r > 0) recon(r - 1)(i) else 0
+        val c0 = if (r > 0 && i >= ch) recon(r - 1)(i - ch) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => u
+          case 3 => (a + u) / 2
+          case _ =>
+            val p = a + u - c0
+            val pa = math.abs(p - a); val pb = math.abs(p - u)
+            val pc = math.abs(p - c0)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c0
+        }
+        raw(r * (1 + stride) + 1 + i) = ((x - pred) & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = d.deflate(buf)
+      d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = {
+      val bb = java.nio.ByteBuffer.allocate(13)
+      bb.putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      bb.array()
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val split = deflated.length / 2
+    sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", deflated.take(split)) ++
+      chunk("IDAT", deflated.drop(split)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
   /** Pixel-level image fixture for the perceptual-hash join, 9×8 gray
     * (the dHash grid size, so the area-mean downsample is the identity
     * and every planted bit is arithmetically controlled). Groups of 3:
     *   - doc 3g   → the group's base pattern as a BMP;
-    *   - doc 3g+1 → the SAME pixels as a PPM — a format-crossing
-    *     duplicate byte-level dedup cannot see (dHash Hamming 0) — and
+    *   - doc 3g+1 → the SAME pixels as a PPM (g%4 in {0,1}) or a real
+    *     PNG (g%4 in {2,3}; [[phashPng]]) — a format-crossing duplicate
+    *     byte-level dedup cannot see (dHash Hamming 0) — and
     *     for odd g the last pixel of row 0 is adjusted to flip exactly
     *     dHash bit (0,7) (the only comparison that pixel feeds), making
     *     the pair's Hamming exactly g % 2;
@@ -403,9 +483,16 @@ object MiscQueries {
         val px = base.map(_.clone())
         if (g % 2 == 1)
           px(0)(8) = if (px(0)(7) < px(0)(8)) 0 else 255
-        phashPpm(px)
+        // the twin container cycles PPM / PNG with g (PNG color type
+        // cycling gray / RGB / gray+alpha / RGBA) — the pixels are
+        // identical either way, so the oracle's doc-id arithmetic is
+        // untouched while the oracle-checked pairs now cross BMP↔PNG
+        // (with all five defilter types in play via phashPng's r%5 rows)
+        if (g % 4 < 2) phashPpm(px)
+        else phashPng(px, Seq(0, 2, 4, 6)(((g / 4) % 4).toInt))
       case _ =>
-        phashBmp(Array.tabulate(8, 9)((r, c) => phashLuma(s"solo$k", r, c)))
+        val solo = Array.tabulate(8, 9)((r, c) => phashLuma(s"solo$k", r, c))
+        if (g % 3 == 0) phashPng(solo, 2) else phashBmp(solo)
     }
   }
 
@@ -428,9 +515,13 @@ object MiscQueries {
         val px = base.map(_.clone())
         if (g % 2 == 1)
           px(0)(16) = if (px(0)(15) < px(0)(16)) 0 else 255
-        phashPpm(px)
+        // same PPM/PNG container cycling as phashFixtureBytes — pixels
+        // unchanged, so the planted pair arithmetic is container-blind
+        if (g % 4 < 2) phashPpm(px)
+        else phashPng(px, Seq(0, 2, 4, 6)(((g / 4) % 4).toInt))
       case _ =>
-        phashBmp(Array.tabulate(8, 17)((r, c) => phashLuma(s"solo128$k", r, c)))
+        val solo = Array.tabulate(8, 17)((r, c) => phashLuma(s"solo128$k", r, c))
+        if (g % 3 == 0) phashPng(solo, 2) else phashBmp(solo)
     }
   }
 

@@ -685,16 +685,18 @@ object Multimodal {
     }(enc)
   }
 
-  /** Row-major top-down 8-bit grayscale decode of the two genuinely
-    * uncompressed image containers — 24-bit BMP (BITMAPINFOHEADER,
-    * bottom-up rows unless biHeight < 0, each row padded to a 4-byte
-    * boundary, BGR byte order, pixel-array offset from the file header)
-    * and binary PPM "P6" with maxval < 256 (RGB, top-down, no padding).
-    * Luma = (299·R + 587·G + 114·B) / 1000 in integer arithmetic (BT.601
-    * weights, exact for gray pixels). Returns (width, height, luma
-    * row-major top-down) or None for any other container or a truncated
-    * payload — the perceptual-hash operators SKIP such rows rather than
-    * hash garbage (compressed formats would slot in at the same seam
+  /** Row-major top-down 8-bit grayscale decode of the containers decodable
+    * without a codec library — 24-bit BMP (BITMAPINFOHEADER, bottom-up
+    * rows unless biHeight < 0, each row padded to a 4-byte boundary, BGR
+    * byte order, pixel-array offset from the file header), binary PPM "P6"
+    * with maxval < 256 (RGB, top-down, no padding), and non-interlaced
+    * 8-bit PNG via [[pngPixels]] (JDK zlib inflate + the five PNG
+    * defilters — gray/RGB/gray+alpha/RGBA). Luma = (299·R + 587·G +
+    * 114·B) / 1000 in integer arithmetic (BT.601 weights, exact for gray
+    * pixels, identical across all three containers). Returns (width,
+    * height, luma row-major top-down) or None for any other container or
+    * a truncated payload — the perceptual-hash operators SKIP such rows
+    * rather than hash garbage (JPEG/video would slot in at the same seam
     * with a codec library, exactly like [[decode]]'s contract).
     */
   def grayPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
@@ -774,9 +776,114 @@ object Multimodal {
               }
               Some((w, h, out))
             }
-          case _ => None
+          case _ => pngPixels(b)
         }
     }
+  }
+
+  /** Full PNG pixel decode for the dominant lossless web container —
+    * non-interlaced 8-bit-per-sample images, color types 0 (gray),
+    * 2 (RGB), 4 (gray+alpha) and 6 (RGBA). Unlike JPEG/video this needs
+    * no codec library: zlib inflate ([[java.util.zip.Inflater]], in the
+    * JDK) plus the five PNG defilter types (None/Sub/Up/Average/Paeth,
+    * RFC 2083 §6) IS the complete decoder for this subset. Alpha is
+    * ignored for luma (hashes must not change when an opaque alpha plane
+    * is added); RGB luma uses the same BT.601 integer weights as the
+    * BMP/PPM paths, so the same pixels stored as PNG, BMP or PPM decode
+    * to the IDENTICAL plane and land at dHash Hamming 0 — the
+    * format-crossing duplicate byte-level dedup cannot see.
+    *
+    * Skip-not-throw discipline (the corrupt-shard rule of [[grayPixels]]):
+    * palette/16-bit/interlaced images, truncated chunk walks, short or
+    * malformed deflate streams, filter bytes > 4 and adversarial
+    * dimensions all return None. Decoded size is bounded BEFORE any
+    * allocation (≤ 1 GiB raw), so a hostile IHDR cannot OOM a task.
+    */
+  private def pngPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val hdr = StubDecoder.parsePng(b)
+    if (hdr.isEmpty || b.length < 33) return None
+    val (w, h, ch, depth) = hdr.get
+    val colorType = b(25) & 0xff
+    // IHDR layout: depth@24, color@25, compression@26, filter@27, interlace@28
+    if (depth != 8 || colorType == 3 || (b(26) & 0xff) != 0 ||
+      (b(27) & 0xff) != 0 || (b(28) & 0xff) != 0) return None
+    val stride = w.toLong * ch
+    val rawLen = h.toLong * (1L + stride)
+    if (w.toLong * h > Int.MaxValue || rawLen > (1L << 30)) return None
+    // chunk walk: collect every IDAT payload (the zlib stream may be split
+    // across chunks at arbitrary byte positions) until IEND; any overrun
+    // of a declared length is a truncated shard -> skip
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8
+    var done = false
+    while (!done) {
+      if (off + 8 > b.length) return None // ran out before IEND
+      val len = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      if (len < 0 || off + 12L + len > b.length) return None
+      if (typ == "IDAT") idat.write(b, off + 8, len)
+      if (typ == "IEND") done = true
+      off += 12 + len
+    }
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      var stalled = false
+      while (got < raw.length && !inf.finished() && !stalled) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+        got += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    if (got < raw.length) return None // short pixel stream
+    // defilter in place, row by row: prev = reconstructed previous row
+    val out = new Array[Int](w * h)
+    val strideI = stride.toInt
+    val cur = new Array[Int](strideI)
+    val prev = new Array[Int](strideI)
+    var r = 0
+    while (r < h) {
+      val base = r * (1 + strideI)
+      val ft = raw(base) & 0xff
+      if (ft > 4) return None
+      var i = 0
+      while (i < strideI) {
+        val x = raw(base + 1 + i) & 0xff
+        val a = if (i >= ch) cur(i - ch) else 0
+        val u = if (r > 0) prev(i) else 0
+        val c = if (r > 0 && i >= ch) prev(i - ch) else 0
+        cur(i) = ft match {
+          case 0 => x
+          case 1 => (x + a) & 0xff
+          case 2 => (x + u) & 0xff
+          case 3 => (x + (a + u) / 2) & 0xff
+          case _ => // Paeth predictor (RFC 2083)
+            val p = a + u - c
+            val pa = math.abs(p - a); val pb = math.abs(p - u)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c
+            (x + pred) & 0xff
+        }
+        i += 1
+      }
+      var col = 0
+      while (col < w) {
+        val j = col * ch
+        out(r * w + col) = colorType match {
+          case 0 | 4 => cur(j) // gray (alpha ignored)
+          case _ => (299 * cur(j) + 587 * cur(j + 1) + 114 * cur(j + 2)) / 1000
+        }
+        col += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, strideI)
+      r += 1
+    }
+    Some((w, h, out))
   }
 
   /** Area-mean downsample of a decoded luma plane to a gw×gh grid: cell

@@ -612,6 +612,129 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash64(grayBmp(asc)) === Some(-1L))
   }
 
+  /** Minimal PNG writer with a forced per-row filter type — an
+    * independent forward-filter formulation (the decoder inverts, this
+    * applies) used to pin each defilter path and to build corrupt
+    * variants (bad depth/interlace/filter byte) no real encoder emits.
+    */
+  private def pngOf(
+      px: Array[Array[Int]],
+      colorType: Int,
+      filterOf: Int => Int,
+      depth: Int = 8,
+      interlace: Int = 0,
+      mangleFilterByte: Boolean = false): Array[Byte] = {
+    val h = px.length
+    val w = px(0).length
+    val ch = colorType match { case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => 1 }
+    val stride = w * ch
+    val recon = Array.tabulate(h, stride) { (r, i) =>
+      val isAlpha = (colorType == 4 && i % ch == 1) || (colorType == 6 && i % ch == 3)
+      if (isAlpha) 200 + (i % 37) else px(r)(i / ch) // non-constant alpha: must be ignored
+    }
+    val raw = new Array[Byte](h * (1 + stride))
+    for (r <- 0 until h) {
+      val ft = if (mangleFilterByte && r == h - 1) 9 else filterOf(r)
+      raw(r * (1 + stride)) = ft.toByte
+      for (i <- 0 until stride) {
+        val a = if (i >= ch) recon(r)(i - ch) else 0
+        val u = if (r > 0) recon(r - 1)(i) else 0
+        val c0 = if (r > 0 && i >= ch) recon(r - 1)(i - ch) else 0
+        val pred = (ft: @unchecked) match {
+          case 0 | 9 => 0
+          case 1 => a
+          case 2 => u
+          case 3 => (a + u) / 2
+          case 4 =>
+            val p = a + u - c0
+            val pa = math.abs(p - a); val pb = math.abs(p - u); val pc = math.abs(p - c0)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c0
+        }
+        raw(r * (1 + stride) + 1 + i) = ((recon(r)(i) - pred) & 0xff).toByte
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 128)
+    val n = d.deflate(buf); d.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", java.util.Arrays.copyOf(buf, n)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("grayPixels: PNG written by ImageIO (independent encoder) matches BMP pixels") {
+    // javax.imageio is a completely independent PNG implementation: gray
+    // and RGB images written by it must decode to the identical luma
+    // plane as the same pixels in a BMP
+    import java.awt.image.BufferedImage
+    val px = Array.tabulate(12, 17)((r, c) => (r * 19 + c * 7 + 11) % 256)
+    def viaImageIO(imgType: Int): Array[Byte] = {
+      val img = new BufferedImage(17, 12, imgType)
+      for (r <- 0 until 12; c <- 0 until 17) {
+        val v = px(r)(c)
+        if (imgType == BufferedImage.TYPE_BYTE_GRAY)
+          // raster write: setRGB on a gray image does an sRGB->gray
+          // colorspace conversion that would change the stored value
+          img.getRaster.setSample(c, r, 0, v)
+        else img.setRGB(c, r, (0xff << 24) | (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val want = Multimodal.grayPixels(grayBmp(px)).get._3.toSeq
+    for (t <- Seq(BufferedImage.TYPE_BYTE_GRAY, BufferedImage.TYPE_INT_RGB,
+      BufferedImage.TYPE_INT_ARGB)) {
+      val Some((w, h, luma)) = Multimodal.grayPixels(viaImageIO(t))
+      assert((w, h) === (17, 12), s"type $t")
+      assert(luma.toSeq === want, s"type $t")
+    }
+  }
+
+  test("grayPixels: every PNG defilter type and color type reconstructs exactly") {
+    val px = Array.tabulate(10, 9)((r, c) => (r * 23 + c * 29 + 3) % 256)
+    val want = px.flatten.toSeq
+    for (ct <- Seq(0, 2, 4, 6); ft <- 0 to 4) {
+      val Some((w, h, luma)) = Multimodal.grayPixels(pngOf(px, ct, _ => ft))
+      assert((w, h) === (9, 10), s"ct=$ct ft=$ft")
+      assert(luma.toSeq === want, s"ct=$ct ft=$ft")
+    }
+    // mixed filters per row (the realistic encoder output)
+    assert(Multimodal.grayPixels(pngOf(px, 2, r => r % 5)).get._3.toSeq === want)
+    // format crossing at the hash level: PNG twin of a BMP hashes identically
+    val wide = Array.tabulate(16, 18)((r, c) => (r * 31 + c * 17 + 3) % 251)
+    assert(Multimodal.dHash64(pngOf(wide, 6, r => (r + 2) % 5)) ===
+      Multimodal.dHash64(grayBmp(wide)))
+  }
+
+  test("grayPixels: PNG skip cases — palette/16-bit/interlace/corrupt/truncated") {
+    val px = Array.tabulate(10, 9)((r, c) => (r + c) % 256)
+    val good = pngOf(px, 2, r => r % 5)
+    assert(Multimodal.grayPixels(good).nonEmpty)
+    assert(Multimodal.grayPixels(pngOf(px, 3, _ => 0)).isEmpty) // palette
+    assert(Multimodal.grayPixels(pngOf(px, 0, _ => 0, depth = 16)).isEmpty)
+    assert(Multimodal.grayPixels(pngOf(px, 2, _ => 0, interlace = 1)).isEmpty)
+    assert(Multimodal.grayPixels(pngOf(px, 2, _ => 0, mangleFilterByte = true)).isEmpty)
+    // corrupt deflate stream: garbage mid-IDAT must skip, not throw
+    val corrupt = good.clone()
+    for (i <- 45 until math.min(60, corrupt.length)) corrupt(i) = 0x55
+    assert(Multimodal.grayPixels(corrupt).isEmpty)
+    // every-byte truncation sweep: never throws, never mis-decodes
+    for (n <- 0 until good.length)
+      assert(Multimodal.grayPixels(java.util.Arrays.copyOf(good, n)).isEmpty, s"len $n")
+  }
+
   /** Minimal WAV builder for the PCM-decode tests: 16-bit LE or 8-bit
     * unsigned storage, optional JUNK chunk before fmt, optional declared
     * data size override for truncation cases.
