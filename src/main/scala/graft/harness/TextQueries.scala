@@ -155,6 +155,26 @@ object TextQueries {
         col("inner_doc"), col("outer_doc"),
         round(col("containment"), 6).as("containment"))
 
+  /** Incremental containment (operators/Dedup.incrementalContainmentJoin):
+    * every 10th doc is the "new batch", the rest the published reference
+    * (its side entering only as a containmentArtifact — postings, sizes,
+    * prefix flags). Both asymmetric directions at θ = 0.8, over the same
+    * 3-shingles as q_containment_join; the oracle verifies every cross
+    * pair exhaustively, so a prefix or artifact false negative shows as a
+    * missing row.
+    */
+  def containmentIncrQ(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+    val art = Dedup.containmentArtifact(
+      docs.filter(col("doc_id") % 10 =!= 0), minTheta = 0.8, shingle = 3)
+    Dedup
+      .incrementalContainmentJoin(
+        docs.filter(col("doc_id") % 10 === 0), art, theta = 0.8, shingle = 3)
+      .select(
+        col("inner_doc"), col("outer_doc"),
+        round(col("containment"), 6).as("containment"), col("side"))
+  }
+
   /** Keyword extraction: top-3 smoothed-TF-IDF terms per document
     * (operators/TextOps.topTfidfTerms).
     */
@@ -761,6 +781,7 @@ object TextQueries {
     "q_tfidf" -> (tfidfQuery _),
     "q_setsim_join" -> (setSimJoin _),
     "q_containment_join" -> (containmentJoinQ _),
+    "q_containment_incr" -> (containmentIncrQ _),
     "q_sparse_topk" -> (sparseTopK _),
     "q_incr_near_dup" -> (incrNearDup _),
     "q_gram" -> (gramQuery _),
@@ -982,6 +1003,27 @@ object TextQueries {
         |  JOIN sz sa ON inter.doc_a = sa.doc_id
         |  JOIN sz sb ON inter.doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, round(jacc, 6) AS jacc FROM j WHERE jacc >= 0.8""".stripMargin,
+    // brute force on purpose (no artifact, no prefix filter): every CROSS
+    // ordered pair (one batch doc, one reference doc — batch = doc_id%10=0)
+    // counted exhaustively, so any incremental-path false negative is a
+    // missing row; side is derivable from the contained doc's membership
+    "q_containment_incr" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |shl AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles FROM tk),
+        |tok AS (SELECT DISTINCT doc_id, unnest(shingles) AS term FROM shl),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+        |    CAST(count(*) AS BIGINT) AS i
+        |  FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id <> b.doc_id
+        |    AND ((a.doc_id % 10 = 0) <> (b.doc_id % 10 = 0))
+        |  GROUP BY 1, 2),
+        |c AS (SELECT inner_doc, outer_doc, CAST(i AS DOUBLE) / sa.n AS containment
+        |  FROM inter JOIN sz sa ON inter.inner_doc = sa.doc_id)
+        |SELECT inner_doc, outer_doc, round(containment, 6) AS containment,
+        |  CASE WHEN inner_doc % 10 = 0 THEN 'new_in_ref' ELSE 'ref_in_new' END AS side
+        |FROM c WHERE containment >= 0.8""".stripMargin,
     // brute-force formulation on purpose (no prefix filter): every ordered
     // pair's intersection over the contained side's set size
     "q_containment_join" ->

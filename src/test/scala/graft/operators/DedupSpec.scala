@@ -337,6 +337,85 @@ class DedupSpec extends SparkSpec {
     assert(got.head._3 == 7.0 / 100)
   }
 
+  test("incrementalContainmentJoin ≡ full containmentJoin restricted to cross pairs, both directions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // pages 0..5 + their embedded quotes 100..105 (containment 1.0) +
+    // a loner. Batch = quotes 100..102 AND page 3 — so the planted pairs
+    // cross BOTH ways: quotes 100..102 are new_in_ref (new quote of an
+    // old page), quote 103 in the ref quotes page 3 in the batch
+    // (ref_in_new). Quotes 104/105 and pages 0..2,4,5 pair only within
+    // the ref side and must NOT appear.
+    val all = ((0 until 6).map { p =>
+      (p.toLong, (0 until 200).map(j => s"p${p}_$j").mkString(" "))
+    } ++ (0 until 6).map { p =>
+      (100L + p, (50 until 80).map(j => s"p${p}_$j").mkString(" "))
+    } ++ Seq((900L, (0 until 50).map(j => s"z$j").mkString(" "))))
+      .toDF("doc_id", "text").repartition(5)
+    val isBatch = col("doc_id").isin(100L, 101L, 102L, 3L)
+    val batch = all.filter(isBatch)
+    val ref = all.filter(!isBatch)
+    val art = Dedup.containmentArtifact(ref, minTheta = 0.8, shingle = 3)
+
+    val got = Dedup
+      .incrementalContainmentJoin(batch, art, theta = 0.8, shingle = 3)
+      .as[(Long, Long, Double, String)].collect().toSet
+    // oracle: the full-corpus join restricted to cross pairs
+    val batchIds = Set(100L, 101L, 102L, 3L)
+    val want = Dedup.containmentJoin(all, theta = 0.8, shingle = 3)
+      .as[(Long, Long, Double)].collect()
+      .filter(r => batchIds.contains(r._1) != batchIds.contains(r._2))
+      .map(r => (r._1, r._2, r._3,
+        if (batchIds.contains(r._1)) "new_in_ref" else "ref_in_new"))
+      .toSet
+    assert(got == want, s"got $got want $want")
+    // the planted structure itself, as a second, independent check
+    assert(got.map(r => (r._1, r._2, r._4)) == Set(
+      (100L, 0L, "new_in_ref"), (101L, 1L, "new_in_ref"),
+      (102L, 2L, "new_in_ref"), (103L, 3L, "ref_in_new")))
+    assert(got.forall(_._3 == 1.0))
+  }
+
+  test("incrementalContainmentJoin: physical shapes agree; artifact serves θ ≥ min_theta; parquet roundtrip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val all = ((0 until 4).map { p =>
+      (p.toLong, (0 until 120).map(j => s"g${p}_$j").mkString(" "))
+    } ++ (0 until 4).map { p =>
+      (50L + p, (30 until 60).map(j => s"g${p}_$j").mkString(" "))
+    }).toDF("doc_id", "text").repartition(3)
+    val batch = all.filter(col("doc_id") >= 50)
+    val ref = all.filter(col("doc_id") < 50)
+    // artifact built at a LOWER threshold than the query: its prefix
+    // flags are a superset of the θ=0.8 prefixes, so the result must be
+    // identical to one built at 0.8 — one artifact serves many thetas
+    val artLoose = Dedup.containmentArtifact(ref, minTheta = 0.5, shingle = 3)
+    // ... and it survives the real publish path: parquet out, read back
+    val dir = java.nio.file.Files.createTempDirectory("cart").toString
+    artLoose.write.mode("overwrite").parquet(s"$dir/art.parquet")
+    val artDisk = spark.read.parquet(s"$dir/art.parquet")
+
+    def run(art: org.apache.spark.sql.DataFrame, gate: Long) =
+      Dedup.incrementalContainmentJoin(batch, art, theta = 0.8,
+          shingle = 3, maxBroadcastBytes = gate)
+        .as[(Long, Long, Double, String)].collect().toSet
+    val auto = run(artLoose, 0L)
+    assert(auto.map(r => (r._1, r._2)) ==
+      (0 until 4).map(p => (50L + p, p.toLong)).toSet)
+    assert(auto.forall(_._4 == "new_in_ref"))
+    assert(auto == run(artLoose, -1L), "broadcast vs forced shuffle fallback")
+    assert(auto == run(artDisk, 0L), "in-memory vs parquet-roundtripped artifact")
+    assert(auto ==
+      run(Dedup.containmentArtifact(ref, minTheta = 0.8, shingle = 3), 0L),
+      "loose-theta artifact vs exact-theta artifact")
+    // querying BELOW the artifact's build threshold must fail loudly —
+    // the stored prefix flags no longer cover all qualifying pairs
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalContainmentJoin(batch, artLoose, theta = 0.4)
+    }
+    assert(e.getMessage.contains("build threshold"))
+  }
+
   test("imagePHashPairs finds exactly the brute-force Hamming pairs; banding exact at the boundary") {
     import spark.implicits._
     import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
