@@ -1047,6 +1047,145 @@ object MiscQueries {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  // -- EBML (Matroska/WebM) fixture encoding -----------------------------
+
+  /** Big-endian bytes of an EBML element ID exactly as stored (the ID
+    * keeps its marker bit, so its byte length is implied by its value).
+    */
+  private def ebmlId(id: Long): Array[Byte] = {
+    val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+    Array.tabulate[Byte](n)(i => ((id >>> (8 * (n - 1 - i))) & 0xff).toByte)
+  }
+
+  /** EBML size vint: marker bit in the first byte, 7·width data bits.
+    * width 0 = minimal; a forced wider width exercises non-minimal vints
+    * (legal per spec, and real muxers emit them for patchability).
+    */
+  private def ebmlSize(sz: Long, width: Int = 0): Array[Byte] = {
+    var w = math.max(1, width)
+    // minimal width avoiding the reserved all-ones (unknown-size) pattern
+    while ((1L << (7 * w)) - 1 <= sz && w < 8) w += 1
+    // byte i carries value bits [8(w-1-i), 8(w-i)); the top byte's value
+    // bits fit under the marker because sz < 2^(7w)
+    val out = new Array[Byte](w)
+    var i = 0
+    while (i < w) {
+      out(i) = ((sz >>> (8 * (w - 1 - i))) & 0xff).toByte
+      i += 1
+    }
+    out(0) = (out(0) | (0x80 >>> (w - 1))).toByte
+    out
+  }
+
+  /** The reserved all-ones size vint: element of unknown size (runs to
+    * the parent's end) — how real muxers write a live Segment.
+    */
+  private def ebmlUnknownSize(width: Int): Array[Byte] =
+    Array.tabulate[Byte](width)(i =>
+      if (i == 0) ((0x80 >>> (width - 1)) | (0x7f >>> (width - 1))).toByte
+      else 0xff.toByte)
+
+  /** Minimal big-endian unsigned-integer payload (≥ 1 byte). */
+  private def ebmlUInt(v: Long): Array[Byte] = {
+    val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+    Array.tabulate[Byte](n)(i => ((v >>> (8 * (n - 1 - i))) & 0xff).toByte)
+  }
+
+  private def ebmlEl(id: Long, payload: Array[Byte], sizeWidth: Int = 0): Array[Byte] =
+    ebmlId(id) ++ ebmlSize(payload.length.toLong, sizeWidth) ++ payload
+
+  /** Deterministic planted Matroska/WebM fixture, a pure function of
+    * doc_id — the EBML twin of [[videoFixtureBytes]]. doc_id % 3 picks
+    * webm DocType / matroska DocType / a raw stub blob. Every metadata
+    * field is doc_id arithmetic the oracle recomputes independently;
+    * the encoding itself varies to exercise the vint walk: matroska rows
+    * use non-minimal 2-byte size vints throughout, even rows write the
+    * Segment with the reserved unknown-size vint (runs to EOF) and the
+    * Duration as a 4-byte float (odd rows: sized Segment, 8-byte float),
+    * doc_id % 4 == 0 rows OMIT TimestampScale (spec default 1,000,000),
+    * and doc_id % 7 < 3 rows plant an audio TrackEntry BEFORE the video
+    * one (video-track precedence). Durations are built so every
+    * ticks↔ms conversion is integer-exact at all four planted scales.
+    */
+  private[harness] def mkvFixtureBytes(k: Long): Array[Byte] = {
+    val f = (k % 3).toInt
+    if (f == 2) {
+      val n = (k % 50 + 1).toInt
+      Array.tabulate[Byte](n)(i => ((k + i) % 97).toByte)
+    } else {
+      val wide = if (f == 1) 2 else 0
+      val docType = if (f == 0) "webm" else "matroska"
+      val scaleIdx = (k % 4).toInt
+      val scale = Seq(1000000L, 2000000L, 500000L, 250000L)(scaleIdx)
+      val ms = (k % 40 + 1) * 1000
+      val ticks = ms * 1000000L / scale
+      val wpx = (k % 1280 + 16).toInt
+      val hpx = (k % 720 + 16).toInt
+      val codec = Seq("V_VP8", "V_VP9", "V_AV1", "V_MPEG4/ISO/AVC",
+        "V_THEORA")((k % 5).toInt)
+      val durPayload =
+        if (k % 2 == 0)
+          java.nio.ByteBuffer.allocate(4)
+            .putFloat(ticks.toFloat).array() // ticks ≤ 160000: float-exact
+        else
+          java.nio.ByteBuffer.allocate(8).putDouble(ticks.toDouble).array()
+      val hdr = ebmlEl(0x1a45dfa3L,
+        ebmlEl(0x4282L, docType.getBytes("US-ASCII"), wide), wide)
+      val info = ebmlEl(0x1549a966L,
+        (if (scaleIdx == 0) Array.empty[Byte]
+         else ebmlEl(0x2ad7b1L, ebmlUInt(scale), wide)) ++
+          ebmlEl(0x4489L, durPayload, wide),
+        wide)
+      val videoEl = ebmlEl(0xe0L,
+        ebmlEl(0xb0L, ebmlUInt(wpx), wide) ++
+          ebmlEl(0xbaL, ebmlUInt(hpx), wide), wide)
+      val vTrack = ebmlEl(0xaeL,
+        ebmlEl(0x83L, ebmlUInt(1L)) ++
+          ebmlEl(0x86L, codec.getBytes("US-ASCII"), wide) ++ videoEl, wide)
+      val aTrack =
+        if (k % 7 < 3)
+          ebmlEl(0xaeL,
+            ebmlEl(0x83L, ebmlUInt(2L)) ++
+              ebmlEl(0x86L, "A_OPUS".getBytes("US-ASCII"), wide), wide)
+        else Array.empty[Byte]
+      val tracks = ebmlEl(0x1654ae6bL, aTrack ++ vTrack, wide)
+      val segPayload = info ++ tracks
+      val seg =
+        if (k % 2 == 0)
+          ebmlId(0x18538067L) ++ ebmlUnknownSize(1) ++ segPayload
+        else ebmlEl(0x18538067L, segPayload, wide)
+      hdr ++ seg
+    }
+  }
+
+  /** Matroska/WebM container metadata over planted EBML/raw payloads
+    * ([[graft.operators.Multimodal.videoMeta]] via
+    * [[graft.operators.Multimodal.StubDecoder.parseMkv]]): DocType brand,
+    * TimestampScale (incl. the omitted-element spec default), float32/
+    * float64 Duration, PixelWidth/Height and CodecID from the first
+    * VIDEO TrackEntry with audio entries skipped, across minimal and
+    * non-minimal size vints and unknown-size Segments. n_bytes is
+    * excluded (the variable-length encoding makes it non-arithmetic);
+    * the oracle recomputes every emitted field from doc_id.
+    */
+  def videoMetaMkvQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false))))
+    val media = documents(s, d).select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(0)
+        Row(k, "video/planted-mkv", mkvFixtureBytes(k))
+      }
+    }(enc)
+    Multimodal.videoMeta(media).select(
+      col("media_id"), col("format"), col("brand"), col("timescale"),
+      col("duration_ms"), col("width"), col("height"), col("codec"))
+  }
+
   /** Video-container metadata over planted MP4/raw payloads
     * ([[graft.operators.Multimodal.videoMeta]]): format detection plus
     * brand / timescale / duration / dims / codec from the pure ISO-BMFF
@@ -1099,6 +1238,7 @@ object MiscQueries {
     "q_audio_phash" -> (audioPHashQ _),
     "q_audio_exact" -> (audioExactQ _),
     "q_video_meta" -> (videoMetaQ _),
+    "q_video_meta_mkv" -> (videoMetaMkvQ _),
     "q_funnel" -> (funnelQ _),
     "q_retention" -> (retentionQ _),
     "q_finemap" -> (finemap _),
@@ -1272,6 +1412,27 @@ object MiscQueries {
         |    WHEN 4 THEN 'mp4v' WHEN 5 THEN 'vp08' ELSE 'hev1' END END AS codec,
         |  CAST(CASE f WHEN 0 THEN 288 WHEN 1 THEN 312 WHEN 2 THEN n
         |    ELSE 312 END AS INTEGER) AS n_bytes
+        |FROM m""".stripMargin,
+    // Every emitted field of the planted EBML metadata is a pure function
+    // of doc_id (see mkvFixtureBytes) — the oracle recomputes the DocType,
+    // timestamp-scale (incl. the omitted-element default), integer-exact
+    // tick→ms conversion, pixel dims and first-video-track codec
+    // arithmetically, independent of the vint walk.
+    "q_video_meta_mkv" ->
+      """WITH m AS (SELECT doc_id, doc_id % 3 AS f FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN f = 2 THEN 'stub' ELSE 'mkv' END AS format,
+        |  CASE WHEN f = 2 THEN '' WHEN f = 0 THEN 'webm'
+        |    ELSE 'matroska' END AS brand,
+        |  CAST(CASE WHEN f = 2 THEN 0 ELSE CASE doc_id % 4 WHEN 0 THEN 1000
+        |    WHEN 1 THEN 500 WHEN 2 THEN 2000 ELSE 4000 END END AS BIGINT) AS timescale,
+        |  CAST(CASE WHEN f = 2 THEN 0
+        |    ELSE (doc_id % 40 + 1) * 1000 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN f = 2 THEN 0 ELSE doc_id % 1280 + 16 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN f = 2 THEN 0 ELSE doc_id % 720 + 16 END AS INTEGER) AS height,
+        |  CASE WHEN f = 2 THEN '' ELSE CASE doc_id % 5 WHEN 0 THEN 'V_VP8'
+        |    WHEN 1 THEN 'V_VP9' WHEN 2 THEN 'V_AV1'
+        |    WHEN 3 THEN 'V_MPEG4/ISO/AVC' ELSE 'V_THEORA' END END AS codec
         |FROM m""".stripMargin,
     // q_pics needs the normal survival function, unavailable in DuckDB; the
     // oracle is the pinned deterministic output (scipy-verified in

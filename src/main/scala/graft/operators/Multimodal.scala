@@ -614,13 +614,139 @@ object Multimodal {
       Some((brand.get, timescale, durationMs, dims._1, dims._2, codec))
     }
 
+    /** Matroska/WebM (EBML) metadata — the second dominant crawl video
+      * container, same marker-walk family as [[parseMp4]]'s box walk but
+      * with variable-length integers: an element is an ID vint (marker
+      * bit KEPT, ≤ 4 bytes) + a size vint (marker bit STRIPPED, ≤ 8
+      * bytes, all-ones data = unknown size, legal for Segment-like
+      * masters: the element runs to its parent's end) + payload. Walks
+      * EBML header → DocType, Segment → Info (TimestampScale default
+      * 1,000,000 ns — elements are OPTIONAL with spec defaults —
+      * Duration as a 4- or 8-byte float in scale ticks) and Tracks →
+      * first VIDEO TrackEntry (TrackType 1; audio entries before it are
+      * skipped, the trak-precedence rule of the MP4 walk) for
+      * CodecID + PixelWidth/PixelHeight, falling back to the first
+      * track's codec when no video track exists.
+      *
+      * Same bounded-advance hardening as the box walk: every vint and
+      * payload bound is checked against the parent range, malformed
+      * lengths end the walk (desync discipline), truncation never
+      * throws. Returns (docType, timescale ticks/s = 1e9 /
+      * TimestampScale, durationMs, width, height, codecId).
+      */
+    def parseMkv(b: Array[Byte]): Option[(String, Long, Long, Int, Int, String)] = {
+      // vint total length from the first byte's leading zeros; -1 = no
+      // marker bit in 8 positions (malformed)
+      def vlen(first: Int): Int = {
+        var m = 0x80; var n = 1
+        while (m != 0 && (first & m) == 0) { m >>= 1; n += 1 }
+        if (m == 0) -1 else n
+      }
+      /** Children of [start, end): (id, payloadStart, payloadEnd). */
+      def children(start: Int, end: Int): Seq[(Long, Int, Int)] = {
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Int)]()
+        var i = start
+        var ok = true
+        while (ok && i < end) {
+          val il = vlen(b(i) & 0xff)
+          if (il < 0 || il > 4 || i + il > end) ok = false
+          else {
+            var id = 0L
+            var k = 0
+            while (k < il) { id = (id << 8) | (b(i + k) & 0xff); k += 1 }
+            val so = i + il
+            if (so >= end) ok = false
+            else {
+              val sl = vlen(b(so) & 0xff)
+              if (sl < 0 || sl > 8 || so + sl > end) ok = false
+              else {
+                var sz = (b(so) & 0xff & (0xff >>> sl)).toLong
+                var allOnes = sz == (0xffL >>> sl)
+                k = 1
+                while (k < sl) {
+                  val v = b(so + k) & 0xff
+                  sz = (sz << 8) | v
+                  if (v != 0xff) allOnes = false
+                  k += 1
+                }
+                val ps = so + sl
+                // unknown size: element extends to the parent's end (and
+                // is necessarily the last sibling)
+                val peL = if (allOnes) end.toLong else ps.toLong + sz
+                if (peL > end || peL < ps) ok = false
+                else {
+                  out += ((id, ps, peL.toInt))
+                  i = peL.toInt
+                }
+              }
+            }
+          }
+        }
+        out.toSeq
+      }
+      def uint(s: Int, e: Int): Long = {
+        var v = 0L
+        var i = s
+        while (i < e && i - s < 8) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+        v
+      }
+      def float(s: Int, e: Int): Double = (e - s) match {
+        case 4 => java.lang.Float.intBitsToFloat(uint(s, e).toInt).toDouble
+        case 8 => java.lang.Double.longBitsToDouble(uint(s, e))
+        case _ => 0.0
+      }
+      def str(s: Int, e: Int): String = new String(b, s, e - s, "US-ASCII")
+
+      // sniff: the stream must open with the EBML header element
+      if (b.length < 4 || (b(0) & 0xff) != 0x1a || (b(1) & 0xff) != 0x45 ||
+        (b(2) & 0xff) != 0xdf || (b(3) & 0xff) != 0xa3) return None
+      val top = children(0, b.length)
+      val ebml = top.collectFirst { case (0x1a45dfa3L, s, e) => (s, e) }
+      val seg = top.collectFirst { case (0x18538067L, s, e) => (s, e) }
+      if (ebml.isEmpty || seg.isEmpty) return None
+      val docType = children(ebml.get._1, ebml.get._2)
+        .collectFirst { case (0x4282L, s, e) => str(s, e) }
+        .getOrElse("matroska") // spec default
+      val segKids = children(seg.get._1, seg.get._2)
+      val info = segKids.collectFirst { case (0x1549a966L, s, e) => (s, e) }
+      val tsScale = info.flatMap { case (s, e) =>
+        children(s, e).collectFirst { case (0x2ad7b1L, ds, de) => uint(ds, de) }
+      }.getOrElse(1000000L) // spec default: 1 ms ticks
+      val durTicks = info.flatMap { case (s, e) =>
+        children(s, e).collectFirst { case (0x4489L, ds, de) => float(ds, de) }
+      }.getOrElse(0.0)
+      val entries = segKids.collectFirst { case (0x1654ae6bL, s, e) => (s, e) }
+        .toSeq.flatMap { case (s, e) =>
+          children(s, e).collect { case (0xaeL, ts, te) => children(ts, te) }
+        }
+      def codecOf(kids: Seq[(Long, Int, Int)]): String =
+        kids.collectFirst { case (0x86L, s, e) => str(s, e) }.getOrElse("")
+      val video = entries.find(kids =>
+        kids.collectFirst { case (0x83L, s, e) => uint(s, e) }.contains(1L))
+      val (w, h) = video.flatMap { kids =>
+        kids.collectFirst { case (0xe0L, s, e) =>
+          val v = children(s, e)
+          (v.collectFirst { case (0xb0L, ws, we) => uint(ws, we).toInt }.getOrElse(0),
+            v.collectFirst { case (0xbaL, hs, he) => uint(hs, he).toInt }.getOrElse(0))
+        }
+      }.getOrElse((0, 0))
+      val codec = video.map(codecOf)
+        .orElse(entries.headOption.map(codecOf)).getOrElse("")
+      val timescale = if (tsScale > 0) 1000000000L / tsScale else 0L
+      val durationMs = math.rint(durTicks * tsScale / 1e6).toLong
+      Some((docType, timescale, durationMs, w, h, codec))
+    }
+
     /** Video metadata plus the detected container:
       * (format, brand, timescale, durationMs, width, height, codec).
+      * MKV/WebM rows report the EBML DocType as the brand.
       */
     def videoMetaInfo(content: Array[Byte])
         : (String, String, Long, Long, Int, Int, String) =
       parseMp4(content)
         .map { case (br, ts, ms, w, h, c) => ("mp4", br, ts, ms, w, h, c) }
+        .orElse(parseMkv(content)
+          .map { case (dt, ts, ms, w, h, c) => ("mkv", dt, ts, ms, w, h, c) })
         .getOrElse(("stub", "", 0L, 0L, 0, 0, ""))
 
     /** Deterministic fake embedding: a rolling byte checksum folded into

@@ -910,6 +910,118 @@ class MultimodalSpec extends SparkSpec {
     assert(parseMp4("RIFF....WAVE".getBytes("US-ASCII")).isEmpty)
   }
 
+  /** Independent EBML writer for the Matroska tests: id bytes verbatim,
+    * size vints built from the spec definition (marker bit in unary
+    * position, 7·width data bits big-endian), optional forced width and
+    * the reserved all-ones unknown-size pattern.
+    */
+  private def ebml(id: Long, payload: Array[Byte], sizeWidth: Int = 0,
+      unknownSize: Boolean = false): Array[Byte] = {
+    val idn = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+    val idB = Array.tabulate[Byte](idn)(i =>
+      ((id >>> (8 * (idn - 1 - i))) & 0xff).toByte)
+    val sz = payload.length.toLong
+    var w = math.max(1, sizeWidth)
+    while (!unknownSize && (1L << (7 * w)) - 1 <= sz && w < 8) w += 1
+    val szB =
+      if (unknownSize)
+        Array.tabulate[Byte](w)(i =>
+          if (i == 0) (0xff >>> (w - 1) | (0x80 >>> (w - 1))).toByte
+          else 0xff.toByte)
+      else {
+        val out = Array.tabulate[Byte](w)(i =>
+          ((sz >>> (8 * (w - 1 - i))) & 0xff).toByte)
+        out(0) = (out(0) | (0x80 >>> (w - 1))).toByte
+        out
+      }
+    idB ++ szB ++ payload
+  }
+  private def ebmlU(v: Long): Array[Byte] = {
+    val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+    Array.tabulate[Byte](n)(i => ((v >>> (8 * (n - 1 - i))) & 0xff).toByte)
+  }
+
+  /** A webm/matroska fixture: Info (scale 500000 ns unless omitted,
+    * Duration 8000 ticks float32/64 → 4000 ms), audio entry first, video
+    * VP9 1280×720.
+    */
+  private def mkvFixture(
+      docType: String = "webm",
+      sizeWidth: Int = 0,
+      unknownSegSize: Boolean = false,
+      float64: Boolean = false,
+      omitScale: Boolean = false,
+      audioOnly: Boolean = false): Array[Byte] = {
+    val dur =
+      if (float64) java.nio.ByteBuffer.allocate(8).putDouble(8000.0).array()
+      else java.nio.ByteBuffer.allocate(4).putFloat(8000.0f).array()
+    val info = ebml(0x1549a966L,
+      (if (omitScale) Array.empty[Byte]
+       else ebml(0x2ad7b1L, ebmlU(500000L), sizeWidth)) ++
+        ebml(0x4489L, dur, sizeWidth), sizeWidth)
+    val aTrack = ebml(0xaeL,
+      ebml(0x83L, ebmlU(2L)) ++ ebml(0x86L, "A_OPUS".getBytes("US-ASCII")))
+    val vTrack = ebml(0xaeL,
+      ebml(0x83L, ebmlU(1L)) ++ ebml(0x86L, "V_VP9".getBytes("US-ASCII")) ++
+        ebml(0xe0L, ebml(0xb0L, ebmlU(1280L)) ++ ebml(0xbaL, ebmlU(720L)),
+          sizeWidth), sizeWidth)
+    val tracks = ebml(0x1654ae6bL,
+      if (audioOnly) aTrack else aTrack ++ vTrack, sizeWidth)
+    ebml(0x1a45dfa3L,
+      ebml(0x4282L, docType.getBytes("US-ASCII"), sizeWidth), sizeWidth) ++
+      ebml(0x18538067L, info ++ tracks, sizeWidth,
+        unknownSize = unknownSegSize)
+  }
+
+  test("parseMkv walks EBML: DocType, scale default, float widths, vint widths, track precedence") {
+    import Multimodal.StubDecoder._
+    // scale 500000 ns → 2000 ticks/s; 8000 ticks → 4000 ms; audio entry
+    // skipped in favour of the VP9 video track
+    val want = Some(("webm", 2000L, 4000L, 1280, 720, "V_VP9"))
+    assert(parseMkv(mkvFixture()) === want)
+    // float64 duration, non-minimal 2-byte size vints, unknown-size
+    // Segment, matroska DocType — all the same metadata
+    assert(parseMkv(mkvFixture(float64 = true)) === want)
+    assert(parseMkv(mkvFixture(sizeWidth = 2)) === want)
+    assert(parseMkv(mkvFixture(unknownSegSize = true)) === want)
+    assert(parseMkv(mkvFixture(docType = "matroska")).map(_._1) ===
+      Some("matroska"))
+    // omitted TimestampScale: the spec default 1,000,000 ns → 1000 t/s,
+    // 8000 ticks → 8000 ms
+    assert(parseMkv(mkvFixture(omitScale = true)) ===
+      Some(("webm", 1000L, 8000L, 1280, 720, "V_VP9")))
+    // no video track: dims 0, codec falls back to the first track
+    assert(parseMkv(mkvFixture(audioOnly = true)) ===
+      Some(("webm", 2000L, 4000L, 0, 0, "A_OPUS")))
+    // videoMetaInfo routes EBML payloads to the mkv format
+    assert(videoMetaInfo(mkvFixture())._1 === "mkv")
+  }
+
+  test("parseMkv survives truncation, desync and hostile sizes (never throws)") {
+    import Multimodal.StubDecoder._
+    for (g <- Seq(mkvFixture(), mkvFixture(sizeWidth = 2),
+      mkvFixture(unknownSegSize = true))) {
+      (0 until g.length).foreach { n => parseMkv(g.take(n)) } // no throw
+      assert(parseMkv(g.take(12)).isEmpty) // header alone: no Segment
+    }
+    val good = mkvFixture()
+    // a size vint claiming to run past the buffer ends the walk → None
+    val overrun = good.clone()
+    // Segment size byte(s) start right after its 4-byte ID; force a huge
+    // declared size (marker 0x01 → 8-byte vint ≫ buffer)
+    val segOff = good.indexOfSlice(Seq(0x18, 0x53, 0x80, 0x67).map(_.toByte))
+    overrun(segOff + 4) = 0x01
+    assert(parseMkv(overrun).isEmpty)
+    // a zero first byte where a vint must start (no marker bit) desyncs
+    val desync = good.clone()
+    desync(segOff + 4) = 0x00
+    assert(parseMkv(desync).isEmpty)
+    // non-EBML payloads
+    assert(parseMkv(Array.empty[Byte]).isEmpty)
+    assert(parseMkv("RIFF....WAVE".getBytes("US-ASCII")).isEmpty)
+    assert(parseMkv(mp4Fixture(v1 = false)).isEmpty)
+  }
+
   test("videoMeta end-to-end over mixed planted containers") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
