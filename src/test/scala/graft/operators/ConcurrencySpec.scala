@@ -88,6 +88,47 @@ class ConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("canary: folded-path cross-session cache bind still hits (Spark-internals coupling)") {
+    // GraftSqlBridge.ofRows reaches into private[sql] Dataset.ofRows to
+    // bind ONE analyzed-plan object to both the caller session and the
+    // relaxed-conf clone — the round-17 fix for the view-based re-bind
+    // that MISSED the cache-manager match and silently recomputed the
+    // folded join (2.5× solo at sf0.1, 5.8× at the 100× probe) with
+    // every oracle still green. This canary is the in-suite CjPlanProbe:
+    // on any Spark upgrade it fails loudly if the caller-bound result
+    // stops reading the persisted count table.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = Dedup.containmentJoin(
+      docs, theta = 0.8, maxBroadcastPairs = Long.MaxValue)
+    // drive THIS QueryExecution (Dataset.count() would build its own)
+    out.queryExecution.toRdd.count()
+    // structural walk, stopping at cache boundaries: the display string
+    // legitimately shows parquet scans INSIDE InMemoryRelation lineage,
+    // so count real scan/cache nodes instead of grepping the string
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def scans(p: SparkPlan): (Int, Int) = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case _: InMemoryTableScanExec => (1, 0) // cached boundary: stop
+      case _: FileSourceScanExec => (0, 1)
+      case other =>
+        other.children.map(scans).foldLeft((0, 0)) {
+          case ((c1, f1), (c2, f2)) => (c1 + c2, f1 + f2)
+        }
+    }
+    val (cacheScans, fileScans) = scans(out.queryExecution.executedPlan)
+    // the result must read BOTH persisted relations (per-pair counts +
+    // per-doc sizes) from cache and touch no file source at all
+    assert(cacheScans >= 2 && fileScans == 0,
+      s"caller-bound folded result no longer reads the persisted tables " +
+        s"(cache scans $cacheScans, file scans $fileScans) — the " +
+        "cross-session plan-identity cache bind regressed:\n" +
+        out.queryExecution.executedPlan.toString.split("\n").take(25).mkString("\n"))
+  }
+
   test("two concurrent folded containmentJoins on one session do not interfere") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
