@@ -5,13 +5,24 @@ import org.apache.spark.sql.SparkSession
 /** Plan-audit main: dump formatted physical plans for the headline queries so
   * scan pruning, pushed filters, broadcast joins and codegen spans can be
   * inspected (`sbt "runMain graft.Explain [queryName ...]"`).
+  *
+  * Env: SPARK_GRAFT_SF_DIR (data dir), SPARK_GRAFT_CPUS (local core count),
+  * SPARK_GRAFT_SHUFFLE_PARTITIONS, and SPARK_GRAFT_PLAN_DIR — when set, each
+  * plan is written to `<dir>/<query>.txt` instead of stdout, so bench-shaped
+  * plans (32 cores / 32 shuffle partitions) can be committed as artifacts.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val planDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -25,8 +36,20 @@ object Explain {
         "q_salted_join", "q_rolling_stats")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
-        println(s"\n===== $name =====")
-        fn(spark, sfDir).explain("formatted")
+        val plan = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        planDir match {
+          case Some(dir) =>
+            val p = java.nio.file.Paths.get(dir)
+            java.nio.file.Files.createDirectories(p)
+            java.nio.file.Files.write(
+              p.resolve(s"$name.txt"),
+              plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            System.err.println(s"[explain] wrote $dir/$name.txt")
+          case None =>
+            println(s"\n===== $name =====")
+            println(plan)
+        }
       }
     }
     spark.stop()

