@@ -27,12 +27,21 @@ object TextOps {
     * `element_at` throws on index 0.
     */
   def shingles(tokens: Column, n: Int = 3): Column =
-    when(size(tokens) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(1), size(tokens) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + k)): _*)
-        ))
+    // Let-bind the token array once per row: the lambda body references it
+    // 2 + n·(per-element) times, and when a caller inlines an expensive
+    // child (Dedup's shingle sites pass tokenize(text) directly) the
+    // interpreted HOF re-evaluates that child per reference — the round-8
+    // O(n²) re-inlining trap. Binding through a lambda variable makes the
+    // child's cost once-per-row regardless of how the call site chains.
+    graft.functions.ArrayOps.bindOnce("ts" -> tokens) { get =>
+      val ts = get("ts")
+      when(size(ts) < n, array().cast("array<string>"))
+        .otherwise(
+          transform(
+            sequence(lit(1), size(ts) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*)
+          ))
+    }
 
   /** MinHash signature: for each of `numHashes` seeds, the minimum md5 of the
     * seeded shingle. One projection, no shuffle.
