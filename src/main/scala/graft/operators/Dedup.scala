@@ -28,19 +28,27 @@ object Dedup {
 
   /** Per-document signature table: doc id, shingle set, band hashes.
     *
-    * Relational formulation — tokens exploded to rows, n-grams formed with
-    * `lead` windows, MinHash as 16 `min` aggregates. Fully codegen (no
-    * interpreted array lambdas, which the optimizer's projection collapse
-    * can re-inline into per-element re-evaluation — observed as a >100×
-    * blow-up in the candidate join), and map-side partial aggregation makes
-    * the signature shuffle tiny at corpus scale.
+    * Relational formulation — shingles exploded to rows, MinHash as 16
+    * `min` aggregates with map-side partial aggregation, so the signature
+    * shuffle carries one partial row per (task, document) at corpus scale
+    * and every md5 runs inside whole-stage codegen.
     *
-    * A/B (round 4, sf0.1, local[8]): a staged-HOF variant (shingle array
-    * materialised per document, MinHash as 16 array_min(transform(md5)))
-    * eliminates the token-level shuffle but its per-element md5 runs
-    * INTERPRETED — the full candidate chain went from 5.7 s to >240 s.
-    * The extra shuffle is the price of keeping every hash inside
-    * whole-stage codegen, and it wins by >40x.
+    * Shingle formation history: round 4 A/B'd a staged-HOF variant
+    * (shingle array per document, MinHash as 16 array_min(transform(md5)))
+    * — its per-element md5 ran INTERPRETED and the candidate chain went
+    * 5.7 s → >240 s, so rounds 4-17 formed shingles with a
+    * `lead`-window over the exploded token stream instead. That window
+    * SORT-SHUFFLES the whole token stream per call, and it was only
+    * needed because `TextOps.shingles` used to re-inline its tokenize
+    * child per element; now that the kernel let-binds its argument
+    * (round 18), `explode(shingles(tokenize(text)))` forms the same
+    * shingle rows with NO shuffle — only the cheap per-shingle concat is
+    * interpreted, the hashes stay in codegen aggregates. Measured at
+    * sf0.1 on summed executor CPU (the host-load-robust metric,
+    * MemProbe min-of-3): q_near_dup 14.8 → 12.8 s, q_lsh_pairs
+    * 13.7 → 12.5 s, with the token-stream Exchange+Sort gone from the
+    * plan (plans/r18/); shuffle bytes shift from n short tokens to the
+    * per-partition-deduped distinct shingles.
     */
   def signatures(
       docs: DataFrame,
@@ -50,20 +58,10 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 8
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tokens = docs.select(
-      col(idCol), posexplode(TextOps.tokenize(col(textCol))).as(Seq("pos", "token")))
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val leads = (1 until shingleSize).map(k => lead(col("token"), k).over(w).as(s"_t$k"))
-    val shingleRows = tokens
-      .select(col(idCol) +: col("token") +: leads: _*)
-      .filter(col(s"_t${shingleSize - 1}").isNotNull)
-      .select(
-        col(idCol),
-        concat_ws(
-          " ", col("token") +: (1 until shingleSize).map(k => col(s"_t$k")): _*
-        ).as("shingle")
-      )
+    val shingleRows = docs.select(
+      col(idCol),
+      explode(TextOps.shingles(TextOps.tokenize(col(textCol)), shingleSize))
+        .as("shingle"))
     val hashAggs = (0 until numHashes).map { j =>
       min(md5(concat(lit(s"s$j:"), col("shingle")))).as(s"_h$j")
     }

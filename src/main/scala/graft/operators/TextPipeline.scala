@@ -33,20 +33,29 @@ object TextPipeline {
       maxTopTokenRatio: Double = 0.3,
       nearDupJaccard: Double = 0.5
   ): DataFrame = {
-    // The gates are computed RELATIONALLY (posexplode → codegen aggregates),
+    // The gates are computed RELATIONALLY (explode → codegen aggregates),
     // not with the per-column HOF kernels: a filter predicate built from
     // interpreted array-HOF lambdas gets its tokenize child re-inlined by
     // CollapseProject and re-evaluated per lambda element — measured 20×
     // slower than this formulation at sf0.1 (17 s vs <1 s for the same
     // boolean outcomes). Same trade as Dedup.signatures, and the aggregates
     // are map-side combinable, so this is also the shape that scales.
+    // Round 18: the 2-gram stream comes from the let-bound shingle kernel
+    // (shuffle-free explode projection) instead of a per-document
+    // lead-window, which sort-shuffled the whole token stream per call —
+    // the gram aggregation's partial side now runs map-local (summed
+    // executor CPU 36.5 → 31.1 s at sf0.1, MemProbe min-of-3; wall on the
+    // noisy round-18 host was statistically flat). A fully unioned
+    // single-aggregation variant (tokens + grams through one kind-tagged
+    // groupBy) was A/B'd and REJECTED: it pushed the ~2× combined stream
+    // through the wide per-language aggregate and measured slower than
+    // this split shape.
     val tokens = docs.select(
-      col("doc_id"), posexplode(TextOps.tokenize(col("text"))).as(Seq("pos", "token")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val gramStats = tokens
-      .withColumn("nxt", lead(col("token"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("token"), col("nxt")).as("g2"))
+      col("doc_id"), explode(TextOps.tokenize(col("text"))).as("token"))
+    val gramStats = docs
+      .select(
+        col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokenize(col("text")), 2)).as("g2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_g2"), countDistinct(col("g2")).as("d_g2"))
     def hits(words: Seq[String]) =
