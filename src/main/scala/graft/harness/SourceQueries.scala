@@ -756,7 +756,15 @@ object SourceQueries {
       ((k % 21) - 10).cast("double").as("beta"),
       (lit(0.01) + (k % 16) / lit(128.0)).as("se"),
       concat(lit("ENSG"), (k % 80).cast(StringType)).as("gene_id")
-    ).distinct()
+    )
+      // pre-partition on the parse join's key so the all-column distinct
+      // (subset-key satisfaction) AND the cs-lbf equi-join plan zero
+      // further exchanges — one shuffle per side replaces distinct + join
+      // re-shuffles of the 16-column frames (guide §2.4)
+      .repartition(
+        col("molecular_trait_id"), col("region"), col("variant"),
+        col("dataset_id"))
+      .distinct()
     val lbfCols = (1 to 10).map(i =>
       (((k * (i + 3)) % 100) / lit(10.0) - 3.0).as(s"lbf_variable$i"))
     val lbf = lineitem(s, d).select(
@@ -765,7 +773,11 @@ object SourceQueries {
         variant.as("variant"), dataset.as("dataset_id"),
         (k % 22 + 1).cast(StringType).as("chromosome"),
         (k % 500000).cast("int").as("position")) ++ lbfCols): _*
-    ).distinct()
+    )
+      .repartition(
+        col("molecular_trait_id"), col("region"), col("variant"),
+        col("dataset_id"))
+      .distinct()
     val j = col("n_nationkey") % 7
     val meta = nation(s, d).select(
       concat(lit("D"), j.cast(StringType)).as("dataset_id"),
@@ -956,7 +968,15 @@ object SourceQueries {
       ((k % 21) - 10).cast("double").as("beta"),
       (lit(0.01) + (k % 16) / lit(128.0)).as("se"),
       concat(lit("ENSG"), (k % 80).cast(StringType)).as("gene_id")
-    ).distinct()
+    )
+      // pre-partition on the parse join's key so the all-column distinct
+      // (subset-key satisfaction) AND the cs-lbf equi-join plan zero
+      // further exchanges — one shuffle per side replaces distinct + join
+      // re-shuffles of the 16-column frames (guide §2.4)
+      .repartition(
+        col("molecular_trait_id"), col("region"), col("variant"),
+        col("dataset_id"))
+      .distinct()
     val lbfCols = (1 to 10).map(i =>
       (((k * (i + 3)) % 100) / lit(10.0) - 3.0).as(s"lbf_variable$i"))
     val lbf = lineitem(s, d).select(
@@ -965,7 +985,11 @@ object SourceQueries {
         variant.as("variant"), dataset.as("dataset_id"),
         (k % 22 + 1).cast(StringType).as("chromosome"),
         (k % 500000).cast("int").as("position")) ++ lbfCols): _*
-    ).distinct()
+    )
+      .repartition(
+        col("molecular_trait_id"), col("region"), col("variant"),
+        col("dataset_id"))
+      .distinct()
     val j = col("n_nationkey") % 7
     val meta = nation(s, d).select(
       concat(lit("D"), j.cast(StringType)).as("dataset_id"),

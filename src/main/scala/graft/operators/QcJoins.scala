@@ -160,7 +160,17 @@ object QcJoins {
       geneTss: DataFrame,
       maxDistance: Long = 500000
   ): DataFrame = {
+    // ONE exchange serves the whole chain (guide-§2.4 shared-partitioning
+    // shape): repartition the TAGS by studyLocusId before the broadcast
+    // gene join — the join preserves the partitioning, the (studyLocusId,
+    // geneId) aggregation is satisfied by the studyLocusId subset
+    // clustering (requireAllClusterKeysForDistribution=false, the
+    // default), and the neighbourhood window partitions by studyLocusId
+    // exactly. The former shape shuffled the gene-expanded aggregation
+    // partials AND re-shuffled the aggregate for the window — both wider
+    // streams than the un-expanded tag table this ships once.
     val scored = credsetTags
+      .repartition(col("studyLocusId"))
       .join(broadcast(geneTss), Seq("chromosome"), "inner")
       .withColumn("distance", abs(col("tss") - col("tagPosition")))
       .filter(col("distance") <= maxDistance)
