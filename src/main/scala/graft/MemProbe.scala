@@ -107,7 +107,7 @@ object MemProbe {
             spark.catalog.clearCache()
             System.gc()
             taskPeak.set(0L); spillMem.reset(); spillDisk.reset(); shuffleWrite.reset()
-            cpuTime.reset(); runTime.reset(); taskCount.reset()
+            cpuTime.reset(); runTime.reset(); taskCount.reset(); gcTime.reset()
             heapPeak.set(0L)
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()

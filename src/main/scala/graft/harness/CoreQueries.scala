@@ -218,7 +218,10 @@ object CoreQueries {
     */
   def helpers(s: SparkSession, d: String): DataFrame = {
     val k = col("l_orderkey") * 8 + col("l_linenumber")
-    val base = lineitem(s, d).select(k.as("id"), col("l_returnflag").as("rf"))
+    // parallel read: the array/HOF kernels below run scan-local and the
+    // fixture scan is one task (Tables.parallel scaladoc)
+    val base = Tables.parallel(s, lineitem(s, d))
+      .select(k.as("id"), col("l_returnflag").as("rf"))
     val kk = col("id")
     val toks = when(kk % 3 === 0, array().cast("array<string>"))
       .otherwise(array(

@@ -18,7 +18,9 @@ object MiscQueries {
     * PicsSpec.
     */
   def pics(s: SparkSession, d: String): DataFrame = {
-    val loci = orders(s, d).select(
+    // parallel read: the PICS per-tag kernels (chi2/normSf) otherwise run
+    // on the fixture's single-row-group scan task (Tables.parallel scaladoc)
+    val loci = Tables.parallel(s, orders(s, d)).select(
       concat(lit("L"), col("o_orderkey").cast(StringType)).as("studyLocusId"),
       (lit(5.0) + (col("o_orderkey") % 20)).as("neglogP"),
       array(

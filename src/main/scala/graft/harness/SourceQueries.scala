@@ -130,7 +130,9 @@ object SourceQueries {
       lit(null).cast(StringType).as("appris"),
       lit(null).cast(StringType).as("mane_select")
     )
-    part(s, d).select(
+    // parallel read: the VEP consequence kernels run scan-local and the
+    // fixture scan is one task (Tables.parallel scaladoc)
+    Tables.parallel(s, part(s, d)).select(
       k.as("vid"),
       array(tx(0), tx(1), tx(2)).as("transcript_consequences"),
       term(k).as("most_severe_consequence")
@@ -1140,7 +1142,14 @@ object SourceQueries {
         .otherwise((k % 16) / lit(8.0) - 0.5).as("score"),
       concat(lit("BS"), (k % 30).cast(StringType)).as("biosampleFromSourceId"),
       k.as("intervalId")
-    ).distinct()
+    )
+      // pre-partition on the unique-score window's 6 keys (a subset of the
+      // distinct's columns): the all-column distinct and the
+      // validateIdHasUniqueScore window then share ONE exchange
+      .repartition(
+        col("chromosome"), col("start"), col("end"),
+        col("biosampleFromSourceId"), col("geneId"), col("intervalType"))
+      .distinct()
     val contigs = nation(s, d)
       .filter(col("n_nationkey") < 3)
       .select(

@@ -240,6 +240,10 @@ object StudyQueries {
     */
   def gcatSumstats(s: SparkSession, d: String): DataFrame = {
     val k = col("l_orderkey") * 8 + col("l_linenumber")
+    // NO parallel-read spread here: PlanSpec pins this preprocess as a
+    // shuffle-free pushed-down projection (the scale property worth more
+    // than fixture-core utilisation); the round-18 JIT-limit fix in
+    // fromHarmonizedSumstats already took the serial parse 7.4 -> 3.0 s.
     val raw = lineitem(s, d).select(
       (k % 22 + 1).cast(StringType).as("hm_chrom"),
       when(k % 19 === 0, lit(null).cast(StringType))

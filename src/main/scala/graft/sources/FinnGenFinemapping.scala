@@ -78,27 +78,30 @@ object FinnGenFinemapping {
     // Under Spark 4 ANSI a plain cast would instead fail the whole ingestion
     // on the first bad cell, so every data-column parse goes through
     // try_cast (the position/cs FILTERS above already do).
-    val (mantissa, exponent) =
-      Stats.splitPvalueColumn(
-        when(expr("try_cast(p AS DOUBLE)").isNotNull, col("p")))
-    snps
+    // Two-stage projection (same JIT-limit fix as
+    // GwasCatalog.fromHarmonizedSumstats): fused into one select, the
+    // p-value split + 30 array-element casts + regex ids generated a
+    // 12501-byte projection method — past the JVM's 8000-byte JIT limit,
+    // so the parse ran as interpreted bytecode per row (round-18 codegen
+    // sweep). Stage 1 parses the raw strings once into attributes (the
+    // multi-referenced non-cheap `_p0` keeps CollapseProject from
+    // re-merging the stages); stage 2 derives ids and the index-selected
+    // statistics from those attributes.
+    val parsed = snps
       .filter(expr("try_cast(position AS INT)").isNotNull)
       .filter(expr("try_cast(cs AS INT)") > 0)
       .select(
-        concat_ws("_", lit(releasePrefix), col("trait")).as("studyId"),
+        col("trait"),
         col("region"),
-        regexp_replace(col("v"), ":", "_").as("variantId"),
+        col("v"),
         col("cs").cast(IntegerType).as("credibleSetIndex"),
-        regexp_replace(col("chromosome"), "^chr", "").cast(StringType)
-          .as("chromosome"),
+        col("chromosome").as("_rawChromosome"),
         col("position").cast(IntegerType).as("position"),
         col("allele1").cast(StringType).as("ref"),
         col("allele2").cast(StringType).as("alt"),
-        mantissa,
-        exponent,
+        when(expr("try_cast(p AS DOUBLE)").isNotNull, col("p")).as("_p0"),
         expr("try_cast(se AS DOUBLE)").as("standardError"),
         expr("try_cast(maf AS FLOAT)").as("effectAlleleFrequencyFromSource"),
-        lit("SuSiE").as("finemappingMethod"),
         array((1 to 10).map(i => col(s"alpha$i").cast(DoubleType)): _*)
           .as("_alphas"),
         array((1 to 10).map(i => col(s"lbf_variable$i").cast(DoubleType)): _*)
@@ -106,11 +109,28 @@ object FinnGenFinemapping {
         array((1 to 10).map(i => col(s"mean$i").cast(DoubleType)): _*)
           .as("_means")
       )
-      .withColumn(
-        "posteriorProbability", try_element_at(col("_alphas"), col("credibleSetIndex")))
-      .withColumn("logBF", try_element_at(col("_lbfs"), col("credibleSetIndex")))
-      .withColumn("beta", try_element_at(col("_means"), col("credibleSetIndex")))
-      .drop("_alphas", "_lbfs", "_means")
+    val (mantissa, exponent) = Stats.splitPvalueColumn(col("_p0"))
+    parsed
+      .select(
+        concat_ws("_", lit(releasePrefix), col("trait")).as("studyId"),
+        col("region"),
+        regexp_replace(col("v"), ":", "_").as("variantId"),
+        col("credibleSetIndex"),
+        regexp_replace(col("_rawChromosome"), "^chr", "").cast(StringType)
+          .as("chromosome"),
+        col("position"),
+        col("ref"),
+        col("alt"),
+        mantissa,
+        exponent,
+        col("standardError"),
+        col("effectAlleleFrequencyFromSource"),
+        lit("SuSiE").as("finemappingMethod"),
+        try_element_at(col("_alphas"), col("credibleSetIndex"))
+          .as("posteriorProbability"),
+        try_element_at(col("_lbfs"), col("credibleSetIndex")).as("logBF"),
+        try_element_at(col("_means"), col("credibleSetIndex")).as("beta")
+      )
   }
 
   /** Credible-set summaries → LBF-filtered per-set statistics

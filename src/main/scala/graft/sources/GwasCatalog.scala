@@ -268,25 +268,30 @@ object GwasCatalog {
     */
   def harmoniseEffectToBeta(df: DataFrame): DataFrame = {
     val (mantissa, exponent) = Stats.pvalueFromNeglogpval(col("PVALUE_MLOG"))
+    // Batched withColumns: every withColumn call re-runs the FULL analyzer
+    // over the accumulated plan, and with this file's large when/regex
+    // expression trees the eager re-analysis dominated the query's driver
+    // time (round-18 PlanTimeProbe: q_gwas_harmonise spent 4.0 s in
+    // DataFrame construction vs 0.2 s of executor CPU). Three dependency
+    // layers → three analysis rounds instead of six; expressions unchanged.
     val withFlags = df
-      .withColumn("reportedRiskAllele", extractRiskAllele(col("STRONGEST SNP-RISK ALLELE")))
-      .withColumn(
-        "isAllelePalindromic",
-        areAllelesPalindromic(col("referenceAllele"), col("alternateAllele")))
+      .withColumns(Map(
+        "reportedRiskAllele" -> extractRiskAllele(col("STRONGEST SNP-RISK ALLELE")),
+        "isAllelePalindromic" ->
+          areAllelesPalindromic(col("referenceAllele"), col("alternateAllele")),
+        "effectType" -> effectType(col("95% CI (TEXT)"))))
       .withColumn(
         "needsFlipping",
         effectNeedsHarmonisation(col("reportedRiskAllele"), col("referenceAllele")))
-      .withColumn("effectType", effectType(col("95% CI (TEXT)")))
-      .withColumn(
-        "effect_beta",
-        when(
-          (col("effectType") === "beta") && !col("isAllelePalindromic"),
-          harmoniseBeta(col("OR or BETA"), col("95% CI (TEXT)"), col("needsFlipping"))))
-      .withColumn(
-        "effect_odds_ratio",
-        when(
-          (col("effectType") === "odds_ratio") && !col("isAllelePalindromic"),
-          harmoniseOddsRatio(col("OR or BETA"), col("needsFlipping"))))
+      .withColumns(Map(
+        "effect_beta" ->
+          when(
+            (col("effectType") === "beta") && !col("isAllelePalindromic"),
+            harmoniseBeta(col("OR or BETA"), col("95% CI (TEXT)"), col("needsFlipping"))),
+        "effect_odds_ratio" ->
+          when(
+            (col("effectType") === "odds_ratio") && !col("isAllelePalindromic"),
+            harmoniseOddsRatio(col("OR or BETA"), col("needsFlipping")))))
     val ciLower = regexp_extract(col("95% CI (TEXT)"), "\\[(\\d+\\.*\\d*)-\\d+\\.*\\d*\\]", 1)
       .cast(DoubleType)
     val ciUpper = regexp_extract(col("95% CI (TEXT)"), "\\[\\d+\\.*\\d*-(\\d+\\.*\\d*)\\]", 1)
@@ -499,27 +504,55 @@ object GwasCatalog {
     val (mantissa, exponent) =
       if (cols.contains("p_value")) Stats.splitPvalueColumn(col("p_value"))
       else Stats.pvalueFromNeglogpval(col("neg_log_10_p_value"))
-    val (beta, se) = Stats.normaliseGwasStatistics(
-      beta0 = pick("hm_beta", "beta").cast(DoubleType),
-      oddsRatio = pick("hm_odds_ratio", "odds_ratio", "hazard_ratio").cast(DoubleType),
-      standardError = pick("standard_error").cast(DoubleType),
-      ciUpper = pick("ci_upper").cast(DoubleType),
-      ciLower = pick("ci_lower").cast(DoubleType),
-      mantissa = mantissa,
-      exponent = exponent
-    )
-    raw.select(
-      lit(filenameToStudyIdentifier(sumstatsFile)).as("studyId"),
-      concat_ws("_", chromosome, position, refAllele, altAllele).as("variantId"),
+    // Two-stage projection: parse the raw columns ONCE into attributes,
+    // then derive beta/standardError from those attributes. Inlined into a
+    // single select, the p-value parse and effect trees were duplicated
+    // under the beta/se when-branches (subexpression elimination skips
+    // conditionally-evaluated branches), and the fused projection method
+    // grew past the JVM's 8000-byte JIT limit — "Generated method too long
+    // to be JIT compiled: project_doConsume_0 is 10512 bytes", so the hot
+    // loop ran as interpreted bytecode on EVERY row (round-18 finding;
+    // q_gcat_sumstats 7.4 s wall / 5.8 s CPU → 2.9 s / 1.8 s). The parse
+    // expressions are non-cheap and multi-referenced, so CollapseProject
+    // keeps the stage split and codegen evaluates each once into a local.
+    val parsed = raw.select(
       chromosome.as("chromosome"),
       position.as("position"),
+      refAllele.as("_refAllele"),
+      altAllele.as("_altAllele"),
       mantissa,
       exponent,
-      beta,
-      se,
+      pick("hm_beta", "beta").cast(DoubleType).as("_beta0"),
+      pick("hm_odds_ratio", "odds_ratio", "hazard_ratio").cast(DoubleType).as("_oddsRatio"),
+      pick("standard_error").cast(DoubleType).as("_standardError"),
+      pick("ci_upper").cast(DoubleType).as("_ciUpper"),
+      pick("ci_lower").cast(DoubleType).as("_ciLower"),
       pick("effect_allele_frequency").cast("float")
         .as("effectAlleleFrequencyFromSource"),
       pick("n").cast(IntegerType).as("sampleSize")
+    )
+    val (beta, se) = Stats.normaliseGwasStatistics(
+      beta0 = col("_beta0"),
+      oddsRatio = col("_oddsRatio"),
+      standardError = col("_standardError"),
+      ciUpper = col("_ciUpper"),
+      ciLower = col("_ciLower"),
+      mantissa = col("pValueMantissa"),
+      exponent = col("pValueExponent")
+    )
+    parsed.select(
+      lit(filenameToStudyIdentifier(sumstatsFile)).as("studyId"),
+      concat_ws(
+        "_", col("chromosome"), col("position"), col("_refAllele"), col("_altAllele"))
+        .as("variantId"),
+      col("chromosome"),
+      col("position"),
+      col("pValueMantissa"),
+      col("pValueExponent"),
+      beta,
+      se,
+      col("effectAlleleFrequencyFromSource"),
+      col("sampleSize")
     )
       .filter(col("position").isNotNull)
       .filter(col("beta").isNotNull && col("beta") =!= 0)
