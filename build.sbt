@@ -37,4 +37,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // HotSpot refuses to JIT methods over 8000 bytecodes, and Spark's fused
+  // whole-stage-codegen methods exceed that on wide projections/aggregates
+  // ("Generated method too long to be JIT compiled" — round-18 sweep found
+  // several, and the affected parses ran 2-3x slower as interpreted
+  // bytecode). Standard Spark deployment tuning; harmless for small
+  // methods, no behaviour change.
+  "-XX:-DontCompileHugeMethods",
 )

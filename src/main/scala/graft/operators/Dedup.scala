@@ -164,15 +164,20 @@ object Dedup {
       bits: Int = 60
   ): DataFrame = {
     require(bits > 0 && bits <= 60, s"bits must be in (0, 60]: $bits")
+    // ONE radix conversion per token: the first 15 hex digits of the md5
+    // become a 60-bit long, and each bit-sum input is a shift+mask on that
+    // long. The former shape ran substring+conv per BIT (60 string parses
+    // per token — q_simhash_pairs was 13.5 s of executor CPU at sf0.1,
+    // nearly all in the signature aggregation's input expressions). Bit
+    // mapping is unchanged: bit b read digit b/4+1 (from the left) shifted
+    // by b%4, i.e. bit position 4*(14 - b/4) + b%4 of the packed long.
     val toks = docs
       .select(col(idCol), explode(TextOps.tokenize(col(textCol))).as("token"))
-      .withColumn("_h", md5(col("token")))
+      .withColumn("_h", conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
     val bitSums = (0 until bits).map { b =>
-      val dig = b / 4 + 1
-      val shift = b % 4
+      val pos = 4 * (14 - b / 4) + b % 4
       sum(
-        shiftright(conv(substring(col("_h"), dig, 1), 16, 10).cast("int"), shift)
-          .bitwiseAND(lit(1)) * 2 - 1).as(s"_b$b")
+        shiftright(col("_h"), pos).bitwiseAND(lit(1L)) * 2 - 1).as(s"_b$b")
     }
     toks
       .groupBy(col(idCol))

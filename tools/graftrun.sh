@@ -27,6 +27,7 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 exec java $ADDOPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -XX:-DontCompileHugeMethods \
   -Xmx"${GRAFT_XMX:-${SPARK_DRIVER_MEM:-8g}}" \
   -cp "$CLASSES:/opt/spark/jars/*" \
   "$MAIN" "$@"
