@@ -173,19 +173,23 @@ object Bench {
       case e: Exception =>
         System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    // The one stdout JSON line must fit the driver's ~3 KB log-tail buffer
-    // or it arrives decapitated and parses to null (BENCH_r11/r12): report
-    // the slowest K queries inline (the regression signal), the full map in
-    // the artifact file above. Printed LAST so the tail keeps it whole.
-    // The truncated map is named `slowest_queries` — NOT `queries` — so a
-    // reader can't mistake the top-K for the full surface; the complete
-    // per-query map lives under `queries` in the artifact file only.
+    // The one stdout JSON line must fit the driver's 2000-char log tail or
+    // it arrives decapitated and parses to null — measured, not guessed:
+    // BENCH_r07's full 126-query map exceeded it (`parsed: null`, tail
+    // starts mid-map) and every stored BENCH_rNN `tail` field is exactly
+    // 2000 chars. A full 215-query map needs ≥4.4 KB even at integer-ms
+    // precision, so it CANNOT ride this channel; instead the `queries` map
+    // carries as many entries as fit a conservative byte budget,
+    // slowest-first (the regression signal — the tail of sub-100 ms queries
+    // is what gets cut). The complete map always lands in the artifact file.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val slowK = 40
-    val slowest = timings.toSeq.sortBy(-_._2).take(slowK)
-    val qsCompact = slowest
-      .map { case (k, v) => s"${jstr(k)}:${f3(v)}" }
-      .mkString("{", ",", "}")
+    // 2-decimal, trailing-zero-trimmed values: 10 ms resolution is far
+    // inside the ±15-20 % host noise band and buys ~15 extra entries.
+    def f2t(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
     // errors inline as names-only (full messages live in the artifact
     // file): 200-char messages × many failures would blow the same tail
     // budget the compact line exists to respect
@@ -197,11 +201,21 @@ object Bench {
       else "," + "\"control\":" + control
         .map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}") +
         driftFactor.map(d => s""","drift_factor":${f3(d)}""").getOrElse("")
-    val compact =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec"$controlCompact,"slowest_queries":$qsCompact$errCompact,""" +
-        s""""n_queries":${timings.size},"queries_reported":${slowest.size},""" +
+    val slowestAll = timings.toSeq.sortBy(-_._2)
+    def line(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => s"${jstr(k)}:${f2t(v)}" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec"$controlCompact,"queries":$qs$errCompact,""" +
+        s""""n_queries":${timings.size},"queries_reported":${entries.size},""" +
         s""""queries_full":${jstr(outFile)},"sf":${jstr(sfDir)}}"""
-    println(compact)
+    }
+    // Largest slowest-first prefix whose line stays under budget (1900
+    // leaves headroom for the trailing newline and any final log chatter).
+    val budget = 1900
+    val fit = (slowestAll.size to 0 by -1)
+      .find(n => line(slowestAll.take(n)).length <= budget)
+      .getOrElse(0)
+    println(line(slowestAll.take(fit)))
     System.out.flush()
     spark.stop()
   }

@@ -34,9 +34,19 @@ object Explain {
         "q_lsh_pairs", "q_clean_corpus", "q_contamination", "q_seq_pack",
         "q_topk_pushdown", "q_setsim_join", "q_pagerank", "q_scd2",
         "q_salted_join", "q_rolling_stats")
+    // SPARK_GRAFT_EXECUTED=1: run the query (noop sink) first and dump the
+    // FINAL adaptive plan — the only place AQE runtime decisions
+    // (ReusedExchange/AQEShuffleRead/broadcast conversions) are visible;
+    // the default pre-execution dump shows the initial plan only (§7.2).
+    val executed = sys.env.get("SPARK_GRAFT_EXECUTED").contains("1")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
-        val plan = fn(spark, sfDir).queryExecution.explainString(
+        val df = fn(spark, sfDir)
+        // collect() (not a noop write) so THIS Dataset's queryExecution is
+        // the one that runs — a write plans a fresh QueryExecution and the
+        // dumped plan would stay isFinalPlan=false
+        if (executed) df.collect()
+        val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         planDir match {
           case Some(dir) =>

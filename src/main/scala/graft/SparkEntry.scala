@@ -21,6 +21,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ GenomicQueries.queries ++ IndexQueries.queries ++ TextQueries.queries ++ ColocQueries.queries ++ JoinQueries.queries ++ MiscQueries.queries ++ QcQueries.queries ++ SourceQueries.queries ++ DatasetQueries.queries ++ StudyQueries.queries ++ IngestQueries.queries
 
+  /** Harness teardown: releases every per-(session, sfDir) plan/persist
+    * memo the query registries hold (coloc overlap chain, containment
+    * artifact). Long-lived sessions embedding this library should call it
+    * when done with a data directory; Bench/Verify sessions exit instead.
+    */
+  def cleanup(): Unit = {
+    ColocQueries.cleanup()
+    TextQueries.cleanup()
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

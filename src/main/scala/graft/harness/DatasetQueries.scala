@@ -123,14 +123,22 @@ object DatasetQueries {
       .select(
         col("studyId"), col("chromosome"), col("position"),
         col("__rank").as("chrom_rank"))
-    // Offsets via a bounded self-join on the ~25-row chromosome count frame
-    // (a running-sum window here would be unpartitioned and trip Spark's
-    // single-partition warning even though the frame is tiny).
-    val counts = within.groupBy("chromosome").agg(count(lit(1)).as("n"))
-    val offsets = counts.alias("a")
-      .join(counts.alias("b"), col("b.chromosome") < col("a.chromosome"), "left")
-      .groupBy(col("a.chromosome").as("chromosome"))
-      .agg(coalesce(sum(col("b.n")), lit(0L)).as("offset"))
+    // Per-chromosome counts straight off `ss` — counting through `within`
+    // (round-18 shape) re-derived the whole rank machinery (quantile
+    // boundaries + bin repartition) just to count rows the rank pass never
+    // changes. Offsets via an exclusive running sum over the ~25-row count
+    // frame: the window is unpartitioned but bounded by the chromosome
+    // cardinality (the same tiny-histogram discipline as FeatureOps'
+    // internal offsets) — the round-18 a<b self-join computed the ENTIRE
+    // counts subtree twice (plans/r18/before/q_global_sort.txt nodes
+    // 51-73 vs 74-97) to avoid a warning on a 25-row frame.
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("chromosome"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = ss.groupBy("chromosome").agg(count(lit(1)).as("n"))
+      .select(
+        col("chromosome"),
+        coalesce(sum(col("n")).over(wOff), lit(0L)).as("offset"))
     within
       .join(broadcast(offsets), Seq("chromosome"))
       .select(

@@ -13,11 +13,12 @@ object TextQueries {
   import Tables._
 
   /** The documents table arrives as one small file → one partition; spread
-    * it so per-document kernels use all cores (at production scale the scan
-    * is already many-way parallel and this is a no-op decision).
+    * it so per-document kernels use all cores. Gated on the scan's actual
+    * partition count (Tables.parallel): at production scale the scan is
+    * already many-way parallel and NO exchange is planned.
     */
   private def docsParallel(s: SparkSession, d: String): DataFrame =
-    documents(s, d).repartition(s.sparkContext.defaultParallelism)
+    Tables.parallel(s, documents(s, d))
 
   private def withTokens(df: DataFrame): DataFrame =
     df.withColumn("toks", TextOps.tokenize(col("text")))
@@ -175,6 +176,18 @@ object TextQueries {
   // ColocQueries.alignedOverlaps (Bench's clearCache drops storage levels).
   private val containmentArtifactCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Release the persisted containment artifacts and drop the memo
+    * (caller-owned lifecycle, mirrors [[ColocQueries.cleanup]]): without
+    * this, a long-lived session could never free the DISK_ONLY artifact —
+    * the getOrElseUpdate re-arms the persist after any external
+    * `catalog.clearCache()`, and the TrieMap pins the frame per
+    * (session, sfDir) forever. Wired into [[graft.SparkEntry.cleanup]].
+    */
+  def cleanup(): Unit = {
+    containmentArtifactCache.values.foreach(_.unpersist(false))
+    containmentArtifactCache.clear()
+  }
 
   def containmentIncrQ(s: SparkSession, d: String): DataFrame = {
     val docs = docsParallel(s, d)

@@ -43,6 +43,14 @@ object OntologyClosure {
     // Result parity: union+distinct reaches the identical transitive
     // closure set (monotone pair discovery, cycles tolerated); the round
     // cap covers depth 2^maxIterations ≥ the old maxIterations+1.
+    // SIZE CAVEAT (round-18 advice): doubling self-joins the FULL closure,
+    // so on a deep/dense DAG the pre-distinct closure⋈closure intermediate
+    // can far exceed the old frontier⋈edges stream — the doubling trade
+    // assumes |closure| = O(|E|·d) with small bounded d, true for
+    // anatomical/disease ontologies (d ≲ 20, fan-in small). Callers
+    // feeding an UNBOUNDED generic edge set (social graphs, call graphs)
+    // should prefer a semi-naive frontier walk; this operator's contract
+    // is ontology-shaped input.
     val e = edges.select(col("child"), col("parent")).distinct().localCheckpoint(true)
     var closure = e
       .select(col("child").as("node"), col("parent").as("ancestor"))

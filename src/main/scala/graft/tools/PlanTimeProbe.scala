@@ -32,7 +32,7 @@ object PlanTimeProbe {
         val t2 = System.nanoTime(); qe.optimizedPlan
         val t3 = System.nanoTime(); qe.executedPlan
         val t4 = System.nanoTime()
-        println(s"===== $name build=${(t1 - t0) / 1e6}%n analyze=${(t2 - t1) / 1e6} ms " +
+        println(s"===== $name build=${(t1 - t0) / 1e6} ms analyze=${(t2 - t1) / 1e6} ms " +
           s"optimize=${(t3 - t2) / 1e6} ms physical=${(t4 - t3) / 1e6} ms")
         println(RuleExecutor.dumpTimeSpent().linesIterator.take(25).mkString("\n"))
       }
