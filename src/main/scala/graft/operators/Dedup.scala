@@ -184,6 +184,14 @@ object Dedup {
       .agg(bitSums.head, bitSums.tail: _*)
       .select(
         col(idCol),
+        // The when-chain combine compiles to an 8501-byte aggregate-OUTPUT
+        // method (past HotSpot's 8000-byte JIT limit, round-19 sweep) but
+        // runs once per GROUP (per document), not per token row, so the
+        // JIT miss is marginal; a branchless shiftleft(cast(_b >= 0))
+        // variant was A/B'd and compiled BIGGER (11297 bytes), and any
+        // project-split gets re-absorbed into the aggregate's result
+        // expressions by CollapseProject. Left as the smallest known form;
+        // -XX:-DontCompileHugeMethods keeps it compiled in deployment.
         (0 until bits)
           .map(b => when(col(s"_b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _)

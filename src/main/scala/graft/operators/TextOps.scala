@@ -565,8 +565,19 @@ object TextOps {
       .join(docs.select(col(idCol), isQuery.as("_q")), Seq(idCol))
     val norms = w.groupBy(col(idCol))
       .agg(sqrt(sum(col("tfidf") * col("tfidf"))).as("_norm"))
+    // Repartition by the inverted-index key BEFORE splitting into the
+    // query/corpus branches: the two branches' subtrees below the filters
+    // are then canonically IDENTICAL down to this exchange, so
+    // ReuseExchange materialises the whole tfidf→norms→weighted chain
+    // ONCE (it used to run twice, once per branch — 2× the dominant
+    // token-aggregation cost), and both sides of the term join arrive
+    // already clustered by term, so the join plans no exchange of its own
+    // (guide §2.4). Trade-off noted: a co-partitioned join is outside
+    // AQE's skew-split, but inverted-index skew is bounded here by the
+    // df-weighting and the query side is a small filtered subset.
     val weighted = w.join(norms, Seq(idCol))
       .select(col(idCol), col("_q"), col("term"), (col("tfidf") / col("_norm")).as("_w"))
+      .repartition(col("term"))
     val q = weighted.filter(col("_q"))
       .select(col(idCol).as("query_id"), col("term"), col("_w").as("_wq"))
     val c = weighted.filter(!col("_q"))

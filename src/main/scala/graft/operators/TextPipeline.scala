@@ -85,7 +85,7 @@ object TextPipeline {
           when(col(s"s_$l") >= best, lit(l)).otherwise(elseCol)
         }
     }
-    val gated = docs
+    val gated0 = docs
       .join(docStats, Seq("doc_id"), "left")
       .join(gramStats, Seq("doc_id"), "left")
       .withColumn(
@@ -102,6 +102,16 @@ object TextPipeline {
       .drop(
         Seq("n", "n_distinct", "max_cnt", "sum_len", "n_g2", "d_g2") ++
           langNames.map(l => s"s_$l"): _*)
+    // THREE eager consumers read the gated frame (the exact-dup branch,
+    // the near-dup branch through the signature chain, and the final
+    // flag-back join); unpersisted, each re-derives the full
+    // tokenize/2-gram aggregation chain — the multi-consumer persist
+    // rule from the round-18 containment-artifact adjudication. Caller
+    // owns the lifecycle (clearCache between batches in long-lived use).
+    val gated =
+      if (gated0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        gated0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else gated0
 
     // Exact dedup over gate survivors only (dedup after filtering): first
     // occurrence by doc id survives, the rest are exact duplicates.
